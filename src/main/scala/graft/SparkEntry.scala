@@ -13,7 +13,8 @@ object SparkEntry {
 
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (qp.CoreQueries.queries, qp.CoreQueries.oracles)
+      (qp.CoreQueries.queries, qp.CoreQueries.oracles),
+      (qp.FrameQueries.queries, qp.FrameQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
