@@ -14,7 +14,9 @@ object SparkEntry {
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (qp.CoreQueries.queries, qp.CoreQueries.oracles),
-      (qp.FrameQueries.queries, qp.FrameQueries.oracles)
+      (qp.FrameQueries.queries, qp.FrameQueries.oracles),
+      (qp.PipeQueries.queries, qp.PipeQueries.oracles),
+      (qp.TextQueries.queries, qp.TextQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -179,6 +179,10 @@ object Frame {
     new Frame(zipIdx(sorted))
   }
 
+  /** Public renumbering entry: dense `_idx` preserving the existing
+    * `_idx` order of a (possibly filtered) indexed DataFrame. */
+  def reindexPreservingOrder(df: DataFrame): Frame = reindex(df)
+
   /** Wrap a DataFrame that already carries a valid dense `_idx`. */
   def fromIndexed(df: DataFrame): Frame = {
     require(df.columns.contains(IDX), s"missing $IDX column")

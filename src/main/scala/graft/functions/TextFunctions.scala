@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.frame.Frame
+
+/** Text operators (reference: fireworks/toolbox/text.py + utils/utils.py).
+  * All are codegen'd native expressions — no UDFs in the hot path.
+  */
+object TextFunctions {
+
+  /** T1 character_tokenizer (text.py:7-11). */
+  def charTokens(c: Column): Column = split(c, "")
+
+  /** T2 space_tokenizer (text.py:13-16). */
+  def spaceTokens(c: Column): Column = split(c, " ")
+
+  /** T3 pad (text.py:18-40): pad every token array in the frame to the
+    * global max length with `padToken`. The max is a tiny aggregate
+    * broadcast back into the plan (no global window). */
+  def padToMax(df: DataFrame, tokenCol: String, padToken: String): DataFrame = {
+    val maxLen = df.agg(max(size(col(tokenCol)))).head().getInt(0)
+    df.withColumn(tokenCol,
+      concat(col(tokenCol),
+        array_repeat(lit(padToken), lit(maxLen) - size(col(tokenCol)))))
+  }
+
+  /** A2 make_vocabulary (text.py:74-93): token → frequency, with an
+    * optional min-count cutoff. explode → hash-agg (map-side partial
+    * combine keeps the shuffle proportional to distinct tokens). */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long): DataFrame =
+    df.select(explode(spaceTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** T6 make_indices (text.py:95-104): dense token ids, most-frequent
+    * first (ties broken by token). Distributed rank via Frame.fromDF —
+    * no single-partition window even for huge vocabularies. */
+  def tokenIndices(vocab: DataFrame): DataFrame = {
+    val ranked = Frame.fromDF(
+      vocab.withColumn("__negcnt", -col("cnt")), Seq("__negcnt", "token"))
+    ranked.df.drop("__negcnt")
+      .withColumnRenamed(Frame.IDX, "token_id")
+  }
+
+  /** T4 apply_embeddings (text.py:42-55): per-token lookup through a
+    * broadcast (token → id/vector) table; unknown tokens map to
+    * `unkId`. The map side stays a codegen'd expression over the
+    * exploded tokens; the lookup join is broadcast — no shuffle of the
+    * corpus. */
+  def lookupTokenIds(docs: DataFrame, docIdCol: String, textCol: String,
+                     indices: DataFrame, unkId: Long): DataFrame = {
+    val toks = docs.select(col(docIdCol),
+        posexplode(spaceTokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    toks.join(broadcast(indices.select("token", "token_id")), Seq("token"), "left")
+      .withColumn("token_id", coalesce(col("token_id"), lit(unkId)))
+  }
+
+  /** T7 one_hot (utils/utils.py:4-17): int → float one-hot array, as a
+    * pure array expression (no UDF, no Spark-ML pipeline state). */
+  def oneHot(c: Column, numClasses: Int): Column =
+    transform(sequence(lit(0), lit(numClasses - 1)),
+      i => when(i === c.cast("int"), lit(1.0f)).otherwise(lit(0.0f)))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.frame.Frame
+
+/** The reference's Pipe layer (reference: fireworks/toolbox/pipes.py),
+  * re-expressed as lazy DataFrame/Frame transformations. A pipeline of
+  * Pipes in the reference is object nesting with recursive dispatch
+  * (core/pipe.py:139-190); here it is plain plan composition —
+  * Catalyst's tree is the pipeline.
+  */
+object Pipes {
+
+  /** P1 FunctionPipe (pipes.py:569-582): arbitrary Frame→Frame hook. */
+  def function(f: Frame)(fn: DataFrame => DataFrame): Frame =
+    Frame.fromIndexed(fn(f.df))
+
+  /** P2 Title2LabelPipe (pipes.py:347-372): constant label column. */
+  def title2label(f: Frame, title: String): Frame =
+    Frame.fromIndexed(f.df.withColumn("labels", lit(title)))
+
+  /** P4 TensorPipe (pipes.py:584-607): lift scalar columns into
+    * float-array "tensor" columns (ArrayType(FloatType) is our tensor
+    * encoding, SURVEY §1.4; device placement is a no-op on Spark). */
+  def toTensor(f: Frame, cols: String*): Frame =
+    Frame.fromIndexed(cols.foldLeft(f.df) { (d, c) =>
+      d.withColumn(c, array(col(c).cast("float")))
+    })
+
+  /** O1 ShufflerPipe (pipes.py:440-490), seeded variant: a real
+    * cluster shuffle ordered by `rand(seed)`; row identity keeps the
+    * result reproducible for a fixed seed and partitioning. */
+  def shuffle(f: Frame, seed: Long): Frame = {
+    val shuffled = f.df
+      .withColumnRenamed(Frame.IDX, "__old")
+      .withColumn("__r", rand(seed))
+    Frame.fromDF(shuffled, Seq("__r", "__old")).dropCols("__r", "__old")
+  }
+
+  /** O1 engine-agnostic deterministic shuffle: permutation defined by
+    * md5 of a key expression — reproducible across engines (used by the
+    * oracle gate) and free of RNG state. */
+  def shuffleByHash(f: Frame, keyCols: Seq[String]): Frame = {
+    val key = md5(concat_ws(":", keyCols.map(c => col(c).cast("string")): _*))
+    val tagged = f.df.withColumn("__h", key)
+    val renum = Frame.fromDF(tagged.drop(Frame.IDX), Seq("__h"))
+    renum.dropCols("__h")
+  }
+
+  /** O2 BatchingPipe (pipes.py:536-567): assign minibatch ids
+    * `floor(_idx / size)` and drop the ragged tail — a pure
+    * expression, no shuffle. `n` is the frame length (pass it in to
+    * avoid recount). */
+  def withBatches(f: Frame, size: Long, n: Long): Frame = {
+    val full = (n / size) * size
+    Frame.fromIndexed(
+      f.df.filter(col(Frame.IDX) < full)
+        .withColumn("batch_id", (col(Frame.IDX) / size).cast("long")))
+  }
+
+  /** O2 driver-side minibatch iterator (the training-loop sink): streams
+    * partitions in `_idx` order and regroups into fixed-size batches. */
+  def batchIterator(f: Frame, size: Int): Iterator[Seq[org.apache.spark.sql.Row]] =
+    f.iterator.grouped(size).filter(_.size == size)
+
+  /** O3 RepeaterPipe (pipes.py:397-438): iterate the input n times
+    * (epoch-major: epoch e of m rows occupies [e*m, (e+1)*m)). Virtual
+    * oversampling — `explode` of a literal range, no data copy until
+    * execution. */
+  def repeat(f: Frame, times: Int, n: Long): Frame = {
+    val rep = f.df
+      .withColumn("__e", explode(sequence(lit(0L), lit(times - 1L))))
+      .withColumn(Frame.IDX, col("__e") * lit(n) + col(Frame.IDX))
+      .drop("__e")
+    Frame.fromIndexed(rep)
+  }
+
+  /** O5 IndexMapperPipe (pipes.py:492-534): view through an index
+    * bijection — delegated to Frame's gather. */
+  def indexMap(f: Frame, mapping: Seq[(Long, Long)]): Frame =
+    f.select(mapping.sortBy(_._2).map(_._1))
+
+  /** C1 CachingPipe (pipes.py:206-344): Spark's block manager replaces
+    * the hand-rolled caches (SURVEY §2.5). */
+  def cached(f: Frame): Frame = f.cache()
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Queries exercising the text operators (SURVEY §2.10: T1-T7, A2)
+  * over the `documents` table.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T2: space tokenization + counts per document.
+    "t2_token_count" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          size(spaceTokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("len_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // A2: vocabulary — explode + hash-agg token frequencies with cutoff.
+    "a2_vocab" -> ((s, d) => {
+      vocabulary(documents(s, d), "text", 10L)
+        .orderBy(desc("cnt"), asc("token"))
+    }),
+
+    // T6: dense token ids, most-frequent-first (distributed rank).
+    "t6_token_indices" -> ((s, d) => {
+      tokenIndices(vocabulary(documents(s, d), "text", 1L))
+        .orderBy("token_id")
+    }),
+
+    // T4: per-token id lookup through a broadcast vocabulary.
+    "t4_token_lookup" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 3)
+      val idx = tokenIndices(vocabulary(documents(s, d), "text", 1L))
+      lookupTokenIds(docs, "doc_id", "text", idx, -1L)
+        .select("doc_id", "pos", "token", "token_id")
+        .orderBy("doc_id", "pos")
+    }),
+
+    // T3: pad token arrays to the global max length.
+    "t3_pad" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), spaceTokens(col("text")).as("tokens"))
+      padToMax(toks, "tokens", "<pad>")
+        .select(col("doc_id"), size(col("tokens")).as("padded_len"),
+          element_at(col("tokens"), -1).as("last_token"))
+        .orderBy("doc_id")
+    }),
+
+    // T7: one-hot encoding as a pure array expression.
+    "t7_onehot" -> ((s, d) => {
+      embeddings(s, d)
+        .select(col("vec_id"), col("label"), oneHot(col("label"), 10).as("onehot"))
+        .orderBy("vec_id")
+    })
+  )
+
+  private val vocabSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      | vocab AS (
+      |  SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> ''
+      |  GROUP BY token)
+      |""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "t2_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a2_vocab" -> (vocabSql +
+      """SELECT token, cnt FROM vocab WHERE cnt >= 10
+        |ORDER BY cnt DESC, token ASC""".stripMargin),
+    "t6_token_indices" -> (vocabSql +
+      """SELECT token, cnt,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS token_id
+        |FROM vocab ORDER BY token_id""".stripMargin),
+    "t4_token_lookup" -> (vocabSql +
+      """, idx AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS token_id
+        |  FROM vocab),
+        | exploded AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' '))),
+        |    i -> struct_pack(pos := i - 1, token := string_split(text, ' ')[CAST(i AS INT)]))) AS s
+        |  FROM documents WHERE doc_id < 3)
+        |SELECT e.doc_id, CAST(e.s.pos AS INT) AS pos, e.s.token AS token,
+        |  COALESCE(idx.token_id, -1) AS token_id
+        |FROM exploded e LEFT JOIN idx ON e.s.token = idx.token
+        |WHERE e.s.token <> ''
+        |ORDER BY doc_id, pos""".stripMargin),
+    "t3_pad" ->
+      """WITH m AS (SELECT MAX(len(string_split(text, ' '))) AS maxlen FROM documents)
+        |SELECT doc_id, CAST(m.maxlen AS INT) AS padded_len,
+        |  CASE WHEN len(string_split(text, ' ')) = m.maxlen
+        |       THEN string_split(text, ' ')[CAST(m.maxlen AS INT)]
+        |       ELSE '<pad>' END AS last_token
+        |FROM documents, m ORDER BY doc_id""".stripMargin,
+    "t7_onehot" ->
+      """SELECT vec_id, label,
+        |  list_transform(generate_series(0, 9),
+        |    i -> CAST(CASE WHEN i = label THEN 1.0 ELSE 0.0 END AS FLOAT)) AS onehot
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}
