@@ -16,7 +16,9 @@ object SparkEntry {
       (qp.CoreQueries.queries, qp.CoreQueries.oracles),
       (qp.FrameQueries.queries, qp.FrameQueries.oracles),
       (qp.PipeQueries.queries, qp.PipeQueries.oracles),
-      (qp.TextQueries.queries, qp.TextQueries.oracles)
+      (qp.TextQueries.queries, qp.TextQueries.oracles),
+      (qp.DedupQueries.queries, qp.DedupQueries.oracles),
+      (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

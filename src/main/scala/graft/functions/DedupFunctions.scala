@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. All stages are native
+  * codegen'd expressions (no UDFs); hashing is md5-based so results are
+  * engine-reproducible (the DuckDB oracle computes the same bytes).
+  *
+  * Scale shape (100 TB): signature/shingle computation is per-row
+  * (embarrassingly parallel); candidate generation shuffles only
+  * (band_key, doc_id) pairs — proportional to corpus size × bands, not
+  * to corpus²; exact verification touches only candidate pairs.
+  */
+object DedupFunctions {
+
+  /** Distinct word n-gram shingles of a text column. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct character k-gram shingles. */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      array_distinct(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k)))))
+      .otherwise(array(text))
+
+  /** Exact Jaccard similarity of two shingle-set columns (int ratio →
+    * double division; deterministic across engines). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash signature (k hashes) over a shingle-set column. Hash j of
+    * a shingle is md5("j:shingle"); the signature element is the
+    * lexicographic minimum — portable across engines, no RNG state. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles,
+        s => md5(concat(j.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: the signature is cut into `bands` bands of `r`
+    * rows; each band hashes to one bucket key. Docs sharing any band
+    * key become candidate pairs. */
+  def bandKeys(signature: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        concat_ws(",", slice(signature, b * lit(r) + 1, lit(r))))))
+
+  /** Full MinHash-LSH near-duplicate pipeline: returns verified pairs
+    * (a, b, jac) with exact Jaccard >= threshold.
+    *
+    * Plan: per-doc signature → explode band keys → self-join on bucket
+    * (shuffle ∝ docs×bands) → distinct candidate pairs → join back the
+    * shingle sets → exact verify. Only candidates are verified —
+    * never the full cross product.
+    */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, numHashes: Int, bands: Int,
+                            threshold: Double): DataFrame = {
+    val r = numHashes / bands
+    val withSh = docs.select(col(idCol).as("__id"),
+        wordShingles(col(textCol), shingleN).as("__sh"))
+    val withBands = withSh
+      .withColumn("__band", explode(bandKeys(
+        minhashSignature(col("__sh"), numHashes), bands, r)))
+      .select("__id", "__band")
+    val cand = withBands.as("x").join(withBands.as("y"),
+        col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    val sh = withSh.select(col("__id"), col("__sh"))
+    cand
+      .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "__sha"), Seq("a"))
+      .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "__shb"), Seq("b"))
+      .withColumn("jac", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  /** Portable 32-bit SimHash over the word tokens of a text column.
+    *
+    * Bit k of a token's hash is bit (k % 4) of hex digit (k / 4) of
+    * md5(token); each token votes ±1 per bit; the sign of the vote sum
+    * is the fingerprint bit. Pure expressions, engine-reproducible.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = split(text, " ")
+    val bits = transform(sequence(lit(0), lit(31)), k => {
+      val digitPos = (floor(k.cast("double") / 4.0) + 1).cast("int")
+      val bitInDigit = pmod(k, lit(4)).cast("double")
+      val votes = aggregate(toks, lit(0),
+        (acc, t) => {
+          val digit = conv(md5(t).substr(digitPos, lit(1)), 16, 10).cast("int")
+          val bit = pmod(floor(digit.cast("double") / pow(lit(2.0), bitInDigit)).cast("int"), lit(2))
+          acc + (bit * 2 - 1)
+        })
+      when(votes >= 0, pow(lit(2.0), k.cast("double")).cast("long")).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SimHash near-duplicate candidates by byte-banding: hamming(a,b) <= 3
+    * over 4 bytes guarantees at least one equal byte (pigeonhole), so
+    * joining on any-of-4 byte bands has 100% recall for that radius. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int): DataFrame = {
+    val withH = docs.select(col(idCol).as("__id"), simhash32(col(textCol)).as("__h"))
+    // byte p of the 32-bit hash, via exact double-pow arithmetic (h < 2^32)
+    val byteAt = (p: Column) => pmod(
+      floor(col("__h").cast("double") / pow(lit(2.0), p.cast("double") * 8.0)).cast("long"),
+      lit(256L))
+    val banded = withH.withColumn("__bandpos", explode(sequence(lit(0), lit(3))))
+      .withColumn("__band", concat(col("__bandpos").cast("string"), lit(":"),
+        byteAt(col("__bandpos")).cast("string")))
+      .select("__id", "__h", "__band")
+    banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        col("x.__h").as("__ha"), col("y.__h").as("__hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Exact dedup key: md5 of normalized text (lowercase, collapsed
+    * whitespace). */
+  def contentHash(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ArrayType(FloatType)).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan
+  * the corpus once — at 100 TB this is one pass, perfectly parallel,
+  * no shuffle of the corpus). Scale path: random-hyperplane LSH
+  * bucketing that prunes the corpus before the exact rerank.
+  *
+  * All vector math is native higher-order functions over
+  * double-promoted elements — codegen'd, deterministic fold order, no
+  * UDFs.
+  */
+object SimilarityFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k: for each row of `queries` (small,
+    * broadcast), the k nearest rows of `corpus` (scanned once).
+    * Scores are rounded to `roundDigits` before ranking so ordering is
+    * reproducible across engines; ties break by corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundDigits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), roundDigits))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes: component d of plane
+    * p derives from md5("seed:p:d") — reproducible, no RNG state to
+    * ship to executors. Returns plane p as an array literal column. */
+  private def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] = {
+    val comps = Array.tabulate(dim) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        .take(7).map("%02x".format(_)).mkString
+      // uniform in [-1, 1) from 56 hash bits
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 55) - 1.0
+    }
+    val n = math.sqrt(comps.map(x => x * x).sum)
+    comps.map(_ / n)
+  }
+
+  /** Sign-bit bucket key under `planes` random hyperplanes. */
+  def lshBucket(vec: Column, seed: Long, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val plane = hyperplane(seed, p, dim)
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-pruned approximate top-k: corpus and queries are bucketed by
+    * hyperplane sign bits; candidates share the query's bucket, then
+    * exact cosine reranks. At scale the bucket join replaces the full
+    * cross product — shuffle ∝ corpus, candidates ∝ corpus/2^planes
+    * per query. Approximate (recall < 1 by design): declared to the
+    * driver without an oracle. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              seed: Long, planes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = lshBucket(col(vecCol), seed, planes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      bucket.as("__bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      bucket.as("__bucket")))
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.DedupFunctions._
+
+/** Deduplication operator queries over `documents` (parity-plus LLM
+  * data-pipeline surface; BASELINE.json north star).
+  */
+object DedupQueries {
+
+  /** Word-3-gram shingle CTE shared by the oracles. */
+  private val shingleSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+      |  FROM documents)
+      |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on normalized content. The corpus has no
+    // exact dups, so plant 50 (doc_id+10000 copies) and verify the
+    // operator removes exactly those.
+    "d1_exact_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      val all = docs.unionByName(planted)
+      all.groupBy(contentHash(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keep_id")
+    }),
+
+    // MinHash(64) + LSH(16 bands x 4) near-dup pairs, exact-verified at
+    // Jaccard >= 0.8. The oracle brute-forces all pairs; equality
+    // demonstrates the LSH candidate stage loses no qualifying pair.
+    "d2_minhash_lsh" -> ((s, d) => {
+      minhashNearDuplicates(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("a", "b")
+    }),
+
+    // SimHash(32-bit) near-dup pairs at hamming <= 3 via byte-banding
+    // (pigeonhole-complete for radius 3). Oracle brute-forces hamming.
+    "d3_simhash" -> ((s, d) => {
+      simhashNearDuplicates(documents(s, d), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("a", "b")
+    }),
+
+    // Char-5-gram Jaccard near-dup pairs (restricted brute force —
+    // exercises the n-gram/array-set path without LSH).
+    "d4_ngram_jaccard" -> ((s, d) => {
+      val sh = documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), charShingles(col("text"), 5).as("sh"))
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          jaccard(col("x.sh"), col("y.sh")).as("jac"))
+        .filter(col("jac") >= 0.4)
+        .orderBy("a", "b")
+    }),
+
+    // Embedding-cosine near-dup pairs (brute force; corpus is
+    // cosine-unclustered so 0.45 captures the extreme tail).
+    "d5_embed_neardup" -> ((s, d) => {
+      import graft.functions.SimilarityFunctions.cosine
+      // brute-force pair scan is quadratic by nature: cap the slice so it
+      // stays a baseline; the LSH path (s2_ann_lsh) is the at-scale answer.
+      val e = embeddings(s, d).filter(col("vec_id") < 2000).select("vec_id", "embedding")
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("a", "b")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM all_docs GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "d2_minhash_lsh" -> (shingleSql +
+      """, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p WHERE jac >= 0.8 ORDER BY a, b""".stripMargin),
+    "d3_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 31), k ->
+        |    CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+        |      2 * (CAST(floor(CAST(strpos('0123456789abcdef', substr(md5(t), CAST(k // 4 + 1 AS INT), 1)) - 1 AS DOUBLE)
+        |                 / pow(2.0, CAST(k % 4 AS DOUBLE))) AS INT) % 2) - 1)) >= 0
+        |    THEN CAST(pow(2.0, CAST(k AS DOUBLE)) AS BIGINT) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM h a, h b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY a, b""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS sh
+        |  FROM documents WHERE doc_id < 300)
+        |, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p WHERE jac >= 0.4 ORDER BY a, b""".stripMargin,
+    "d5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 2000),
+        | p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))), 6) AS cos
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+  )
+}
