@@ -18,7 +18,8 @@ object SparkEntry {
       (qp.PipeQueries.queries, qp.PipeQueries.oracles),
       (qp.TextQueries.queries, qp.TextQueries.oracles),
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
-      (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles)
+      (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles),
+      (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

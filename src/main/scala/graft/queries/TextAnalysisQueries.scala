@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextAnalysisFunctions._
+import graft.functions.MultimodalFunctions._
+
+/** Text-analysis + multimodal-plumbing queries over `documents`. */
+object TextAnalysisQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID heuristic: stopword-profile voting per document,
+    // summarized against the stored label.
+    "x1_langid" -> ((s, d) => {
+      documents(s, d)
+        .select(col("lang"), langIdGuess(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    }),
+
+    // Quality scoring: composite of token-length / diversity /
+    // punctuation / digit signals, one scan.
+    "x2_quality" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token statistics: whitespace and BPE-ish sub-token counts +
+    // lexical diversity.
+    "x3_token_stats" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          wsTokenCount(col("text")).as("ws_tokens"),
+          regexTokenCount(col("text")).as("sub_tokens"),
+          round(typeTokenRatio(col("text")), 6).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: normalized content hash + min-8-gram
+    // rolling-hash fingerprint.
+    "x4_fingerprint" -> ((s, d) => {
+      import graft.functions.DedupFunctions.contentHash
+      documents(s, d)
+        .select(col("doc_id"),
+          contentHash(col("text")).as("content_hash"),
+          minGramFingerprint(col("text"), 8).as("min_gram_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: binary payload column → partition-batched
+    // STUB decode → deterministic features (schema/batching real,
+    // codec faked; see MultimodalFunctions).
+    "x5_multimodal_decode" -> ((s, d) => {
+      val withPayload = documents(s, d)
+        .select(col("doc_id"), asPayload(col("text")).as("payload"))
+      decodeFeatures(withPayload, "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal frame sampling: every 2nd 64-byte window of the
+    // payload as a frame row (video frame-sample plumbing).
+    "x6_frame_sample" -> ((s, d) => {
+      val withPayload = documents(s, d)
+        .select(col("doc_id"), asPayload(col("text")).as("payload"))
+      sampleFrames(withPayload, "doc_id", "payload", frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_no"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    })
+  )
+
+  /** Hex-digit value at 1-based position i of md5(text) — DuckDB-side
+    * helper fragment used by the multimodal oracle. */
+  private def hexDigit(pos: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)"
+
+  def oracles: Map[String, String] = Map(
+    "x1_langid" -> {
+      val hitExprs = stopwordProfiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"struct_pack(hits := len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))), lang := '$lang')"
+      }.mkString(",\n    ")
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    list_reduce(list_prepend(struct_pack(hits := 0, lang := 'und'), [
+         |    $hitExprs
+         |    ]), (acc, h) -> CASE WHEN h.hits > acc.hits THEN h ELSE acc END) AS w
+         |  FROM documents)
+         |SELECT lang, CASE WHEN w.hits > 0 THEN w.lang ELSE 'und' END AS guess,
+         |  COUNT(*) AS n
+         |FROM g GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+    },
+    "x2_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+        |    CAST(length(text) AS DOUBLE) AS nchar,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndistinct,
+        |    CAST(len(string_split_regex(text, '[\.,;:!?]')) AS DOUBLE) - 1.0 AS punct,
+        |    CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |  0.4 * least(((nchar - (ntok - 1.0)) / ntok) / 8.0, 1.0)
+        |  + 0.4 * (ndistinct / ntok)
+        |  + 0.2 * (1.0 - least(punct / ntok + digits / nchar, 1.0)), 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "x3_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS sub_tokens,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+        |  list_aggregate(list_transform(generate_series(1, length(text) - 7),
+        |    i -> md5(substr(text, CAST(i AS INT), 8))), 'min') AS min_gram_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x5_multimodal_decode" -> {
+      val feats = (1 to 8).map { i =>
+        val hi = hexDigit(s"${2 * i - 1}")
+        val lo = hexDigit(s"${2 * i}")
+        s"CAST(($hi * 16 + $lo) / 255.0 AS FLOAT)"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
+         |  [$feats] AS feat
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "x6_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, greatest((octet_length(encode(text)) - 64) // 128, 0) AS maxf
+        |  FROM documents)
+        |SELECT doc_id, CAST(f.g AS INT) AS frame_no,
+        |  md5(substr(text, CAST(f.g * 128 + 1 AS INT), 64)) AS frame_md5
+        |FROM p, generate_series(0, 1000) f(g)
+        |WHERE f.g <= p.maxf
+        |ORDER BY doc_id, frame_no""".stripMargin
+  )
+}
