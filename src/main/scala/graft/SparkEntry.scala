@@ -19,7 +19,8 @@ object SparkEntry {
       (qp.TextQueries.queries, qp.TextQueries.oracles),
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
       (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles),
-      (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles)
+      (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles),
+      (qp.StreamQueries.queries, qp.StreamQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

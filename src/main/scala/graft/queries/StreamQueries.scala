@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.streaming.StreamOps
+
+/** Event-time windowing / temporal-join queries over `events`.
+  * Window boundaries are compared as epoch seconds (BIGINT) so the
+  * oracle never round-trips timestamps through a session timezone.
+  */
+object StreamQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sliding windows (1h every 15min): each event lands in 4 windows.
+    "st1_sliding" -> ((s, d) => {
+      StreamOps.sliding(events(s, d), "ts", "1 hour", "15 minutes",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value")))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Session windows per user (5-minute gap).
+    "st2_sessions" -> ((s, d) => {
+      StreamOps.sessions(events(s, d), "ts", "5 minutes",
+        Seq("user_id"),
+        Seq(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us")))
+        .select(col("user_id"), col("session_window.start").cast("long").as("sess_start"),
+          col("n_events"), (col("last_us") - col("first_us")).as("dur_us"))
+        .orderBy("user_id", "sess_start")
+    }),
+
+    // As-of join: each purchase matched to the user's latest
+    // at-or-before click (union + running last — no range explosion).
+    "st3_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("click_us"))
+      StreamOps.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id", "click_us"))
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          col("click_id"), (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st1_sliding" ->
+      """WITH w AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k.g * 900 AS w_start, event_type, value
+        |  FROM events, generate_series(0, 3) k(g))
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "st2_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= 300000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        | s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM o)
+        |SELECT user_id, MIN(us) // 1000000 AS sess_start, COUNT(*) AS n_events,
+        |  MAX(us) - MIN(us) AS dur_us
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    "st3_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isl
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        | w AS (
+        |  SELECT *, MAX(CASE WHEN isl = 0 THEN epoch_us(ts) END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, isl
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        |  FROM u)
+        |SELECT w.event_id AS purchase_id, w.user_id,
+        |  epoch_us(w.ts) AS purchase_us, c.event_id AS click_id,
+        |  epoch_us(w.ts) - w.click_us AS gap_us
+        |FROM w LEFT JOIN u c
+        |  ON c.user_id = w.user_id AND c.isl = 0 AND epoch_us(c.ts) = w.click_us
+        |WHERE w.isl = 1
+        |ORDER BY purchase_id""".stripMargin
+  )
+}

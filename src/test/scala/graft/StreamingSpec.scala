@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured Streaming parity: the same window expressions used by the
+  * batch oracle queries run over an unbounded source with watermarks,
+  * and running-moment state (the reference Normalizer's `update` hook,
+  * preprocessing.py:90-109) lives in mapGroupsWithState.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  test("tumbling window aggregation over a stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(2), "click", 2.0), (ts(7), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select($"window.start".cast("long"), $"event_type", $"n", $"v")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val base = ts(0).getTime / 1000
+      assert(rows == Set((base, "click", 2L, 3.0), (base + 300, "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("running-moments state via mapGroupsWithState (streaming Normalizer)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val updated = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Double)], state: GroupState[(Long, Double, Double)]) =>
+          val (n0, s0, ss0) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val xs = it.map(_._2).toSeq
+          val st = (n0 + xs.size, s0 + xs.sum, ss0 + xs.map(x => x * x).sum)
+          state.update(st)
+          (key, st._1, st._2 / st._1, st._3 / st._1 - math.pow(st._2 / st._1, 2))
+      }
+    val q = updated.toDF("key", "n", "mean", "variance")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("moments_out").start()
+    try {
+      mem.addData(("a", 1.0), ("a", 3.0))
+      q.processAllAvailable()
+      mem.addData(("a", 5.0))
+      q.processAllAvailable()
+      val last = spark.table("moments_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .maxBy(_._2)
+      assert(last._1 == "a" && last._2 == 3L)
+      assert(math.abs(last._3 - 3.0) < 1e-9)          // mean of 1,3,5
+      assert(math.abs(last._4 - 8.0 / 3.0) < 1e-9)    // population variance
+    } finally q.stop()
+  }
+
+  test("asofJoin matches a hand-computed tiny case") {
+    import graft.streaming.StreamOps
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
+      .toDF("user_id", "ts", "pid")
+    val right = Seq((1L, ts(8), "c1"), (1L, ts(15), "c2"), (1L, ts(20), "c3"))
+      .toDF("user_id", "ts", "cid")
+    val got = StreamOps.asofJoin(left, right, Seq("user_id"), "ts", Seq("cid"))
+      .select("pid", "cid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // p2 at :20 matches c3 at :20 (inclusive); p3 has no prior click
+    assert(got == Set(("p1", "c1"), ("p2", "c3"), ("p3", null)))
+  }
+}
