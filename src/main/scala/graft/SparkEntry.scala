@@ -20,7 +20,8 @@ object SparkEntry {
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
       (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles),
       (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles),
-      (qp.StreamQueries.queries, qp.StreamQueries.oracles)
+      (qp.StreamQueries.queries, qp.StreamQueries.oracles),
+      (qp.ModelQueries.queries, qp.ModelQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

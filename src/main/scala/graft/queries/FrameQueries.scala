@@ -9,7 +9,7 @@ import graft.frame.Frame
   * operators M1-M16) against DuckDB oracles.
   *
   * `_idx` semantics are replicated in SQL as
-  * `ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1` — the
+  * `ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag) - 1` — the
   * Frame side computes the same rank with the distributed zipWithIndex
   * path, so these queries verify that the scale-safe implementation
   * agrees with the windowed definition.
@@ -20,12 +20,12 @@ object FrameQueries {
   private def liFrame(s: SparkSession, d: String): Frame =
     Frame.fromDF(
       lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
-      Seq("l_orderkey", "l_linenumber"))
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
 
   private val oraclePrefix =
     """WITH f AS (
       |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS src
+      |    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag) - 1 AS BIGINT) AS src
       |  FROM lineitem)
       |""".stripMargin
 

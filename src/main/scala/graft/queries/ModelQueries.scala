@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.frame.Frame
+import graft.model.LinearModel
+import graft.explain.Explain
+
+/** Model-layer queries: distributed closed-form fit (U1) and
+  * Occlusion-1 attribution (U13). Both oracles mirror the exact IEEE
+  * op order of the Scala implementations over exact decimal sums, so
+  * comparisons are bit-exact with no rounding.
+  */
+object ModelQueries {
+
+  private val statsSql =
+    """WITH st AS (
+      |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |         CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM lineitem),
+      | m AS (
+      |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+      |         sx / n AS mu, n FROM st)
+      |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // U1: exact distributed least-squares fit (decimal moment sums →
+    // closed-form solve). One aggregation pass over the fact table.
+    "u1_linear_fit" -> ((s, d) => {
+      val (slope, intercept) = LinearModel.fitSimple(
+        lineitem(s, d), "l_quantity", "l_extendedprice")
+      val n = lineitem(s, d).count()
+      import s.implicits._
+      Seq((slope, intercept, n)).toDF("slope", "intercept", "n")
+    }),
+
+    // U13: Occlusion-1 attribution of the fitted model on a 200-row
+    // slice; for a linear model occlusion equals the analytic
+    // m·(x-μ), which the oracle computes independently.
+    "u13_occlusion" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val (slope, intercept) = LinearModel.fitSimple(li, "l_quantity", "l_extendedprice")
+      val mu = {
+        val r = li.agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+          count(lit(1)).cast("double")).head()
+        r.getDouble(0) / r.getDouble(1)
+      }
+      val model = new LinearModel("li_linear", Seq("l_quantity"),
+        "l_extendedprice", "y_pred",
+        graft.model.ComponentMap.of("m" -> Array(slope), "b" -> Array(intercept)))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+      // order by the full projection and join occlusion rows on _idx.
+      val slice = Frame.fromDF(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity")).slice(0L, 200L)
+      Explain.occlusion1(model.transform, slice.df,
+        Seq(Frame.IDX), Seq("l_quantity"),
+        Map("l_quantity" -> mu), "y_pred")
+        .select("l_orderkey", "l_linenumber", "y_pred", "occl_l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "y_pred")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "u1_linear_fit" -> (statsSql +
+      """SELECT slope, intercept, CAST(n AS BIGINT) AS n FROM m""".stripMargin),
+    "u13_occlusion" -> (statsSql +
+      """, f AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) - 1 AS src
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (l_quantity * slope + intercept) AS y_pred,
+        |  (l_quantity * slope + intercept) - (mu * slope + intercept) AS occl_l_quantity
+        |FROM f, m WHERE src < 200 ORDER BY l_orderkey, l_linenumber, y_pred""".stripMargin)
+  )
+}

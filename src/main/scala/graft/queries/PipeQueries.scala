@@ -15,12 +15,12 @@ object PipeQueries {
   private def liFrame(s: SparkSession, d: String): Frame =
     Frame.fromDF(
       lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
-      Seq("l_orderkey", "l_linenumber"))
+      Seq("l_orderkey", "l_linenumber", "l_quantity"))
 
   private val oraclePrefix =
     """WITH f AS (
       |  SELECT l_orderkey, l_linenumber, l_quantity,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS src
+      |    CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) - 1 AS BIGINT) AS src
       |  FROM lineitem)
       |""".stripMargin
 

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.frame.Frame
+import graft.model.{ComponentMap, ComponentRef, LinearModel, ParamStore, Scaffold}
+import graft.train.{Experiment, Factory, Trainer}
+import graft.explain.Explain
+
+/** Model/training/state semantics (mirrors the reference's convergence
+  * and state tests: core/model_test.py:238-298, scaffold_test.py,
+  * factory_test.py, experiment_test.py, explain_test.py).
+  */
+class ModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def syntheticLinear(n: Int, m: Double, b: Double, noise: Double): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (0 until n).map { i =>
+      val x = math.round(rng.nextDouble() * 10000.0) / 100.0
+      val y = math.round((m * x + b + rng.nextGaussian() * noise) * 100.0) / 100.0
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+  }
+
+  test("fitSimple recovers exact generating params on noiseless data") {
+    val df = syntheticLinear(300, 2.0, 1.0, 0.0)
+    val (slope, intercept) = LinearModel.fitSimple(df, "x", "y")
+    assert(math.abs(slope - 2.0) < 1e-6 && math.abs(intercept - 1.0) < 1e-6)
+  }
+
+  test("multi-feature fit recovers generating params (reference tolerance 0.6)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 550).map { i =>
+      val x1 = math.round(rng.nextDouble() * 1000.0) / 100.0
+      val x2 = math.round(rng.nextDouble() * 1000.0) / 100.0
+      val y = math.round((2.0 * x1 - 3.0 * x2 + 5.0 + rng.nextGaussian() * 0.1) * 100.0) / 100.0
+      (i.toLong, x1, x2, y)
+    }.toDF("id", "x1", "x2", "y")
+    val model = LinearModel.fit(df, Seq("x1", "x2"), "y")
+    assert(math.abs(model.m(0) - 2.0) < 0.6)
+    assert(math.abs(model.m(1) + 3.0) < 0.6)
+    assert(math.abs(model.b - 5.0) < 0.6)
+    // transform adds y_pred
+    assert(model.transform(df).columns.contains("y_pred"))
+  }
+
+  test("SGD training loop converges (reference model_test.py:238-253 style)") {
+    val df = syntheticLinear(300, 2.0, 1.0, 0.4)
+    val f = Frame.fromDF(df, Seq("id"))
+    val model = Trainer.sgdLinear(f, Seq("x"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 12, batchSize = 25, seed = 11L))
+    assert(math.abs(model.m(0) - 2.0) < 0.6, s"slope=${model.m(0)}")
+  }
+
+  test("ComponentMap external links share state between models") {
+    val store = new ParamStore
+    store.set("shared_m", Array(1.5))
+    val a = ComponentMap.of("b" -> Array(0.0)); a.link("m", ComponentRef(store, "shared_m"))
+    val bM = ComponentMap.of("b" -> Array(9.0)); bM.link("m", ComponentRef(store, "shared_m"))
+    a("m") = Array(2.5)
+    assert(bM("m").sameElements(Array(2.5)))
+    val (internal, external) = a.getState
+    assert(internal.keySet == Set("b") && external == Map("m" -> "shared_m"))
+  }
+
+  test("Scaffold save/load round-trips model parameters") {
+    val dir = java.nio.file.Files.createTempDirectory("scaffold").toString
+    val m1 = new LinearModel("m1", Seq("x"), "y", "y_pred",
+      ComponentMap.of("m" -> Array(3.25), "b" -> Array(-1.5)))
+    new Scaffold().attach(m1).save(dir)
+    m1.components("m") = Array(0.0); m1.components("b") = Array(0.0)
+    new Scaffold().attach(m1).load(dir)
+    assert(m1.m.sameElements(Array(3.25)) && m1.b == -1.5)
+  }
+
+  test("Factory grid search over a parquet-backed trial store") {
+    val dir = java.nio.file.Files.createTempDirectory("trials").toString + "/t"
+    val store = new Factory.ParquetStore(spark, dir)
+    val space = Seq(0.5, 1.0, 2.0, 4.0).map(v => Map("scale" -> v))
+    val trials = Factory.search(
+      Factory.grid(space),
+      params => Map("loss" -> math.abs(params("scale") - 2.0)),
+      store)
+    assert(trials.size == 4)
+    assert(trials.minBy(_.metrics("loss")).params("scale") == 2.0)
+    assert(store.asDataFrame.count() == 4)
+  }
+
+  test("Experiment directory + metadata round-trip") {
+    val base = java.nio.file.Files.createTempDirectory("exp").toString
+    val e1 = new Experiment("run", base, spark)
+    val e2 = new Experiment("run", base, spark)
+    assert(e1.dir != e2.dir) // uniquified run_0, run_1
+    e1.logMetadata(0L, "first", 1700000000000L)
+    e1.logMetadata(1L, "second", 1700000001000L)
+    assert(e1.metadata.count() == 2)
+    e1.saveTable("preds", syntheticLinear(10, 1.0, 0.0, 0.0))
+    assert(e1.loadTable("preds").count() == 10)
+  }
+
+  test("Occlusion-1 equals analytic m*(x-mu) for a linear model") {
+    val df = syntheticLinear(100, 2.0, 1.0, 0.0)
+    val model = new LinearModel("m", Seq("x"), "y", "y_pred",
+      ComponentMap.of("m" -> Array(2.0), "b" -> Array(1.0)))
+    val mu = 50.0
+    val out = Explain.occlusion1(model.transform, df, Seq("id"), Seq("x"),
+      Map("x" -> mu), "y_pred")
+    val bad = out.withColumn("expected", lit(2.0) * (col("x") - lit(mu)))
+      .filter(abs(col("occl_x") - col("expected")) > 1e-9).count()
+    assert(bad == 0)
+  }
+}
