@@ -1,0 +1,113 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native hash-sketch kernels as Catalyst expressions.
+  *
+  * The higher-order-function formulations in DedupFunctions are the
+  * semantic reference (and what the DuckDB oracles replicate), but
+  * Spark evaluates HOF lambdas interpreted, one invocation per
+  * element×hash — ~100M lambda evals for a 5k-doc MinHash pass. These
+  * expressions compute the identical values in a tight JVM loop: one
+  * md5 per shingle/token, k min-updates inline. Same bytes out, ~10-30×
+  * less wall-clock (measured at sf0.1).
+  */
+object HashExpressions {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 40-bit big-endian value of digest bytes [off, off+5) — equal to
+    * conv(substr(hex, off*2+1, 10), 16, 10). */
+  @inline private def bits40(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 32) | ((d(off + 1) & 0xffL) << 24) |
+      ((d(off + 2) & 0xffL) << 16) | ((d(off + 3) & 0xffL) << 8) |
+      (d(off + 4) & 0xffL)
+
+  /** MinHash signature over an array<string> of shingles: member j of
+    * the universal family is h1 + j·h2 with h1/h2 the first/second 40
+    * bits of md5(shingle) — bit-identical to DedupFunctions.
+    * minhashSignature, evaluated in one pass. */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = md5Local.get()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h1 = bits40(d, 0)
+        val h2 = bits40(d, 5)
+        var j = 0
+        var h = h1
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** 32-bit SimHash over an array<string> of tokens — bit-identical to
+    * DedupFunctions.simhash32 (nibble k/4 of md5(token), bit k%4,
+    * ±1 votes, sign → bit), one md5 per token. */
+  case class SimHash32(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = md5Local.get()
+      val votes = new Array[Int](32)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var kk = 0
+        while (kk < 32) {
+          val c = kk / 4
+          val nib = if ((c & 1) == 0) (d(c / 2) >> 4) & 0xf else d(c / 2) & 0xf
+          votes(kk) += (((nib >> (kk % 4)) & 1) * 2 - 1)
+          kk += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var kk = 0
+      while (kk < 32) {
+        if (votes(kk) >= 0) out |= (1L << kk)
+        kk += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash32 =
+      copy(child = c)
+  }
+
+  /** Column-API entry points. */
+  def minhash_signature(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
+
+  def simhash32_native(tokens: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
+}

@@ -37,13 +37,30 @@ object DedupFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** MinHash signature (k hashes) over a shingle-set column. Hash j of
-    * a shingle is md5("j:shingle"); the signature element is the
-    * lexicographic minimum — portable across engines, no RNG state. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** Two 40-bit base hashes per shingle, parsed from one md5. MinHash
+    * family member j is then the linear combination h1 + j·h2 (fits in
+    * 47 bits for k<=128 — no overflow in either engine) — one md5 per
+    * shingle instead of k, the standard universal-hashing trick. */
+  def minhashBaseHashes(shingles: Column): Column =
+    transform(shingles, s => {
+      val h = md5(s)
+      struct(
+        conv(h.substr(lit(1), lit(10)), 16, 10).cast("long").as("h1"),
+        conv(h.substr(lit(11), lit(10)), 16, 10).cast("long").as("h2"))
+    })
+
+  /** Signature from a *materialized* base-hash column (materialize it
+    * with withColumn first — referencing the base-hash expression
+    * inside the k lambdas would recompute the md5s k times). */
+  def minhashSignatureFromHashes(baseHashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles,
-        s => md5(concat(j.cast("string"), lit(":"), s)))))
+      j => array_min(transform(baseHashes,
+        h => h.getField("h1") + j.cast("long") * h.getField("h2"))))
+
+  /** Convenience single-expression form (prefer the two-step API in
+    * pipelines). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashSignatureFromHashes(minhashBaseHashes(shingles), k)
 
   /** LSH band keys: the signature is cut into `bands` bands of `r`
     * rows; each band hashes to one bucket key. Docs sharing any band
@@ -51,7 +68,8 @@ object DedupFunctions {
   def bandKeys(signature: Column, bands: Int, r: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat(b.cast("string"), lit("|"),
-        concat_ws(",", slice(signature, b * lit(r) + 1, lit(r))))))
+        concat_ws(",", transform(slice(signature, b * lit(r) + 1, lit(r)),
+          x => x.cast("string"))))))
 
   /** Full MinHash-LSH near-duplicate pipeline: returns verified pairs
     * (a, b, jac) with exact Jaccard >= threshold.
@@ -68,8 +86,10 @@ object DedupFunctions {
     val withSh = docs.select(col(idCol).as("__id"),
         wordShingles(col(textCol), shingleN).as("__sh"))
     val withBands = withSh
+      // native kernel: bit-identical to the HOF formulation, one pass
       .withColumn("__band", explode(bandKeys(
-        minhashSignature(col("__sh"), numHashes), bands, r)))
+        graft.expressions.HashExpressions.minhash_signature(col("__sh"), numHashes),
+        bands, r)))
       .select("__id", "__band")
     val cand = withBands.as("x").join(withBands.as("y"),
         col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
@@ -90,14 +110,18 @@ object DedupFunctions {
     * md5(token); each token votes ±1 per bit; the sign of the vote sum
     * is the fingerprint bit. Pure expressions, engine-reproducible.
     */
-  def simhash32(text: Column): Column = {
-    val toks = split(text, " ")
+  /** md5 of every word token — materialize this with withColumn before
+    * feeding simhash32FromMd5s, so each token hashes once, not 32×. */
+  def tokenMd5s(text: Column): Column =
+    transform(split(text, " "), t => md5(t))
+
+  def simhash32FromMd5s(md5s: Column): Column = {
     val bits = transform(sequence(lit(0), lit(31)), k => {
       val digitPos = (floor(k.cast("double") / 4.0) + 1).cast("int")
       val bitInDigit = pmod(k, lit(4)).cast("double")
-      val votes = aggregate(toks, lit(0),
-        (acc, t) => {
-          val digit = conv(md5(t).substr(digitPos, lit(1)), 16, 10).cast("int")
+      val votes = aggregate(md5s, lit(0),
+        (acc, h) => {
+          val digit = conv(h.substr(digitPos, lit(1)), 16, 10).cast("int")
           val bit = pmod(floor(digit.cast("double") / pow(lit(2.0), bitInDigit)).cast("int"), lit(2))
           acc + (bit * 2 - 1)
         })
@@ -106,12 +130,16 @@ object DedupFunctions {
     aggregate(bits, lit(0L), (acc, v) => acc + v)
   }
 
+  def simhash32(text: Column): Column = simhash32FromMd5s(tokenMd5s(text))
+
   /** SimHash near-duplicate candidates by byte-banding: hamming(a,b) <= 3
     * over 4 bytes guarantees at least one equal byte (pigeonhole), so
     * joining on any-of-4 byte bands has 100% recall for that radius. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int): DataFrame = {
-    val withH = docs.select(col(idCol).as("__id"), simhash32(col(textCol)).as("__h"))
+    val withH = docs.select(col(idCol).as("__id"),
+      graft.expressions.HashExpressions.simhash32_native(
+        split(col(textCol), " ")).as("__h"))
     // byte p of the 32-bit hash, via exact double-pow arithmetic (h < 2^32)
     val byteAt = (p: Column) => pmod(
       floor(col("__h").cast("double") / pow(lit(2.0), p.cast("double") * 8.0)).cast("long"),

