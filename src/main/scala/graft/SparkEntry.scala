@@ -21,7 +21,8 @@ object SparkEntry {
       (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles),
       (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles),
       (qp.StreamQueries.queries, qp.StreamQueries.oracles),
-      (qp.ModelQueries.queries, qp.ModelQueries.oracles)
+      (qp.ModelQueries.queries, qp.ModelQueries.oracles),
+      (qp.DbQueries.queries, qp.DbQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

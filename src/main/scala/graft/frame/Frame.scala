@@ -2,7 +2,7 @@ package graft.frame
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
 
 /** Positional-index table: the Spark-native equivalent of the
   * reference's `Message` (reference: fireworks/core/message.py:19-63).
@@ -142,6 +142,11 @@ final class Frame private[frame] (val df: DataFrame) extends Serializable {
   /** C1: materialize (reference CachingPipe → Spark block manager). */
   def cache(): Frame = { df.persist(); this }
   def unpersist(): Frame = { df.unpersist(); this }
+
+  /** M20 snapshot (reference: tar.gz of parquet + tensor pickles,
+    * message.py:237-302): one parquet directory, schema travels with
+    * the data, `_idx` preserved. */
+  def save(path: String): Unit = df.write.mode("overwrite").parquet(path)
 }
 
 object Frame {
@@ -187,6 +192,23 @@ object Frame {
   def fromIndexed(df: DataFrame): Frame = {
     require(df.columns.contains(IDX), s"missing $IDX column")
     new Frame(df)
+  }
+
+  /** M20: load a snapshot written by `save`. */
+  def load(spark: SparkSession, path: String): Frame =
+    fromIndexed(spark.read.parquet(path))
+
+  /** M21 from_objects (message.py:118-154): wrap named blobs as a
+    * single-row Frame — each value becomes an array cell on row 0
+    * (the reference's model-state serialization shape). */
+  def fromObjects(spark: SparkSession, objects: (String, Array[Double])*): Frame = {
+    val schema = StructType(
+      objects.map { case (n, _) =>
+        StructField(n, ArrayType(DoubleType, containsNull = false))
+      } :+ StructField(IDX, LongType, nullable = false))
+    val row = Row.fromSeq(objects.map(_._2.toSeq) :+ 0L)
+    new Frame(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema))
   }
 
   /** Small local Frame for tests: rows in given order. */

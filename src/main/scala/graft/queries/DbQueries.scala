@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.db.JdbcTable
+
+/** JDBC table-surface round-trip (S3/S4/S5): create → bulk insert →
+  * delete → filtered pushdown read, against embedded Derby. The final
+  * table contents are a pure function of `customer`, so the oracle
+  * recomputes them relationally.
+  */
+object DbQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_table_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dbq").toString + "/db"
+      val t = new JdbcTable(s, JdbcTable.derbyUrl(dir), "cust")
+      t.create(StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType))))
+      t.insert(customer(s, d)
+        .filter(col("c_custkey") <= 500)
+        .select("c_custkey", "c_name", "c_acctbal"))
+      t.delete("c_custkey", (0L to 500L by 7L))
+      t.query()
+        .filter(col("c_acctbal") > 1000.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s3_table_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey <= 500 AND c_custkey % 7 <> 0 AND c_acctbal > 1000.0
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -91,6 +91,21 @@ class FrameSpec extends AnyFunSuite {
     assert(values(f) == (3 until 7).map(i => (i.toDouble, i * 10L)))
   }
 
+  test("snapshot save/load round-trips (M20)") {
+    val dir = java.nio.file.Files.createTempDirectory("framesnap").toString + "/snap"
+    val f = frame(12)
+    f.save(dir)
+    assert(Frame.load(spark, dir).sameAs(f))
+  }
+
+  test("fromObjects wraps blobs as a single-row Frame (M21)") {
+    val f = Frame.fromObjects(spark, "weights" -> Array(1.0, 2.0), "bias" -> Array(0.5))
+    assert(f.length == 1)
+    val r = f.ordered.head()
+    assert(r.getAs[scala.collection.Seq[Double]]("weights").toSeq == Seq(1.0, 2.0))
+    assert(r.getAs[scala.collection.Seq[Double]]("bias").toSeq == Seq(0.5))
+  }
+
   test("fromDF assigns _idx by key order with the distributed rank") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(3L, "c"), Row(1L, "a"), Row(2L, "b")), 3),
