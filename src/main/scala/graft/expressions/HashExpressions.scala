@@ -104,10 +104,65 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Sequential-fold dot product of two double arrays — the exact fold
+    * order of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so results
+    * are bit-identical to the HOF formulation the oracles mirror. */
+  case class DoubleDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "double_dot"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleDot =
+      copy(left = l, right = r)
+  }
+
+  /** Jaccard of two SORTED distinct string arrays by merge walk —
+    * same value as size(array_intersect)/size(array_union). */
+  case class SortedJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sorted_jaccard"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (na, nb) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+      copy(left = l, right = r)
+  }
+
   /** Column-API entry points. */
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
 
   def simhash32_native(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
+
+  def double_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DoubleDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -54,11 +54,14 @@ object DedupQueries {
     // Char-5-gram Jaccard near-dup pairs (restricted brute force —
     // exercises the n-gram/array-set path without LSH).
     "d4_ngram_jaccard" -> ((s, d) => {
+      // shingle sets sorted once per doc; pair similarity is then a
+      // native merge walk (same value as array_intersect/array_union)
       val sh = documents(s, d).filter(col("doc_id") < 300)
-        .select(col("doc_id"), charShingles(col("text"), 5).as("sh"))
+        .select(col("doc_id"), array_sort(charShingles(col("text"), 5)).as("sh"))
       sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          jaccard(col("x.sh"), col("y.sh")).as("jac"))
+          graft.expressions.HashExpressions.sorted_jaccard(
+            col("x.sh"), col("y.sh")).as("jac"))
         .filter(col("jac") >= 0.4)
         .orderBy("a", "b")
     }),

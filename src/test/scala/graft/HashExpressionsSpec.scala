@@ -27,6 +27,22 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("DoubleDot equals the HOF fold and SortedJaccard equals set-op jaccard") {
+    val e = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f))).toDF("a", "b")
+    val dotDiff = e.select(
+        graft.functions.SimilarityFunctions.dot(col("a"), col("b")).as("n"),
+        graft.functions.SimilarityFunctions.dotHof(col("a"), col("b")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(dotDiff == 0)
+    val sh = docs.select(array_sort(charShingles(col("text"), 3)).as("sh"))
+    val jacDiff = sh.as("x").crossJoin(sh.as("y"))
+      .select(sorted_jaccard(col("x.sh"), col("y.sh")).as("n"),
+        jaccard(col("x.sh"), col("y.sh")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(jacDiff == 0)
+  }
+
   test("SimHash32 equals the HOF simhash formulation") {
     val diff = docs.select(
         simhash32_native(split(col("text"), " ")).as("native"),
