@@ -58,6 +58,16 @@ object TextFunctions {
       .withColumn("token_id", coalesce(col("token_id"), lit(unkId)))
   }
 
+  /** T5 create_pretrained_embeddings (text.py:57-72): GloVe-style
+    * space-separated text file → (token, vector) table, ready to
+    * broadcast into `lookupTokenIds`-style joins. */
+  def loadEmbeddings(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    raw.select(split(col("value"), " ").as("parts"))
+      .select(col("parts").getItem(0).as("token"),
+        expr("transform(slice(parts, 2, size(parts) - 1), x -> cast(x as float))").as("vector"))
+  }
+
   /** T7 one_hot (utils/utils.py:4-17): int → float one-hot array, as a
     * pure array expression (no UDF, no Spark-ML pipeline state). */
   def oneHot(c: Column, numClasses: Int): Column =

@@ -84,4 +84,10 @@ object Pipes {
   /** C1 CachingPipe (pipes.py:206-344): Spark's block manager replaces
     * the hand-rolled caches (SURVEY §2.5). */
   def cached(f: Frame): Frame = f.cache()
+
+  /** U16 oversample (preprocessing.py:42 — a stub in the reference;
+    * real here): sample with replacement, renumbered densely. */
+  def oversample(f: Frame, fraction: Double, seed: Long): Frame =
+    Frame.reindexPreservingOrder(
+      f.df.sample(withReplacement = true, fraction, seed))
 }

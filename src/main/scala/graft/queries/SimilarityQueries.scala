@@ -19,7 +19,7 @@ object SimilarityQueries {
     // LSH-bucketed approximate top-5 (the 100 TB scale path: bucket
     // join prunes the corpus before exact rerank). Approximate by
     // design → no SQL oracle; the driver records a rows-only check and
-    // RecallSpec measures recall vs s1 at test time.
+    // SimilaritySpec measures recall vs s1 at test time.
     "s2_ann_lsh" -> ((s, d) => {
       val e = embeddings(s, d)
       lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",

@@ -49,6 +49,17 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // A3: per-class precision/recall/F1 of the langid heuristic against
+    // the stored labels (confusion counts -> arithmetic finalization).
+    "x7_class_report" -> ((s, d) => {
+      graft.prep.Metrics.classificationReport(
+        documents(s, d).select(col("lang"), langIdGuess(col("text")).as("guess")),
+        "lang", "guess")
+        .select(col("cls"), col("support"), col("predicted"), col("tp"),
+          col("precision").as("prec"), col("recall").as("rec"), col("f1"))
+        .orderBy("cls")
+    }),
+
     // Multimodal plumbing: binary payload column → partition-batched
     // STUB decode → deterministic features (schema/batching real,
     // codec faked; see MultimodalFunctions).
@@ -91,6 +102,37 @@ object TextAnalysisQueries {
          |SELECT lang, CASE WHEN w.hits > 0 THEN w.lang ELSE 'und' END AS guess,
          |  COUNT(*) AS n
          |FROM g GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+    },
+    "x7_class_report" -> {
+      val hitExprs = stopwordProfiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"struct_pack(hits := len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))), lang := '$lang')"
+      }.mkString(",\n    ")
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    list_reduce(list_prepend(struct_pack(hits := 0, lang := 'und'), [
+         |    $hitExprs
+         |    ]), (acc, h) -> CASE WHEN h.hits > acc.hits THEN h ELSE acc END) AS w
+         |  FROM documents),
+         | preds AS (
+         |  SELECT lang AS label, CASE WHEN w.hits > 0 THEN w.lang ELSE 'und' END AS prediction
+         |  FROM g),
+         | cm AS (SELECT label, prediction, COUNT(*) AS n FROM preds GROUP BY 1, 2),
+         | bl AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+         | bp AS (SELECT prediction AS cls, CAST(SUM(n) AS BIGINT) AS predicted FROM cm GROUP BY 1),
+         | tpt AS (SELECT label AS cls, n AS tp FROM cm WHERE label = prediction),
+         | j AS (
+         |  SELECT cls, COALESCE(support, 0) AS support,
+         |    COALESCE(predicted, 0) AS predicted, COALESCE(tp, 0) AS tp
+         |  FROM bl FULL OUTER JOIN bp USING (cls) LEFT JOIN tpt USING (cls)),
+         | r AS (
+         |  SELECT cls, support, predicted, tp,
+         |    CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) ELSE 0.0 END AS prec,
+         |    CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) ELSE 0.0 END AS rec
+         |  FROM j)
+         |SELECT cls, support, predicted, tp, prec, rec,
+         |  CASE WHEN prec + rec > 0.0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+         |FROM r ORDER BY cls""".stripMargin
     },
     "x2_quality" ->
       """WITH q AS (

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.frame.Frame
+import graft.operators.Pipes
+import graft.functions.TextFunctions
+
+class PipesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def frame(n: Int): Frame = {
+    import spark.implicits._
+    Frame.fromDF((0 until n).map(i => (i.toLong, i.toDouble)).toDF("k", "v"), Seq("k"))
+  }
+
+  test("batchIterator yields fixed-size batches in positional order, ragged tail dropped") {
+    val batches = Pipes.batchIterator(frame(23), 5).toSeq
+    assert(batches.size == 4)
+    assert(batches.forall(_.size == 5))
+    assert(batches.head.map(_.getAs[Long]("k")) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("repeat is epoch-major (reference RepeaterPipe)") {
+    val r = Pipes.repeat(frame(3), times = 2, n = 3L)
+    assert(r.ordered.select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 0L, 1L, 2L))
+  }
+
+  test("oversample with replacement renumbers densely (U16)") {
+    val o = Pipes.oversample(frame(50), 2.0, seed = 3L)
+    val idx = o.ordered.select(Frame.IDX).collect().map(_.getLong(0)).toSeq
+    assert(idx == idx.indices.map(_.toLong))
+    assert(o.length > 50)
+  }
+
+  test("seeded shuffle is a permutation and reproducible") {
+    val f = frame(40)
+    val s1 = Pipes.shuffle(f, 7L).ordered.select("k").collect().map(_.getLong(0)).toSeq
+    val s2 = Pipes.shuffle(f, 7L).ordered.select("k").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+    assert(s1.sorted == (0L until 40L))
+    assert(s1 != (0L until 40L))
+  }
+
+  test("loadEmbeddings parses GloVe-style text (T5)") {
+    val dir = java.nio.file.Files.createTempDirectory("emb")
+    java.nio.file.Files.writeString(dir.resolve("emb.txt"),
+      "the 0.1 0.2 0.3\ncat -1.0 0.5 2.5\n")
+    val e = TextFunctions.loadEmbeddings(spark, dir.toString)
+    val m = e.collect().map(r => r.getString(0) ->
+      r.getAs[scala.collection.Seq[Float]](1).toSeq).toMap
+    assert(m("the") == Seq(0.1f, 0.2f, 0.3f))
+    assert(m("cat") == Seq(-1.0f, 0.5f, 2.5f))
+  }
+
+  test("padToMax pads token arrays to the global maximum (T3)") {
+    import spark.implicits._
+    val df = Seq("a b c", "x", "p q").toDF("text")
+      .select(TextFunctions.spaceTokens(col("text")).as("tokens"))
+    val padded = TextFunctions.padToMax(df, "tokens", "<pad>")
+    assert(padded.select(size(col("tokens"))).collect().map(_.getInt(0)).toSet == Set(3))
+  }
+}

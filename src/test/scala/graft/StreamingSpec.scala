@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file stream tumbling counts equal the batch plan (same expressions)") {
+    import graft.streaming.StreamOps
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString + "/ev"
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+    batch.write.parquet(dir)
+    val expected = StreamOps.tumbling(batch, "ts", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n")))
+      .select($"window.start".cast("long").as("w"), $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val agg = StreamOps.tumbling(stream, "ts", "1 hour", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("filestream_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filestream_out")
+        .select($"window.start".cast("long").as("w"), $"event_type", $"n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("asofJoin matches a hand-computed tiny case") {
     import graft.streaming.StreamOps
     val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
