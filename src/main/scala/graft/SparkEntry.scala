@@ -25,9 +25,28 @@ object SparkEntry {
       (qp.DbQueries.queries, qp.DbQueries.oracles)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    qp.CoreQueries.queries("q1_agg_pricing")(spark, "/root/testdata/sf0.001")
+  /** Flagship (SURVEY §7.3 minimum end-to-end slice): lineitem →
+    * Frame(_idx) → train/test split → deterministic shuffle →
+    * minibatches → Normalizer fit+transform → per-batch summary.
+    * Driver smoke-checks rows>0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val f = graft.frame.Frame.fromDF(
+      Tables.lineitem(spark, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity"))
+    val (train, _) = graft.prep.Preprocessing.splitByMod(f, "l_orderkey", 5, 0)
+    val shuffled = graft.operators.Pipes.shuffleByHash(
+      train, Seq("l_orderkey", "l_linenumber", "l_quantity"))
+    val n = shuffled.length
+    val batched = graft.operators.Pipes.withBatches(shuffled, 25L, n)
+    val normalized = graft.prep.Normalizer.fitTransform(batched.df, Seq("l_quantity"))
+    normalized.groupBy("batch_id")
+      .agg(count(lit(1)).as("n"),
+        round(avg("l_quantity"), 6).as("mean_norm_qty"))
+      .orderBy("batch_id")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
