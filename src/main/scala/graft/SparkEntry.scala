@@ -22,7 +22,8 @@ object SparkEntry {
       (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles),
       (qp.StreamQueries.queries, qp.StreamQueries.oracles),
       (qp.ModelQueries.queries, qp.ModelQueries.oracles),
-      (qp.DbQueries.queries, qp.DbQueries.oracles)
+      (qp.DbQueries.queries, qp.DbQueries.oracles),
+      (qp.ExtraQueries.queries, qp.ExtraQueries.oracles)
     )
 
   /** Flagship (SURVEY §7.3 minimum end-to-end slice): lineitem →

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Breadth pack: cube, pivot, ranking/frame windows, date and string
+  * scalar functions, and CSV/JSON sink round-trips (Message.read/to
+  * parity, S2/S7).
+  */
+object ExtraQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6: CUBE over (status, priority).
+    "q12_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    // A3-style pivot: returnflag × linestatus quantity matrix.
+    "q13_pivot" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.8 breadth: rank / dense_rank / ntile / range frame.
+    "q14_rank_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rnk") <= 20)
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+
+    // T10 date functions: year/month/day-of-week breakdown of orders.
+    "q15_dates" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("y", "m", "dow")
+    }),
+
+    // T9/§2.10 string scalar functions over part names.
+    "q16_strings" -> ((s, d) => {
+      part(s, d).filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          length(col("p_name")).as("len"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("novowels"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"))
+        .orderBy("p_partkey")
+    }),
+
+    // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
+    // read both back, verify identical content (round-trip identity).
+    "q17_io_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val slice = orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      slice.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      slice.write.mode("overwrite").json(s"$dir/json")
+      val backCsv = s.read.option("header", "true")
+        .schema(slice.schema).csv(s"$dir/csv")
+      val backJson = s.read.schema(slice.schema).json(s"$dir/json")
+      backCsv.unionByName(backJson)
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q13_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_rank_ntile" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    CAST(RANK() OVER w AS INT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT * FROM t WHERE rnk <= 20
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q15_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m, dow""".stripMargin,
+    "q16_strings" ->
+      """SELECT p_partkey, UPPER(p_name) AS u, CAST(LENGTH(p_name) AS INT) AS len,
+        |  substr(p_name, 1, 5) AS pfx,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
+        |  p_brand || '|' || p_type AS bt
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q17_io_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(2 AS BIGINT) AS n_copies
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+  )
+}
