@@ -1,0 +1,46 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions.HashExpressions._
+
+/** SQL registration for the native kernels, both as a
+  * `SparkSessionExtensions` installer (`.withExtensions(new
+  * GraftExtensions)`) and as a runtime registrar for an existing
+  * session. After registration the kernels are callable from
+  * `spark.sql`: `SELECT simhash32(split(text, ' ')) FROM docs`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[HashExpressions.type].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got: $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> (exprs =>
+      MinHashSignature(exprs.head, intArg(exprs(1), "minhash_signature"))),
+    "simhash32" -> (exprs => SimHash32(exprs.head)),
+    "double_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
+    "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1)))
+  )
+
+  /** Register into an already-built session (tests, REPLs). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{GraftExtensions, HashExpressions}
+
+/** The native kernels are reachable from SQL after registration. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("registered SQL functions match the Column API") {
+    GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      """SELECT simhash32(split('key agg row scan', ' ')) AS h,
+        |  double_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  sorted_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+        |  minhash_signature(array('aa','bb'), 4) AS sig""".stripMargin).head()
+    import spark.implicits._
+    val viaCol = Seq("key agg row scan").toDF("t").select(
+      HashExpressions.simhash32_native(split(col("t"), " ")).as("h")).head()
+    assert(viaSql.getAs[Long]("h") == viaCol.getAs[Long]("h"))
+    assert(viaSql.getAs[Double]("d") == 11.0)
+    assert(viaSql.getAs[Double]("j") == 0.5)
+    assert(viaSql.getAs[scala.collection.Seq[Long]]("sig").size == 4)
+  }
+}
