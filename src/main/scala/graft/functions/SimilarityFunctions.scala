@@ -85,6 +85,43 @@ object SimilarityFunctions {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are
+    * assigned once to their nearest of C centroids (deterministic
+    * "sample": the first C corpus vectors); each query probes its
+    * `nprobe` nearest centroids and reranks exactly within those
+    * cells. At scale: assignment is one corpus pass × C small dots;
+    * the probe join prunes the corpus ~C/nprobe-fold before rerank. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              centroids: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus
+      .filter(col(idCol) < centroids)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__centv")))
+    def nearest(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cent)
+        .withColumn("__cscore", round(cosine(col(v), col("__centv")), 6))
+      val w = Window.partitionBy(id).orderBy(col("__cscore").desc, col("__cid"))
+      scored.withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .drop("__centv", "__cscore", "__crank")
+    }
+    val assigned = nearest(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", 1)
+    val probes = nearest(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", nprobe)
+    val scored = assigned.join(probes, Seq("__cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** LSH-pruned approximate top-k: corpus and queries are bucketed by
     * hyperplane sign bits; candidates share the query's bucket, then
     * exact cosine reranks. At scale the bucket join replaces the full

@@ -67,6 +67,28 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // Skew-safe two-phase aggregation: 3 hot keys spread over 16 salts;
+    // result must equal the plain GROUP BY bit-for-bit.
+    "q18_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedSumCount(
+        lineitem(s, d), Seq("l_returnflag"), "l_quantity",
+        salts = 16, saltBy = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TF-IDF corpus vectorization: top-5 terms per document.
+    "x8_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = graft.functions.TfIdf.tfidf(documents(s, d), "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("doc_id", "token", "tf", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    }),
+
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
     // read both back, verify identical content (round-trip identity).
     "q17_io_roundtrip" -> ((s, d) => {
@@ -117,6 +139,30 @@ object ExtraQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
         |  p_brand || '|' || p_type AS bt
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q18_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x8_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        | tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+        |  GROUP BY 1, 2),
+        | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        | dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        | s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(nn.n / dfq.df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (token), nn
+        |  WHERE tf.doc_id < 20),
+        | r AS (
+        |  SELECT doc_id, token, tf, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, token, tf, tfidf, rnk FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q17_io_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(2 AS BIGINT) AS n_copies
         |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin

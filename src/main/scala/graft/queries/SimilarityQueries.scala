@@ -27,6 +27,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF approximate top-5: nearest-centroid cells + nprobe probing
+    // (the other scale path besides LSH). Approximate → rows-only;
+    // SimilaritySpec measures recall vs s1.
+    "s4_ann_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroids = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Pairwise L2 distance on a small slice (distance-metric parity).
     "s3_l2_pairs" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 30)

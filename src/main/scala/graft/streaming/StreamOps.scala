@@ -32,6 +32,33 @@ object StreamOps {
     df.groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming running moments per key (the reference Normalizer's
+    * `update` hook as managed state, preprocessing.py:90-109): emits
+    * (key, n, mean, population variance) after every batch. */
+  def runningMoments(ds: org.apache.spark.sql.Dataset[(String, Double)])
+  : org.apache.spark.sql.Dataset[(String, Long, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Double)], state: GroupState[(Long, Double, Double)]) =>
+          val (n0, s0, ss0) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val xs = it.map(_._2).toSeq
+          val st = (n0 + xs.size, s0 + xs.sum, ss0 + xs.map(x => x * x).sum)
+          state.update(st)
+          val mean = st._2 / st._1
+          (key, st._1, mean, st._3 / st._1 - mean * mean)
+      }
+  }
+
+  /** Streaming exact dedup: drop duplicate keys within the watermark
+    * horizon (state is bounded by the watermark — the streaming form
+    * of DedupFunctions' exact dedup). */
+  def streamDedup(df: DataFrame, tsCol: String, watermark: String,
+                  keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** As-of join: for each left row, the latest right row with
     * right.ts <= left.ts on the same key.
     *

@@ -30,6 +30,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.forall { case (q2, n) => q2 != n })
   }
 
+  test("IVF top-k probes its cells deterministically with nonzero recall") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ivfTopK(e, q, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall=$recall")
+    // deterministic across runs
+    val ivf2 = ivfTopK(e, q, "vec_id", "embedding", k = 5, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("MinHash LSH candidates lose no pair at Jaccard >= 0.8 (complete recall on fixture)") {
     val docs = graft.Tables.documents(spark, sf)
     val lsh = minhashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.8)

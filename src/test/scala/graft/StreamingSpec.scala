@@ -42,16 +42,7 @@ class StreamingSpec extends AnyFunSuite {
   test("running-moments state via mapGroupsWithState (streaming Normalizer)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
-    val updated = mem.toDS()
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, Double)], state: GroupState[(Long, Double, Double)]) =>
-          val (n0, s0, ss0) = state.getOption.getOrElse((0L, 0.0, 0.0))
-          val xs = it.map(_._2).toSeq
-          val st = (n0 + xs.size, s0 + xs.sum, ss0 + xs.map(x => x * x).sum)
-          state.update(st)
-          (key, st._1, st._2 / st._1, st._3 / st._1 - math.pow(st._2 / st._1, 2))
-      }
+    val updated = graft.streaming.StreamOps.runningMoments(mem.toDS())
     val q = updated.toDF("key", "n", "mean", "variance")
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName("moments_out").start()
