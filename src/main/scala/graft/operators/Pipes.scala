@@ -85,6 +85,22 @@ object Pipes {
     * the hand-rolled caches (SURVEY §2.5). */
   def cached(f: Frame): Frame = f.cache()
 
+  /** P3 LabelerPipe (pipes.py:374-395): string labels → dense ids
+    * (alphabetical — engine-reproducible) + one-hot float vector, via
+    * a broadcast label-table join. */
+  def labeler(df: org.apache.spark.sql.DataFrame, labelCol: String): org.apache.spark.sql.DataFrame = {
+    val labels = df.select(labelCol).distinct()
+      .orderBy(labelCol).collect().map(_.getString(0)).toSeq
+    val n = labels.size
+    val idx = labels.tail.zipWithIndex.foldLeft(
+      when(col(labelCol) === labels.head, 0)) { case (acc, (l, i)) =>
+      acc.when(col(labelCol) === l, i + 1)
+    }
+    df.withColumn("label_id", coalesce(idx, lit(-1)).cast("int"))
+      .withColumn("onehot",
+        graft.functions.TextFunctions.oneHot(col("label_id"), n))
+  }
+
   /** U16 oversample (preprocessing.py:42 — a stub in the reference;
     * real here): sample with replacement, renumbered densely. */
   def oversample(f: Frame, fraction: Double, seed: Long): Frame =

@@ -45,7 +45,32 @@ final case class NormalizerModel(stats: Map[String, (Double, Double)]) {
     }
 }
 
+/** Normalizer as a first-class graft Model: μ/σ² live in a
+  * ComponentMap (keys `mean:<col>`, `var:<col>`), so Scaffold
+  * save/load and external sharing work like any other model. */
+final class NormalizerGraftModel(val name: String, cols: Seq[String],
+                                 val components: graft.model.ComponentMap)
+    extends graft.model.Model {
+  def transform(df: DataFrame): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      val mean = components(s"mean:$c")(0)
+      val variance = components(s"var:$c")(0)
+      d.withColumn(c, (col(c) - lit(mean)) / lit(math.sqrt(variance)))
+    }
+}
+
 object Normalizer {
+
+  /** Fit into the Model/ComponentMap/Scaffold state system. */
+  def fitModel(df: DataFrame, cols: Seq[String],
+               name: String = "normalizer"): NormalizerGraftModel = {
+    val stats = fit(df, cols).stats
+    val cm = new graft.model.ComponentMap
+    stats.foreach { case (c, (m, v)) =>
+      cm(s"mean:$c") = Array(m); cm(s"var:$c") = Array(v)
+    }
+    new NormalizerGraftModel(name, cols, cm)
+  }
   /** update+compile (preprocessing.py:90-109) as one exact aggregation. */
   def fit(df: DataFrame, cols: Seq[String]): NormalizerModel = {
     def dec(c: Column): Column = c.cast("decimal(18,2)")

@@ -89,6 +89,25 @@ object ExtraQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // T10 JSON functions: parse the events props column, aggregate by
+    // extracted field.
+    "q19_json" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).cast("int").as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy("k_mod")
+    }),
+
+    // P3 LabelerPipe: string labels -> dense index + one-hot vector.
+    "p3_labeler" -> ((s, d) => {
+      graft.operators.Pipes.labeler(
+        orders(s, d).select("o_orderkey", "o_orderstatus"), "o_orderstatus")
+        .filter(col("o_orderkey") <= 500)
+        .orderBy("o_orderkey")
+    }),
+
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
     // read both back, verify identical content (round-trip identity).
     "q17_io_roundtrip" -> ((s, d) => {
@@ -139,6 +158,21 @@ object ExtraQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
         |  p_brand || '|' || p_type AS bt
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q19_json" ->
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "p3_labeler" ->
+      """WITH nlab AS (SELECT COUNT(DISTINCT o_orderstatus) AS c FROM orders),
+        | lab AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(DENSE_RANK() OVER (ORDER BY o_orderstatus) - 1 AS INT) AS label_id
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, label_id,
+        |  list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
+        |    i -> CAST(CASE WHEN i = label_id THEN 1.0 ELSE 0.0 END AS FLOAT)) AS onehot
+        |FROM lab, nlab WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     "q18_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,

@@ -76,6 +76,23 @@ class ModelSpec extends AnyFunSuite {
     assert(m1.m.sameElements(Array(3.25)) && m1.b == -1.5)
   }
 
+  test("Normalizer participates in Scaffold state save/load as a Model") {
+    import graft.prep.Normalizer
+    val df = syntheticLinear(100, 2.0, 1.0, 0.0)
+    val nm = Normalizer.fitModel(df, Seq("x"), "norm")
+    val meanBefore = nm.components("mean:x")(0)
+    val dir = java.nio.file.Files.createTempDirectory("normscaf").toString
+    new Scaffold().attach(nm).save(dir)
+    nm.components("mean:x") = Array(0.0)
+    new Scaffold().attach(nm).load(dir)
+    assert(nm.components("mean:x")(0) == meanBefore)
+    // transform actually z-scores
+    val stats = nm.transform(df).agg(
+      org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.avg("x"), 6),
+      org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.var_pop("x"), 6)).head()
+    assert(math.abs(stats.getDouble(0)) < 1e-6 && math.abs(stats.getDouble(1) - 1.0) < 1e-6)
+  }
+
   test("Factory grid search over a parquet-backed trial store") {
     val dir = java.nio.file.Files.createTempDirectory("trials").toString + "/t"
     val store = new Factory.ParquetStore(spark, dir)
