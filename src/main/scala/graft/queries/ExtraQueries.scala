@@ -89,6 +89,42 @@ object ExtraQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // TPC-H Q5 shape: 6-table star join with filters, broadcast dims.
+    "q20_star6" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o  = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val c  = customer(s, d).select("c_custkey", "c_nationkey")
+      val su = supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n  = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val r  = region(s, d).select("r_regionkey", "r_name")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average).
+    "q21_subquery" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val avgQ = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(((sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")) * 0.8).as("avg80"))
+      li.join(broadcast(avgQ), col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("avg80"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
     // T10 JSON functions: parse the events props column, aggregate by
     // extracted field.
     "q19_json" -> ((s, d) => {
@@ -158,6 +194,27 @@ object ExtraQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
         |  p_brand || '|' || p_type AS bt
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q20_star6" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q21_subquery" ->
+      """WITH ap AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 0.8 AS avg80
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN ap ON l_partkey = ap_partkey
+        |WHERE l_quantity < avg80""".stripMargin,
     "q19_json" ->
       """SELECT CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_mod,
         |  COUNT(*) AS n,
