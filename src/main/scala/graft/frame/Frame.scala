@@ -218,6 +218,16 @@ object Frame {
     new Frame(spark.createDataFrame(spark.sparkContext.parallelize(withIdx), s))
   }
 
+  /** Dense global rank over an already range-partitioned + in-partition
+    * sorted DataFrame via `RDD.zipWithIndex`.
+    *
+    * Note: a pure-DataFrame variant (monotonically_increasing_id +
+    * per-partition offsets) would avoid the RDD round-trip, but its two
+    * actions re-sample the range-partition boundaries independently
+    * (RangePartitioner seeds from the RDD id), which can mis-align the
+    * offsets. zipWithIndex runs its count job and the main job on ONE
+    * RDD lineage, so the partitioning is consistent by construction.
+    */
   private def zipIdx(df: DataFrame): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(IDX, LongType, nullable = false))
     val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }

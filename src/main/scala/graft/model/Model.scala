@@ -14,6 +14,16 @@ trait Model {
   def transform(df: DataFrame): DataFrame
 }
 
+object Model {
+  /** U3 model_from_module (model.py:266-287): adapt an arbitrary
+    * DataFrame→DataFrame transform into a (stateless) Model. */
+  def fromFunction(fnName: String, fn: DataFrame => DataFrame): Model = new Model {
+    val name: String = fnName
+    val components: ComponentMap = new ComponentMap
+    def transform(df: DataFrame): DataFrame = fn(df)
+  }
+}
+
 /** Linear model y_pred = Σ m_i·x_i + b (reference: DummyModel /
   * DummyMultilinearModel, utils/test_helpers.py:175-222).
   *
