@@ -36,6 +36,21 @@ object StreamQueries {
         .orderBy("user_id", "sess_start")
     }),
 
+    // Range join: all (purchase, click) pairs of a user within the
+    // hour before the purchase — banded equi-join, not a cross product.
+    "st4_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      graft.operators.RangeJoin.byBucket(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", beforeSec = 3600L, afterSec = 0L, binWidthSec = 900L)
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // As-of join: each purchase matched to the user's latest
     // at-or-before click (union + running last — no range explosion).
     "st3_asof" -> ((s, d) => {
@@ -77,6 +92,15 @@ object StreamQueries {
         |SELECT user_id, MIN(us) // 1000000 AS sess_start, COUNT(*) AS n_events,
         |  MAX(us) - MIN(us) AS dur_us
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    "st4_range_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "st3_asof" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, event_type,
