@@ -83,14 +83,19 @@ object DedupFunctions {
                             shingleN: Int, numHashes: Int, bands: Int,
                             threshold: Double): DataFrame = {
     val r = numHashes / bands
+    // Persisted: the self-join and the verify stage would otherwise
+    // recompute shingles/signatures once per join side (4× scans).
+    // (id, shingles) is corpus-sized; (id, band) is tiny.
     val withSh = docs.select(col(idCol).as("__id"),
         wordShingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = withSh
       // native kernel: bit-identical to the HOF formulation, one pass
       .withColumn("__band", explode(bandKeys(
         graft.expressions.HashExpressions.minhash_signature(col("__sh"), numHashes),
         bands, r)))
       .select("__id", "__band")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = withBands.as("x").join(withBands.as("y"),
         col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
@@ -140,6 +145,7 @@ object DedupFunctions {
     val withH = docs.select(col(idCol).as("__id"),
       graft.expressions.HashExpressions.simhash32_native(
         split(col(textCol), " ")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // byte p of the 32-bit hash, via exact double-pow arithmetic (h < 2^32)
     val byteAt = (p: Column) => pmod(
       floor(col("__h").cast("double") / pow(lit(2.0), p.cast("double") * 8.0)).cast("long"),
