@@ -67,6 +67,35 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // Exact interpolated percentiles per group.
+    "q22_percentiles" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_q1"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Edit-distance fuzzy matching over part names (dedup-adjacent).
+    "q23_edit_distance" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_partkey") <= 100)
+        .select(col("p_partkey").as("k"), col("p_name").as("nm"))
+      p.as("x").join(p.as("y"), col("x.k") < col("y.k"))
+        .select(col("x.k").as("a"), col("y.k").as("b"),
+          levenshtein(col("x.nm"), col("y.nm")).as("dist"))
+        .filter(col("dist") <= 12)
+        .orderBy("a", "b")
+    }),
+
+    // Histogram binning of the events value distribution.
+    "q24_histogram" -> ((s, d) => {
+      events(s, d)
+        .groupBy(floor(col("value") / 5.0).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy("bin")
+    }),
+
     // Skew-safe two-phase aggregation: 3 hot keys spread over 16 salts;
     // result must equal the plain GROUP BY bit-for-bit.
     "q18_salted_agg" -> ((s, d) => {
@@ -194,6 +223,23 @@ object ExtraQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
         |  p_brand || '|' || p_type AS bt
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q22_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_q1
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_edit_distance" ->
+      """SELECT x.p_partkey AS a, y.p_partkey AS b,
+        |  CAST(levenshtein(x.p_name, y.p_name) AS INT) AS dist
+        |FROM part x JOIN part y ON x.p_partkey < y.p_partkey
+        |WHERE x.p_partkey <= 100 AND y.p_partkey <= 100
+        |  AND levenshtein(x.p_name, y.p_name) <= 12
+        |ORDER BY a, b""".stripMargin,
+    "q24_histogram" ->
+      """SELECT CAST(floor(value / 5.0) AS INT) AS bin, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
     "q20_star6" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
