@@ -168,4 +168,41 @@ object DedupFunctions {
     * whitespace). */
   def contentHash(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Connected components over near-duplicate pairs by min-label
+    * propagation: every node repeatedly adopts the smallest label
+    * reachable through an edge, to fixpoint. Iterations ≤ graph
+    * diameter (near-dup clusters are tiny); each iteration is one
+    * join + aggregate — the standard cluster-scale pattern, no
+    * driver-side graph. Returns (id, cluster) with cluster = min
+    * member id. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = edges.join(labels, edges("y") === labels("id"))
+        .select(col("x").as("id"), col("cluster"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup decision: every doc mapped to its
+    * cluster representative (min id); unclustered docs represent
+    * themselves. `keep = (doc == representative)`. */
+  def dedupDecision(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("keep", (col(idCol) === col("cluster")))
 }

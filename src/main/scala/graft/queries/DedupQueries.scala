@@ -66,6 +66,19 @@ object DedupQueries {
         .orderBy("a", "b")
     }),
 
+    // End-to-end dedup pipeline: LSH pairs -> transitive clusters
+    // (min-label propagation) -> keep-representative decision. The
+    // oracle recomputes the clusters with a recursive CTE.
+    "d6_dedup_pipeline" -> ((s, d) => {
+      val pairs = minhashNearDuplicates(documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val clusters = nearDupClusters(pairs.select("a", "b"))
+      dedupDecision(documents(s, d), "doc_id", clusters)
+        .filter(!col("keep"))            // the removed duplicates
+        .select(col("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup pairs (brute force; corpus is
     // cosine-unclustered so 0.45 captures the extreme tail).
     "d5_embed_neardup" -> ((s, d) => {
@@ -127,6 +140,22 @@ object DedupQueries {
         |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM p WHERE jac >= 0.4 ORDER BY a, b""".stripMargin,
+    "d6_dedup_pipeline" -> (shingleSql +
+      """, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        | e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+        | nodes AS (SELECT DISTINCT x AS id FROM e),
+        | reach AS (
+        |  WITH RECURSIVE rr(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.x, rr.r FROM rr JOIN e ON e.y = rr.id)
+        |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id)
+        |SELECT id AS doc_id, cluster FROM reach WHERE id <> cluster
+        |ORDER BY doc_id""".stripMargin),
     "d5_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 1000),
         | n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nrm FROM e0),
