@@ -85,6 +85,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val p = purchases.toDF().toDF("pts", "user_id", "pid")
+      .withWatermark("pts", "10 minutes")
+    val c = clicks.toDF().toDF("cts", "c_user_id", "cid")
+      .withWatermark("cts", "10 minutes")
+    val joined = p.join(c,
+      expr("""user_id = c_user_id AND
+              cts BETWEEN pts - INTERVAL 5 MINUTES AND pts"""))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      clicks.addData((ts(1), 1L, "c1"), (ts(8), 1L, "c2"), (ts(9), 2L, "c3"))
+      purchases.addData((ts(5), 1L, "p1"), (ts(10), 1L, "p2"), (ts(10), 2L, "p3"))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").select("pid", "cid").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // p1@:05 matches c1@:01 (within 5min); p2@:10 matches c2@:08;
+      // p3@:10 (user 2) matches c3@:09; c1 too old for p2
+      assert(got == Set(("p1", "c1"), ("p2", "c2"), ("p3", "c3")))
+    } finally q.stop()
+  }
+
   test("asofJoin matches a hand-computed tiny case") {
     import graft.streaming.StreamOps
     val left = Seq((1L, ts(10), "p1"), (1L, ts(20), "p2"), (2L, ts(5), "p3"))
