@@ -68,6 +68,22 @@ object TextFunctions {
         expr("transform(slice(parts, 2, size(parts) - 1), x -> cast(x as float))").as("vector"))
   }
 
+  /** Document chunking (LLM-pipeline parity-plus): overlapping
+    * character windows of `size` every `stride` chars — one row per
+    * chunk, pure expressions (explode of a computed offset sequence).
+    * Chunk i covers [i·stride, i·stride + size); the last window
+    * starts below the text length. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0)
+    val nChunks = floor((length(col(textCol)) - 1) / stride).cast("int")
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), greatest(nChunks, lit(0))),
+          i => col(textCol).substr(i * stride + 1, lit(size))))
+          .as(Seq("chunk_no", "chunk")))
+      .filter(length(col("chunk")) > 0)
+  }
+
   /** T7 one_hot (utils/utils.py:4-17): int → float one-hot array, as a
     * pure array expression (no UDF, no Spark-ML pipeline state). */
   def oneHot(c: Column, numClasses: Int): Column =

@@ -60,6 +60,15 @@ object TextAnalysisQueries {
         .orderBy("cls")
     }),
 
+    // Document chunking: overlapping 200-char windows every 150 chars.
+    "x9_chunks" -> ((s, d) => {
+      graft.functions.TextFunctions.chunkText(
+        documents(s, d), "doc_id", "text", size = 200, stride = 150)
+        .select(col("doc_id"), col("chunk_no"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // Multimodal plumbing: binary payload column → partition-batched
     // STUB decode → deterministic features (schema/batching real,
     // codec faked; see MultimodalFunctions).
@@ -134,6 +143,16 @@ object TextAnalysisQueries {
          |  CASE WHEN prec + rec > 0.0 THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
          |FROM r ORDER BY cls""".stripMargin
     },
+    "x9_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, greatest(CAST(floor((length(text) - 1) / 150) AS INT), 0)),
+        |    i -> struct_pack(chunk_no := i, chunk := substr(text, CAST(i * 150 + 1 AS INT), 200)))) AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST(s.chunk_no AS INT) AS chunk_no,
+        |  CAST(length(s.chunk) AS INT) AS chunk_len, md5(s.chunk) AS chunk_md5
+        |FROM c WHERE length(s.chunk) > 0
+        |ORDER BY doc_id, chunk_no""".stripMargin,
     "x2_quality" ->
       """WITH q AS (
         |  SELECT doc_id,
