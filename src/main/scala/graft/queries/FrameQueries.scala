@@ -16,11 +16,14 @@ import graft.frame.Frame
   */
 object FrameQueries {
 
-  /** lineitem as a Frame: `_idx` ordered by the unique key. */
-  private def liFrame(s: SparkSession, d: String): Frame =
-    Frame.fromDF(
+  /** lineitem as a Frame, memoized+persisted per scale dir: the many
+    * fm* queries share one _idx materialization within a session. */
+  private val cache = scala.collection.mutable.Map[String, Frame]()
+  private def liFrame(s: SparkSession, d: String): Frame = cache.synchronized {
+    cache.getOrElseUpdate(d, Frame.fromDF(
       lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
-      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")).cache())
+  }
 
   private val oraclePrefix =
     """WITH f AS (

@@ -12,10 +12,12 @@ import graft.prep.{Normalizer, Preprocessing}
   */
 object PipeQueries {
 
-  private def liFrame(s: SparkSession, d: String): Frame =
-    Frame.fromDF(
+  private val cache = scala.collection.mutable.Map[String, Frame]()
+  private def liFrame(s: SparkSession, d: String): Frame = cache.synchronized {
+    cache.getOrElseUpdate(d, Frame.fromDF(
       lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
-      Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      Seq("l_orderkey", "l_linenumber", "l_quantity")).cache())
+  }
 
   private val oraclePrefix =
     """WITH f AS (
