@@ -108,8 +108,7 @@ object HashExpressions {
     * order of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so results
     * are bit-identical to the HOF formulation the oracles mirror. */
   case class DoubleDot(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "double_dot"
 
@@ -123,6 +122,24 @@ object HashExpressions {
       java.lang.Double.valueOf(acc)
     }
 
+    // real codegen (not CodegenFallback): the pair-scan stage stays
+    // inside whole-stage codegen with an inline fold loop
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleDot =
       copy(left = l, right = r)
   }
@@ -130,10 +147,29 @@ object HashExpressions {
   /** Jaccard of two SORTED distinct string arrays by merge walk —
     * same value as size(array_intersect)/size(array_union). */
   case class SortedJaccard(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "sorted_jaccard"
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+        s"""
+           |int $na = $a.numElements(); int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = (double) $inter / (double) ($na + $nb - $inter);
+         """.stripMargin
+      })
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
