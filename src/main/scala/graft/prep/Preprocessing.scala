@@ -18,6 +18,15 @@ object Preprocessing {
     (f.mask(!cond), f.mask(cond))
   }
 
+  /** Stratified sampling: per-class fractions with a seed (class-
+    * balanced subsets for training pipelines; exact-fraction variant
+    * of the reference's shuffled index splits). */
+  def stratifiedSample(f: Frame, classCol: String,
+                       fractions: Map[Any, Double], seed: Long): Frame = {
+    val sampled = f.df.stat.sampleBy(classCol, fractions, seed)
+    Frame.reindexPreservingOrder(sampled)
+  }
+
   /** U15 seeded random split (Spark-native path). */
   def randomSplit(f: Frame, testFraction: Double, seed: Long): (Frame, Frame) = {
     val Array(tr, te) = f.df.randomSplit(Array(1 - testFraction, testFraction), seed)

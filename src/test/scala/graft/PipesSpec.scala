@@ -43,6 +43,22 @@ class PipesSpec extends AnyFunSuite {
     assert(s1 != (0L until 40L))
   }
 
+  test("stratifiedSample draws per-class fractions reproducibly") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, if (i % 4 == 0) "a" else "b"))
+      .toDF("k", "cls")
+    val f = Frame.fromDF(df, Seq("k"))
+    val s1 = graft.prep.Preprocessing.stratifiedSample(
+      f, "cls", Map[Any, Double]("a" -> 1.0, "b" -> 0.1), seed = 9L)
+    val byCls = s1.df.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCls("a") == 100)                      // fraction 1.0 keeps all
+    assert(byCls("b") > 5 && byCls("b") < 80)      // ~10% of 300
+    val s2 = graft.prep.Preprocessing.stratifiedSample(
+      f, "cls", Map[Any, Double]("a" -> 1.0, "b" -> 0.1), seed = 9L)
+    assert(s1.sameAs(s2))                          // seeded reproducibility
+  }
+
   test("loadEmbeddings parses GloVe-style text (T5)") {
     val dir = java.nio.file.Files.createTempDirectory("emb")
     java.nio.file.Files.writeString(dir.resolve("emb.txt"),
