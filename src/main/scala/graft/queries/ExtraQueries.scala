@@ -67,6 +67,32 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }),
 
+    // TPC-H Q13 shape: LEFT OUTER join + count distribution (customers
+    // by number of orders, including zero-order customers).
+    "q25_left_join_dist" -> ((s, d) => {
+      val c = customer(s, d).select("c_custkey")
+      val o = orders(s, d).select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q4 shape: EXISTS with a correlated date-range condition.
+    "q26_exists_range" -> ((s, d) => {
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+        .select("l_orderkey")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Exact interpolated percentiles per group.
     "q22_percentiles" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag")
@@ -223,6 +249,21 @@ object ExtraQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
         |  p_brand || '|' || p_type AS bt
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+    "q25_left_join_dist" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q26_exists_range" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-06-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q22_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS med,
