@@ -38,6 +38,7 @@ object Bench {
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    SparkEntry.releaseCaches()
     spark.stop()
   }
 }

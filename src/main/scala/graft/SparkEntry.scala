@@ -57,4 +57,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.map(_._2).reduce(_ ++ _)
+
+  /** Release every memoized/persisted intermediate the query packs hold
+    * (call at the end of a Verify/Bench run — long-lived sessions would
+    * otherwise accumulate cached blocks across scale dirs). */
+  def releaseCaches(): Unit = {
+    qp.FrameQueries.releaseCaches()
+    qp.PipeQueries.releaseCaches()
+    qp.DedupQueries.releaseCaches()
+  }
 }

@@ -85,7 +85,9 @@ object DedupFunctions {
     val r = numHashes / bands
     // Persisted: the self-join and the verify stage would otherwise
     // recompute shingles/signatures once per join side (4× scans).
-    // (id, shingles) is corpus-sized; (id, band) is tiny.
+    // (id, shingles) is corpus-sized; (id, band) is tiny. Both are
+    // released below once the (tiny) verified-pair result is
+    // materialized — nothing corpus-sized outlives the call.
     val withSh = docs.select(col(idCol).as("__id"),
         wordShingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -101,12 +103,17 @@ object DedupFunctions {
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
     val sh = withSh.select(col("__id"), col("__sh"))
-    cand
+    val verified = cand
       .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "__sha"), Seq("a"))
       .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "__shb"), Seq("b"))
       .withColumn("jac", jaccard(col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)
       .select("a", "b", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize, then release the corpus-sized blocks
+    withBands.unpersist(blocking = false)
+    withSh.unpersist(blocking = false)
+    verified // pair-sized; caller releases with unpersist() when done
   }
 
   /** Portable 32-bit SimHash over the word tokens of a text column.
@@ -154,7 +161,7 @@ object DedupFunctions {
       .withColumn("__band", concat(col("__bandpos").cast("string"), lit(":"),
         byteAt(col("__bandpos")).cast("string")))
       .select("__id", "__h", "__band")
-    banded.as("x").join(banded.as("y"),
+    val result = banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         col("x.__h").as("__ha"), col("y.__h").as("__hb"))
@@ -162,6 +169,10 @@ object DedupFunctions {
       .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize, then release the corpus-sized hashes
+    withH.unpersist(blocking = false)
+    result // pair-sized; caller releases with unpersist() when done
   }
 
   /** Exact dedup key: md5 of normalized text (lowercase, collapsed
@@ -177,12 +188,12 @@ object DedupFunctions {
     * driver-side graph. Returns (id, cluster) with cluster = min
     * member id. */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
       val viaEdges = edges.join(labels, edges("y") === labels("id"))
@@ -192,9 +203,11 @@ object DedupFunctions {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist(blocking = false) // superseded generation
       labels = next
     }
-    labels
+    edges.unpersist(blocking = false) // labels is materialized above
+    labels // node-sized; caller releases with unpersist() when done
   }
 
   /** End-to-end near-dup dedup decision: every doc mapped to its

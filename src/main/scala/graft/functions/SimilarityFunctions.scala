@@ -62,8 +62,9 @@ object SimilarityFunctions {
 
   /** Deterministic pseudo-random unit hyperplanes: component d of plane
     * p derives from md5("seed:p:d") — reproducible, no RNG state to
-    * ship to executors. Returns plane p as an array literal column. */
-  private def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] = {
+    * ship to executors (and embeddable as literals in the SQL oracle).
+    * Returns plane p as an array literal column. */
+  private[graft] def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] = {
     val comps = Array.tabulate(dim) { d =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$seed:$p:$d".getBytes("UTF-8"))

@@ -89,4 +89,13 @@ object TextFunctions {
   def oneHot(c: Column, numClasses: Int): Column =
     transform(sequence(lit(0), lit(numClasses - 1)),
       i => when(i === c.cast("int"), lit(1.0f)).otherwise(lit(0.0f)))
+
+  /** oneHot with a column-valued class count (e.g. joined in from an
+    * aggregate); yields an empty vector when `numClasses` <= 0 —
+    * `sequence(0, n-1)` alone would count DOWN for n <= 0. */
+  def oneHot(c: Column, numClasses: Column): Column =
+    when(numClasses > 0,
+      transform(sequence(lit(0), numClasses.cast("int") - 1),
+        i => when(i === c.cast("int"), lit(1.0f)).otherwise(lit(0.0f))))
+      .otherwise(array().cast("array<float>"))
 }

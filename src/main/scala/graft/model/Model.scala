@@ -28,9 +28,16 @@ object Model {
   * DummyMultilinearModel, utils/test_helpers.py:175-222).
   *
   * `fit` is distributed closed-form least squares: one aggregation
-  * computes the exact DECIMAL moment matrix (order-invariant at any
-  * cluster size), the tiny (p+1)×(p+1) normal-equation solve happens
-  * on the driver. No iteration over the data, no collect of rows.
+  * computes a DECIMAL(precision, scale) moment matrix (order-invariant
+  * at any cluster size), the tiny (p+1)×(p+1) normal-equation solve
+  * happens on the driver. No iteration over the data, no collect of
+  * rows. NOTE the quantization: inputs are rounded to `scale`
+  * fractional decimal digits before the moment sums, so the fit is
+  * exact only for data with at most that many decimal places (default
+  * scale=2 fits TPC-H-style monetary data); pass a larger scale for
+  * finer-grained features, keeping 2·precision <= 38 so squared terms
+  * stay representable. Cast overflow fails loudly instead of silently
+  * dropping rows from the sums.
   */
 final class LinearModel(val name: String, val xCols: Seq[String],
                         val yCol: String, val predCol: String,
@@ -52,17 +59,41 @@ object LinearModel {
     new LinearModel(name, xCols, yCol, predCol,
       ComponentMap.of("m" -> Array.fill(xCols.size)(0.0), "b" -> Array(0.0)))
 
-  /** Exact simple-regression fit (p=1): slope/intercept from decimal
-    * sums via the textbook closed form — bit-reproducible (the oracle
-    * mirrors the same double ops). */
-  def fitSimple(df: DataFrame, xCol: String, yCol: String): (Double, Double) = {
-    def dec(c: Column) = c.cast("decimal(18,2)")
-    val r = df.agg(
+  /** Overflow sentinels for one fit pass: count(raw) vs count(cast) per
+    * column, evaluated inside the same aggregation as the moment sums
+    * (no extra scan). */
+  private def overflowAggs(cols: Seq[String], decType: String): Seq[Column] =
+    cols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      count(col(c).cast(decType)).as(s"__nd_$c")))
+
+  private def assertNoOverflow(row: org.apache.spark.sql.Row, cols: Seq[String],
+                               decType: String): Unit =
+    cols.foreach { c =>
+      val n = row.getAs[Long](s"__n_$c"); val nd = row.getAs[Long](s"__nd_$c")
+      if (nd != n) throw new ArithmeticException(
+        s"LinearModel.fit: ${n - nd} value(s) of '$c' overflow $decType; raise `precision` " +
+          "(values would otherwise be silently dropped from the moment sums)")
+    }
+
+  /** Simple-regression fit (p=1): slope/intercept from decimal sums via
+    * the textbook closed form — bit-reproducible (the oracle mirrors
+    * the same double ops); exact for <= `scale`-decimal-digit data (see
+    * class note). */
+  def fitSimple(df: DataFrame, xCol: String, yCol: String,
+                precision: Int = 18, scale: Int = 2): (Double, Double) = {
+    require(2 * precision <= 38,
+      s"fitSimple: 2*precision must be <= 38 so product terms stay in decimal range, got $precision")
+    val decType = s"decimal($precision,$scale)"
+    def dec(c: Column) = c.cast(decType)
+    val aggs = Seq(
       sum(dec(col(xCol))).cast("double").as("sx"),
       sum(dec(col(yCol))).cast("double").as("sy"),
       sum(dec(col(xCol)) * dec(col(yCol))).cast("double").as("sxy"),
       sum(dec(col(xCol)) * dec(col(xCol))).cast("double").as("sxx"),
-      count(lit(1)).cast("double").as("n")).head()
+      count(lit(1)).cast("double").as("n")) ++ overflowAggs(Seq(xCol, yCol).distinct, decType)
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    assertNoOverflow(r, Seq(xCol, yCol).distinct, decType)
     val (sx, sy, sxy, sxx, n) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
@@ -70,18 +101,25 @@ object LinearModel {
     (slope, intercept)
   }
 
-  /** Distributed multi-feature fit: exact decimal moment matrix in one
-    * pass, Gaussian-elimination solve on the driver ((p+1)² doubles). */
+  /** Distributed multi-feature fit: decimal moment matrix in one pass,
+    * Gaussian-elimination solve on the driver ((p+1)² doubles); exact
+    * for <= `scale`-decimal-digit data (see class note). */
   def fit(df: DataFrame, xCols: Seq[String], yCol: String,
-          name: String = "linear", predCol: String = "y_pred"): LinearModel = {
-    def dec(c: Column) = c.cast("decimal(18,2)")
-    val feats = xCols.map(c => dec(col(c))) :+ lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+          name: String = "linear", predCol: String = "y_pred",
+          precision: Int = 18, scale: Int = 2): LinearModel = {
+    require(2 * precision <= 38,
+      s"fit: 2*precision must be <= 38 so product terms stay in decimal range, got $precision")
+    val decType = s"decimal($precision,$scale)"
+    def dec(c: Column) = c.cast(decType)
+    val feats = xCols.map(c => dec(col(c))) :+ lit(java.math.BigDecimal.ONE).cast(decType)
     val p = feats.size
     val aggs = (for {
       i <- 0 until p; j <- i until p
     } yield sum(feats(i) * feats(j)).cast("double").as(s"xtx_${i}_$j")) ++
-      (0 until p).map(i => sum(feats(i) * dec(col(yCol))).cast("double").as(s"xty_$i"))
+      (0 until p).map(i => sum(feats(i) * dec(col(yCol))).cast("double").as(s"xty_$i")) ++
+      overflowAggs((xCols :+ yCol).distinct, decType)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    assertNoOverflow(row, (xCols :+ yCol).distinct, decType)
     val xtx = Array.ofDim[Double](p, p)
     for { i <- 0 until p; j <- i until p } {
       val v = row.getAs[Double](s"xtx_${i}_$j"); xtx(i)(j) = v; xtx(j)(i) = v

@@ -69,6 +69,9 @@ object Pipes {
     * oversampling — `explode` of a literal range, no data copy until
     * execution. */
   def repeat(f: Frame, times: Int, n: Long): Frame = {
+    // sequence(0, times-1) counts DOWN for times <= 0 (two epochs with
+    // negative _idx instead of an empty Frame) — reject early.
+    require(times >= 1, s"repeat: times must be >= 1, got $times")
     val rep = f.df
       .withColumn("__e", explode(sequence(lit(0L), lit(times - 1L))))
       .withColumn(Frame.IDX, col("__e") * lit(n) + col(Frame.IDX))
@@ -86,19 +89,28 @@ object Pipes {
   def cached(f: Frame): Frame = f.cache()
 
   /** P3 LabelerPipe (pipes.py:374-395): string labels → dense ids
-    * (alphabetical — engine-reproducible) + one-hot float vector, via
-    * a broadcast label-table join. */
+    * (alphabetical — engine-reproducible) + one-hot float vector.
+    *
+    * A genuine broadcast join against the ranked distinct-label table:
+    * nothing is collected to the driver and the plan stays O(1) in
+    * label cardinality (a when-chain would grow the plan per label and
+    * break down for high-cardinality columns). The class count rides
+    * along as a broadcast 1-row aggregate, so an empty input yields an
+    * empty result instead of throwing. */
   def labeler(df: org.apache.spark.sql.DataFrame, labelCol: String): org.apache.spark.sql.DataFrame = {
-    val labels = df.select(labelCol).distinct()
-      .orderBy(labelCol).collect().map(_.getString(0)).toSeq
-    val n = labels.size
-    val idx = labels.tail.zipWithIndex.foldLeft(
-      when(col(labelCol) === labels.head, 0)) { case (acc, (l, i)) =>
-      acc.when(col(labelCol) === l, i + 1)
-    }
-    df.withColumn("label_id", coalesce(idx, lit(-1)).cast("int"))
+    import org.apache.spark.sql.expressions.Window
+    // tiny by assumption (distinct labels); the single-partition
+    // window only ever sees the label table, never the data
+    val table = df.select(col(labelCol)).distinct()
+      .withColumn("label_id",
+        (row_number().over(Window.orderBy(col(labelCol))) - 1).cast("int"))
+    val nLab = table.agg(count(lit(1)).cast("int").as("__nlab"))
+    df.join(broadcast(table), Seq(labelCol), "left")
+      .crossJoin(broadcast(nLab))
+      .withColumn("label_id", coalesce(col("label_id"), lit(-1)).cast("int"))
       .withColumn("onehot",
-        graft.functions.TextFunctions.oneHot(col("label_id"), n))
+        graft.functions.TextFunctions.oneHot(col("label_id"), col("__nlab")))
+      .drop("__nlab")
   }
 
   /** U16 oversample (preprocessing.py:42 — a stub in the reference;

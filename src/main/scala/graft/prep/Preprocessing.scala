@@ -32,6 +32,25 @@ object Preprocessing {
     val Array(tr, te) = f.df.randomSplit(Array(1 - testFraction, testFraction), seed)
     (Frame.reindexPreservingOrder(tr), Frame.reindexPreservingOrder(te))
   }
+
+  /** Deterministic stratified sampling: within each class, rows are
+    * ranked by md5(seed:key) and the first ceil(fraction·classCount)
+    * kept. Engine-reproducible (no RNG state — the same rows are chosen
+    * on any cluster size, any partitioning, and by the SQL oracle) and
+    * one shuffle on the class column; both window functions share the
+    * same partitioning so Spark plans a single Exchange. */
+  def stratifiedSampleByHash(df: DataFrame, classCol: String,
+                             keyCols: Seq[String], fraction: Double,
+                             seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", lit(seed) +: keyCols.map(c => col(c).cast("string")): _*))
+    val byClass = Window.partitionBy(classCol)
+    val rk = byClass.orderBy(h.asc +: keyCols.map(col(_).asc): _*)
+    df.withColumn("__rk", row_number().over(rk))
+      .withColumn("__n", count(lit(1)).over(byClass))
+      .filter(col("__rk") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rk", "__n")
+  }
 }
 
 /** A1 Normalizer (preprocessing.py:49-129): two-phase z-score scaling.
@@ -42,9 +61,17 @@ object Preprocessing {
   * of the tiny aggregate back into a map expression: one `agg` job,
   * one codegen'd projection — no per-batch driver state.
   *
-  * Moments are accumulated in DECIMAL so the fit is exact and
+  * Moments are accumulated in DECIMAL(precision, scale) so the fit is
   * order-invariant (a double sum would drift with partition order at
-  * scale); the final μ/σ² are IEEE doubles derived from exact sums.
+  * scale). NOTE the quantization this implies: inputs are rounded to
+  * `scale` fractional decimal digits before summing, so the fit is
+  * exact only for data with at most `scale` decimal places (e.g. the
+  * default scale=2 fits monetary TPC-H columns exactly); for
+  * finer-grained data pass a larger scale (the precision/scale pair
+  * must keep `2·precision <= 38` so squared terms stay representable).
+  * Values whose integer part exceeds `precision - scale` digits would
+  * overflow the cast to null and silently vanish from the sum — `fit`
+  * detects that and fails loudly instead.
   */
 final case class NormalizerModel(stats: Map[String, (Double, Double)]) {
   /** forward (preprocessing.py:75-88): z-score the fitted columns. */
@@ -80,22 +107,33 @@ object Normalizer {
     }
     new NormalizerGraftModel(name, cols, cm)
   }
-  /** update+compile (preprocessing.py:90-109) as one exact aggregation. */
-  def fit(df: DataFrame, cols: Seq[String]): NormalizerModel = {
-    def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** update+compile (preprocessing.py:90-109) as one aggregation.
+    * Exact for inputs with <= `scale` fractional decimal digits (see
+    * class note on quantization); throws if any value overflows the
+    * decimal cast instead of silently dropping it from the sum. */
+  def fit(df: DataFrame, cols: Seq[String],
+          precision: Int = 18, scale: Int = 2): NormalizerModel = {
+    require(2 * precision <= 38,
+      s"fit: 2*precision must be <= 38 so squared terms stay in decimal range, got $precision")
+    def dec(c: Column): Column = c.cast(s"decimal($precision,$scale)")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(dec(col(c))).cast("double").as(s"__sum_$c"),
         sum(dec(col(c)) * dec(col(c))).cast("double").as(s"__sumsq_$c"),
-        count(col(c)).as(s"__n_$c"))
+        count(col(c)).as(s"__n_$c"),
+        count(dec(col(c))).as(s"__ndec_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.map { c =>
+      val n    = row.getAs[Long](s"__n_$c")
+      val ndec = row.getAs[Long](s"__ndec_$c")
+      if (ndec != n) throw new ArithmeticException(
+        s"Normalizer.fit: ${n - ndec} value(s) of '$c' overflow decimal($precision,$scale); " +
+          "raise `precision` (values would otherwise be silently dropped from the sums)")
       val s  = row.getAs[Double](s"__sum_$c")
       val ss = row.getAs[Double](s"__sumsq_$c")
-      val n  = row.getAs[Long](s"__n_$c").toDouble
-      val mean = s / n
-      val variance = ss / n - mean * mean
+      val mean = s / n.toDouble
+      val variance = ss / n.toDouble - mean * mean
       c -> (mean, variance)
     }.toMap
     NormalizerModel(stats)

@@ -19,13 +19,21 @@ object DedupQueries {
       |  FROM documents)
       |""".stripMargin
 
-  /** MinHash-LSH verified pairs, memoized+persisted per scale dir
-    * (shared by d2 and the d6 clustering pipeline). */
+  /** MinHash-LSH verified pairs, memoized per scale dir (shared by d2
+    * and the d6 clustering pipeline; minhashNearDuplicates returns the
+    * pairs already materialized+persisted, pair-sized). Released by
+    * `releaseCaches()` at the end of a Verify/Bench run. */
   private val pairCache = scala.collection.mutable.Map[String, DataFrame]()
   private def lshPairs(s: SparkSession, d: String): DataFrame = pairCache.synchronized {
     pairCache.getOrElseUpdate(d,
       minhashNearDuplicates(documents(s, d), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8).persist())
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
+  }
+
+  /** Unpersist and drop every memoized intermediate this object holds. */
+  def releaseCaches(): Unit = pairCache.synchronized {
+    pairCache.values.foreach(_.unpersist(blocking = false))
+    pairCache.clear()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,16 +69,23 @@ object DedupQueries {
     // Char-5-gram Jaccard near-dup pairs (restricted brute force —
     // exercises the n-gram/array-set path without LSH).
     "d4_ngram_jaccard" -> ((s, d) => {
-      // shingle sets sorted once per doc; pair similarity is then a
-      // native merge walk (same value as array_intersect/array_union)
+      // shingle sets computed+sorted once per doc and pinned with
+      // persist (not once per pair — see the d5 note); pair similarity
+      // is then a native merge walk (same value as
+      // array_intersect/array_union)
       val sh = documents(s, d).filter(col("doc_id") < 300)
         .select(col("doc_id"), array_sort(charShingles(col("text"), 5)).as("sh"))
-      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .persist()
+      val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           graft.expressions.HashExpressions.sorted_jaccard(
             col("x.sh"), col("y.sh")).as("jac"))
         .filter(col("jac") >= 0.4)
         .orderBy("a", "b")
+        .persist()
+      pairs.count() // materialize, then release the shingle sets
+      sh.unpersist(blocking = false)
+      pairs
     }),
 
     // End-to-end dedup pipeline: LSH pairs -> transitive clusters
@@ -84,24 +99,51 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Shingle-containment near-dups: |A∩B| / |A| — the asymmetric
+    // measure that catches a document embedded inside a longer one
+    // (Jaccard misses subset duplication when sizes differ). Directed:
+    // (a, b) means a is contained in b at >= the threshold.
+    "x11_containment" -> ((s, d) => {
+      val sh = documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), charShingles(col("text"), 5).as("sh"))
+        .persist()
+      val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          round(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            size(col("x.sh")).cast("double"), 6).as("containment"))
+        .filter(col("containment") >= 0.3)
+        .orderBy("a", "b")
+        .persist()
+      pairs.count() // materialize, then release the shingle sets
+      sh.unpersist(blocking = false)
+      pairs
+    }),
+
     // Embedding-cosine near-dup pairs (brute force; corpus is
     // cosine-unclustered so 0.45 captures the extreme tail).
     "d5_embed_neardup" -> ((s, d) => {
       import graft.functions.SimilarityFunctions.{dot, l2Norm}
       // brute-force pair scan is quadratic by nature: cap the slice so it
       // stays a baseline; the LSH path (s2_ann_lsh) is the at-scale answer.
-      // Vectors are normalized ONCE per row (materialized), so each pair
-      // costs a single dot product instead of dot + two norms.
+      // Vectors are normalized ONCE per row and pinned with persist —
+      // without the persist, CollapseProject folds the (interpreted HOF)
+      // normalization into the per-pair projection and the O(n²) stage
+      // re-normalizes both sides of every pair (~13× slower measured).
       val e = embeddings(s, d).filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding"))
         .withColumn("__n", l2Norm(col("embedding")))
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double") / col("__n")).as("nv"))
-      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .persist()
+      val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
           round(dot(col("x.nv"), col("y.nv")), 6).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("a", "b")
+        .persist()
+      pairs.count() // materialize, then release the normalized vectors
+      e.unpersist(blocking = false)
+      pairs
     })
   )
 
@@ -161,6 +203,19 @@ object DedupQueries {
         |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id)
         |SELECT id AS doc_id, cluster FROM reach WHERE id <> cluster
         |ORDER BY doc_id""".stripMargin),
+    "x11_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS sh
+        |  FROM documents WHERE doc_id < 250)
+        |, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |          CAST(len(a.sh) AS DOUBLE), 6) AS containment
+        |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
+        |SELECT a, b, containment FROM p WHERE containment >= 0.3
+        |ORDER BY a, b""".stripMargin,
     "d5_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 1000),
         | n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nrm FROM e0),

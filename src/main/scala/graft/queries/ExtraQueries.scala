@@ -191,12 +191,63 @@ object ExtraQueries {
         .orderBy("k_mod")
     }),
 
-    // P3 LabelerPipe: string labels -> dense index + one-hot vector.
+    // P3 LabelerPipe: string labels -> dense index + one-hot vector
+    // (vector emitted as an int-joined string: the gate's comparator
+    // sorts rows by every column, which list-typed cells break).
     "p3_labeler" -> ((s, d) => {
       graft.operators.Pipes.labeler(
         orders(s, d).select("o_orderkey", "o_orderstatus"), "o_orderstatus")
         .filter(col("o_orderkey") <= 500)
+        .withColumn("onehot", array_join(
+          transform(col("onehot"), x => x.cast("int").cast("string")), ","))
+        .select("o_orderkey", "o_orderstatus", "label_id", "onehot")
         .orderBy("o_orderkey")
+    }),
+
+    // Deterministic weighted (Bernoulli) sampling: row kept iff its
+    // md5-derived uniform u < value-proportional weight — the
+    // importance-sampling primitive for training-data pipelines,
+    // reproducible at any parallelism and by the oracle (no RNG).
+    "q27_weighted_sample" -> ((s, d) => {
+      val u = conv(substring(md5(col("event_id").cast("string")), 1, 13), 16, 10)
+        .cast("double") / pow(lit(16.0), lit(13.0))
+      events(s, d)
+        .withColumn("u", u)
+        .filter(col("u") < col("value") / 400.0)
+        .select(col("event_id"), col("value"), round(col("u"), 6).as("u"))
+        .orderBy("event_id")
+    }),
+
+    // Bloom-filter join pruning: build a bloom sketch of the small
+    // side's keys, pre-filter the fact table with it (at scale this
+    // drops most rows before any shuffle — the explicit form of
+    // Spark's runtime bloom-filter join), then exact semi-join removes
+    // the sketch's false positives, so the result is exactly the semi
+    // join and the oracle is trivial.
+    "q28_bloom_prune" -> ((s, d) => {
+      val supp = supplier(s, d).filter(col("s_nationkey") === 5)
+      // sketch-prune the fact table (superset of matches); an empty
+      // build side means nothing can match (stat.bloomFilter cannot
+      // aggregate zero rows)
+      val pruned =
+        if (supp.isEmpty) lineitem(s, d).filter(lit(false))
+        else {
+          val bloom = supp.stat.bloomFilter("s_suppkey", 1000L, 0.01)
+          // ship the sketch as its portable byte form (BloomFilterImpl's
+          // Java serialization does not survive closure transport) and
+          // deserialize lazily once per executor JVM
+          val bytes = { val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos); bos.toByteArray }
+          val pred = new graft.operators.BloomPredicate(bytes)
+          val mightContain = udf((k: Long) => pred(k))
+          lineitem(s, d).filter(mightContain(col("l_suppkey")))
+        }
+      pruned
+        .join(broadcast(supp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi") // exact
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("l_suppkey")
     }),
 
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
@@ -314,9 +365,23 @@ object ExtraQueries {
         |    CAST(DENSE_RANK() OVER (ORDER BY o_orderstatus) - 1 AS INT) AS label_id
         |  FROM orders)
         |SELECT o_orderkey, o_orderstatus, label_id,
-        |  list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
-        |    i -> CAST(CASE WHEN i = label_id THEN 1.0 ELSE 0.0 END AS FLOAT)) AS onehot
+        |  array_to_string(list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
+        |    i -> CASE WHEN i = label_id THEN 1 ELSE 0 END), ',') AS onehot
         |FROM lab, nlab WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q27_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT event_id, value,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |      / pow(16.0, 13.0) AS u
+        |  FROM events)
+        |SELECT event_id, value, round(u, 6) AS u FROM t
+        |WHERE u < value / 400.0 ORDER BY event_id""".stripMargin,
+    "q28_bloom_prune" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q18_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,

@@ -85,8 +85,24 @@ object PipeQueries {
       val f = liFrame(s, d)
       val parts = Seq(f.slice(0L, 50L), f.slice(50L, 100L), f.slice(100L, 150L))
       Junctions.roundRobin(parts).ordered
+    }),
+
+    // Stratified sampling (class-balanced subsets): deterministic
+    // md5-rank variant — the exact same rows are chosen at any
+    // parallelism and by the oracle.
+    "x10_stratified" -> ((s, d) => {
+      Preprocessing.stratifiedSampleByHash(
+        orders(s, d).select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", Seq("o_orderkey"), fraction = 0.1, seed = "42")
+        .orderBy("o_orderkey")
     })
   )
+
+  /** Unpersist and drop every memoized Frame this object holds. */
+  def releaseCaches(): Unit = cache.synchronized {
+    cache.values.foreach(_.df.unpersist(blocking = false))
+    cache.clear()
+  }
 
   def oracles: Map[String, String] = Map(
     "p2_title_label" -> (oraclePrefix +
@@ -123,6 +139,15 @@ object PipeQueries {
     "j3_roundrobin" -> (oraclePrefix +
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST((src % 50) * 3 + (src // 50) AS BIGINT) AS _idx
-        |FROM f WHERE src < 150 ORDER BY _idx""".stripMargin)
+        |FROM f WHERE src < 150 ORDER BY _idx""".stripMargin),
+    "x10_stratified" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5('42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority FROM t
+        |WHERE rk <= CEIL(0.1 * n) ORDER BY o_orderkey""".stripMargin
   )
 }

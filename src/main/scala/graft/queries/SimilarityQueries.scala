@@ -17,9 +17,10 @@ object SimilarityQueries {
     }),
 
     // LSH-bucketed approximate top-5 (the 100 TB scale path: bucket
-    // join prunes the corpus before exact rerank). Approximate by
-    // design → no SQL oracle; the driver records a rows-only check and
-    // SimilaritySpec measures recall vs s1 at test time.
+    // join prunes the corpus before exact rerank). Approximate w.r.t.
+    // s1 but fully deterministic (md5-derived hyperplanes), so the
+    // oracle replicates the bucketing exactly; SimilaritySpec
+    // additionally measures recall vs s1.
     "s2_ann_lsh" -> ((s, d) => {
       val e = embeddings(s, d)
       lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -28,8 +29,9 @@ object SimilarityQueries {
     }),
 
     // IVF approximate top-5: nearest-centroid cells + nprobe probing
-    // (the other scale path besides LSH). Approximate → rows-only;
-    // SimilaritySpec measures recall vs s1.
+    // (the other scale path besides LSH). Deterministic (centroids =
+    // first C corpus vectors) → exact oracle; SimilaritySpec measures
+    // recall vs s1.
     "s4_ann_ivf" -> ((s, d) => {
       val e = embeddings(s, d)
       ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -48,7 +50,63 @@ object SimilarityQueries {
     })
   )
 
+  /** The cosine-score SQL fragment shared by the ANN oracles (same op
+    * order as SimilarityFunctions.cosine over double-promoted floats,
+    * rounded to 6 digits before ranking). */
+  private def cosSql(q: String, v: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, 64), i -> $q[i] * $v[i])) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $q[i] * $q[i]))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> $v[i] * $v[i])))), 6)""".stripMargin
+
+  /** s2 oracle: replicates lshTopK exactly — the md5-derived unit
+    * hyperplanes are computed here (same code path as the Spark plan)
+    * and embedded as SQL double literals; Double.toString round-trips,
+    * so DuckDB parses the identical plane. Sign-of-dot ties would need
+    * the two engines to disagree within one ulp of 0 — not observed
+    * (probed exact at sf0.01, tools/probe_s2s4.py). */
+  private def s2Sql: String = {
+    val bucketTerms = (0 until 4).map { p =>
+      val plane = graft.functions.SimilarityFunctions.hyperplane(42L, p, 64)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> v[i] * ($plane)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+       | q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
+       | s AS (
+       |  SELECT q.qid AS query_id, b.vec_id AS neighbor_id, ${cosSql("q.qv", "b.v")} AS score
+       |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.qid),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s4 oracle: replicates ivfTopK — centroids are the first 16 corpus
+    * vectors, assignment/probing by round(cos, 6) with centroid-id
+    * tie-break, exact rerank within probed cells. */
+  private def s4Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |  FROM e, cent),
+       | assigned AS (SELECT vec_id AS neighbor_id, v, cid FROM ca WHERE crank <= 1),
+       | qa AS (SELECT vec_id AS query_id, v AS qv, cid FROM ca WHERE crank <= 4 AND vec_id < 10),
+       | s AS (
+       |  SELECT qa.query_id, b.neighbor_id, ${cosSql("qa.qv", "b.v")} AS score
+       |  FROM assigned b JOIN qa ON b.cid = qa.cid AND b.neighbor_id <> qa.query_id),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "s2_ann_lsh" -> s2Sql,
+    "s4_ann_ivf" -> s4Sql,
     "s1_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

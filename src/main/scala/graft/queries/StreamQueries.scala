@@ -102,10 +102,14 @@ object StreamQueries {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY purchase_id, click_id""".stripMargin,
     "st3_asof" ->
-      """WITH u AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isl
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
+      """WITH cd AS (
+        |  SELECT user_id, ts, MAX(event_id) AS event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        | u AS (
+        |  SELECT user_id, ts, event_id, 1 AS isl
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0 AS isl FROM cd),
         | w AS (
         |  SELECT *, MAX(CASE WHEN isl = 0 THEN epoch_us(ts) END) OVER (
         |    PARTITION BY user_id ORDER BY ts, isl
@@ -114,8 +118,8 @@ object StreamQueries {
         |SELECT w.event_id AS purchase_id, w.user_id,
         |  epoch_us(w.ts) AS purchase_us, c.event_id AS click_id,
         |  epoch_us(w.ts) - w.click_us AS gap_us
-        |FROM w LEFT JOIN u c
-        |  ON c.user_id = w.user_id AND c.isl = 0 AND epoch_us(c.ts) = w.click_us
+        |FROM w LEFT JOIN cd c
+        |  ON c.user_id = w.user_id AND epoch_us(c.ts) = w.click_us
         |WHERE w.isl = 1
         |ORDER BY purchase_id""".stripMargin
   )

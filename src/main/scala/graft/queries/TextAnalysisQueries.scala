@@ -75,7 +75,11 @@ object TextAnalysisQueries {
     "x5_multimodal_decode" -> ((s, d) => {
       val withPayload = documents(s, d)
         .select(col("doc_id"), asPayload(col("text")).as("payload"))
-      decodeFeatures(withPayload, "doc_id", "payload")
+      val decoded = decodeFeatures(withPayload, "doc_id", "payload")
+      // flatten the feature vector into scalar columns: the gate's
+      // comparator sorts rows by every column, which list cells break
+      val featCols = (1 to 8).map(i => element_at(col("feat"), i).as(s"f$i"))
+      decoded.select((Seq(col("doc_id"), col("byte_len")) ++ featCols): _*)
         .orderBy("doc_id")
     }),
 
@@ -184,10 +188,10 @@ object TextAnalysisQueries {
       val feats = (1 to 8).map { i =>
         val hi = hexDigit(s"${2 * i - 1}")
         val lo = hexDigit(s"${2 * i}")
-        s"CAST(($hi * 16 + $lo) / 255.0 AS FLOAT)"
+        s"CAST(($hi * 16 + $lo) / 255.0 AS FLOAT) AS f$i"
       }.mkString(",\n    ")
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
-         |  [$feats] AS feat
+         |  $feats
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "x6_frame_sample" ->

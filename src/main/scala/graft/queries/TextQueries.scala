@@ -51,10 +51,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // T7: one-hot encoding as a pure array expression.
+    // T7: one-hot encoding as a pure array expression. The vector is
+    // emitted as an int-joined string: the gate's comparator sorts rows
+    // by every column, which list-typed cells break.
     "t7_onehot" -> ((s, d) => {
       embeddings(s, d)
-        .select(col("vec_id"), col("label"), oneHot(col("label"), 10).as("onehot"))
+        .select(col("vec_id"), col("label"),
+          array_join(transform(oneHot(col("label"), 10),
+            x => x.cast("int").cast("string")), ",").as("onehot"))
         .orderBy("vec_id")
     })
   )
@@ -102,8 +106,8 @@ object TextQueries {
         |FROM documents, m ORDER BY doc_id""".stripMargin,
     "t7_onehot" ->
       """SELECT vec_id, label,
-        |  list_transform(generate_series(0, 9),
-        |    i -> CAST(CASE WHEN i = label THEN 1.0 ELSE 0.0 END AS FLOAT)) AS onehot
+        |  array_to_string(list_transform(generate_series(0, 9),
+        |    i -> CASE WHEN i = label THEN 1 ELSE 0 END), ',') AS onehot
         |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }

@@ -67,6 +67,12 @@ object StreamOps {
     * explosion, shuffle ∝ |left| + |right| on the key. Right rows sort
     * before left rows at equal timestamps (inclusive as-of).
     *
+    * Ties: when several right rows share the same (key, ts), the window
+    * order ends with the right-row payload struct itself, so the match
+    * is deterministically the row with the LARGEST `rightCols` tuple
+    * (lexicographic by the order the caller lists them) — put a unique
+    * id first in `rightCols` to get max-id tie-breaking.
+    *
     * `rightCols` must not collide with left columns.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
@@ -86,7 +92,9 @@ object StreamOps {
           struct(rightCols.map(col): _*).as("__r")): _*)
     val combined = lTagged.unionByName(rTagged)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__isl").asc)
+      // final __r term: total order among equal-(key, ts) right rows →
+      // `last` deterministically picks the max rightCols tuple
+      .orderBy(col("__ts").asc, col("__isl").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

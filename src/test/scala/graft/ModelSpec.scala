@@ -30,6 +30,36 @@ class ModelSpec extends AnyFunSuite {
     assert(math.abs(slope - 2.0) < 1e-6 && math.abs(intercept - 1.0) < 1e-6)
   }
 
+  test("fit fails loudly when values overflow the decimal accumulator (no silent drop)") {
+    import spark.implicits._
+    // 1e17 overflows decimal(18,2)'s 16 integer digits. Under ANSI mode
+    // (Spark 4 default) the cast itself throws; with ANSI off, the
+    // count-sentinel inside fit throws. Either way: loud, not a silent
+    // drop from the sums.
+    val df = Seq((1.0, 2.0), (1.0e17, 3.0)).toDF("x", "y")
+    def overflows(e: Throwable): Boolean = {
+      val m = String.valueOf(e.getMessage)
+      m.contains("overflow") || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+    }
+    assert(overflows(intercept[Exception] { LinearModel.fitSimple(df, "x", "y") }))
+    assert(overflows(intercept[Exception] { graft.prep.Normalizer.fit(df, Seq("x")) }))
+    // widening the accumulator makes the same data fit (integer data, scale 0)
+    val (slope, _) = LinearModel.fitSimple(df, "x", "y", precision = 19, scale = 0)
+    assert(!slope.isNaN)
+  }
+
+  test("Normalizer scale parameter controls quantization of fine-precision data") {
+    import spark.implicits._
+    val df = Seq(0.001, 0.002, 0.003).toDF("x")
+    // scale=2 quantizes everything to 0.00 -> variance 0
+    val coarse = graft.prep.Normalizer.fit(df, Seq("x"))
+    assert(coarse.stats("x") == ((0.0, 0.0)))
+    // scale=6 captures the data exactly
+    val fine = graft.prep.Normalizer.fit(df, Seq("x"), precision = 18, scale = 6)
+    assert(math.abs(fine.stats("x")._1 - 0.002) < 1e-12)
+    assert(fine.stats("x")._2 > 0.0)
+  }
+
   test("multi-feature fit recovers generating params (reference tolerance 0.6)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -77,4 +77,35 @@ class PipesSpec extends AnyFunSuite {
     val padded = TextFunctions.padToMax(df, "tokens", "<pad>")
     assert(padded.select(size(col("tokens"))).collect().map(_.getInt(0)).toSet == Set(3))
   }
+
+  test("repeat rejects non-positive times (sequence would count down)") {
+    intercept[IllegalArgumentException] { Pipes.repeat(frame(3), 0, 3L) }
+    intercept[IllegalArgumentException] { Pipes.repeat(frame(3), -1, 3L) }
+  }
+
+  test("labeler assigns dense alphabetical ids via broadcast join; empty input is empty") {
+    import spark.implicits._
+    val df = Seq((1L, "carrot"), (2L, "apple"), (3L, "banana"), (4L, "apple"))
+      .toDF("k", "lbl")
+    val out = Pipes.labeler(df, "lbl").orderBy("k").collect()
+    assert(out.map(_.getAs[Int]("label_id")).toSeq == Seq(2, 0, 1, 0))
+    val oh = out.head.getAs[scala.collection.Seq[Float]]("onehot")
+    assert(oh == Seq(0.0f, 0.0f, 1.0f)) // carrot -> id 2 of 3 classes
+    val empty = Pipes.labeler(df.filter(lit(false)), "lbl")
+    assert(empty.count() == 0)          // no labels.head crash
+  }
+
+  test("stratifiedSampleByHash keeps ceil(f*n) per class, invariant under repartitioning") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"c${i % 3}")).toDF("k", "cls")
+    val a = graft.prep.Preprocessing
+      .stratifiedSampleByHash(df, "cls", Seq("k"), 0.2, "s1")
+    val counts = a.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(20L)) // ceil(0.2 * 100) per class
+    val b = graft.prep.Preprocessing
+      .stratifiedSampleByHash(df.repartition(13), "cls", Seq("k"), 0.2, "s1")
+    assert(a.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      b.select("k").collect().map(_.getLong(0)).sorted.toSeq) // same rows chosen
+  }
 }

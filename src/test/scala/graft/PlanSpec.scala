@@ -34,6 +34,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("x10 stratified sampling plans a single exchange (both windows share the class partitioning)") {
+    val p = plan("x10_stratified")
+    assert("Exchange hashpartitioning\\(o_orderpriority".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("q28 bloom prune filters the fact scan before the semi join (sketch ahead of shuffle)") {
+    // sf0.01: the smallest SF whose supplier table has nation-5 rows
+    // (an empty build side collapses the whole plan to LocalTableScan)
+    val df = SparkEntry.queries("q28_bloom_prune")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF filter sits below the join in the plan tree; the semi
+    // join itself is broadcast (no fact-table shuffle for the join)
+    assert(p.contains("BroadcastHashJoin") && p.indexOf("Filter") > p.indexOf("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect

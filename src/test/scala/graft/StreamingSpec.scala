@@ -121,4 +121,18 @@ class StreamingSpec extends AnyFunSuite {
     // p2 at :20 matches c3 at :20 (inclusive); p3 has no prior click
     assert(got == Set(("p1", "c1"), ("p2", "c3"), ("p3", null)))
   }
+
+  test("asofJoin resolves equal-(key, ts) right rows deterministically (max rightCols tuple)") {
+    import graft.streaming.StreamOps
+    val left = Seq((1L, ts(10), "p1")).toDF("user_id", "ts", "pid")
+    // three clicks at the same (key, ts): the largest cid must win,
+    // regardless of input order or partitioning
+    val right = Seq((1L, ts(8), "c2"), (1L, ts(8), "c9"), (1L, ts(8), "c5"))
+      .toDF("user_id", "ts", "cid").repartition(3)
+    (1 to 3).foreach { _ =>
+      val got = StreamOps.asofJoin(left, right, Seq("user_id"), "ts", Seq("cid"))
+        .select("cid").collect().map(_.getString(0)).toSeq
+      assert(got == Seq("c9"))
+    }
+  }
 }
