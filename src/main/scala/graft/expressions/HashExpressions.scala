@@ -189,6 +189,53 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Intersection size of two SORTED distinct string arrays by merge
+    * walk — same value as size(array_intersect(a, b)) without the
+    * per-eval hash-set build (array_intersect constructs a hash map of
+    * one side on every evaluation, which dominates O(n²) pair scans). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+        s"""
+           |int $na = $a.numElements(); int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (na, nb) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(inter)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+  }
+
   /** Column-API entry points. */
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -201,4 +248,7 @@ object HashExpressions {
 
   def sorted_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

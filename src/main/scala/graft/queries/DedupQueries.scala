@@ -69,23 +69,17 @@ object DedupQueries {
     // Char-5-gram Jaccard near-dup pairs (restricted brute force —
     // exercises the n-gram/array-set path without LSH).
     "d4_ngram_jaccard" -> ((s, d) => {
-      // shingle sets computed+sorted once per doc and pinned with
-      // persist (not once per pair — see the d5 note); pair similarity
-      // is then a native merge walk (same value as
-      // array_intersect/array_union)
+      // shingle sets computed+sorted once per doc (the projection sits
+      // below the nested-loop join); pair similarity is then a native
+      // merge walk (same value as array_intersect/array_union)
       val sh = documents(s, d).filter(col("doc_id") < 300)
         .select(col("doc_id"), array_sort(charShingles(col("text"), 5)).as("sh"))
-        .persist()
-      val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           graft.expressions.HashExpressions.sorted_jaccard(
             col("x.sh"), col("y.sh")).as("jac"))
         .filter(col("jac") >= 0.4)
         .orderBy("a", "b")
-        .persist()
-      pairs.count() // materialize, then release the shingle sets
-      sh.unpersist(blocking = false)
-      pairs
     }),
 
     // End-to-end dedup pipeline: LSH pairs -> transitive clusters
@@ -104,18 +98,18 @@ object DedupQueries {
     // (Jaccard misses subset duplication when sizes differ). Directed:
     // (a, b) means a is contained in b at >= the threshold.
     "x11_containment" -> ((s, d) => {
+      // sorted shingles + native merge-walk intersection count: same
+      // value as size(array_intersect(a, b)) without the per-pair
+      // hash-set build, which dominates the O(n²) scan
       val sh = documents(s, d).filter(col("doc_id") < 250)
-        .select(col("doc_id"), charShingles(col("text"), 5).as("sh"))
-        .persist()
+        .select(col("doc_id"), array_sort(charShingles(col("text"), 5)).as("sh"))
       val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          round(size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          round(graft.expressions.HashExpressions.sorted_intersect_count(
+              col("x.sh"), col("y.sh")).cast("double") /
             size(col("x.sh")).cast("double"), 6).as("containment"))
         .filter(col("containment") >= 0.3)
         .orderBy("a", "b")
-        .persist()
-      pairs.count() // materialize, then release the shingle sets
-      sh.unpersist(blocking = false)
       pairs
     }),
 
@@ -125,25 +119,21 @@ object DedupQueries {
       import graft.functions.SimilarityFunctions.{dot, l2Norm}
       // brute-force pair scan is quadratic by nature: cap the slice so it
       // stays a baseline; the LSH path (s2_ann_lsh) is the at-scale answer.
-      // Vectors are normalized ONCE per row and pinned with persist —
-      // without the persist, CollapseProject folds the (interpreted HOF)
-      // normalization into the per-pair projection and the O(n²) stage
-      // re-normalizes both sides of every pair (~13× slower measured).
+      // Vectors are normalized ONCE per row (the projection sits below
+      // the nested-loop join, so each side normalizes n rows, not n²
+      // pairs); each pair then costs a single codegen'd dot product.
+      // Deliberately not persisted: a cached-relation scan under the
+      // BNLJ measured slower than recomputing the cheap projection.
       val e = embeddings(s, d).filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding"))
         .withColumn("__n", l2Norm(col("embedding")))
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double") / col("__n")).as("nv"))
-        .persist()
-      val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
           round(dot(col("x.nv"), col("y.nv")), 6).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("a", "b")
-        .persist()
-      pairs.count() // materialize, then release the normalized vectors
-      e.unpersist(blocking = false)
-      pairs
     })
   )
 

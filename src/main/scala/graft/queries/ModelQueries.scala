@@ -43,29 +43,68 @@ object ModelQueries {
     // slice; for a linear model occlusion equals the analytic
     // m·(x-μ), which the oracle computes independently.
     "u13_occlusion" -> ((s, d) => {
-      val li = lineitem(s, d)
-      val (slope, intercept) = LinearModel.fitSimple(li, "l_quantity", "l_extendedprice")
-      val mu = {
-        val r = li.agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
-          count(lit(1)).cast("double")).head()
-        r.getDouble(0) / r.getDouble(1)
-      }
-      val model = new LinearModel("li_linear", Seq("l_quantity"),
-        "l_extendedprice", "y_pred",
-        graft.model.ComponentMap.of("m" -> Array(slope), "b" -> Array(intercept)))
-      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
-      // order by the full projection and join occlusion rows on _idx.
-      val slice = Frame.fromDF(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"),
-        Seq("l_orderkey", "l_linenumber", "l_quantity")).slice(0L, 200L)
-      Explain.occlusion1(model.transform, slice.df,
+      val (model, mu, slice) = fittedSlice(s, d)
+      Explain.occlusion1(model.transform, slice,
         Seq(Frame.IDX), Seq("l_quantity"),
         Map("l_quantity" -> mu), "y_pred")
         .select("l_orderkey", "l_linenumber", "y_pred", "occl_l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "y_pred")
+    }),
+
+    // U11 GradientxInput: x·dY/dx with the gradient taken as a central
+    // finite difference of the model's own forward plan (distributed
+    // column expressions — no autograd, no driver loop). For the linear
+    // model this equals the analytic x·m, which the oracle computes
+    // independently; rounded to 6 digits to absorb the O(1e-12)
+    // finite-difference noise.
+    "u11_gradx" -> ((s, d) => {
+      val (model, _, slice) = fittedSlice(s, d)
+      Explain.gradientXInput(model.transform, slice,
+        Seq(Frame.IDX), Seq("l_quantity"), "y_pred")
+        .select(col("l_orderkey"), col("l_linenumber"), col("y_pred"),
+          round(col("gxi_l_quantity"), 6).as("gxi_l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "y_pred")
+    }),
+
+    // U12 IntegratedGradients: (x-x')·∫ dY/dx over the straight path
+    // from baseline μ, midpoint Riemann sum of numeric gradients
+    // (α-probes × 2 shifted forward passes each, all distributed). For
+    // the linear model IG equals the analytic m·(x-μ) at any step
+    // count, so the gate uses 4 probes (each probe is 2 joins).
+    "u12_intgrad" -> ((s, d) => {
+      val (model, mu, slice) = fittedSlice(s, d)
+      Explain.integratedGradients(model.transform, slice,
+        Seq(Frame.IDX), Seq("l_quantity"),
+        Map("l_quantity" -> mu), "y_pred", steps = 4)
+        .select(col("l_orderkey"), col("l_linenumber"), col("y_pred"),
+          round(col("ig_l_quantity"), 6).as("ig_l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "y_pred")
     })
   )
+
+  /** Shared scaffolding for the attribution queries: exact linear fit
+    * over lineitem, the fitted column mean, and a positionally-indexed
+    * 200-row slice. (l_orderkey, l_linenumber) is NOT unique in the
+    * synthetic data: slices order by the full projection and the
+    * attribution joins key on _idx. */
+  private def fittedSlice(s: SparkSession, d: String)
+  : (LinearModel, Double, org.apache.spark.sql.DataFrame) = {
+    val li = lineitem(s, d)
+    val (slope, intercept) = LinearModel.fitSimple(li, "l_quantity", "l_extendedprice")
+    val mu = {
+      val r = li.agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        count(lit(1)).cast("double")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val model = new LinearModel("li_linear", Seq("l_quantity"),
+      "l_extendedprice", "y_pred",
+      graft.model.ComponentMap.of("m" -> Array(slope), "b" -> Array(intercept)))
+    val slice = Frame.fromDF(
+      li.select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity")).slice(0L, 200L)
+    (model, mu, slice.df)
+  }
 
   def oracles: Map[String, String] = Map(
     "u1_linear_fit" -> (statsSql +
@@ -78,6 +117,24 @@ object ModelQueries {
         |SELECT l_orderkey, l_linenumber,
         |  (l_quantity * slope + intercept) AS y_pred,
         |  (l_quantity * slope + intercept) - (mu * slope + intercept) AS occl_l_quantity
+        |FROM f, m WHERE src < 200 ORDER BY l_orderkey, l_linenumber, y_pred""".stripMargin),
+    "u11_gradx" -> (statsSql +
+      """, f AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) - 1 AS src
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (l_quantity * slope + intercept) AS y_pred,
+        |  round(l_quantity * slope, 6) AS gxi_l_quantity
+        |FROM f, m WHERE src < 200 ORDER BY l_orderkey, l_linenumber, y_pred""".stripMargin),
+    "u12_intgrad" -> (statsSql +
+      """, f AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) - 1 AS src
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (l_quantity * slope + intercept) AS y_pred,
+        |  round((l_quantity - mu) * slope, 6) AS ig_l_quantity
         |FROM f, m WHERE src < 200 ORDER BY l_orderkey, l_linenumber, y_pred""".stripMargin)
   )
 }

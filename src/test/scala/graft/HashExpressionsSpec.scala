@@ -41,6 +41,11 @@ class HashExpressionsSpec extends AnyFunSuite {
         jaccard(col("x.sh"), col("y.sh")).as("h"))
       .filter(col("n") =!= col("h")).count()
     assert(jacDiff == 0)
+    val interDiff = sh.as("x").crossJoin(sh.as("y"))
+      .select(sorted_intersect_count(col("x.sh"), col("y.sh")).as("n"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(interDiff == 0)
   }
 
   test("SimHash32 equals the HOF simhash formulation") {

@@ -159,4 +159,19 @@ class ModelSpec extends AnyFunSuite {
       .filter(abs(col("occl_x") - col("expected")) > 1e-9).count()
     assert(bad == 0)
   }
+
+  test("GradientxInput and IntegratedGradients equal their analytic forms for a linear model") {
+    val df = syntheticLinear(100, 2.0, 1.0, 0.0)
+    val model = new LinearModel("m", Seq("x"), "y", "y_pred",
+      ComponentMap.of("m" -> Array(2.0), "b" -> Array(1.0)))
+    // U11: x · dY/dx = 2x (numeric central difference of a linear
+    // forward is exact up to fp noise)
+    val gxi = Explain.gradientXInput(model.transform, df, Seq("id"), Seq("x"), "y_pred")
+    assert(gxi.filter(abs(col("gxi_x") - lit(2.0) * col("x")) > 1e-6).count() == 0)
+    // U12: IG over the straight path from baseline mu = m·(x-mu)
+    val mu = 50.0
+    val ig = Explain.integratedGradients(model.transform, df, Seq("id"), Seq("x"),
+      Map("x" -> mu), "y_pred", steps = 4)
+    assert(ig.filter(abs(col("ig_x") - lit(2.0) * (col("x") - lit(mu))) > 1e-6).count() == 0)
+  }
 }
