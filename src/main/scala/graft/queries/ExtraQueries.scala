@@ -250,6 +250,22 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Partitioned layout + partition pruning: write the table hive-
+    // partitioned on the filter column, read back one partition — at
+    // scale the scan touches only that directory (PlanSpec asserts the
+    // PartitionFilters); the oracle is the equivalent plain filter.
+    "q29_partitioned_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
     // read both back, verify identical content (round-trip identity).
     "q17_io_roundtrip" -> ((s, d) => {
@@ -368,6 +384,11 @@ object ExtraQueries {
         |  array_to_string(list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
         |    i -> CASE WHEN i = label_id THEN 1 ELSE 0 END), ',') AS onehot
         |FROM lab, nlab WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q29_partitioned_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q27_weighted_sample" ->
       """WITH t AS (
         |  SELECT event_id, value,

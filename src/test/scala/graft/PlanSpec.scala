@@ -51,6 +51,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q29 partitioned write is pruned to one partition at the scan") {
+    val p = plan("q29_partitioned_scan")
+    assert(p.contains("PartitionFilters:") && p.contains("1-URGENT"), p.take(1500))
+    // the data filter is satisfied by pruning alone — no row-level
+    // o_orderpriority predicate survives into PushedFilters
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderpriority)"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
