@@ -65,5 +65,6 @@ object SparkEntry {
     qp.FrameQueries.releaseCaches()
     qp.PipeQueries.releaseCaches()
     qp.DedupQueries.releaseCaches()
+    qp.ModelQueries.releaseCaches()
   }
 }

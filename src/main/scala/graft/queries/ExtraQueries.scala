@@ -250,6 +250,20 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
+    // T10 via Spark 4 VariantType: props parsed ONCE into the binary
+    // variant encoding, fields then extracted without re-parsing —
+    // the at-scale JSON path (q19 is the classic string-path twin).
+    "q30_variant" -> ((s, d) => {
+      events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // Partitioned layout + partition pruning: write the table hive-
     // partitioned on the filter column, read back one partition — at
     // scale the scan touches only that directory (PlanSpec asserts the
@@ -384,6 +398,11 @@ object ExtraQueries {
         |  array_to_string(list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
         |    i -> CASE WHEN i = label_id THEN 1 ELSE 0 END), ',') AS onehot
         |FROM lab, nlab WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q30_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q29_partitioned_scan" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -32,11 +32,9 @@ object ModelQueries {
     // U1: exact distributed least-squares fit (decimal moment sums →
     // closed-form solve). One aggregation pass over the fact table.
     "u1_linear_fit" -> ((s, d) => {
-      val (slope, intercept) = LinearModel.fitSimple(
-        lineitem(s, d), "l_quantity", "l_extendedprice")
-      val n = lineitem(s, d).count()
+      val (model, _, n, _) = fittedAll(s, d)
       import s.implicits._
-      Seq((slope, intercept, n)).toDF("slope", "intercept", "n")
+      Seq((model.m(0), model.b, n)).toDF("slope", "intercept", "n")
     }),
 
     // U13: Occlusion-1 attribution of the fitted model on a 200-row
@@ -82,28 +80,44 @@ object ModelQueries {
     })
   )
 
-  /** Shared scaffolding for the attribution queries: exact linear fit
-    * over lineitem, the fitted column mean, and a positionally-indexed
-    * 200-row slice. (l_orderkey, l_linenumber) is NOT unique in the
-    * synthetic data: slices order by the full projection and the
-    * attribution joins key on _idx. */
-  private def fittedSlice(s: SparkSession, d: String)
+  /** Shared scaffolding for the fit/attribution queries: exact linear
+    * fit over lineitem, the fitted column mean, and a positionally-
+    * indexed 200-row slice. (l_orderkey, l_linenumber) is NOT unique in
+    * the synthetic data: slices order by the full projection and the
+    * attribution joins key on _idx. Memoized per scale dir — u1/u11/
+    * u12/u13 would otherwise each re-run the fit aggregation and the
+    * _idx materialization; released by `releaseCaches()`. */
+  private val fitCache = scala.collection.mutable.Map[
+    String, (LinearModel, Double, Long, org.apache.spark.sql.DataFrame)]()
+  private[queries] def fittedSlice(s: SparkSession, d: String)
   : (LinearModel, Double, org.apache.spark.sql.DataFrame) = {
-    val li = lineitem(s, d)
-    val (slope, intercept) = LinearModel.fitSimple(li, "l_quantity", "l_extendedprice")
-    val mu = {
-      val r = li.agg(
+    val (m, mu, _, slice) = fittedAll(s, d); (m, mu, slice)
+  }
+  private[queries] def fittedAll(s: SparkSession, d: String)
+  : (LinearModel, Double, Long, org.apache.spark.sql.DataFrame) = fitCache.synchronized {
+    fitCache.getOrElseUpdate(d, {
+      val li = lineitem(s, d)
+      val (slope, intercept) = LinearModel.fitSimple(li, "l_quantity", "l_extendedprice")
+      val agg = li.agg(
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
-        count(lit(1)).cast("double")).head()
-      r.getDouble(0) / r.getDouble(1)
-    }
-    val model = new LinearModel("li_linear", Seq("l_quantity"),
-      "l_extendedprice", "y_pred",
-      graft.model.ComponentMap.of("m" -> Array(slope), "b" -> Array(intercept)))
-    val slice = Frame.fromDF(
-      li.select("l_orderkey", "l_linenumber", "l_quantity"),
-      Seq("l_orderkey", "l_linenumber", "l_quantity")).slice(0L, 200L)
-    (model, mu, slice.df)
+        count(lit(1))).head()
+      val n = agg.getLong(1)
+      val mu = agg.getDouble(0) / n.toDouble
+      val model = new LinearModel("li_linear", Seq("l_quantity"),
+        "l_extendedprice", "y_pred",
+        graft.model.ComponentMap.of("m" -> Array(slope), "b" -> Array(intercept)))
+      val slice = Frame.fromDF(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity")).slice(0L, 200L)
+        .df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (model, mu, n, slice)
+    })
+  }
+
+  /** Unpersist and drop the memoized fit scaffolding. */
+  def releaseCaches(): Unit = fitCache.synchronized {
+    fitCache.values.foreach(_._4.unpersist(blocking = false))
+    fitCache.clear()
   }
 
   def oracles: Map[String, String] = Map(

@@ -39,6 +39,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in Append mode (bounded state at scale)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: events up to :20 → watermark advances to :15
+      mem.addData((ts(0), 1.0), (ts(2), 1.0), (ts(20), 1.0))
+      q.processAllAvailable()
+      // batch 2: an event at :01 is behind the watermark → dropped;
+      // one at :17 is within it → counted
+      mem.addData((ts(1), 99.0), (ts(17), 1.0))
+      q.processAllAvailable()
+      // batch 3: advance far enough to close and emit all windows
+      mem.addData((ts(40), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select($"window.start".cast("long"), $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val base = ts(0).getTime / 1000
+      assert(rows(base) == 2L)          // the :01 straggler was NOT added
+      assert(rows(base + 900) == 1L)    // [15,20): only the in-watermark :17
+      assert(rows(base + 1200) == 1L)   // [20,25): the :20 event
+    } finally q.stop()
+  }
+
   test("running-moments state via mapGroupsWithState (streaming Normalizer)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
