@@ -88,6 +88,22 @@ class FrameSpec extends AnyFunSuite {
       (3.0, 30L), (4.0, 40L), (5.0, 50L)))
   }
 
+  test("column assignment migrates type (reference M4 tensor/df auto-migration)") {
+    // the reference moves a column between the tensor and df sides when
+    // an assignment changes its type (message.py:443-450); in the
+    // unified model a full-column set (mapCols) simply takes the new
+    // type, and a partial update promotes via Spark's branch coercion
+    val full = frame(3).mapCols("c" -> (c => concat(lit("v"), c)))
+    assert(full.df.schema("c").dataType == org.apache.spark.sql.types.StringType)
+    assert(full.ordered.select("c").collect().map(_.getString(0)).toSeq ==
+      Seq("v0", "v10", "v20"))
+    // partial update with a wider numeric type promotes the whole column
+    val partial = frame(3).update(col("a") < 1.0, "c" -> lit(0.5))
+    assert(partial.df.schema("c").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(partial.ordered.select("c").collect().map(_.getDouble(0)).toSeq ==
+      Seq(0.5, 10.0, 20.0))
+  }
+
   test("slice is a zero-shuffle range view") {
     val f = frame(10).slice(3L, 7L)
     assert(values(f) == (3 until 7).map(i => (i.toDouble, i * 10L)))
