@@ -69,6 +69,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamDedup drops duplicate keys within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val deduped = graft.streaming.StreamOps.streamDedup(
+      mem.toDF().toDF("ts", "doc_key", "value"), "ts", "10 minutes", Seq("doc_key"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((ts(0), "a", 1.0), (ts(1), "b", 2.0))
+      q.processAllAvailable()
+      // same key again, still within the watermark horizon → dropped;
+      // a fresh key passes
+      mem.addData((ts(2), "a", 99.0), (ts(3), "c", 3.0))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").select("doc_key", "value")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(keys == Set(("a", 1.0), ("b", 2.0), ("c", 3.0)))
+    } finally q.stop()
+  }
+
   test("running-moments state via mapGroupsWithState (streaming Normalizer)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
