@@ -78,6 +78,31 @@ class PipesSpec extends AnyFunSuite {
     assert(padded.select(size(col("tokens"))).collect().map(_.getInt(0)).toSet == Set(3))
   }
 
+  test("indexMap views the input through an index bijection (O5)") {
+    // view row r = input[mapping(r)]: the train/test-split view machinery
+    val f = frame(5)
+    val view = Pipes.indexMap(f, Seq((4L, 0L), (0L, 1L), (2L, 2L)))
+    assert(view.ordered.select("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(4L, 0L, 2L))
+  }
+
+  test("toTensor lifts scalar columns to float-array tensor columns (P4/M17)") {
+    val t = Pipes.toTensor(frame(3), "v")
+    assert(t.df.schema("v").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false))
+    assert(t.ordered.select("v").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq ==
+      Seq(Seq(0.0f), Seq(1.0f), Seq(2.0f)))
+  }
+
+  test("Model.fromFunction adapts a plain DataFrame transform (U3)") {
+    val m = graft.model.Model.fromFunction("double_v",
+      df => df.withColumn("v2", col("v") * 2.0))
+    val out = m.transform(frame(3).df).select("v2").collect().map(_.getDouble(0)).toSeq
+    assert(out.sorted == Seq(0.0, 2.0, 4.0))
+    assert(m.name == "double_v" && m.components.keys.isEmpty)
+  }
+
   test("repeat rejects non-positive times (sequence would count down)") {
     intercept[IllegalArgumentException] { Pipes.repeat(frame(3), 0, 3L) }
     intercept[IllegalArgumentException] { Pipes.repeat(frame(3), -1, 3L) }
