@@ -1,0 +1,82 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupFunctions, TextAnalysisFunctions, TextFunctions}
+
+/** End-to-end LLM training-data pipeline over the `documents` table —
+  * the parity-plus surface composed the way a user would chain it:
+  *
+  *   read → quality score → language ID → exact dedup → MinHash-LSH
+  *   near-dedup (cluster, keep representative) → chunk → tokenize →
+  *   token budget report → write curated parquet.
+  *
+  * Every stage is a lazy DataFrame transform; the only actions are the
+  * near-dup materialization and the final write. At 100 TB the same
+  * plan shape holds: per-row scoring is map-only, exact dedup is one
+  * hash shuffle, LSH shuffles (band, id) pairs, clustering touches only
+  * the (tiny) near-dup edge set, chunk/tokenize are map-side again.
+  *
+  * Run: sbt "runMain graft.examples.DataPipelineExample [sfDir]"
+  */
+object DataPipelineExample {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-data-pipeline-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.Tables.documents(spark, sfDir)
+
+    // 1. per-document quality + language (pure column expressions)
+    val scored = docs
+      .withColumn("quality", TextAnalysisFunctions.qualityScore(col("text")))
+      .withColumn("lang_guess", TextAnalysisFunctions.langIdGuess(col("text")))
+      .filter(col("quality") >= 0.5)
+
+    // 2. exact dedup: keep the lowest doc_id per normalized content hash
+    val exactKept = scored
+      .withColumn("__h", DedupFunctions.contentHash(col("text")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy("doc_id")))
+      .filter(col("__rk") === 1).drop("__h", "__rk")
+
+    // 3. near-dedup: MinHash-LSH pairs → transitive clusters → keep the
+    //    cluster representative (pair-sized state, corpus never collected)
+    val pairs = DedupFunctions.minhashNearDuplicates(
+      exactKept, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+      threshold = 0.8)
+    val clusters = DedupFunctions.nearDupClusters(pairs.select("a", "b"))
+    val decision = DedupFunctions.dedupDecision(exactKept, "doc_id", clusters)
+    val curated = exactKept.join(
+      decision.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+
+    // 4. chunk to training windows, count tokens per chunk
+    val chunks = TextFunctions.chunkText(curated, "doc_id", "text",
+      size = 512, stride = 384)
+      .withColumn("n_tokens", TextAnalysisFunctions.wsTokenCount(col("chunk")))
+
+    // 5. curation report + write
+    val report = chunks.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(avg(col("n_tokens")), 2).as("avg_tokens_per_chunk")).head()
+    val nDocs = docs.count(); val nCurated = curated.count()
+    println(s"docs: $nDocs -> curated: $nCurated " +
+      s"(quality+exact+near-dup removed ${nDocs - nCurated})")
+    println(s"chunks: ${report.getLong(0)}, tokens: ${report.getLong(1)}, " +
+      s"avg/chunk: ${report.getDouble(2)}")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    chunks.write.mode("overwrite").parquet(out)
+    println(s"curated chunks written to $out")
+
+    pairs.unpersist(); clusters.unpersist()
+    require(nCurated > 0 && report.getLong(0) > 0, "pipeline produced no data")
+    spark.stop()
+  }
+}
