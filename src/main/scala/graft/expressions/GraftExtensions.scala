@@ -34,7 +34,8 @@ object GraftExtensions {
       MinHashSignature(exprs.head, intArg(exprs(1), "minhash_signature"))),
     "simhash32" -> (exprs => SimHash32(exprs.head)),
     "double_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
-    "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1)))
+    "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1))),
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1)))
   )
 
   /** Register into an already-built session (tests, REPLs). */
