@@ -113,6 +113,23 @@ object DedupQueries {
       pairs
     }),
 
+    // Embedding near-dup at scale: random-hyperplane LSH buckets
+    // replace the full cross product (shuffle ∝ corpus, pairs ∝
+    // corpus²/2^planes), exact cosine threshold within buckets. The
+    // md5-derived planes are deterministic, so the oracle replicates
+    // the bucketing bit-for-bit (same machinery as s2_ann_lsh).
+    "d7_embed_lsh_pairs" -> ((s, d) => {
+      import graft.functions.SimilarityFunctions.{cosine, lshBucket}
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("__bucket", lshBucket(col("embedding"), seed = 7L, planes = 6, dim = 64))
+      e.as("x").join(e.as("y"),
+          col("x.__bucket") === col("y.__bucket") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a", "b")
+    }),
+
     // Embedding-cosine near-dup pairs (brute force; corpus is
     // cosine-unclustered so 0.45 captures the extreme tail).
     "d5_embed_neardup" -> ((s, d) => {
@@ -206,6 +223,22 @@ object DedupQueries {
         |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
         |SELECT a, b, containment FROM p WHERE containment >= 0.3
         |ORDER BY a, b""".stripMargin,
+    "d7_embed_lsh_pairs" -> {
+      val bucketTerms = (0 until 6).map { p =>
+        val plane = graft.functions.SimilarityFunctions.hyperplane(7L, p, 64)
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> v[i] * ($plane)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n   + ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+         | p AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(list_sum(list_transform(generate_series(1, 64), i -> x.v[i] * y.v[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> x.v[i] * x.v[i]))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> y.v[i] * y.v[i])))), 6) AS cos
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+    },
     "d5_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 1000),
         | n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nrm FROM e0),

@@ -69,6 +69,17 @@ object TextAnalysisQueries {
         .orderBy("doc_id", "chunk_no")
     }),
 
+    // PII-style scrubbing: digit runs collapsed to a redaction mark —
+    // the map-only sanitization stage of a curation pipeline; the md5
+    // of the redacted text pins the exact replacement semantics.
+    "x12_redact" -> ((s, d) => {
+      val redacted = regexp_replace(col("text"), "[0-9]{2,}", "#")
+      documents(s, d).select(col("doc_id"),
+        md5(redacted).as("redacted_md5"),
+        (length(col("text")) - length(redacted)).cast("int").as("chars_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: binary payload column → partition-batched
     // STUB decode → deterministic features (schema/batching real,
     // codec faked; see MultimodalFunctions).
@@ -157,6 +168,11 @@ object TextAnalysisQueries {
         |  CAST(length(s.chunk) AS INT) AS chunk_len, md5(s.chunk) AS chunk_md5
         |FROM c WHERE length(s.chunk) > 0
         |ORDER BY doc_id, chunk_no""".stripMargin,
+    "x12_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[0-9]{2,}', '#', 'g')) AS redacted_md5,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]{2,}', '#', 'g')) AS INT) AS chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x2_quality" ->
       """WITH q AS (
         |  SELECT doc_id,
