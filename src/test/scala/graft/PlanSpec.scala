@@ -59,6 +59,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [IsNotNull(o_orderpriority)"), p.take(1500))
   }
 
+  test("d7 embedding LSH dedup joins on bucket equality (hash join, no cross product)") {
+    val p = plan("d7_embed_lsh_pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
