@@ -98,12 +98,12 @@ object Pipes {
     * along as a broadcast 1-row aggregate, so an empty input yields an
     * empty result instead of throwing. */
   def labeler(df: org.apache.spark.sql.DataFrame, labelCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // tiny by assumption (distinct labels); the single-partition
-    // window only ever sees the label table, never the data
-    val table = df.select(col(labelCol)).distinct()
-      .withColumn("label_id",
-        (row_number().over(Window.orderBy(col(labelCol))) - 1).cast("int"))
+    // dense alphabetical ids via the distributed zipWithIndex rank
+    // (tokenIndices-style) — no single-partition window even for
+    // high-cardinality label columns
+    val table = Frame.fromDF(df.select(col(labelCol)).distinct(), Seq(labelCol)).df
+      .withColumn("label_id", col(Frame.IDX).cast("int"))
+      .drop(Frame.IDX)
     val nLab = table.agg(count(lit(1)).cast("int").as("__nlab"))
     df.join(broadcast(table), Seq(labelCol), "left")
       .crossJoin(broadcast(nLab))
