@@ -250,6 +250,28 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Key-based upsert (MERGE shape): apply a changes table to a base
+    // table — matched keys take the new values, unmatched keys insert.
+    // One full-outer join on the key; at scale both sides shuffle once
+    // on c_custkey and AQE handles the skew.
+    "q31_upsert" -> ((s, d) => {
+      val base = customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      // synthetic change set: every 10th customer gets a credit, plus
+      // two brand-new customers
+      val changes = customer(s, d).filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (dec(col("c_acctbal")) + dec(lit(100.0))).cast("double").as("c_acctbal"))
+        .unionByName(s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(900001L, "NEW A", 10.0),
+          org.apache.spark.sql.Row(900002L, "NEW B", 20.0)),
+          base.schema))
+      base.as("b").join(changes.as("c"), Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("c.c_name"), col("b.c_name")).as("c_name"),
+          coalesce(col("c.c_acctbal"), col("b.c_acctbal")).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // T10 via Spark 4 VariantType: props parsed ONCE into the binary
     // variant encoding, fields then extracted without re-parsing —
     // the at-scale JSON path (q19 is the classic string-path twin).
@@ -398,6 +420,18 @@ object ExtraQueries {
         |  array_to_string(list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
         |    i -> CASE WHEN i = label_id THEN 1 ELSE 0 END), ',') AS onehot
         |FROM lab, nlab WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q31_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.0 AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT 900001, 'NEW A', 10.0
+        |  UNION ALL SELECT 900002, 'NEW B', 20.0)
+        |SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+        |  COALESCE(c.c_name, b.c_name) AS c_name,
+        |  COALESCE(c.c_acctbal, b.c_acctbal) AS c_acctbal
+        |FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "q30_variant" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
