@@ -69,6 +69,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches a stream without shuffling it") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val enriched = mem.toDF().toDF("ts", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData((ts(0), 1L, 5.0), (ts(1), 2L, 6.0), (ts(2), 9L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "basic"), (9L, null)))
+    } finally q.stop()
+  }
+
+  test("asofJoin equals the naive per-row maximum on random data (property)") {
+    import graft.streaming.StreamOps
+    val rng = new scala.util.Random(11)
+    // random left/right with deliberate (key, ts) collisions on both sides
+    val left = (0 until 120).map { i =>
+      (rng.nextInt(5).toLong, ts(rng.nextInt(20)), s"p$i")
+    }.toDF("k", "ts", "pid")
+    val right = (0 until 150).map { i =>
+      (rng.nextInt(5).toLong, ts(rng.nextInt(20)), f"c$i%03d")
+    }.toDF("k", "ts", "cid")
+    val got = StreamOps.asofJoin(left, right, Seq("k"), "ts", Seq("cid"))
+      .select("pid", "cid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // naive spec: for each left row, max ts <= left.ts; tie -> max cid
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val leftRows = left.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    leftRows.foreach { case (k, t, pid) =>
+      val cands = rightRows.filter(r => r._1 == k && !r._2.after(t))
+      val expected = if (cands.isEmpty) null
+        else { val maxTs = cands.map(_._2.getTime).max
+          cands.filter(_._2.getTime == maxTs).map(_._3).max }
+      assert(got(pid) == expected, s"pid=$pid k=$k t=$t")
+    }
+  }
+
   test("streamDedup drops duplicate keys within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
