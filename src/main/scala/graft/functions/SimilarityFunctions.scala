@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  // array-level cast, NOT transform(_, _.cast): Cast is codegen'd and a
+  // no-op on already-double arrays, while the lambda form is interpreted
+  // per evaluation — inside an O(n²) pair scan that was the dominant
+  // cost (measured 5.0 s -> 1.5 s on the d5 scan, tools/ProfileD5)
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential-fold dot product of two float-array columns. Runs as a
     * native kernel (graft.expressions.DoubleDot) with the exact fold
