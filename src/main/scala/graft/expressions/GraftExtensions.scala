@@ -35,7 +35,8 @@ object GraftExtensions {
     "simhash32" -> (exprs => SimHash32(exprs.head)),
     "double_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
     "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1))),
-    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1)))
+    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1)))
   )
 
   /** Register into an already-built session (tests, REPLs). */

@@ -189,6 +189,48 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Sequential-fold squared-L2 distance of two double arrays — the
+    * exact fold order of `aggregate(zip_with(a, b, (x,y) => (x-y)²),
+    * 0.0, _+_)`, bit-identical to the HOF form the oracles mirror. */
+  case class DoubleL2Squared(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "double_l2_squared"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $dd = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $dd * $dd;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleL2Squared =
+      copy(left = l, right = r)
+  }
+
   /** Intersection size of two SORTED distinct string arrays by merge
     * walk — same value as size(array_intersect(a, b)) without the
     * per-eval hash-set build (array_intersect constructs a hash map of
@@ -251,4 +293,7 @@ object HashExpressions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def double_l2_squared(a: Column, b: Column): Column =
+    ColumnBridge.column(DoubleL2Squared(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

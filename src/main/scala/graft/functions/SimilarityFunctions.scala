@@ -41,6 +41,11 @@ object SimilarityFunctions {
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
+    sqrt(graft.expressions.HashExpressions.double_l2_squared(asDouble(a), asDouble(b)))
+
+  /** The HOF reference formulation of `l2Distance` (kept for
+    * equivalence testing against the native kernel). */
+  def l2DistanceHof(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v))
 

@@ -15,6 +15,7 @@ class ExtensionsSpec extends AnyFunSuite {
         |  double_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |  sorted_jaccard(array('a','b','c'), array('b','c','d')) AS j,
         |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+        |  double_l2_squared(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS l2,
         |  minhash_signature(array('aa','bb'), 4) AS sig""".stripMargin).head()
     import spark.implicits._
     val viaCol = Seq("key agg row scan").toDF("t").select(
@@ -23,6 +24,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getAs[Double]("d") == 11.0)
     assert(viaSql.getAs[Double]("j") == 0.5)
     assert(viaSql.getAs[Int]("ic") == 2)
+    assert(viaSql.getAs[Double]("l2") == 8.0)
     assert(viaSql.getAs[scala.collection.Seq[Long]]("sig").size == 4)
   }
 }

@@ -35,6 +35,11 @@ class HashExpressionsSpec extends AnyFunSuite {
         graft.functions.SimilarityFunctions.dotHof(col("a"), col("b")).as("h"))
       .filter(col("n") =!= col("h")).count()
     assert(dotDiff == 0)
+    val l2Diff = e.select(
+        graft.functions.SimilarityFunctions.l2Distance(col("a"), col("b")).as("n"),
+        graft.functions.SimilarityFunctions.l2DistanceHof(col("a"), col("b")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(l2Diff == 0)
     val sh = docs.select(array_sort(charShingles(col("text"), 3)).as("sh"))
     val jacDiff = sh.as("x").crossJoin(sh.as("y"))
       .select(sorted_jaccard(col("x.sh"), col("y.sh")).as("n"),
