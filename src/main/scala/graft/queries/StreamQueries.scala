@@ -51,6 +51,15 @@ object StreamQueries {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // Time-series resample + forward fill: per-user values on a
+    // regular 15-minute grid, gaps carrying the latest prior value.
+    "st5_resample" -> ((s, d) => {
+      StreamOps.resampleForwardFill(
+        events(s, d).filter(col("user_id") < 10), "ts", "user_id", "value",
+        stepSec = 900L)
+        .orderBy("user_id", "bts")
+    }),
+
     // As-of join: each purchase matched to the user's latest
     // at-or-before click (union + running last — no range explosion).
     "st3_asof" -> ((s, d) => {
@@ -101,6 +110,20 @@ object StreamQueries {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "st5_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, (epoch_us(ts) // 1000000) // 900 * 900 AS bts, MAX(value) AS v
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        | r AS (SELECT user_id, MIN(bts) AS lo, MAX(bts) AS hi FROM b GROUP BY 1),
+        | g AS (SELECT user_id, unnest(list_transform(generate_series(0, CAST((hi - lo) // 900 AS INT)),
+        |        i -> lo + i * 900)) AS bts FROM r),
+        | j AS (SELECT g.user_id, g.bts, b.v
+        |       FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bts = b.bts)
+        |SELECT user_id, bts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+        |FROM j ORDER BY user_id, bts""".stripMargin,
     "st3_asof" ->
       """WITH cd AS (
         |  SELECT user_id, ts, MAX(event_id) AS event_id

@@ -59,6 +59,34 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Time-series resampling with forward fill: events are bucketed to a
+    * `stepSec` grid (max per bucket), the grid is completed per key
+    * from its min to max bucket, and gaps take the latest prior value
+    * (`last` ignoreNulls over the key window).
+    *
+    * Scale shape: one shuffle on the key for the bucket aggregation,
+    * the grid explode is proportional to output rows, and the fill is
+    * a single window pass — no self-join, no range join. Bucket
+    * arithmetic is integral (`div`), so results are engine-exact.
+    * Output: (key, bts, <valueCol> filled, was_gap).
+    */
+  def resampleForwardFill(df: DataFrame, tsCol: String, keyCol: String,
+                          valueCol: String, stepSec: Long): DataFrame = {
+    val b = df
+      .withColumn("bts", expr(s"unix_micros($tsCol) div 1000000 div $stepSec * $stepSec"))
+      .groupBy(col(keyCol), col("bts"))
+      .agg(max(col(valueCol)).as("__v"))
+    val r = b.groupBy(keyCol).agg(min("bts").as("__lo"), max("bts").as("__hi"))
+    val g = r.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSec))).as("bts"))
+    val w = Window.partitionBy(keyCol).orderBy("bts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(b, Seq(keyCol, "bts"), "left")
+      .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("__v").isNull.cast("int"))
+      .drop("__v")
+  }
+
   /** As-of join: for each left row, the latest right row with
     * right.ts <= left.ts on the same key.
     *
