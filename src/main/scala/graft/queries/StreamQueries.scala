@@ -51,6 +51,22 @@ object StreamQueries {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // RANGE-frame window: trailing 1-hour sum/count per user at every
+    // event — the time-based frame (peers by value range, not row
+    // count); decimal sums keep the varying frame order-invariant.
+    "st6_trailing_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-3600L, 0L)
+      events(s, d).filter(col("user_id") < 50)
+        .withColumn("ts_sec", expr("unix_micros(ts) div 1000000"))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          sum(dec(col("value"))).over(w).cast("double").as("trailing_sum"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy("event_id")
+    }),
+
     // Time-series resample + forward fill: per-user values on a
     // regular 15-minute grid, gaps carrying the latest prior value.
     "st5_resample" -> ((s, d) => {
@@ -110,6 +126,14 @@ object StreamQueries {
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "st6_trailing_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,
+        |  COUNT(*) OVER w AS n_in_window
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "st5_resample" ->
       """WITH b AS (
         |  SELECT user_id, (epoch_us(ts) // 1000000) // 900 * 900 AS bts, MAX(value) AS v
