@@ -250,6 +250,20 @@ object ExtraQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Null-key semantics pinned against the oracle: NULL forms its own
+    // GROUP BY bucket, count(col) skips NULLs, and equi-joins never
+    // match NULL keys — the SQL edge cases an engine must agree on.
+    "q32_null_semantics" -> ((s, d) => {
+      val t = customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_custkey") % 100).as("k"))
+      val grouped = t.groupBy("k")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_nonnull_k"))
+      val joined = t.as("a").join(t.as("b"), col("a.k") === col("b.k"))
+        .agg(count(lit(1)).as("join_rows"))
+      grouped.crossJoin(joined).orderBy(asc_nulls_first("k"))
+    }),
+
     // Key-based upsert (MERGE shape): apply a changes table to a base
     // table — matched keys take the new values, unmatched keys insert.
     // One full-outer join on the key; at scale both sides shuffle once
@@ -420,6 +434,15 @@ object ExtraQueries {
         |  array_to_string(list_transform(generate_series(0, CAST(nlab.c AS INT) - 1),
         |    i -> CASE WHEN i = label_id THEN 1 ELSE 0 END), ',') AS onehot
         |FROM lab, nlab WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q32_null_semantics" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 100 END AS k
+        |  FROM customer),
+        | g AS (SELECT k, COUNT(*) AS n, COUNT(k) AS n_nonnull_k FROM t GROUP BY k),
+        | j AS (SELECT COUNT(*) AS join_rows FROM t a JOIN t b ON a.k = b.k)
+        |SELECT g.k, g.n, g.n_nonnull_k, j.join_rows
+        |FROM g, j ORDER BY k NULLS FIRST""".stripMargin,
     "q31_upsert" ->
       """WITH changes AS (
         |  SELECT c_custkey, c_name,
