@@ -106,16 +106,20 @@ object HashExpressions {
 
   /** Sequential-fold dot product of two double arrays — the exact fold
     * order of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so results
-    * are bit-identical to the HOF formulation the oracles mirror. */
+    * are bit-identical to the HOF formulation the oracles mirror —
+    * including on unequal lengths, where zip_with null-pads and the
+    * fold collapses to NULL: this kernel returns null there too. */
   case class DoubleDot(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "double_dot"
+    override def nullable: Boolean = true
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -131,12 +135,16 @@ object HashExpressions {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 
@@ -191,16 +199,20 @@ object HashExpressions {
 
   /** Sequential-fold squared-L2 distance of two double arrays — the
     * exact fold order of `aggregate(zip_with(a, b, (x,y) => (x-y)²),
-    * 0.0, _+_)`, bit-identical to the HOF form the oracles mirror. */
+    * 0.0, _+_)`, bit-identical to the HOF form the oracles mirror —
+    * including on unequal lengths, where zip_with null-pads and the
+    * fold collapses to NULL: this kernel returns null there too. */
   case class DoubleL2Squared(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "double_l2_squared"
+    override def nullable: Boolean = true
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -217,13 +229,17 @@ object HashExpressions {
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $dd = $a.getDouble($i) - $b.getDouble($i);
-           |  $acc += $dd * $dd;
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $dd = $a.getDouble($i) - $b.getDouble($i);
+           |    $acc += $dd * $dd;
+           |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 

@@ -136,8 +136,10 @@ object SimilarityFunctions {
     * hyperplane sign bits; candidates share the query's bucket, then
     * exact cosine reranks. At scale the bucket join replaces the full
     * cross product — shuffle ∝ corpus, candidates ∝ corpus/2^planes
-    * per query. Approximate (recall < 1 by design): declared to the
-    * driver without an oracle. */
+    * per query. Approximate (recall < 1 by design), yet exactly
+    * reproducible: the md5-derived planes are deterministic, so the
+    * s2_ann_lsh oracle replicates the bucketing bit-for-bit and the
+    * gate compares exact results. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               seed: Long, planes: Int, dim: Int): DataFrame = {

@@ -30,10 +30,26 @@ object DedupQueries {
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
   }
 
+  /** Transitive clusters over the LSH pairs, memoized per scale dir —
+    * nearDupClusters returns a persisted node-sized DataFrame ("caller
+    * releases"); memoizing it next to pairCache both avoids re-running
+    * label propagation on repeated d6 invocations and lets
+    * `releaseCaches()` honour the release contract. */
+  private val clusterCache = scala.collection.mutable.Map[String, DataFrame]()
+  private def lshClusters(s: SparkSession, d: String): DataFrame = clusterCache.synchronized {
+    clusterCache.getOrElseUpdate(d, nearDupClusters(lshPairs(s, d).select("a", "b")))
+  }
+
   /** Unpersist and drop every memoized intermediate this object holds. */
-  def releaseCaches(): Unit = pairCache.synchronized {
-    pairCache.values.foreach(_.unpersist(blocking = false))
-    pairCache.clear()
+  def releaseCaches(): Unit = {
+    clusterCache.synchronized {
+      clusterCache.values.foreach(_.unpersist(blocking = false))
+      clusterCache.clear()
+    }
+    pairCache.synchronized {
+      pairCache.values.foreach(_.unpersist(blocking = false))
+      pairCache.clear()
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,8 +102,7 @@ object DedupQueries {
     // (min-label propagation) -> keep-representative decision. The
     // oracle recomputes the clusters with a recursive CTE.
     "d6_dedup_pipeline" -> ((s, d) => {
-      val clusters = nearDupClusters(lshPairs(s, d).select("a", "b"))
-      dedupDecision(documents(s, d), "doc_id", clusters)
+      dedupDecision(documents(s, d), "doc_id", lshClusters(s, d))
         .filter(!col("keep"))            // the removed duplicates
         .select(col("doc_id"), col("cluster"))
         .orderBy("doc_id")
@@ -101,7 +116,10 @@ object DedupQueries {
       // sorted shingles + native merge-walk intersection count: same
       // value as size(array_intersect(a, b)) without the per-pair
       // hash-set build, which dominates the O(n²) scan
-      val sh = documents(s, d).filter(col("doc_id") < 250)
+      // length >= 5 keeps Spark and oracle shingle denominators aligned:
+      // charShingles falls back to array(text) on shorter docs while the
+      // oracle's generate_series yields an empty list (division by zero)
+      val sh = documents(s, d).filter(col("doc_id") < 250 && length(col("text")) >= 5)
         .select(col("doc_id"), array_sort(charShingles(col("text"), 5)).as("sh"))
       val pairs = sh.as("x").join(sh.as("y"), col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -215,7 +233,7 @@ object DedupQueries {
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4),
         |    i -> substr(text, CAST(i AS INT), 5))) AS sh
-        |  FROM documents WHERE doc_id < 250)
+        |  FROM documents WHERE doc_id < 250 AND length(text) >= 5)
         |, p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |    round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /

@@ -13,6 +13,26 @@ object ExtraQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** One temp dir per (purpose, scale dir), reused across invocations
+    * (the writes are mode=overwrite) and recursively deleted at JVM
+    * exit — repeated Bench/Verify iterations must not accumulate
+    * on-disk table copies. */
+  private val tmpDirs = scala.collection.mutable.Map[String, String]()
+  private def tempDir(key: String): String = tmpDirs.synchronized {
+    tmpDirs.getOrElseUpdate(key, {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$key")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }
+      p.toString
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A6: CUBE over (status, priority).
     "q12_cube" -> ((s, d) => {
@@ -305,7 +325,7 @@ object ExtraQueries {
     // scale the scan touches only that directory (PlanSpec asserts the
     // PartitionFilters); the oracle is the equivalent plain filter.
     "q29_partitioned_scan" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = tempDir(s"part_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       orders(s, d).write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(dir)
       s.read.parquet(dir)
@@ -319,7 +339,7 @@ object ExtraQueries {
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
     // read both back, verify identical content (round-trip identity).
     "q17_io_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val dir = tempDir(s"io_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       val slice = orders(s, d).filter(col("o_orderkey") <= 2000)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       slice.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")

@@ -53,14 +53,15 @@ object ModelQueries {
     // finite difference of the model's own forward plan (distributed
     // column expressions — no autograd, no driver loop). For the linear
     // model this equals the analytic x·m, which the oracle computes
-    // independently; rounded to 6 digits to absorb the O(1e-12)
-    // finite-difference noise.
+    // independently; rounded to 4 digits — far enough below the
+    // O(1e-9) central-difference noise floor that the noise can never
+    // flip the rounded digit (6 digits left the boundary within noise).
     "u11_gradx" -> ((s, d) => {
       val (model, _, slice) = fittedSlice(s, d)
       Explain.gradientXInput(model.transform, slice,
         Seq(Frame.IDX), Seq("l_quantity"), "y_pred")
         .select(col("l_orderkey"), col("l_linenumber"), col("y_pred"),
-          round(col("gxi_l_quantity"), 6).as("gxi_l_quantity"))
+          round(col("gxi_l_quantity"), 4).as("gxi_l_quantity"))
         .orderBy("l_orderkey", "l_linenumber", "y_pred")
     }),
 
@@ -75,7 +76,7 @@ object ModelQueries {
         Seq(Frame.IDX), Seq("l_quantity"),
         Map("l_quantity" -> mu), "y_pred", steps = 4)
         .select(col("l_orderkey"), col("l_linenumber"), col("y_pred"),
-          round(col("ig_l_quantity"), 6).as("ig_l_quantity"))
+          round(col("ig_l_quantity"), 4).as("ig_l_quantity"))
         .orderBy("l_orderkey", "l_linenumber", "y_pred")
     })
   )
@@ -139,7 +140,7 @@ object ModelQueries {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
         |  (l_quantity * slope + intercept) AS y_pred,
-        |  round(l_quantity * slope, 6) AS gxi_l_quantity
+        |  round(l_quantity * slope, 4) AS gxi_l_quantity
         |FROM f, m WHERE src < 200 ORDER BY l_orderkey, l_linenumber, y_pred""".stripMargin),
     "u12_intgrad" -> (statsSql +
       """, f AS (
@@ -148,7 +149,7 @@ object ModelQueries {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
         |  (l_quantity * slope + intercept) AS y_pred,
-        |  round((l_quantity - mu) * slope, 6) AS ig_l_quantity
+        |  round((l_quantity - mu) * slope, 4) AS ig_l_quantity
         |FROM f, m WHERE src < 200 ORDER BY l_orderkey, l_linenumber, y_pred""".stripMargin)
   )
 }

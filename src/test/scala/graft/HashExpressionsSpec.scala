@@ -53,6 +53,20 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(interDiff == 0)
   }
 
+  test("DoubleDot/DoubleL2Squared are null on ragged input, like the HOF fold") {
+    // zip_with null-pads the shorter array, so the HOF fold collapses
+    // to NULL on unequal lengths — the kernels must agree, not silently
+    // sum over min(len)
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f))).toDF("a", "b")
+    val r = ragged.select(
+      graft.functions.SimilarityFunctions.dot(col("a"), col("b")).as("dn"),
+      graft.functions.SimilarityFunctions.dotHof(col("a"), col("b")).as("dh"),
+      graft.functions.SimilarityFunctions.l2Distance(col("a"), col("b")).as("ln"),
+      graft.functions.SimilarityFunctions.l2DistanceHof(col("a"), col("b")).as("lh")
+    ).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("SimHash32 equals the HOF simhash formulation") {
     val diff = docs.select(
         simhash32_native(split(col("text"), " ")).as("native"),
