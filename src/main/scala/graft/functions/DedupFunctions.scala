@@ -175,6 +175,59 @@ object DedupFunctions {
     result // pair-sized; caller releases with unpersist() when done
   }
 
+  /** Directed shingle-containment near-duplicates: all ordered pairs
+    * (a, b) with |A∩B| / |A| >= threshold — the asymmetric measure that
+    * catches a document embedded inside a longer one.
+    *
+    * Scale shape (prefix filtering, the PPJoin candidate bound): order
+    * the shingle universe globally by ascending document frequency
+    * (rarest first, ties lexicographic). If |A∩B| >= ⌈t·|A|⌉ then at
+    * least one of A's (|A| − ⌈t·|A|⌉ + 1) rarest shingles is in B —
+    * otherwise the intersection would fit inside A's remaining
+    * ⌈t·|A|⌉ − 1 shingles. So joining each doc's rare-prefix against a
+    * full inverted index has 100% recall, with candidates ∝
+    * Σ_s pref(s)·df(s) (rare-first ordering keeps both factors small)
+    * and shuffle ∝ total shingles — never corpus². Exact merge-walk
+    * verification then touches candidates only. Completeness holds for
+    * any total order; rarity-first only minimizes the candidate count.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sorted for the merge-walk verify kernel; persisted because the
+    // inverted index and both verify sides re-scan it
+    val sh = docs.select(col(idCol).as("__id"),
+        array_sort(wordShingles(col(textCol), shingleN)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
+      explode(col("__sh")).as("__s"))
+    val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
+    val prefix = tok.join(dfreq, Seq("__s"))
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <=
+        col("__na") - ceil(lit(threshold) * col("__na")) + 1)
+      .select(col("__id").as("__pa"), col("__s"))
+    val cand = prefix
+      .join(tok.select(col("__id").as("__pb"), col("__s")), Seq("__s"))
+      .filter(col("__pa") =!= col("__pb"))
+      .select(col("__pa").as("a"), col("__pb").as("b"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
+      .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+      .withColumn("containment",
+        round(graft.expressions.HashExpressions.sorted_intersect_count(
+            col("__sha"), col("__shb")).cast("double") /
+          size(col("__sha")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize, then release the corpus-sized blocks
+    sh.unpersist(blocking = false)
+    verified // pair-sized; caller releases with unpersist() when done
+  }
+
   /** Exact dedup key: md5 of normalized text (lowercase, collapsed
     * whitespace). */
   def contentHash(text: Column): Column =

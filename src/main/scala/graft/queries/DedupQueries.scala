@@ -40,8 +40,26 @@ object DedupQueries {
     clusterCache.getOrElseUpdate(d, nearDupClusters(lshPairs(s, d).select("a", "b")))
   }
 
+  /** Prefix-filtered containment pairs, memoized per scale dir
+    * (containmentPairs returns a persisted pair-sized DataFrame,
+    * "caller releases"). */
+  private val containCache = scala.collection.mutable.Map[String, DataFrame]()
+  private def containPairs(s: SparkSession, d: String): DataFrame = containCache.synchronized {
+    containCache.getOrElseUpdate(d,
+      // word-count guard mirrors the oracle: wordShingles falls back to
+      // the whole text on < 3 words, where the oracle's generate_series
+      // yields an empty set (and a zero containment denominator)
+      containmentPairs(
+        documents(s, d).filter(size(split(col("text"), " ")) >= 3),
+        "doc_id", "text", shingleN = 3, threshold = 0.5))
+  }
+
   /** Unpersist and drop every memoized intermediate this object holds. */
   def releaseCaches(): Unit = {
+    containCache.synchronized {
+      containCache.values.foreach(_.unpersist(blocking = false))
+      containCache.clear()
+    }
     clusterCache.synchronized {
       clusterCache.values.foreach(_.unpersist(blocking = false))
       clusterCache.clear()
@@ -129,6 +147,17 @@ object DedupQueries {
         .filter(col("containment") >= 0.3)
         .orderBy("a", "b")
       pairs
+    }),
+
+    // Containment at scale: prefix-filtered candidate generation (each
+    // doc's rarest shingles vs a full inverted index — 100% recall by
+    // the pigeonhole bound in containmentPairs' scaladoc) + merge-walk
+    // verify on candidates only. No doc_id cap and no all-pairs join:
+    // this is the scale twin of x11, the way d7 is d5's. The oracle
+    // brute-forces all pairs; equality proves the candidate stage
+    // loses nothing.
+    "x11b_containment_scale" -> ((s, d) => {
+      containPairs(s, d).orderBy("a", "b")
     }),
 
     // Embedding near-dup at scale: random-hyperplane LSH buckets
@@ -240,6 +269,19 @@ object DedupQueries {
         |          CAST(len(a.sh) AS DOUBLE), 6) AS containment
         |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
         |SELECT a, b, containment FROM p WHERE containment >= 0.3
+        |ORDER BY a, b""".stripMargin,
+    "x11b_containment_scale" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          CAST(len(a.sh) AS DOUBLE), 6) AS containment
+        |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
+        |SELECT a, b, containment FROM p WHERE containment >= 0.5
         |ORDER BY a, b""".stripMargin,
     "d7_embed_lsh_pairs" -> {
       val bucketTerms = (0 until 6).map { p =>

@@ -67,6 +67,21 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("x11b containment candidates come from hash joins (no all-pairs scan anywhere)") {
+    // the operator materializes + persists internally; the cached
+    // relation's plan subtree still prints, so the assertion covers the
+    // candidate-generation joins too
+    val df = SparkEntry.queries("x11b_containment_scale")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // positive assert first: the cached-relation subtree (where the
+    // candidate joins live) must actually be visible in this string,
+    // or the negative assert below would pass vacuously
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
