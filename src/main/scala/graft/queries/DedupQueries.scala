@@ -51,7 +51,7 @@ object DedupQueries {
       // yields an empty set (and a zero containment denominator)
       containmentPairs(
         documents(s, d).filter(size(split(col("text"), " ")) >= 3),
-        "doc_id", "text", shingleN = 3, threshold = 0.5))
+        "doc_id", "text", shingleN = 3, threshold = 0.7))
   }
 
   /** Unpersist and drop every memoized intermediate this object holds. */
@@ -281,7 +281,7 @@ object DedupQueries {
         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |          CAST(len(a.sh) AS DOUBLE), 6) AS containment
         |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
-        |SELECT a, b, containment FROM p WHERE containment >= 0.5
+        |SELECT a, b, containment FROM p WHERE containment >= 0.7
         |ORDER BY a, b""".stripMargin,
     "d7_embed_lsh_pairs" -> {
       val bucketTerms = (0 until 6).map { p =>
