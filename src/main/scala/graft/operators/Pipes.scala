@@ -28,6 +28,14 @@ object Pipes {
       d.withColumn(c, array(col(c).cast("float")))
     })
 
+  /** P4 TensorPipe, matrix-row variant (message.py:1036-1038: a row of
+    * a 2-D tensor column is its shape[1:] matrix — e.g. mnist.py:27's
+    * 784-float image rows become 28×28): reshape a flat array column
+    * into the nested-array 2-D tensor encoding. */
+  def toTensor2d(f: Frame, c: String, rows: Int, cols: Int): Frame =
+    Frame.fromIndexed(f.df.withColumn(c,
+      graft.functions.TensorColumn.reshape2d(col(c).cast("array<float>"), rows, cols)))
+
   /** O1 ShufflerPipe (pipes.py:440-490), seeded variant: a real
     * cluster shuffle ordered by `rand(seed)`; row identity keeps the
     * result reproducible for a fixed seed and partitioning. */

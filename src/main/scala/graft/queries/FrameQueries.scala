@@ -94,6 +94,35 @@ object FrameQueries {
     // M10: explicit permutation (reverse of a 100-row slice).
     "fm10_permute" -> ((s, d) => {
       liFrame(s, d).slice(0L, 100L).permute((99L to 0L by -1L)).ordered
+    }),
+
+    // M17 N-D tensor columns (message.py:1036-1038): pack six lineitem
+    // measures into a flat vector, reshape 2×3 and 3×2×1, then exercise
+    // row/column/slice/transpose/flatten and checksum each view with a
+    // sequential fold. The oracle recomputes every checksum as explicit
+    // left-to-right additions — same IEEE op order, bit-exact, no
+    // rounding (scalar outputs only: the comparator can't hash arrays).
+    "fm17_ndtensor" -> ((s, d) => {
+      import graft.functions.TensorColumn._
+      lineitem(s, d).filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax"), col("l_linenumber").cast("double"),
+            col("l_partkey").cast("double")).as("flat"))
+        .withColumn("m", reshape2d(col("flat"), 2, 3))
+        .withColumn("t3", reshape3d(col("flat"), 3, 2, 1))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          element_at(shape2d(col("m")), 1).as("shape_rows"),
+          element_at(shape2d(col("m")), 2).as("shape_cols"),
+          sumElements(matrixRow(col("m"), 0)).as("r0_sum"),
+          sumElements(matrixColumn(col("m"), 0)).as("c0_sum"),
+          sumElements(matrixRow(transpose(col("m"), 3), 0)).as("t0_sum"),
+          sum2d(slice2d(col("m"), 0, 2, 1, 2)).as("sl_sum"),
+          sum2d(matrixRow(col("t3"), 1)).as("slab1_sum"),
+          sumElements(flatten2d(col("m"))).as("flat_sum"),
+          (flatten3d(col("t3")) === col("flat")).as("roundtrip_ok"))
+        .orderBy("l_orderkey", "l_linenumber", "flat_sum")
     })
   )
 
@@ -133,6 +162,21 @@ object FrameQueries {
     "fm10_permute" -> (oraclePrefix +
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
         |  CAST(99 - src AS BIGINT) AS _idx
-        |FROM f WHERE src < 100 ORDER BY _idx""".stripMargin)
+        |FROM f WHERE src < 100 ORDER BY _idx""".stripMargin),
+    // flat = [q, ep, disc, tax, ln, pk]; m = [[q,ep,disc],[tax,ln,pk]];
+    // t3 = [[[q],[ep]],[[disc],[tax]],[[ln],[pk]]]. Additions are written
+    // left-to-right to mirror the Spark side's sequential fold exactly.
+    "fm17_ndtensor" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(2 AS INTEGER) AS shape_rows, CAST(3 AS INTEGER) AS shape_cols,
+        |  l_quantity + l_extendedprice + l_discount AS r0_sum,
+        |  l_quantity + l_tax AS c0_sum,
+        |  l_quantity + l_tax AS t0_sum,
+        |  l_extendedprice + l_discount + CAST(l_linenumber AS DOUBLE) + CAST(l_partkey AS DOUBLE) AS sl_sum,
+        |  l_discount + l_tax AS slab1_sum,
+        |  l_quantity + l_extendedprice + l_discount + l_tax + CAST(l_linenumber AS DOUBLE) + CAST(l_partkey AS DOUBLE) AS flat_sum,
+        |  TRUE AS roundtrip_ok
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, flat_sum""".stripMargin
   )
 }
