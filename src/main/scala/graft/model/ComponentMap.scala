@@ -7,9 +7,13 @@ import scala.collection.mutable
   * — two models holding the same `Parameter`). */
 final class ParamStore {
   private val m = mutable.Map[String, Array[Double]]()
+  private val frozenS = mutable.Set[String]()
   def get(key: String): Array[Double] = m(key)
   def set(key: String, v: Array[Double]): Unit = m(key) = v
   def contains(key: String): Boolean = m.contains(key)
+  def freeze(key: String): Unit = frozenS += key
+  def unfreeze(key: String): Unit = frozenS -= key
+  def isFrozen(key: String): Boolean = frozenS(key)
 }
 
 final case class ComponentRef(store: ParamStore, key: String)
@@ -39,6 +43,31 @@ final class ComponentMap {
   }
 
   def keys: Seq[String] = (internalM.keySet ++ externalM.keySet).toSeq.sorted
+
+  /** Freeze components against fit updates — the analogue of the
+    * reference's `requires_grad = False` (model.py:424-452). Empty =
+    * all. The flag lives with the PARAMETER: freezing an external
+    * (shared) component marks it in the shared ParamStore, so every
+    * model linking that parameter sees it frozen — exactly how a
+    * shared torch Parameter's requires_grad behaves. */
+  private val frozenLocal = mutable.Set[String]()
+  def freeze(componentNames: Seq[String] = Seq.empty): Unit =
+    (if (componentNames.isEmpty) keys else componentNames).foreach { k =>
+      externalM.get(k) match {
+        case Some(r) => r.store.freeze(r.key)
+        case None    => frozenLocal += k
+      }
+    }
+  def unfreeze(componentNames: Seq[String] = Seq.empty): Unit =
+    (if (componentNames.isEmpty) keys else componentNames).foreach { k =>
+      externalM.get(k) match {
+        case Some(r) => r.store.unfreeze(r.key)
+        case None    => frozenLocal -= k
+      }
+    }
+  def isFrozen(key: String): Boolean =
+    externalM.get(key).map(r => r.store.isFrozen(r.key)).getOrElse(frozenLocal(key))
+  def frozenKeys: Seq[String] = keys.filter(isFrozen)
 
   /** (internal values, external link names) — the serializable state. */
   def getState: (Map[String, Array[Double]], Map[String, String]) =

@@ -12,6 +12,14 @@ trait Model {
   def name: String
   def components: ComponentMap
   def transform(df: DataFrame): DataFrame
+
+  /** Freeze/unfreeze components against fit updates (model.py:424-452:
+    * `requires_grad=False` on the named components; no args = all).
+    * Frozen components still participate in `transform` and in the
+    * gradient/residual math — they just stop receiving updates, which
+    * is the transfer-learning partial-fit contract. */
+  def freeze(componentNames: String*): Unit = components.freeze(componentNames)
+  def unfreeze(componentNames: String*): Unit = components.unfreeze(componentNames)
 }
 
 object Model {
@@ -101,12 +109,10 @@ object LinearModel {
     (slope, intercept)
   }
 
-  /** Distributed multi-feature fit: decimal moment matrix in one pass,
-    * Gaussian-elimination solve on the driver ((p+1)² doubles); exact
-    * for <= `scale`-decimal-digit data (see class note). */
-  def fit(df: DataFrame, xCols: Seq[String], yCol: String,
-          name: String = "linear", predCol: String = "y_pred",
-          precision: Int = 18, scale: Int = 2): LinearModel = {
+  /** One-pass decimal moment matrix: (XᵀX, Xᵀy) over the features plus
+    * a trailing intercept column; the only cluster work in a fit. */
+  private def moments(df: DataFrame, xCols: Seq[String], yCol: String,
+                      precision: Int, scale: Int): (Array[Array[Double]], Array[Double]) = {
     require(2 * precision <= 38,
       s"fit: 2*precision must be <= 38 so product terms stay in decimal range, got $precision")
     val decType = s"decimal($precision,$scale)"
@@ -125,9 +131,50 @@ object LinearModel {
       val v = row.getAs[Double](s"xtx_${i}_$j"); xtx(i)(j) = v; xtx(j)(i) = v
     }
     val xty = Array.tabulate(p)(i => row.getAs[Double](s"xty_$i"))
+    (xtx, xty)
+  }
+
+  /** Distributed multi-feature fit: decimal moment matrix in one pass,
+    * Gaussian-elimination solve on the driver ((p+1)² doubles); exact
+    * for <= `scale`-decimal-digit data (see class note). */
+  def fit(df: DataFrame, xCols: Seq[String], yCol: String,
+          name: String = "linear", predCol: String = "y_pred",
+          precision: Int = 18, scale: Int = 2): LinearModel = {
+    val (xtx, xty) = moments(df, xCols, yCol, precision, scale)
+    val p = xty.length
     val w = solve(xtx, xty)
     new LinearModel(name, xCols, yCol, predCol,
       ComponentMap.of("m" -> w.take(p - 1), "b" -> Array(w(p - 1))))
+  }
+
+  /** Partial refit honoring frozen components (model.py:424-452): the
+    * frozen parameters keep their current values and the FREE ones are
+    * solved exactly, conditioned on them — the reduced normal
+    * equations `A[F,F]·w_F = (Xᵀy)[F] − A[F,Z]·w_Z` (F = free indices,
+    * Z = frozen; the frozen contribution moves to the right-hand side
+    * as a residual). One aggregation pass either way; results are
+    * written back through the model's ComponentMap so shared
+    * parameters propagate. With nothing frozen this equals `fit`. */
+  def fitFrom(df: DataFrame, model: LinearModel,
+              precision: Int = 18, scale: Int = 2): LinearModel = {
+    val p = model.xCols.size + 1 // trailing intercept index
+    val frozen: Set[Int] =
+      (if (model.components.isFrozen("m")) (0 until p - 1).toSet else Set.empty[Int]) ++
+        (if (model.components.isFrozen("b")) Set(p - 1) else Set.empty[Int])
+    if (frozen.size == p) return model // everything frozen: no-op
+    val (xtx, xty) = moments(df, model.xCols, model.yCol, precision, scale)
+    val cur = model.m :+ model.b
+    val free = (0 until p).filterNot(frozen).toArray
+    val a = Array.tabulate(free.length, free.length)((i, j) => xtx(free(i))(free(j)))
+    val rhs = Array.tabulate(free.length) { i =>
+      xty(free(i)) - frozen.toSeq.sorted.map(z => xtx(free(i))(z) * cur(z)).sum
+    }
+    val wf = solve(a, rhs)
+    val next = cur.clone()
+    free.zipWithIndex.foreach { case (idx, i) => next(idx) = wf(i) }
+    model.components("m") = next.take(p - 1)
+    model.components("b") = Array(next(p - 1))
+    model
   }
 
   /** In-place Gaussian elimination with partial pivoting. */

@@ -2,7 +2,7 @@ package graft.train
 
 import org.apache.spark.sql.functions._
 import graft.frame.Frame
-import graft.model.{ComponentMap, LinearModel}
+import graft.model.LinearModel
 import graft.operators.Pipes
 
 /** U8 training driver (reference: IgniteJunction,
@@ -20,10 +20,22 @@ object Trainer {
   final case class SgdConfig(lr: Double, epochs: Int, batchSize: Int, seed: Long)
 
   def sgdLinear(f: Frame, xCols: Seq[String], yCol: String,
-                cfg: SgdConfig): LinearModel = {
+                cfg: SgdConfig): LinearModel =
+    sgdLinear(f, xCols, yCol, cfg, LinearModel("sgd_linear", xCols, yCol))
+
+  /** Continue training an existing model in place: starts from its
+    * current parameters and SKIPS updates to frozen components
+    * (model.py:424-452 — frozen params still feed the prediction and
+    * the error term; they just receive no gradient step). Writes the
+    * result back through the model's ComponentMap, so externally
+    * linked (shared) parameters propagate to every model holding them. */
+  def sgdLinear(f: Frame, xCols: Seq[String], yCol: String,
+                cfg: SgdConfig, model: LinearModel): LinearModel = {
     val p = xCols.size
-    val w = Array.fill(p)(0.0)
-    var b = 0.0
+    val w = model.components("m").clone()
+    var b = model.components("b")(0)
+    val mFrozen = model.components.isFrozen("m")
+    val bFrozen = model.components.isFrozen("b")
     for (epoch <- 0 until cfg.epochs) {
       val shuffled = Pipes.shuffle(f, cfg.seed + epoch)
         .cols(xCols :+ yCol: _*)
@@ -39,12 +51,13 @@ object Trainer {
           gb += err
         }
         val n = batch.size
-        (0 until p).foreach(i => w(i) -= cfg.lr * gw(i) / n)
-        b -= cfg.lr * gb / n
+        if (!mFrozen) (0 until p).foreach(i => w(i) -= cfg.lr * gw(i) / n)
+        if (!bFrozen) b -= cfg.lr * gb / n
       }
     }
-    new LinearModel("sgd_linear", xCols, yCol, "y_pred",
-      ComponentMap.of("m" -> w, "b" -> Array(b)))
+    model.components("m") = w
+    model.components("b") = Array(b)
+    model
   }
 
   private def toDouble(v: Any): Double = v match {

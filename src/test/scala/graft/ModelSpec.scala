@@ -85,6 +85,83 @@ class ModelSpec extends AnyFunSuite {
     assert(math.abs(model.m(0) - 2.0) < 0.6, s"slope=${model.m(0)}")
   }
 
+  test("freeze/unfreeze toggle per component, and propagate through shared links (model_test.py:179-227)") {
+    val a = LinearModel("a", Seq("x"), "y")
+    assert(!a.components.isFrozen("m") && !a.components.isFrozen("b"))
+    a.freeze() // no args = all components
+    assert(a.components.isFrozen("m") && a.components.isFrozen("b"))
+    a.unfreeze()
+    assert(!a.components.isFrozen("m") && !a.components.isFrozen("b"))
+    a.freeze("m")
+    assert(a.components.isFrozen("m") && !a.components.isFrozen("b"))
+    a.unfreeze("m")
+    // the flag lives with the parameter: freezing a SHARED component in
+    // one model freezes it in every model linking it (requires_grad on
+    // the shared torch Parameter)
+    val store = new ParamStore
+    store.set("shared_m", Array(0.0))
+    val b = LinearModel("b", Seq("x"), "y")
+    a.components.link("m", ComponentRef(store, "shared_m"))
+    b.components.link("m", ComponentRef(store, "shared_m"))
+    a.freeze("m")
+    assert(b.components.isFrozen("m"), "freeze must travel with the shared parameter")
+    assert(!b.components.isFrozen("b"))
+    b.unfreeze("m")
+    assert(!a.components.isFrozen("m"))
+  }
+
+  test("frozen components receive no SGD updates; shared free params converge (model_test.py:255-298)") {
+    // the reference's multiple-Models composition: the slope parameter
+    // is shared into the trained model through the store, the intercept
+    // is frozen at 0 — after training the frozen param is bit-unchanged
+    // and the free one converged (data: y = 2x + 0, so truth has b=0)
+    val df = syntheticLinear(300, 2.0, 0.0, 0.4)
+    val store = new ParamStore
+    store.set("shared_m", Array(0.0))
+    val owner = LinearModel("owner", Seq("x"), "y")
+    owner.components.link("m", ComponentRef(store, "shared_m"))
+    val trained = LinearModel("multi", Seq("x"), "y")
+    trained.components.link("m", ComponentRef(store, "shared_m"))
+    trained.freeze("b")
+    Trainer.sgdLinear(Frame.fromDF(df, Seq("id")), Seq("x"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 12, batchSize = 25, seed = 11L), trained)
+    assert(trained.b == 0.0, s"frozen intercept moved: ${trained.b}")
+    assert(math.abs(trained.m(0) - 2.0) < 0.6, s"slope=${trained.m(0)}")
+    // sharing: the owner model sees the converged slope through the store
+    assert(owner.m(0) == trained.m(0))
+  }
+
+  test("fitFrom solves free params exactly, conditioned on frozen ones") {
+    import spark.implicits._
+    // noiseless y = 2x + 5 at 2-dp: closed form is exact
+    val df = (1 to 200).map { i =>
+      val x = i / 4.0; (x, 2.0 * x + 5.0)
+    }.toDF("x", "y")
+    // frozen intercept at its true value -> slope solves to exactly 2
+    val mFix = new LinearModel("f1", Seq("x"), "y", "y_pred",
+      ComponentMap.of("m" -> Array(0.0), "b" -> Array(5.0)))
+    mFix.freeze("b")
+    LinearModel.fitFrom(df, mFix)
+    assert(mFix.b == 5.0 && math.abs(mFix.m(0) - 2.0) < 1e-9, s"m=${mFix.m(0)} b=${mFix.b}")
+    // frozen slope at truth -> intercept solves to exactly 5
+    val bFix = new LinearModel("f2", Seq("x"), "y", "y_pred",
+      ComponentMap.of("m" -> Array(2.0), "b" -> Array(0.0)))
+    bFix.freeze("m")
+    LinearModel.fitFrom(df, bFix)
+    assert(bFix.m(0) == 2.0 && math.abs(bFix.b - 5.0) < 1e-9, s"m=${bFix.m(0)} b=${bFix.b}")
+    // everything frozen: a no-op, no aggregation result applied
+    val frozen = new LinearModel("f3", Seq("x"), "y", "y_pred",
+      ComponentMap.of("m" -> Array(7.0), "b" -> Array(8.0)))
+    frozen.freeze()
+    LinearModel.fitFrom(df, frozen)
+    assert(frozen.m(0) == 7.0 && frozen.b == 8.0)
+    // nothing frozen: agrees with plain fit
+    val free = LinearModel("f4", Seq("x"), "y")
+    LinearModel.fitFrom(df, free)
+    val plain = LinearModel.fit(df, Seq("x"), "y")
+    assert(free.m(0) == plain.m(0) && free.b == plain.b)
+  }
+
   test("ComponentMap external links share state between models") {
     val store = new ParamStore
     store.set("shared_m", Array(1.5))
