@@ -44,6 +44,28 @@ object TextFunctions {
       .withColumnRenamed(Frame.IDX, "token_id")
   }
 
+  /** Reserved marker ids (text.py:95-104: `make_indices` assigns real
+    * tokens ids from `count(start=3)`, reserving three slots; the
+    * reference never actually defines its `special_tokens` dict — the
+    * start-at-3 convention is what pins {SOS:0, EOS:1, UNK:2}). */
+  val SosId = 0L
+  val EosId = 1L
+  val UnkId = 2L
+
+  /** T6 make_indices with the reserved markers (text.py:95-104):
+    * vocabulary ids start at 3, most-frequent first, and the SOS/EOS/
+    * UNK rows join the table so `applyEmbeddings` can treat markers
+    * like any other lookup. */
+  def tokenIndicesWithSpecials(vocab: DataFrame): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val specials = Seq(("SOS", SosId), ("EOS", EosId), ("UNK", UnkId))
+      .toDF("token", "token_id")
+    tokenIndices(vocab)
+      .select(col("token"), (col("token_id") + 3).as("token_id"))
+      .unionByName(specials)
+  }
+
   /** T4 apply_embeddings (text.py:42-55): per-token lookup through a
     * broadcast (token → id/vector) table; unknown tokens map to
     * `unkId`. The map side stays a codegen'd expression over the
@@ -56,6 +78,27 @@ object TextFunctions {
       .filter(col("token") =!= "")
     toks.join(broadcast(indices.select("token", "token_id")), Seq("token"), "left")
       .withColumn("token_id", coalesce(col("token_id"), lit(unkId)))
+  }
+
+  /** T4 apply_embeddings, full sequence contract (text.py:42-55): each
+    * document becomes `[SOS] + ids + [EOS]` with unknown tokens mapped
+    * to UNK, and an empty/blank document becomes exactly `[SOS, EOS]`
+    * (text.py:54-55). The per-doc regroup sorts the collected
+    * (pos, id) structs — a hash aggregation on the doc key, shuffle ∝
+    * total tokens, no window. */
+  def applyEmbeddings(docs: DataFrame, docIdCol: String, textCol: String,
+                      indices: DataFrame): DataFrame = {
+    val ids = lookupTokenIds(docs, docIdCol, textCol, indices, UnkId)
+      .groupBy(col(docIdCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id")).as("__ids"))
+    docs.select(col(docIdCol), col(textCol))
+      .join(ids, Seq(docIdCol), "left")
+      .withColumn("token_ids",
+        concat(array(lit(SosId)),
+          coalesce(col("__ids"), array().cast("array<bigint>")),
+          array(lit(EosId))))
+      .drop("__ids")
   }
 
   /** T5 create_pretrained_embeddings (text.py:57-72): GloVe-style

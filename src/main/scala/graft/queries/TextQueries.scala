@@ -41,6 +41,23 @@ object TextQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // T4 full contract: [SOS] + ids + [EOS] per document, UNK fallback,
+    // empty text -> exactly [SOS, EOS] (a planted blank doc exercises
+    // that branch — the corpus has none). Vocab ids start at 3 (the
+    // make_indices reservation); the sequence is emitted int-joined
+    // (the comparator can't hash arrays).
+    "t4b_apply_embeddings" -> ((s, d) => {
+      val docs = documents(s, d).filter(col("doc_id") < 3)
+        .select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(9001L).as("doc_id"), lit("").as("text")))
+      val idx = tokenIndicesWithSpecials(vocabulary(documents(s, d), "text", 1L))
+      applyEmbeddings(docs, "doc_id", "text", idx)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), x => x.cast("string")), ",").as("token_ids"),
+          size(col("token_ids")).as("n_ids"))
+        .orderBy("doc_id")
+    }),
+
     // T3: pad token arrays to the global max length.
     "t3_pad" -> ((s, d) => {
       val toks = documents(s, d)
@@ -97,6 +114,29 @@ object TextQueries {
         |FROM exploded e LEFT JOIN idx ON e.s.token = idx.token
         |WHERE e.s.token <> ''
         |ORDER BY doc_id, pos""".stripMargin),
+    "t4b_apply_embeddings" -> (vocabSql +
+      """, idx AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1 + 3 AS BIGINT) AS token_id
+        |  FROM vocab),
+        | d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 3
+        |  UNION ALL SELECT 9001, ''),
+        | exploded AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' '))),
+        |    i -> struct_pack(pos := i - 1, token := string_split(text, ' ')[CAST(i AS INT)]))) AS s
+        |  FROM d),
+        | ids AS (
+        |  SELECT e.doc_id, e.s.pos AS pos, COALESCE(idx.token_id, 2) AS tid
+        |  FROM exploded e LEFT JOIN idx ON e.s.token = idx.token
+        |  WHERE e.s.token <> ''),
+        | agg AS (
+        |  SELECT doc_id, list(tid ORDER BY pos) AS ids FROM ids GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  array_to_string(list_concat(list_concat([CAST(0 AS BIGINT)],
+        |    COALESCE(a.ids, CAST([] AS BIGINT[]))), [CAST(1 AS BIGINT)]), ',') AS token_ids,
+        |  CAST(len(COALESCE(a.ids, CAST([] AS BIGINT[]))) + 2 AS INT) AS n_ids
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin),
     "t3_pad" ->
       """WITH m AS (SELECT MAX(len(string_split(text, ' '))) AS maxlen FROM documents)
         |SELECT doc_id, CAST(m.maxlen AS INT) AS padded_len,
