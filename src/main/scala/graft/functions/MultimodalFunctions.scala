@@ -7,10 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column support: image/audio/video payloads as opaque
   * `binary` columns with a typed metadata struct, plus the
   * partition-batched decode/feature-extract plumbing a real pipeline
-  * needs (SURVEY parity-plus; the container has no image/audio codecs,
-  * so the decode kernel is a clearly-marked deterministic STUB — the
-  * Spark-side schema, partitioning, batch iteration, and encoder
-  * plumbing are real).
+  * needs (SURVEY parity-plus).
+  *
+  * Decode comes in two tiers: [[decodeMedia]] REALLY parses BMP and
+  * WAV headers (fixed-offset little-endian byte math, no codec
+  * library required — x5b verifies the parse round-trips synthesized
+  * payloads); formats that need an actual codec (JPEG, MP3, video)
+  * fall to the clearly-marked deterministic STUB in [[decodeFeatures]]
+  * (the container ships no codec libs) — for those, the Spark-side
+  * schema, partitioning, batch iteration, and encoder plumbing are
+  * real and the kernel body is the only fake.
   *
   * Scale shape: payloads never leave their partition — decode is
   * `mapPartitions` (one codec init per partition, streaming batches),
@@ -57,6 +63,59 @@ object MultimodalFunctions {
       }
     }
     spark.createDataFrame(rows, decodedSchema)
+  }
+
+  // ---- real header decode (codec-free formats) -------------------------
+  //
+  // BMP and WAV headers are fixed-offset little-endian byte math — no
+  // codec library needed, so THIS decode is real: it parses the actual
+  // payload bytes. Formats that genuinely need a codec (JPEG, MP3, …)
+  // fall through to the documented stub.
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true)))
+
+  /** Partition-batched media-header decode: sniffs the payload magic
+    * and parses the header fields with plain byte math.
+    *   - `BM…` (length ≥ 30): BITMAPINFOHEADER — width @18, height @22,
+    *     bits-per-pixel @28 (all little-endian).
+    *   - `RIFF…WAVE` (length ≥ 36): fmt chunk — channels @22,
+    *     sample-rate @24, bits-per-sample @34.
+    *   - anything else: `raw`, metadata nulls (feature extraction for
+    *     raw payloads stays in [[decodeFeatures]]).
+    * Same scale shape as decodeFeatures: payloads never cross
+    * partitions, one decoder per partition, rows stream through. */
+  def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rows = input.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+          Row(id, "bmp", b.length, leInt(b, 18), leInt(b, 22), null, null, leShort(b, 28))
+        else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+          Row(id, "wav", b.length, null, null, leInt(b, 24), leShort(b, 22), leShort(b, 34))
+        else
+          Row(id, "raw", b.length, null, null, null, null, null)
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
   }
 
   /** Metadata-only resize: pure column expression (no payload touch). */

@@ -94,6 +94,34 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL media decode: synthesize valid BMP (even doc_id) / WAV (odd)
+    // payloads from pure hex expressions — header fields derived from
+    // doc_id — then recover the fields by actually parsing the bytes in
+    // decodeMedia. The oracle predicts the fields from the same doc_id
+    // formulas WITHOUT parsing, so equality proves the byte-level parse
+    // round-trips the synthesis.
+    "x5b_media_decode" -> ((s, d) => {
+      def b1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0") // 1 LE byte
+      def le2(c: org.apache.spark.sql.Column) = {                   // 2 LE bytes
+        val hx = lpad(hex(c), 4, "0")
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      val w = col("doc_id") % 64 + 16    // < 256: one byte
+      val h = col("doc_id") % 32 + 9
+      val rate = (col("doc_id") % 8) * 100 + 8000 // < 65536: two bytes
+      val ch = expr("CAST((doc_id % 4 + 1) / 2 AS INT)") // odd ids: 1 or 2
+      val bmpHex = concat(lit("424D460000000000000036000000" + "28000000"),
+        b1(w), lit("000000"), b1(h), lit("000000"), lit("0100" + "1800"),
+        lit("00" * 24 + "AA" * 12))
+      val wavHex = concat(lit("52494646" + "24080000" + "57415645" + "666D7420" +
+          "10000000" + "0100"),
+        b1(ch), lit("00"), le2(rate), lit("0000"),
+        lit("00000000" + "0400" + "1000" + "64617461" + "00080000" + "00" * 16))
+      val payloads = documents(s, d).select(col("doc_id"),
+        unhex(when(col("doc_id") % 2 === 0, bmpHex).otherwise(wavHex)).as("payload"))
+      decodeMedia(payloads, "doc_id", "payload").orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -210,6 +238,19 @@ object TextAnalysisQueries {
          |  $feats
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // field formulas mirror the Spark synthesis; byte lengths are the
+    // fixed header sizes (BMP: 18+4+4+2+2+24+12 = 66; WAV: 44-byte
+    // canonical header + 16 data bytes = 60)
+    "x5b_media_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 60 END AS INT) AS byte_len,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 32 + 9 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 8) * 100 + 8000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 4 + 1) // 2 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS INT) AS bits
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x6_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, text, greatest((octet_length(encode(text)) - 64) // 128, 0) AS maxf

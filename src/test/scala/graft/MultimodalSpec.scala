@@ -33,6 +33,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(decodeFeatures(df, "doc_id", "payload").head().getAs[scala.collection.Seq[Float]](2) == feats)
   }
 
+  test("decodeMedia parses real BMP and WAV headers and falls back to raw") {
+    // hand-assembled little-endian headers, independent of the x5b
+    // hex-expression synthesis path
+    def le4(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le2(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmp = "BM".getBytes ++ le4(70) ++ le4(0) ++ le4(54) ++ // file header
+      le4(40) ++ le4(640) ++ le4(480) ++ le2(1) ++ le2(24) ++ // DIB: w, h, planes, bpp
+      Array.fill[Byte](24)(0) ++ Array.fill[Byte](12)(0x55)
+    val wav = "RIFF".getBytes ++ le4(2084) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(2) ++ le4(44100) ++ // ch, rate
+      le4(176400) ++ le2(4) ++ le2(16) ++ "data".getBytes ++ le4(2048) ++
+      Array.fill[Byte](8)(0)
+    val raw = "not-a-media-file".getBytes
+    val df = Seq((0L, bmp), (1L, wav), (2L, raw)).toDF("doc_id", "payload")
+    val out = decodeMedia(df, "doc_id", "payload").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "bmp" && out(0).getInt(3) == 640 &&
+      out(0).getInt(4) == 480 && out(0).getInt(7) == 24)
+    assert(out(1).getString(1) == "wav" && out(1).getInt(5) == 44100 &&
+      out(1).getInt(6) == 2 && out(1).getInt(7) == 16)
+    assert(out(2).getString(1) == "raw" && out(2).isNullAt(3) && out(2).isNullAt(5))
+    assert(out(2).getInt(2) == raw.length)
+  }
+
   test("sampleFrames covers the payload with the configured stride") {
     val txt = "x" * 300
     val df = Seq((1L, txt)).toDF("doc_id", "txt")
