@@ -294,6 +294,43 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Bloom-filter membership test over a long key, as a codegen'd
+    * kernel (replaces the ScalaUDF the bloom-prune join first shipped
+    * with: a UDF boxes the key and blocks whole-stage codegen in the
+    * fact-table filter — the hottest predicate of the pattern). The
+    * sketch travels as its portable `writeTo` byte form (the only
+    * transport `BloomFilterImpl` supports across JVMs) and is rebuilt
+    * once per codegen instance / deserialized expression, not per row. */
+  case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_might_contain"
+
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(bf.mightContainLong(input.asInstanceOf[Long]))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
+      val bfVar = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter", "bloomFilter",
+        v => s"""try {
+                 |  $v = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                 |    new java.io.ByteArrayInputStream($bytesRef));
+                 |} catch (java.io.IOException e) { throw new RuntimeException(e); }
+                 |""".stripMargin)
+      nullSafeCodeGen(ctx, ev, k => s"${ev.value} = $bfVar.mightContainLong($k);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+      copy(child = c)
+  }
+
   /** Column-API entry points. */
   def minhash_signature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
@@ -312,4 +349,7 @@ object HashExpressions {
 
   def double_l2_squared(a: Column, b: Column): Column =
     ColumnBridge.column(DoubleL2Squared(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bloom_might_contain(key: Column, bloomBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(key), bloomBytes))
 }

@@ -45,14 +45,3 @@ object Skew {
   }
 }
 
-/** Serializable carrier for a Spark BloomFilter sketch: transports the
-  * portable `writeTo` byte form and rebuilds the filter lazily once
-  * per JVM (BloomFilterImpl itself does not survive Java closure
-  * serialization). Used by the bloom-prune join pattern
-  * (ExtraQueries q28). */
-class BloomPredicate(bytes: Array[Byte]) extends Serializable {
-  @transient private lazy val bf =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
-  def apply(k: Long): Boolean = bf.mightContainLong(k)
-}

@@ -253,14 +253,13 @@ object ExtraQueries {
         if (supp.isEmpty) lineitem(s, d).filter(lit(false))
         else {
           val bloom = supp.stat.bloomFilter("s_suppkey", 1000L, 0.01)
-          // ship the sketch as its portable byte form (BloomFilterImpl's
-          // Java serialization does not survive closure transport) and
-          // deserialize lazily once per executor JVM
+          // membership test as a native codegen'd kernel — the filter
+          // stays inside whole-stage codegen (a ScalaUDF here would box
+          // every key and break the codegen span on the fact scan)
           val bytes = { val bos = new java.io.ByteArrayOutputStream()
             bloom.writeTo(bos); bos.toByteArray }
-          val pred = new graft.operators.BloomPredicate(bytes)
-          val mightContain = udf((k: Long) => pred(k))
-          lineitem(s, d).filter(mightContain(col("l_suppkey")))
+          lineitem(s, d).filter(
+            graft.expressions.HashExpressions.bloom_might_contain(col("l_suppkey"), bytes))
         }
       pruned
         .join(broadcast(supp.select("s_suppkey")),

@@ -67,6 +67,22 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("BloomMightContainLong agrees with the filter it was built from (codegen + interpreted)") {
+    val keys = spark.range(0, 1000).toDF("k")
+    val bloom = keys.stat.bloomFilter("k", 1000L, 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    val probe = spark.range(0, 2000).toDF("k")
+      .select(col("k"), bloom_might_contain(col("k"), bytes).as("hit"))
+    val rows = probe.collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // no false negatives on members; false-positive rate bounded on non-members
+    assert((0L until 1000L).forall(rows(_)), "bloom false negative")
+    val fp = (1000L until 2000L).count(rows(_))
+    assert(fp < 100, s"false-positive count $fp out of bound for 1% target")
+    // null key stays null (nullSafeEval contract)
+    val n = keys.select(bloom_might_contain(lit(null).cast("long"), bytes)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("SimHash32 equals the HOF simhash formulation") {
     val diff = docs.select(
         simhash32_native(split(col("text"), " ")).as("native"),

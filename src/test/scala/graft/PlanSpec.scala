@@ -45,10 +45,14 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q28_bloom_prune")(spark, "/root/testdata/sf0.01")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the UDF filter sits below the join in the plan tree; the semi
+    // the bloom filter sits below the join in the plan tree; the semi
     // join itself is broadcast (no fact-table shuffle for the join)
     assert(p.contains("BroadcastHashJoin") && p.indexOf("Filter") > p.indexOf("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the membership test is the native codegen'd kernel, not a ScalaUDF
+    // (a UDF would box every fact key and break the codegen span)
+    assert(p.contains("bloom_might_contain"), p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("), p.take(1500))
   }
 
   test("q29 partitioned write is pruned to one partition at the scan") {
