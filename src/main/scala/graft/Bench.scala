@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line
   * {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}.
-  */
+  *
+  * Each query runs SPARK_GRAFT_REPS (default 3) full passes and
+  * reports the per-query MEDIAN ("value" = sum of medians), so
+  * environmental one-offs (GC pauses, page-cache misses) stop
+  * masquerading as regressions; "spread" carries per-query max−min for
+  * the honesty trail. Memoized intermediates are released BETWEEN
+  * passes — every pass pays its own materialization (intra-pass
+  * sharing between queries is unchanged from the single-pass bench),
+  * so the median measures the query, not a warm cache. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,18 +34,30 @@ object Bench {
     // measure the plan, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to reps).map { _ =>
+      val pass = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.releaseCaches() // next pass pays its own materialization
+      pass.toMap
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val results = queries.map { case (name, _) =>
+      val ts = passes.map(_(name)).sorted
+      (name, ts(ts.size / 2), ts.last - ts.head)
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$sp}""")
     SparkEntry.releaseCaches()
     spark.stop()
   }
