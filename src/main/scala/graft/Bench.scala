@@ -57,7 +57,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$sp}""")
+    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$sp}"""
+    // Full per-query JSON: printed first AND written to a fixed path —
+    // the single ~4 KB line outruns the driver's stdout tail capture
+    // (BENCH_r01–r03 all recorded "parsed": null), so the durable copy
+    // lives on disk and the LAST stdout line is a compact summary that
+    // always fits a tail buffer.
+    println(fullJson)
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+    java.nio.file.Files.write(fullPath,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top = results.sortBy(-_._2).take(5)
+      .map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","reps":$reps,"n":${results.size},"top":$top,"full":"$fullPath"}""")
     SparkEntry.releaseCaches()
     spark.stop()
   }

@@ -29,10 +29,19 @@ object GraftExtensions {
       s"$fn expects a literal int argument, got: $other")
   }
 
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string argument, got: $other")
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // optional trailing literal picks the hash family ('md5' | 'xxh64')
     "minhash_signature" -> (exprs =>
-      MinHashSignature(exprs.head, intArg(exprs(1), "minhash_signature"))),
-    "simhash32" -> (exprs => SimHash32(exprs.head)),
+      MinHashSignature(exprs.head, intArg(exprs(1), "minhash_signature"),
+        if (exprs.size > 2) stringArg(exprs(2), "minhash_signature") else "md5")),
+    "simhash32" -> (exprs => SimHash32(exprs.head,
+      if (exprs.size > 1) stringArg(exprs(1), "simhash32") else "md5")),
     "double_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
     "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1))),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),

@@ -24,6 +24,27 @@ object HashExpressions {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Hash families for the sketch kernels.
+    *
+    * - `"md5"` (default): engine-reproducible — the DuckDB oracles
+    *   compute the identical bytes, so correctness gates hold across
+    *   engines. ~350 ns/shingle; at 100 TB the signature stage is the
+    *   floor of the dedup pipelines.
+    * - `"xxh64"`: production mode — Spark's own XXH64 over the raw
+    *   UTF8String bytes (zero-copy, no digest allocation). Same sketch
+    *   semantics, different hash values: signatures/fingerprints are
+    *   NOT comparable across families, so pick one per corpus. Exact
+    *   verification is family-independent, so verified near-dup pairs
+    *   agree between families up to LSH candidate recall.
+    */
+  val Families: Set[String] = Set("md5", "xxh64")
+
+  @inline private def xx(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  private val Mask40 = 0xffffffffffL
+
   /** 40-bit big-endian value of digest bytes [off, off+5) — equal to
     * conv(substr(hex, off*2+1, 10), 16, 10). */
   @inline private def bits40(d: Array[Byte], off: Int): Long =
@@ -32,24 +53,39 @@ object HashExpressions {
       (d(off + 4) & 0xffL)
 
   /** MinHash signature over an array<string> of shingles: member j of
-    * the universal family is h1 + j·h2 with h1/h2 the first/second 40
-    * bits of md5(shingle) — bit-identical to DedupFunctions.
-    * minhashSignature, evaluated in one pass. */
-  case class MinHashSignature(child: Expression, k: Int)
+    * the universal family is h1 + j·h2, with (h1, h2) two 40-bit base
+    * hashes per shingle (fits in 47 bits for k<=128 — no overflow in
+    * either engine), evaluated in one pass over the shingles.
+    *
+    * `family` picks the base hash ([[Families]]): "md5" takes the
+    * first/second 40 bits of md5(shingle) — bit-identical to
+    * DedupFunctions.minhashSignature and the DuckDB oracles; "xxh64"
+    * takes the low 40 bits of XXH64(shingle, seed=0 / seed=1). */
+  case class MinHashSignature(child: Expression, k: Int, family: String = "md5")
       extends UnaryExpression with CodegenFallback {
+    require(Families.contains(family), s"unknown hash family: $family")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val md = md5Local.get()
+      val isMd5 = family == "md5"
+      val md = if (isMd5) md5Local.get() else null
       val mins = Array.fill(k)(Long.MaxValue)
       var i = 0
       val n = arr.numElements()
       while (i < n) {
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        val h1 = bits40(d, 0)
-        val h2 = bits40(d, 5)
+        val s = arr.getUTF8String(i)
+        var h1 = 0L
+        var h2 = 0L
+        if (isMd5) {
+          val d = md.digest(s.getBytes)
+          h1 = bits40(d, 0)
+          h2 = bits40(d, 5)
+        } else {
+          h1 = xx(s, 0L) & Mask40
+          h2 = xx(s, 1L) & Mask40
+        }
         var j = 0
         var h = h1
         while (j < k) {
@@ -66,28 +102,44 @@ object HashExpressions {
       copy(child = c)
   }
 
-  /** 32-bit SimHash over an array<string> of tokens — bit-identical to
-    * DedupFunctions.simhash32 (nibble k/4 of md5(token), bit k%4,
-    * ±1 votes, sign → bit), one md5 per token. */
-  case class SimHash32(child: Expression)
+  /** 32-bit SimHash over an array<string> of tokens, ±1 votes per bit,
+    * sign of the vote sum → fingerprint bit.
+    *
+    * `family` picks the token hash ([[Families]]): "md5" reads bit k%4
+    * of hex digit k/4 of md5(token) — bit-identical to
+    * DedupFunctions.simhash32 and the DuckDB oracles; "xxh64" reads
+    * bit k of the low 32 bits of XXH64(token, seed=0). */
+  case class SimHash32(child: Expression, family: String = "md5")
       extends UnaryExpression with CodegenFallback {
+    require(Families.contains(family), s"unknown hash family: $family")
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash32"
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val md = md5Local.get()
+      val isMd5 = family == "md5"
+      val md = if (isMd5) md5Local.get() else null
       val votes = new Array[Int](32)
       var i = 0
       val n = arr.numElements()
       while (i < n) {
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        var kk = 0
-        while (kk < 32) {
-          val c = kk / 4
-          val nib = if ((c & 1) == 0) (d(c / 2) >> 4) & 0xf else d(c / 2) & 0xf
-          votes(kk) += (((nib >> (kk % 4)) & 1) * 2 - 1)
-          kk += 1
+        val s = arr.getUTF8String(i)
+        if (isMd5) {
+          val d = md.digest(s.getBytes)
+          var kk = 0
+          while (kk < 32) {
+            val c = kk / 4
+            val nib = if ((c & 1) == 0) (d(c / 2) >> 4) & 0xf else d(c / 2) & 0xf
+            votes(kk) += (((nib >> (kk % 4)) & 1) * 2 - 1)
+            kk += 1
+          }
+        } else {
+          val h = xx(s, 0L)
+          var kk = 0
+          while (kk < 32) {
+            votes(kk) += ((((h >>> kk) & 1L).toInt) * 2 - 1)
+            kk += 1
+          }
         }
         i += 1
       }
@@ -332,11 +384,11 @@ object HashExpressions {
   }
 
   /** Column-API entry points. */
-  def minhash_signature(shingles: Column, k: Int): Column =
-    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
+  def minhash_signature(shingles: Column, k: Int, family: String = "md5"): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k, family))
 
-  def simhash32_native(tokens: Column): Column =
-    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
+  def simhash32_native(tokens: Column, family: String = "md5"): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens), family))
 
   def double_dot(a: Column, b: Column): Column =
     ColumnBridge.column(DoubleDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

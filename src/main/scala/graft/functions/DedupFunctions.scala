@@ -81,7 +81,8 @@ object DedupFunctions {
     */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, numHashes: Int, bands: Int,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            hashFamily: String = "md5"): DataFrame = {
     val r = numHashes / bands
     // Persisted: the self-join and the verify stage would otherwise
     // recompute shingles/signatures once per join side (4× scans).
@@ -92,9 +93,12 @@ object DedupFunctions {
         wordShingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = withSh
-      // native kernel: bit-identical to the HOF formulation, one pass
+      // native kernel: in md5 mode bit-identical to the HOF
+      // formulation; hashFamily="xxh64" swaps the base hash for
+      // production runs (HashExpressions.Families)
       .withColumn("__band", explode(bandKeys(
-        graft.expressions.HashExpressions.minhash_signature(col("__sh"), numHashes),
+        graft.expressions.HashExpressions.minhash_signature(
+          col("__sh"), numHashes, hashFamily),
         bands, r)))
       .select("__id", "__band")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -148,10 +152,11 @@ object DedupFunctions {
     * over 4 bytes guarantees at least one equal byte (pigeonhole), so
     * joining on any-of-4 byte bands has 100% recall for that radius. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int): DataFrame = {
+                            maxHamming: Int,
+                            hashFamily: String = "md5"): DataFrame = {
     val withH = docs.select(col(idCol).as("__id"),
       graft.expressions.HashExpressions.simhash32_native(
-        split(col(textCol), " ")).as("__h"))
+        split(col(textCol), " "), hashFamily).as("__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // byte p of the 32-bit hash, via exact double-pow arithmetic (h < 2^32)
     val byteAt = (p: Column) => pmod(
@@ -259,19 +264,29 @@ object DedupFunctions {
     * pathological chain of n near-dups converges in ~log₂ n rounds
     * (64-node path: 7 rounds, vs 63 for plain propagation).
     *
-    * Every generation is eagerly `localCheckpoint`ed: the logical plan
-    * is truncated per round, so replanning cost stays constant instead
-    * of compounding with the iteration count (superseded generations'
+    * Every generation is eagerly checkpointed: the logical plan is
+    * truncated per round, so replanning cost stays constant instead of
+    * compounding with the iteration count (superseded generations'
     * blocks are reclaimed by the context cleaner on GC; each is only
-    * node-sized). Returns (id, cluster) with cluster = min member id,
-    * persisted — caller releases. */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    * node-sized).
+    *
+    * `reliable = false` (default) uses `localCheckpoint` — right for
+    * local/single-JVM runs, but the blocks live on executors: on a real
+    * cluster an executor loss mid-iteration fails the job. For cluster
+    * runs pass `reliable = true` to use fault-tolerant `checkpoint`
+    * (requires `spark.sparkContext.setCheckpointDir` on durable
+    * storage, e.g. the job's scratch prefix on the cluster FS).
+    *
+    * Returns (id, cluster) with cluster = min member id, persisted —
+    * caller releases. */
+  def nearDupClusters(pairs: DataFrame, reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("x").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var changed = 1L
     while (changed > 0) {
       // relax as a left join (not a union): a Union child sharing the
@@ -285,12 +300,12 @@ object DedupFunctions {
       // path halving: adopt the label of your label (labels are node
       // ids, so the self-join always matches; left+coalesce is belt
       // and braces for an empty generation)
-      val next = relaxed.as("l")
+      val next = ckpt(relaxed.as("l")
         .join(relaxed.select(col("id").as("__cid"), col("cluster").as("__cc")).as("p"),
           col("l.cluster") === col("__cid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.cluster"), coalesce(col("__cc"), col("l.cluster"))).as("cluster"))
-        .localCheckpoint() // eager: materializes and truncates lineage
+      ) // eager: materializes and truncates lineage
       changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
         .filter(col("cluster") =!= col("old")).count()
       labels = next

@@ -90,4 +90,54 @@ class HashExpressionsSpec extends AnyFunSuite {
       .filter(col("native") =!= col("hof")).count()
     assert(diff == 0)
   }
+
+  test("xxh64 family: MinHashSignature matches a direct per-shingle recomputation") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def xx40(s: String, seed: Long): Long = {
+      val u = UTF8String.fromString(s)
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed) & 0xffffffffffL
+    }
+    val k = 16
+    val rows = docs.select(col("text"),
+        minhash_signature(wordShingles(col("text"), 3), k, "xxh64").as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getString(0).split(" ")
+      val shingles =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        else Seq(toks.mkString(" "))
+      val expected = (0 until k).map { j =>
+        shingles.map(s => xx40(s, 0L) + j * xx40(s, 1L)).min
+      }
+      assert(r.getSeq[Long](1) == expected, s"for text '${r.getString(0)}'")
+    }
+  }
+
+  test("xxh64 family: SimHash32 matches a direct vote recomputation") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def xxBit(s: String, k: Int): Int = {
+      val u = UTF8String.fromString(s)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 0L)
+      ((h >>> k) & 1L).toInt
+    }
+    val rows = docs.select(col("text"),
+        simhash32_native(split(col("text"), " "), "xxh64").as("h")).collect()
+    rows.foreach { r =>
+      val toks = r.getString(0).split(" ")
+      val expected = (0 until 32).map { k =>
+        val votes = toks.map(t => xxBit(t, k) * 2 - 1).sum
+        if (votes >= 0) 1L << k else 0L
+      }.sum
+      assert(r.getLong(1) == expected, s"for text '${r.getString(0)}'")
+    }
+  }
+
+  test("unknown hash family is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      graft.expressions.HashExpressions.MinHashSignature(
+        org.apache.spark.sql.catalyst.expressions.Literal(1), 4, "sha1")
+    }
+  }
 }
