@@ -1,0 +1,120 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codec-free media-header parsing as a Catalyst expression.
+  *
+  * BMP, WAV, PNG and JPEG header fields are pure byte math — fixed
+  * offsets (BMP/WAV/PNG) or a marker-segment walk (JPEG SOF) — so the
+  * parse belongs INSIDE whole-stage codegen as a column expression, not
+  * behind an `rdd.mapPartitions` boundary that deserializes every
+  * payload row out of Tungsten. The mapPartitions path
+  * (MultimodalFunctions.decodeFeatures) remains the documented boundary
+  * for formats that need a real codec (full image decode, audio PCM,
+  * video frames).
+  */
+object MediaExpressions {
+
+  /** Header fields recovered without a codec; `format` is the sniffed
+    * container ("bmp" | "wav" | "png" | "jpeg" | "raw"), the rest are
+    * null where the format doesn't carry them (e.g. sample_rate for
+    * images). `bits` is bits-per-pixel (BMP), bits-per-sample (WAV),
+    * bit depth (PNG) or sample precision (JPEG); `channels` is audio
+    * channels (WAV) or color components (JPEG SOF). */
+  val headerSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true)))
+
+  @inline private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  @inline private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  @inline private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  @inline private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def row(fmt: String, width: Any, height: Any,
+                  rate: Any, channels: Any, bits: Any): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), width, height, rate, channels, bits))
+
+  /** Sniff + parse one payload. Called from generated code (Scala
+    * object methods get static forwarders, so codegen emits a plain
+    * static call). Total work is O(header bytes), never O(payload). */
+  def parse(b: Array[Byte]): InternalRow = {
+    // BMP: "BM", BITMAPINFOHEADER — width @18, height @22, bpp @28 (LE)
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+      return row("bmp", leInt(b, 18), leInt(b, 22), null, null, leShort(b, 28))
+    // WAV: RIFF….WAVE, fmt chunk — channels @22, rate @24, bits @34 (LE)
+    if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      return row("wav", null, null, leInt(b, 24), leShort(b, 22), leShort(b, 34))
+    // PNG: 8-byte magic, IHDR must be the first chunk (spec-mandated) —
+    // width @16, height @20 (BE), bit depth @24
+    if (b.length >= 25 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return row("png", beInt(b, 16), beInt(b, 20), null, null, b(24).toInt)
+    // JPEG: SOI then marker segments; walk to the first SOF marker
+    // (0xC0–0xCF except DHT C4 / JPG C8 / DAC CC), which carries
+    // precision(1) height(2) width(2) ncomponents(1) after its length
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (i + 9 < b.length)
+            return row("jpeg", beShort(b, i + 7), beShort(b, i + 5),
+              null, b(i + 9).toInt, b(i + 4).toInt)
+          return row("jpeg", null, null, null, null, null)
+        }
+        // standalone markers (RSTn, EOI, TEM) carry no length field
+        if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i += 2
+        else i += 2 + beShort(b, i + 2)
+      }
+      return row("jpeg", null, null, null, null, null)
+    }
+    row("raw", null, null, null, null, null)
+  }
+
+  /** Header sniff as a codegen'd expression: the generated code is one
+    * static call per row, so payload scans with a header projection
+    * stay inside a WholeStageCodegen span (no RDD boundary, no
+    * Tungsten exit). */
+  case class MediaHeader(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = headerSchema
+    override def prettyName: String = "media_header"
+
+    override def nullSafeEval(input: Any): Any =
+      parse(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, b =>
+        s"${ev.value} = graft.expressions.MediaExpressions.parse($b);")
+
+    override protected def withNewChildInternal(c: Expression): MediaHeader =
+      copy(child = c)
+  }
+
+  def media_header(payload: Column): Column =
+    ColumnBridge.column(MediaHeader(ColumnBridge.expression(payload)))
+}

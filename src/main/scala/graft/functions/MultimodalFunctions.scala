@@ -67,17 +67,13 @@ object MultimodalFunctions {
 
   // ---- real header decode (codec-free formats) -------------------------
   //
-  // BMP and WAV headers are fixed-offset little-endian byte math — no
-  // codec library needed, so THIS decode is real: it parses the actual
-  // payload bytes. Formats that genuinely need a codec (JPEG, MP3, …)
-  // fall through to the documented stub.
-
-  private def leInt(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-  private def leShort(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  // BMP, WAV, PNG and JPEG headers are pure byte math — no codec
+  // library needed, so THIS decode is real: it parses the actual
+  // payload bytes, as a codegen'd Catalyst expression
+  // (expressions/MediaExpressions) so header-only decodes stay inside
+  // whole-stage codegen — no RDD boundary, no Tungsten exit. Formats
+  // that genuinely need a codec (full image decode, MP3, …) fall
+  // through to the documented stub in [[decodeFeatures]].
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -89,34 +85,21 @@ object MultimodalFunctions {
     StructField("channels", IntegerType, nullable = true),
     StructField("bits", IntegerType, nullable = true)))
 
-  /** Partition-batched media-header decode: sniffs the payload magic
-    * and parses the header fields with plain byte math.
-    *   - `BM…` (length ≥ 30): BITMAPINFOHEADER — width @18, height @22,
-    *     bits-per-pixel @28 (all little-endian).
-    *   - `RIFF…WAVE` (length ≥ 36): fmt chunk — channels @22,
-    *     sample-rate @24, bits-per-sample @34.
-    *   - anything else: `raw`, metadata nulls (feature extraction for
-    *     raw payloads stays in [[decodeFeatures]]).
-    * Same scale shape as decodeFeatures: payloads never cross
-    * partitions, one decoder per partition, rows stream through. */
-  def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val input = df.select(col(idCol).cast("long"), col(payloadCol))
-    val rows = input.rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val b = r.getAs[Array[Byte]](1)
-        if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
-          Row(id, "bmp", b.length, leInt(b, 18), leInt(b, 22), null, null, leShort(b, 28))
-        else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
-          Row(id, "wav", b.length, null, null, leInt(b, 24), leShort(b, 22), leShort(b, 34))
-        else
-          Row(id, "raw", b.length, null, null, null, null, null)
-      }
-    }
-    spark.createDataFrame(rows, mediaSchema)
-  }
+  /** Media-header decode: sniffs the payload magic and parses the
+    * header fields with plain byte math (one codegen'd static call per
+    * row — see MediaExpressions.parse for the per-format offsets:
+    * BMP BITMAPINFOHEADER, WAV fmt chunk, PNG IHDR, JPEG SOF-marker
+    * walk; anything else → `raw` with null metadata — feature
+    * extraction for raw payloads stays in [[decodeFeatures]]).
+    * Output columns follow [[mediaSchema]]. */
+  def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        octet_length(col(payloadCol)).as("byte_len"),
+        graft.expressions.MediaExpressions.media_header(col(payloadCol)).as("__m"))
+      .select(col("doc_id"), col("__m.format").as("format"), col("byte_len"),
+        col("__m.width").as("width"), col("__m.height").as("height"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.channels").as("channels"), col("__m.bits").as("bits"))
 
   /** Metadata-only resize: pure column expression (no payload touch). */
   def resizeMeta(df: DataFrame, metaCol: String, w: Int, h: Int): DataFrame =

@@ -122,6 +122,44 @@ object TextAnalysisQueries {
       decodeMedia(payloads, "doc_id", "payload").orderBy("doc_id")
     }),
 
+    // All four codec-free formats through the same header-decode
+    // expression: BMP/WAV (as x5b) plus PNG (IHDR: big-endian
+    // width/height at 16/20, bit depth at 24) and JPEG (SOF0 marker
+    // walk: precision, BE height/width, component count). Payloads are
+    // synthesized from doc_id-derived hex; the oracle predicts every
+    // field WITHOUT parsing, so equality proves the byte-level walk.
+    "x5c_media_decode_all" -> ((s, d) => {
+      def b1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")  // 1 byte
+      def le2(c: org.apache.spark.sql.Column) = {                    // 2 LE bytes
+        val hx = lpad(hex(c), 4, "0")
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      }
+      def be2(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0") // 2 BE bytes
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0") // 4 BE bytes
+      val w = col("doc_id") % 64 + 16
+      val h = col("doc_id") % 32 + 9
+      val rate = (col("doc_id") % 8) * 100 + 8000
+      val bmpHex = concat(lit("424D460000000000000036000000" + "28000000"),
+        b1(w), lit("000000"), b1(h), lit("000000"), lit("0100" + "1800"),
+        lit("00" * 24 + "AA" * 12))
+      val wavHex = concat(lit("52494646" + "24080000" + "57415645" + "666D7420" +
+          "10000000" + "0100" + "0100"),
+        le2(rate), lit("0000"),
+        lit("00000000" + "0400" + "1000" + "64617461" + "00080000" + "00" * 16))
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be4(w), be4(h), lit("08" + "02" + "00" + "00" + "00" + "00000000"))
+      val jpgHex = concat(
+        lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+          "00010001" + "0000" + "FFC0" + "0011" + "08"),
+        be2(h), be2(w), lit("03" + "011100" + "021100" + "031100" + "FFD9"))
+      val m = col("doc_id") % 4
+      val payloads = documents(s, d).select(col("doc_id"),
+        unhex(when(m === 0, bmpHex).when(m === 1, wavHex)
+          .when(m === 2, pngHex).otherwise(jpgHex)).as("payload"))
+      decodeMedia(payloads, "doc_id", "payload").orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -250,6 +288,23 @@ object TextAnalysisQueries {
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 8) * 100 + 8000 END AS INT) AS sample_rate,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 4 + 1) // 2 END AS INT) AS channels,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS INT) AS bits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte lengths are the fixed synthesized sizes (BMP 66, WAV 60,
+    // PNG 8 magic + 25 IHDR = 33, JPEG 2 SOI + 18 APP0 + 19 SOF0 +
+    // 2 EOI = 41); bits = bpp 24 / sample bits 16 / bit depth 8 /
+    // precision 8; channels = 1 (WAV mono) / 3 (JPEG components)
+    "x5c_media_decode_all" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 66 WHEN 1 THEN 60
+        |    WHEN 2 THEN 33 ELSE 41 END AS INT) AS byte_len,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 2, 3) THEN doc_id % 64 + 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 2, 3) THEN doc_id % 32 + 9 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id % 8) * 100 + 8000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 WHEN doc_id % 4 = 3 THEN 3 END AS INT) AS channels,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 16
+        |    ELSE 8 END AS INT) AS bits
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x6_frame_sample" ->
       """WITH p AS (

@@ -56,6 +56,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).getInt(2) == raw.length)
   }
 
+  test("decodeMedia parses PNG IHDR and JPEG SOF headers (hand-assembled bytes)") {
+    def be4(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be2(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be4(13) ++ "IHDR".getBytes ++ be4(800) ++ be4(600) ++
+      Array[Byte](16, 2, 0, 0, 0) ++ be4(0) // depth 16, truecolor, fake CRC
+    // SOI, APP0(JFIF), a COM segment the SOF walk must skip, SOF2
+    // (progressive, also in the C0-CF set), EOI
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be2(16) ++ "JFIF".getBytes ++
+      Array[Byte](0, 1, 1, 0) ++ be2(1) ++ be2(1) ++ Array[Byte](0, 0) ++
+      (Array[Byte](0xff.toByte, 0xfe.toByte) ++ be2(7) ++ "hello".getBytes) ++
+      (Array[Byte](0xff.toByte, 0xc2.toByte) ++ be2(11) ++ Array[Byte](12) ++
+        be2(240) ++ be2(320) ++ Array[Byte](1, 0x11, 0x11, 0)) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val df = Seq((0L, png), (1L, jpeg)).toDF("doc_id", "payload")
+    val out = decodeMedia(df, "doc_id", "payload").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "png" && out(0).getInt(3) == 800 &&
+      out(0).getInt(4) == 600 && out(0).getInt(7) == 16)
+    assert(out(1).getString(1) == "jpeg" && out(1).getInt(3) == 320 &&
+      out(1).getInt(4) == 240 && out(1).getInt(6) == 1 && out(1).getInt(7) == 12)
+  }
+
+  test("decodeMedia plan is pure column expressions — no RDD scan node") {
+    val df = Seq((0L, "xx".getBytes)).toDF("doc_id", "payload")
+    val plan = decodeMedia(df, "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
+      s"decodeMedia left Tungsten:\n$plan")
+  }
+
   test("sampleFrames covers the payload with the configured stride") {
     val txt = "x" * 300
     val df = Seq((1L, txt)).toDF("doc_id", "txt")
