@@ -251,6 +251,71 @@ object DedupFunctions {
     verified // pair-sized; caller releases with unpersist() when done
   }
 
+  /** Undirected Jaccard near-duplicate pairs at scale: prefix-filtered
+    * candidate generation (PPJoin) + exact merge-walk verification —
+    * the provable-recall scale twin of the brute-force n-gram scan,
+    * with shuffle ∝ total shingles, never corpus².
+    *
+    * Recall argument (100%, no probabilistic stage): J(A,B) ≥ t forces
+    * |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so with the shingle universe
+    * totally ordered (ascending document frequency, ties lexicographic)
+    * the globally-rarest shared shingle u ranks r_X(u) ≤ |X| − ⌈t·|X|⌉
+    * + 1 in BOTH docs — every intersection element ranks at-or-after u,
+    * so u can't sit deeper than |X| − |A∩B| + 1. Joining the two rare
+    * PREFIXES on the shingle therefore surfaces every qualifying pair
+    * (unlike containmentPairs, whose asymmetric measure only bounds the
+    * contained side — here both sides prune). Lossless extra pruning:
+    * the size filter t·|A| ≤ |B| ≤ |A|/t, and the PPJoin positional
+    * bound |A∩B| ≤ 1 + min(|A|−r_A, |B|−r_B) which must reach
+    * ⌈t·max(|A|,|B|)⌉ through some shared prefix shingle.
+    *
+    * `shingles` maps the text column to a shingle-set column (e.g.
+    * `charShingles(_, 5)` for the n-gram family, `wordShingles(_, 3)`
+    * for word grams). Returns (a, b, jac) with a < b, persisted —
+    * caller releases. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingles: Column => Column, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("__id"),
+        array_sort(shingles(col(textCol))).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
+      explode(col("__sh")).as("__s"))
+    val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
+    // both join sides are the same rare-prefix projection (rank ≤
+    // n − ⌈t·n⌉ + 1) — prefix×prefix, not prefix×full-index
+    val prefix = tok.join(dfreq, Seq("__s"))
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <=
+        col("__na") - ceil(lit(threshold) * col("__na")) + 1)
+      .select(col("__id"), col("__s"), col("__rn"), col("__na"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix.toDF("__pa", "__s", "__ra", "__naa")
+      .join(prefix.toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
+      .filter(col("__pa") < col("__pb") &&
+        // size filter: J ≥ t forces the sizes within a t ratio
+        col("__nab") >= ceil(lit(threshold) * col("__naa")) &&
+        col("__naa") >= ceil(lit(threshold) * col("__nab")) &&
+        // positional bound must reach the Jaccard-implied floor
+        lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
+          ceil(lit(threshold) * greatest(col("__naa"), col("__nab"))))
+      .select(col("__pa").as("a"), col("__pb").as("b"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
+      .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+      .withColumn("jac", graft.expressions.HashExpressions.sorted_jaccard(
+        col("__sha"), col("__shb")))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize, then release the corpus-sized blocks
+    prefix.unpersist(blocking = false)
+    sh.unpersist(blocking = false)
+    verified // pair-sized; caller releases with unpersist() when done
+  }
+
   /** Exact dedup key: md5 of normalized text (lowercase, collapsed
     * whitespace). */
   def contentHash(text: Column): Column =

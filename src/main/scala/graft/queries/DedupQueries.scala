@@ -54,8 +54,24 @@ object DedupQueries {
         "doc_id", "text", shingleN = 3, threshold = 0.7))
   }
 
+  /** Prefix-filtered (PPJoin) char-5-gram Jaccard pairs, memoized per
+    * scale dir (jaccardPairs returns a persisted pair-sized DataFrame,
+    * "caller releases"). */
+  private val jacCache = scala.collection.mutable.Map[String, DataFrame]()
+  private def jacPairs(s: SparkSession, d: String): DataFrame = jacCache.synchronized {
+    jacCache.getOrElseUpdate(d,
+      // length >= 5 keeps Spark and oracle shingle sets aligned (the
+      // charShingles short-text fallback vs the oracle's empty list)
+      jaccardPairs(documents(s, d).filter(length(col("text")) >= 5),
+        "doc_id", "text", charShingles(_, 5), threshold = 0.4))
+  }
+
   /** Unpersist and drop every memoized intermediate this object holds. */
   def releaseCaches(): Unit = {
+    jacCache.synchronized {
+      jacCache.values.foreach(_.unpersist(blocking = false))
+      jacCache.clear()
+    }
     containCache.synchronized {
       containCache.values.foreach(_.unpersist(blocking = false))
       containCache.clear()
@@ -114,6 +130,16 @@ object DedupQueries {
             col("x.sh"), col("y.sh")).as("jac"))
         .filter(col("jac") >= 0.4)
         .orderBy("a", "b")
+    }),
+
+    // Char-5-gram Jaccard at scale: prefix-filtered (PPJoin) candidate
+    // generation with provable 100% recall (see jaccardPairs' scaladoc)
+    // + merge-walk verify on candidates only — the scale twin of d4's
+    // capped brute force, full corpus, no cap, no all-pairs join. The
+    // oracle brute-forces all pairs; equality proves the candidate
+    // stage loses nothing.
+    "d4b_ngram_jaccard_scale" -> ((s, d) => {
+      jacPairs(s, d).orderBy("a", "b")
     }),
 
     // End-to-end dedup pipeline: LSH pairs -> transitive clusters
@@ -235,6 +261,18 @@ object DedupQueries {
         |    generate_series(1, length(text) - 4),
         |    i -> substr(text, CAST(i AS INT), 5))) AS sh
         |  FROM documents WHERE doc_id < 300)
+        |, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p WHERE jac >= 0.4 ORDER BY a, b""".stripMargin,
+    "d4b_ngram_jaccard_scale" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, length(text) - 4),
+        |    i -> substr(text, CAST(i AS INT), 5))) AS sh
+        |  FROM documents WHERE length(text) >= 5)
         |, p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /

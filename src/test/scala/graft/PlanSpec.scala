@@ -86,6 +86,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("d4b Jaccard candidates come from hash joins (no all-pairs scan anywhere)") {
+    val df = SparkEntry.queries("d4b_ngram_jaccard_scale")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
