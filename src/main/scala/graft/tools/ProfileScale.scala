@@ -1,0 +1,221 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.DedupFunctions._
+
+/** Empirical scale-growth measurement for the dedup pipelines — the
+  * 100-TB story is plan-shape reasoning (banded/bucketed candidate
+  * generation, shuffle ∝ corpus) PLUS this measurement: corpus grows
+  * F×, wall-time and candidate counts must grow ~F×, not F².
+  *
+  * Corpus synthesis: replica c of the base corpus applies a
+  * replica-specific alphabet rotation (`translate` by a Caesar shift,
+  * spaces fixed), so each replica reproduces the base corpus's shingle
+  * statistics and near-dup structure EXACTLY — a bijective remap of
+  * the character alphabet is an isomorphism of BOTH the word-shingle
+  * and the char-gram universe (same df skew, same Jaccard/containment
+  * values) — while cross-replica shingle overlap is only the
+  * coincidental overlap of differently-rotated English (near zero,
+  * realistically nonzero). A corpus F× bigger with identical per-doc
+  * statistics: the clean setting for a growth law. (Word-suffix and
+  * hash-remap syntheses both fail here: suffixes inject corpus-wide
+  * shared char-grams at word boundaries, hash tokens flatten the df
+  * skew to uniform — each distorts the candidate-count law it's meant
+  * to measure.) Replicas are written to parquet and read back so every
+  * run scans real files, not in-memory lineage.
+  *
+  * Candidate counts are reconstructed from the same public building
+  * blocks (wordShingles/charShingles, minhash_signature, bandKeys) and
+  * the same bounds documented in DedupFunctions — the pipelines
+  * themselves stay the oracle-pinned implementations.
+  *
+  * Run: `sbt "runMain graft.tools.ProfileScale /root/testdata/sf0.1 1,3,10"`
+  * Results: SCALE.md. */
+object ProfileScale {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = args.lift(1).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(tmp))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+
+    val base = documents(spark, d).select("doc_id", "text")
+    val baseN = base.count()
+    println(s"base corpus: $baseN docs ($d)")
+
+    def corpusPath(f: Int): String = {
+      val p = s"$tmp/docs_x$f"
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digits = "0123456789"
+      def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+      val replicas = (0 until f).map { c =>
+        if (c == 0) base
+        else base.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          // shift step 7 is coprime to 26: distinct rotations per replica
+          translate(col("text"), lower + upper + digits,
+            rot(lower, c * 7) + rot(upper, c * 7) + rot(digits, c * 3)).as("text"))
+      }
+      replicas.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+      p
+    }
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    case class Cell(op: String, factor: Int, docs: Long,
+                    secs: Double, candidates: Long, pairs: Long)
+    val cells = scala.collection.mutable.ArrayBuffer[Cell]()
+
+    // warm codegen/classloading/parquet paths once so the smallest
+    // factor's timings don't carry first-call JVM cost
+    {
+      val w = base.limit(200)
+      containmentPairs(w, "doc_id", "text", 3, 0.7).unpersist(blocking = false)
+      minhashNearDuplicates(w, "doc_id", "text", 3, 64, 16, 0.8).unpersist(blocking = false)
+      val jp = jaccardPairs(w, "doc_id", "text", charShingles(_, 5), 0.4)
+      nearDupClusters(jp.select("a", "b")).unpersist(blocking = false)
+      jp.unpersist(blocking = false)
+    }
+
+    for (f <- factors) {
+      val docs = spark.read.parquet(corpusPath(f))
+      val n = docs.count()
+      println(s"\n== factor $f: $n docs ==")
+
+      // x11b — containment, prefix filter + PPJoin bound (threshold 0.7)
+      {
+        val input = docs.filter(size(split(col("text"), " ")) >= 3)
+        val (pairs, t) = time {
+          val p = containmentPairs(input, "doc_id", "text", 3, 0.7)
+          val c = p.count(); p.unpersist(blocking = false); c
+        }
+        // candidate reconstruction: same prefix + positional bound
+        val cand = {
+          import org.apache.spark.sql.expressions.Window
+          val sh = input.select(col("doc_id").as("__id"),
+            array_sort(wordShingles(col("text"), 3)).as("__sh"))
+          val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
+            explode(col("__sh")).as("__s"))
+          val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+          val ranked = tok.join(dfreq, Seq("__s"))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
+            .drop("__df")
+          val prefix = ranked
+            .filter(col("__rn") <= col("__na") - ceil(lit(0.7) * col("__na")) + 1)
+            .select(col("__id").as("__pa"), col("__s"),
+              col("__rn").as("__ra"), col("__na").as("__naa"))
+          prefix.join(ranked.select(col("__id").as("__pb"), col("__s"),
+              col("__rn").as("__rb"), col("__na").as("__nab")), Seq("__s"))
+            .filter(col("__pa") =!= col("__pb") &&
+              lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
+                ceil(lit(0.7) * col("__naa")))
+            .select("__pa", "__pb").distinct().count()
+        }
+        println(f"x11b  ${t}%7.1f s  candidates $cand%9d  pairs $pairs%7d")
+        cells += Cell("x11b_containment", f, n, t, cand, pairs)
+      }
+
+      // d2 — MinHash(64) + LSH(16x4) at threshold 0.8
+      {
+        val (res, t) = time {
+          val p = minhashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.8)
+          val c = p.count(); p.unpersist(blocking = false); c
+        }
+        val cand = {
+          val banded = docs.select(col("doc_id").as("__id"),
+              wordShingles(col("text"), 3).as("__sh"))
+            .withColumn("__band", explode(bandKeys(
+              graft.expressions.HashExpressions.minhash_signature(col("__sh"), 64),
+              16, 4)))
+            .select("__id", "__band")
+          banded.as("x").join(banded.as("y"),
+              col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
+            .select(col("x.__id"), col("y.__id")).distinct().count()
+        }
+        println(f"d2    ${t}%7.1f s  candidates $cand%9d  pairs $res%7d")
+        cells += Cell("d2_minhash_lsh", f, n, t, cand, res)
+      }
+
+      // d4b — char-5-gram Jaccard, prefix-prefix PPJoin at threshold 0.4
+      {
+        val input = docs.filter(length(col("text")) >= 5)
+        val (pairs, t) = time {
+          val p = jaccardPairs(input, "doc_id", "text", charShingles(_, 5), 0.4)
+          val c = p.count(); p.unpersist(blocking = false); c
+        }
+        val cand = {
+          import org.apache.spark.sql.expressions.Window
+          val tok = input.select(col("doc_id").as("__id"),
+              array_sort(charShingles(col("text"), 5)).as("__sh"))
+            .select(col("__id"), size(col("__sh")).as("__na"),
+              explode(col("__sh")).as("__s"))
+          val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+          val prefix = tok.join(dfreq, Seq("__s"))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
+            .filter(col("__rn") <= col("__na") - ceil(lit(0.4) * col("__na")) + 1)
+            .select(col("__id"), col("__s"), col("__rn"), col("__na"))
+          prefix.toDF("__pa", "__s", "__ra", "__naa")
+            .join(prefix.toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
+            .filter(col("__pa") < col("__pb") &&
+              col("__nab") >= ceil(lit(0.4) * col("__naa")) &&
+              col("__naa") >= ceil(lit(0.4) * col("__nab")) &&
+              lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
+                ceil(lit(0.4) * greatest(col("__naa"), col("__nab"))))
+            .select("__pa", "__pb").distinct().count()
+        }
+        println(f"d4b   ${t}%7.1f s  candidates $cand%9d  pairs $pairs%7d")
+        cells += Cell("d4b_jaccard", f, n, t, cand, pairs)
+      }
+
+      // d6 — transitive clustering over the d2 pairs
+      {
+        val p = minhashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.8)
+        val (nc, t) = time {
+          val labels = nearDupClusters(p.select("a", "b"))
+          val c = labels.count(); labels.unpersist(blocking = false); c
+        }
+        p.unpersist(blocking = false)
+        println(f"d6    ${t}%7.1f s  labeled nodes $nc%9d")
+        cells += Cell("d6_clusters", f, n, t, -1L, nc)
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    println("\nop,factor,docs,secs,candidates,pairs")
+    cells.foreach(c => println(s"${c.op},${c.factor},${c.docs},${f"${c.secs}%.1f"},${c.candidates},${c.pairs}"))
+    // growth ratios vs the smallest factor
+    val byOp = cells.groupBy(_.op)
+    println("\nop: time and candidate growth vs corpus growth")
+    byOp.toSeq.sortBy(_._1).foreach { case (op, cs) =>
+      val s = cs.sortBy(_.factor)
+      val b = s.head
+      s.tail.foreach { c =>
+        val fx = c.docs.toDouble / b.docs
+        val tx = c.secs / b.secs
+        val cx = if (b.candidates > 0) c.candidates.toDouble / b.candidates else -1
+        println(f"$op%-18s corpus ${fx}%5.1fx  time ${tx}%5.1fx  candidates ${cx}%5.1fx")
+      }
+    }
+    spark.stop()
+  }
+}
