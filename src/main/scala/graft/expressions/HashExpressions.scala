@@ -249,6 +249,54 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Jaccard of two SORTED distinct long arrays by merge walk — the
+    * primitive-array twin of [[SortedJaccard]] for hashed shingle
+    * sets (8-byte elements, primitive compares: ~3× less verify
+    * shuffle and a far cheaper walk than UTF8String sets). */
+  case class SortedLongJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sorted_long_jaccard"
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+        s"""
+           |int $na = $a.numElements(); int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  long $va = $a.getLong($i); long $vb = $b.getLong($j);
+           |  if ($va == $vb) { $inter++; $i++; $j++; }
+           |  else if ($va < $vb) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = (double) $inter / (double) ($na + $nb - $inter);
+         """.stripMargin
+      })
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (na, nb) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val va = a.getLong(i); val vb = b.getLong(j)
+        if (va == vb) { inter += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
+      java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongJaccard =
+      copy(left = l, right = r)
+  }
+
   /** Sequential-fold squared-L2 distance of two double arrays — the
     * exact fold order of `aggregate(zip_with(a, b, (x,y) => (x-y)²),
     * 0.0, _+_)`, bit-identical to the HOF form the oracles mirror —
@@ -395,6 +443,9 @@ object HashExpressions {
 
   def sorted_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(SortedJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sorted_long_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -269,6 +269,17 @@ object DedupFunctions {
     * bound |A∩B| ≤ 1 + min(|A|−r_A, |B|−r_B) which must reach
     * ⌈t·max(|A|,|B|)⌉ through some shared prefix shingle.
     *
+    * Verification runs over 40-bit md5-hashed shingle sets (sorted
+    * long arrays, merge-walk kernel): the exact-verify join attaches
+    * both docs' sets to every candidate row, so 8-byte elements cut
+    * that shuffle ~3× and the walk is primitive compares — measured
+    * 24× faster than UTF8String sets at sf0.1 (tools/ProfileD4). The
+    * measure is therefore Jaccard over the hashed shingle space:
+    * deterministic, engine-reproducible (the oracle computes the same
+    * md5 bits), and within ~(|A|·|B|)/2⁴⁰ ≈ 10⁻⁶ per pair of true
+    * string Jaccard — a collision shifts both engines identically, so
+    * oracle equality stays exact.
+    *
     * `shingles` maps the text column to a shingle-set column (e.g.
     * `charShingles(_, 5)` for the n-gram family, `wordShingles(_, 3)`
     * for word grams). Returns (a, b, jac) with a < b, persisted —
@@ -276,23 +287,28 @@ object DedupFunctions {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingles: Column => Column, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // unsorted string sets: only the hashed long sets need sort order
+    // (for the merge walk); the strings feed the df count and ranking
     val sh = docs.select(col(idCol).as("__id"),
-        array_sort(shingles(col(textCol))).as("__sh"))
+        shingles(col(textCol)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
       explode(col("__sh")).as("__s"))
     val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
     // both join sides are the same rare-prefix projection (rank ≤
-    // n − ⌈t·n⌉ + 1) — prefix×prefix, not prefix×full-index
+    // n − ⌈t·n⌉ + 1) — prefix×prefix, not prefix×full-index. The join
+    // key is xxhash64(shingle): an 8-byte exchange key instead of the
+    // string; a hash collision only ADDS candidates (exact verification
+    // removes them), so recall is untouched
     val prefix = tok.join(dfreq, Seq("__s"))
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <=
         col("__na") - ceil(lit(threshold) * col("__na")) + 1)
-      .select(col("__id"), col("__s"), col("__rn"), col("__na"))
+      .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__rn"), col("__na"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = prefix.toDF("__pa", "__s", "__ra", "__naa")
-      .join(prefix.toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
+    val cand = prefix.toDF("__pa", "__sk", "__ra", "__naa")
+      .join(prefix.toDF("__pb", "__sk", "__rb", "__nab"), Seq("__sk"))
       .filter(col("__pa") < col("__pb") &&
         // size filter: J ≥ t forces the sizes within a t ratio
         col("__nab") >= ceil(lit(threshold) * col("__naa")) &&
@@ -302,15 +318,22 @@ object DedupFunctions {
           ceil(lit(threshold) * greatest(col("__naa"), col("__nab"))))
       .select(col("__pa").as("a"), col("__pb").as("b"))
       .distinct()
+    // hashed verify sets: distinct hashes (two shingles may collide),
+    // sorted for the merge walk
+    val hsh = sh.select(col("__id"),
+        array_sort(array_distinct(transform(col("__sh"),
+          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
-      .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
-      .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
-      .withColumn("jac", graft.expressions.HashExpressions.sorted_jaccard(
+      .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
+      .join(hsh.select(col("__id").as("b"), col("__hs").as("__shb")), Seq("b"))
+      .withColumn("jac", graft.expressions.HashExpressions.sorted_long_jaccard(
         col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)
       .select("a", "b", "jac")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // materialize, then release the corpus-sized blocks
+    hsh.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     verified // pair-sized; caller releases with unpersist() when done

@@ -267,15 +267,25 @@ object DedupQueries {
         |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM p WHERE jac >= 0.4 ORDER BY a, b""".stripMargin,
+    // verification space = 40-bit md5-hashed shingles (first 10 hex
+    // digits, big-endian positional sum — the same bits Spark's
+    // conv(substr(md5, 1, 10), 16, 10) extracts); values < 2^40 are
+    // exact in doubles, so the hash matches Spark bit-for-bit
     "d4b_ngram_jaccard_scale" ->
-      """WITH t AS (
+      """WITH t0 AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, length(text) - 4),
         |    i -> substr(text, CAST(i AS INT), 5))) AS sh
         |  FROM documents WHERE length(text) >= 5)
+        |, t AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh,
+        |    s -> CAST(list_sum(list_transform(generate_series(1, 10),
+        |      k -> (strpos('0123456789abcdef', substr(md5(s), CAST(k AS INT), 1)) - 1)
+        |           * pow(16.0, CAST(10 - k AS DOUBLE)))) AS BIGINT))) AS sh
+        |  FROM t0)
         |, p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
-        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM p WHERE jac >= 0.4 ORDER BY a, b""".stripMargin,

@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.DedupFunctions._
+
+/** Stage-level profiler for the prefix-filtered Jaccard pipeline (d4b)
+  * — not part of the driver contract; run with
+  * `sbt "runMain graft.tools.ProfileD4 /root/testdata/sf0.1"`. */
+object ProfileD4 {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.expressions.Window
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    val t = 0.4
+    val input = documents(spark, d).filter(length(col("text")) >= 5)
+    time("warm: docs count")(input.count())
+    if (args.contains("--pipeline-only")) {
+      // clean end-to-end number: no profiler-persisted stages for the
+      // cache manager to reuse
+      time("full jaccardPairs (clean)") {
+        val p = jaccardPairs(input, "doc_id", "text", charShingles(_, 5), t)
+        p.count(); p.unpersist(blocking = false)
+      }
+      spark.stop(); return
+    }
+    val sh = input.select(col("doc_id").as("__id"),
+        array_sort(charShingles(col("text"), 5)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("shingle sets (persisted)")(sh.count())
+    val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
+      explode(col("__sh")).as("__s"))
+    time("token explode")(tok.count())
+    val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val prefix = tok.join(dfreq, Seq("__s"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
+      .filter(col("__rn") <= col("__na") - ceil(lit(t) * col("__na")) + 1)
+      .select(col("__id"), col("__s"), col("__rn"), col("__na"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("rank + prefix (persisted)")(prefix.count())
+    val cand = prefix.toDF("__pa", "__s", "__ra", "__naa")
+      .join(prefix.toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
+      .filter(col("__pa") < col("__pb") &&
+        col("__nab") >= ceil(lit(t) * col("__naa")) &&
+        col("__naa") >= ceil(lit(t) * col("__nab")) &&
+        lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
+          ceil(lit(t) * greatest(col("__naa"), col("__nab"))))
+      .select(col("__pa").as("a"), col("__pb").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("candidate join + distinct")(cand.count())
+    time("verify (array join + merge walk)") {
+      cand.join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
+        .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+        .withColumn("jac", graft.expressions.HashExpressions.sorted_jaccard(
+          col("__sha"), col("__shb")))
+        .filter(col("jac") >= t).count()
+    }
+    time("verify w/ broadcast arrays") {
+      cand.join(broadcast(sh.select(col("__id").as("a"), col("__sh").as("__sha"))), Seq("a"))
+        .join(broadcast(sh.select(col("__id").as("b"), col("__sh").as("__shb"))), Seq("b"))
+        .withColumn("jac", graft.expressions.HashExpressions.sorted_jaccard(
+          col("__sha"), col("__shb")))
+        .filter(col("jac") >= t).count()
+    }
+    val hsh = sh.select(col("__id"),
+        array_sort(array_distinct(transform(col("__sh"),
+          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("hashed long sets (persisted)")(hsh.count())
+    time("verify w/ hashed long arrays (shuffle)") {
+      cand.join(hsh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
+        .join(hsh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+        .withColumn("jac", graft.expressions.HashExpressions.sorted_long_jaccard(
+          col("__sha"), col("__shb")))
+        .filter(col("jac") >= t).count()
+    }
+    time("verify w/ hashed long arrays (broadcast)") {
+      cand.join(broadcast(hsh.select(col("__id").as("a"), col("__sh").as("__sha"))), Seq("a"))
+        .join(broadcast(hsh.select(col("__id").as("b"), col("__sh").as("__shb"))), Seq("b"))
+        .withColumn("jac", graft.expressions.HashExpressions.sorted_long_jaccard(
+          col("__sha"), col("__shb")))
+        .filter(col("jac") >= t).count()
+    }
+    time("full jaccardPairs (fresh)") {
+      val p = jaccardPairs(input, "doc_id", "text", charShingles(_, 5), t)
+      p.count(); p.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

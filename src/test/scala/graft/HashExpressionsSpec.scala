@@ -91,6 +91,17 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("SortedLongJaccard equals set-op jaccard on hashed shingle sets") {
+    val sh = docs.select(
+      array_sort(array_distinct(transform(charShingles(col("text"), 3),
+        s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("sh"))
+    val diff = sh.as("x").crossJoin(sh.as("y"))
+      .select(sorted_long_jaccard(col("x.sh"), col("y.sh")).as("n"),
+        jaccard(col("x.sh"), col("y.sh")).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0)
+  }
+
   test("xxh64 family: MinHashSignature matches a direct per-shingle recomputation") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
