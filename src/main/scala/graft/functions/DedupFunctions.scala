@@ -206,10 +206,10 @@ object DedupFunctions {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // sorted for the merge-walk verify kernel; persisted because the
-    // inverted index and both verify sides re-scan it
+    // unsorted string sets feed the df count and ranking; only the
+    // hashed long verify sets need sort order (for the merge walk)
     val sh = docs.select(col(idCol).as("__id"),
-        array_sort(wordShingles(col(textCol), shingleN)).as("__sh"))
+        wordShingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
       explode(col("__sh")).as("__s"))
@@ -217,35 +217,50 @@ object DedupFunctions {
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
     // every token with its in-doc rarity rank — the inverted index side
     // (persisted: it is both the prefix source and the index side of
-    // the candidate join)
+    // the candidate join). The join key is xxhash64(shingle): an
+    // 8-byte exchange key; a collision only ADDS candidates, which
+    // exact verification removes — recall untouched.
     val ranked = tok.join(dfreq, Seq("__s"))
       .withColumn("__rn", row_number().over(byRarity))
-      .drop("__df")
+      .select(col("__id"), xxhash64(col("__s")).as("__sk"),
+        col("__rn"), col("__na"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ranked
       .filter(col("__rn") <=
         col("__na") - ceil(lit(threshold) * col("__na")) + 1)
-      .select(col("__id").as("__pa"), col("__s"),
+      .select(col("__id").as("__pa"), col("__sk"),
         col("__rn").as("__ra"), col("__na").as("__naa"))
     val cand = prefix
-      .join(ranked.select(col("__id").as("__pb"), col("__s"),
-        col("__rn").as("__rb"), col("__na").as("__nab")), Seq("__s"))
+      .join(ranked.toDF("__pb", "__sk", "__rb", "__nab"), Seq("__sk"))
       .filter(col("__pa") =!= col("__pb") &&
         lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
           ceil(lit(threshold) * col("__naa")))
       .select(col("__pa").as("a"), col("__pb").as("b"))
       .distinct()
+    // hashed verify sets (40-bit md5, sorted longs): the verify join
+    // attaches both docs' sets to every candidate row — 8-byte
+    // elements cut that shuffle ~3× and the merge walk is primitive
+    // compares. The measure becomes containment over the hashed
+    // shingle space: deterministic, oracle-reproduced bit-for-bit,
+    // within ~(|A|·|B|)/2⁴⁰ per pair of the string measure, and a
+    // collision shifts both engines identically so gate equality
+    // stays exact.
+    val hsh = sh.select(col("__id"),
+        array_sort(array_distinct(transform(col("__sh"),
+          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
-      .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
-      .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
+      .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
+      .join(hsh.select(col("__id").as("b"), col("__hs").as("__shb")), Seq("b"))
       .withColumn("containment",
-        round(graft.expressions.HashExpressions.sorted_intersect_count(
+        round(graft.expressions.HashExpressions.sorted_long_intersect_count(
             col("__sha"), col("__shb")).cast("double") /
           size(col("__sha")).cast("double"), 6))
       .filter(col("containment") >= threshold)
       .select("a", "b", "containment")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // materialize, then release the corpus-sized blocks
+    hsh.unpersist(blocking = false)
     ranked.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     verified // pair-sized; caller releases with unpersist() when done
