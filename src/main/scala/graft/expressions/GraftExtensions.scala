@@ -45,6 +45,8 @@ object GraftExtensions {
     "double_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
     "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1))),
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
+    "sorted_long_jaccard" -> (exprs => SortedLongJaccard(exprs.head, exprs(1))),
+    "sorted_long_intersect_count" -> (exprs => SortedLongIntersectCount(exprs.head, exprs(1))),
     "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1)))
   )
 

@@ -394,6 +394,54 @@ object HashExpressions {
       copy(left = l, right = r)
   }
 
+  /** Intersection size of two SORTED distinct long arrays by merge
+    * walk — the primitive-array twin of [[SortedIntersectCount]] for
+    * hashed shingle sets (8-byte elements, primitive compares; no
+    * per-eval hash-set build, no UTF8String comparisons). */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_long_intersect_count"
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter")
+        val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+        s"""
+           |int $na = $a.numElements(); int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $na && $j < $nb) {
+           |  long $va = $a.getLong($i); long $vb = $b.getLong($j);
+           |  if ($va == $vb) { $inter++; $i++; $j++; }
+           |  else if ($va < $vb) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (na, nb) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val va = a.getLong(i); val vb = b.getLong(j)
+        if (va == vb) { inter += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(inter)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersectCount =
+      copy(left = l, right = r)
+  }
+
   /** Bloom-filter membership test over a long key, as a codegen'd
     * kernel (replaces the ScalaUDF the bloom-prune join first shipped
     * with: a UDF boxes the key and blocks whole-stage codegen in the
@@ -449,6 +497,9 @@ object HashExpressions {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sorted_long_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def double_l2_squared(a: Column, b: Column): Column =
     ColumnBridge.column(DoubleL2Squared(ColumnBridge.expression(a), ColumnBridge.expression(b)))

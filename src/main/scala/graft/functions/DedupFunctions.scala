@@ -206,6 +206,13 @@ object DedupFunctions {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ⌈t·n⌉ with an epsilon guard: if fl(t*n) rounds just above the
+    // true rational t·n (possible when t·n is an exact integer), a
+    // bare ceil over-tightens by 1 and could drop a pair with the
+    // measure exactly at threshold. Subtracting 1e-9 can only LOOSEN
+    // the bound (extra candidates, removed by exact verification), so
+    // the 100% recall proof holds for arbitrary thresholds.
+    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
     // unsorted string sets feed the df count and ranking; only the
     // hashed long verify sets need sort order (for the merge walk)
     val sh = docs.select(col(idCol).as("__id"),
@@ -226,15 +233,14 @@ object DedupFunctions {
         col("__rn"), col("__na"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ranked
-      .filter(col("__rn") <=
-        col("__na") - ceil(lit(threshold) * col("__na")) + 1)
+      .filter(col("__rn") <= col("__na") - ceilT(col("__na")) + 1)
       .select(col("__id").as("__pa"), col("__sk"),
         col("__rn").as("__ra"), col("__na").as("__naa"))
     val cand = prefix
       .join(ranked.toDF("__pb", "__sk", "__rb", "__nab"), Seq("__sk"))
       .filter(col("__pa") =!= col("__pb") &&
         lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceil(lit(threshold) * col("__naa")))
+          ceilT(col("__naa")))
       .select(col("__pa").as("a"), col("__pb").as("b"))
       .distinct()
     // hashed verify sets (40-bit md5, sorted longs): the verify join
@@ -302,6 +308,9 @@ object DedupFunctions {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingles: Column => Column, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // epsilon-guarded ⌈t·n⌉ — see containmentPairs: keeps the recall
+    // proof valid when fl(t*n) rounds above an exact integer product
+    def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
     // unsorted string sets: only the hashed long sets need sort order
     // (for the merge walk); the strings feed the df count and ranking
     val sh = docs.select(col(idCol).as("__id"),
@@ -318,19 +327,18 @@ object DedupFunctions {
     // removes them), so recall is untouched
     val prefix = tok.join(dfreq, Seq("__s"))
       .withColumn("__rn", row_number().over(byRarity))
-      .filter(col("__rn") <=
-        col("__na") - ceil(lit(threshold) * col("__na")) + 1)
+      .filter(col("__rn") <= col("__na") - ceilT(col("__na")) + 1)
       .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__rn"), col("__na"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.toDF("__pa", "__sk", "__ra", "__naa")
       .join(prefix.toDF("__pb", "__sk", "__rb", "__nab"), Seq("__sk"))
       .filter(col("__pa") < col("__pb") &&
         // size filter: J ≥ t forces the sizes within a t ratio
-        col("__nab") >= ceil(lit(threshold) * col("__naa")) &&
-        col("__naa") >= ceil(lit(threshold) * col("__nab")) &&
+        col("__nab") >= ceilT(col("__naa")) &&
+        col("__naa") >= ceilT(col("__nab")) &&
         // positional bound must reach the Jaccard-implied floor
         lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceil(lit(threshold) * greatest(col("__naa"), col("__nab"))))
+          ceilT(greatest(col("__naa"), col("__nab"))))
       .select(col("__pa").as("a"), col("__pb").as("b"))
       .distinct()
     // hashed verify sets: distinct hashes (two shingles may collide),

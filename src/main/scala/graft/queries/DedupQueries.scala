@@ -318,12 +318,22 @@ object DedupQueries {
         |  FROM t a, t b WHERE a.doc_id <> b.doc_id)
         |SELECT a, b, containment FROM p WHERE containment >= 0.3
         |ORDER BY a, b""".stripMargin,
+    // verification space = 40-bit md5-hashed shingles, mirroring the
+    // Spark side's conv(substr(md5, 1, 10), 16, 10) exactly (see d4b):
+    // containment is measured over the hashed-distinct sets in BOTH
+    // engines, so a 40-bit collision shifts them identically
     "x11b_containment_scale" ->
-      """WITH t AS (
+      """WITH t0 AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, len(string_split(text, ' ')) - 2),
         |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |, t AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh,
+        |    s -> CAST(list_sum(list_transform(generate_series(1, 10),
+        |      k -> (strpos('0123456789abcdef', substr(md5(s), CAST(k AS INT), 1)) - 1)
+        |           * pow(16.0, CAST(10 - k AS DOUBLE)))) AS BIGINT))) AS sh
+        |  FROM t0)
         |, p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,
         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /

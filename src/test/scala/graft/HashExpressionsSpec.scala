@@ -102,6 +102,24 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("SortedLongIntersectCount equals size(array_intersect) on hashed shingle sets") {
+    val sh = docs.select(
+      array_sort(array_distinct(transform(charShingles(col("text"), 3),
+        s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("sh"))
+    val diff = sh.as("x").crossJoin(sh.as("y"))
+      .select(sorted_long_intersect_count(col("x.sh"), col("y.sh")).as("n"),
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(diff == 0)
+    // SQL registry reaches the long kernels
+    sh.limit(4).createOrReplaceTempView("__hs_sql")
+    val viaSql = spark.sql(
+      """SELECT sorted_long_intersect_count(x.sh, y.sh) AS n,
+        |       sorted_long_jaccard(x.sh, y.sh) AS j
+        |FROM __hs_sql x CROSS JOIN __hs_sql y""".stripMargin).collect()
+    assert(viaSql.nonEmpty && viaSql.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
   test("xxh64 family: MinHashSignature matches a direct per-shingle recomputation") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.types.UTF8String
