@@ -435,4 +435,77 @@ object DedupFunctions {
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("keep", (col(idCol) === col("cluster")))
+
+  /** Test-set decontamination (the n-gram overlap check run before
+    * training on any scraped corpus): flag every corpus document that
+    * contains a word n-gram also present in the benchmark set.
+    *
+    * `benchCond` selects the benchmark documents; the remaining corpus
+    * is scanned against them. Returns one row per contaminated doc:
+    * (idCol, n_hits = distinct benchmark n-grams present, contam_frac =
+    * n_hits / doc's distinct n-gram count).
+    *
+    * 100 TB shape: real benchmark suites are MBs, so their distinct
+    * n-gram set is broadcast — the corpus is never shuffled for the
+    * probe, only for the per-doc count aggregation (map-side combined,
+    * ∝ distinct grams per doc). PlanSpec pins the BroadcastHashJoin.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchCond: Column, n: Int): DataFrame = {
+    // >= n words on both sides mirrors the oracle's len(ws) >= n guard
+    // (and keeps wordShingles' short-text fallback branch out of play)
+    val sh = docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("__id"), benchCond.as("__bench"),
+        explode(wordShingles(col(textCol), n)).as("__s"))
+    val bench = broadcast(sh.filter(col("__bench")).select("__s").distinct())
+    val corpus = sh.filter(!col("__bench"))
+    val grams = corpus.groupBy("__id").agg(count(lit(1)).as("__ngrams"))
+    val hits = corpus.join(bench, Seq("__s"))
+      .groupBy("__id").agg(count(lit(1)).as("__nhits"))
+    grams.join(hits, Seq("__id"))
+      .select(col("__id").as(idCol), col("__nhits").cast("int").as("n_hits"),
+        round(col("__nhits").cast("double") / col("__ngrams").cast("double"), 6)
+          .as("contam_frac"))
+  }
+
+  /** Corpus-level span dedup (the C4 / Lee et al. 2022 "remove any
+    * repeated span, keep the first occurrence" pass, at word-span
+    * granularity): each document is cut into non-overlapping
+    * `spanWords`-word spans; a span whose text already occurred earlier
+    * in the corpus (document order, then span position) is dropped; the
+    * surviving spans are reassembled in position order.
+    *
+    * Returns (idCol, clean_text, n_spans, kept_spans). Documents whose
+    * spans are all duplicates of earlier text drop out entirely (no
+    * surviving spans → no row).
+    *
+    * 100 TB shape: one corpus scan explodes spans; the only shuffle
+    * keys are (span text) for the keep-first window — groups are
+    * occurrence lists of one span, almost always tiny — and (doc) for
+    * reassembly. Shuffle volume ∝ total spans ≈ corpus size. A skewed
+    * boilerplate span (the same cookie banner a billion times) makes
+    * one big group; the window only needs that group's minimum, so an
+    * AQE-skew-safe variant would pre-aggregate min(doc,idx) per span —
+    * here row_number keeps the oracle shape simple.
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = split(col(textCol), " ")
+    val nSpans = ceil(size(ts).cast("double") / spanWords).cast("int")
+    val spans = docs.select(col(idCol).as("__id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          i => concat_ws(" ", slice(ts, i * spanWords + 1, lit(spanWords))))))
+      .toDF("__id", "__idx", "__sp")
+    val w = Window.partitionBy("__sp").orderBy(col("__id"), col("__idx"))
+    val kept = spans.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    kept.groupBy("__id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__sp")))),
+          s => s.getField("__sp")), " ").as("clean_text"),
+        count(lit(1)).as("kept_spans"))
+      .join(docs.select(col(idCol).as("__id"), nSpans.as("n_spans")), Seq("__id"))
+      .select(col("__id").as(idCol), col("clean_text"),
+        col("n_spans"), col("kept_spans").cast("int").as("kept_spans"))
+  }
 }

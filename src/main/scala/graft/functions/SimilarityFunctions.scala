@@ -140,6 +140,37 @@ object SimilarityFunctions {
     * reproducible: the md5-derived planes are deterministic, so the
     * s2_ann_lsh oracle replicates the bucketing bit-for-bit and the
     * gate compares exact results. */
+  /** Full k-NN self-join: top-k neighbors for EVERY corpus vector (the
+    * all-pairs version of lshTopK — semantic-dedup and
+    * cluster-then-sample pipelines need the whole neighbor graph, not a
+    * handful of queries, so nothing is broadcast).
+    *
+    * Both sides of the candidate join are the bucketed corpus itself:
+    * shuffle ∝ corpus, candidates ∝ corpus²/2^planes. `planes` is the
+    * recall/cost dial — at 100 TB it scales with log₂(corpus) to hold
+    * per-vector candidate counts roughly constant (multi-probe or
+    * band-OR variants recover recall, same plan shape). The exact
+    * rerank window shuffles on query_id — again ∝ candidates.
+    * Deterministic md5 planes → the oracle replicates the bucketing
+    * bit-for-bit. */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+              seed: Long, planes: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = lshBucket(col(vecCol), seed, planes, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      bucket.as("__bucket"))
+    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      bucket.as("__bucket"))
+    val scored = c.join(q, Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               seed: Long, planes: Int, dim: Int): DataFrame = {

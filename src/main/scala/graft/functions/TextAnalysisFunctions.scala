@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -80,4 +80,49 @@ object TextAnalysisFunctions {
       when(length(text) >= k,
         sequence(lit(1), length(text) - (k - 1))).otherwise(sequence(lit(1), lit(1))),
       i => md5(text.substr(i, lit(k)))))
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1
+    * use these to drop boilerplate/spam): fraction of tokens taken by
+    * the most frequent word, fraction of bigram slots taken by the most
+    * frequent bigram, and the fraction of trigram occurrences that are
+    * repeats of an earlier trigram in the same document.
+    *
+    * One corpus scan: every doc emits its words, bigrams and trigrams
+    * (multiplicity kept — repetition is the point) tagged by gram size,
+    * then two hash aggregations (gram counts → per-doc maxima/totals)
+    * and a pivot back to one row per doc. Shuffle ∝ total grams; both
+    * aggs combine map-side. Counts are integers, so the final double
+    * divisions are engine-exact.
+    *
+    * Requires ≥ 3 words (filter upstream); mirrors the oracle's
+    * `len(ws) >= 3` guard.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = toks(col(textCol))
+    def grams(n: Int): Column =
+      if (n == 1) ts
+      else transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    def tagged(n: Int): Column =
+      transform(grams(n), g => struct(lit(n).as("n"), g.as("g")))
+    val exploded = docs
+      .filter(size(toks(col(textCol))) >= 3)
+      .select(col(idCol).as("__id"),
+        explode(concat(tagged(1), tagged(2), tagged(3))).as("__t"))
+      .select(col("__id"), col("__t.n").as("__n"), col("__t.g").as("__g"))
+    val gramCounts = exploded.groupBy("__id", "__n", "__g")
+      .agg(count(lit(1)).as("__c"))
+    val perSize = gramCounts.groupBy("__id", "__n")
+      .agg(max("__c").as("__max"), sum("__c").as("__tot"),
+        count(lit(1)).as("__nd"))
+    def pick(n: Int, c: String): Column = max(when(col("__n") === n, col(c)))
+    perSize.groupBy("__id").agg(
+        round(pick(1, "__max").cast("double") / pick(1, "__tot").cast("double"), 6)
+          .as("top_word_frac"),
+        round(pick(2, "__max").cast("double") / pick(2, "__tot").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round((pick(3, "__tot") - pick(3, "__nd")).cast("double")
+          / pick(3, "__tot").cast("double"), 6).as("dup_trigram_frac"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

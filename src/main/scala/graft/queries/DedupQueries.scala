@@ -224,6 +224,26 @@ object DedupQueries {
           round(dot(col("x.nv"), col("y.nv")), 6).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("a", "b")
+    }),
+
+    // Test-set decontamination: docs sharing a word 3-gram with the
+    // benchmark slice (doc_id % 50 == 0). The benchmark n-gram set is
+    // broadcast (PlanSpec pins it) — the corpus never shuffles for the
+    // probe, only for its per-doc count agg.
+    "d9_decontaminate" -> ((s, d) => {
+      decontaminate(documents(s, d), "doc_id", "text",
+        benchCond = col("doc_id") % 50 === 0, n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-level span dedup (C4 / Lee et al. style): 10-word spans,
+    // keep first occurrence in (doc, position) order, reassemble.
+    // md5 of the cleaned text pins the exact reassembly.
+    "d8_span_dedup" -> ((s, d) => {
+      spanDedup(documents(s, d), "doc_id", "text", spanWords = 10)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_spans"), col("kept_spans"))
+        .orderBy("doc_id")
     })
   )
 
@@ -236,6 +256,41 @@ object DedupQueries {
         |SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "d9_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)]))) AS s
+        |  FROM w),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |d AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |hits AS (
+        |  SELECT sh.doc_id, COUNT(*) AS n_hits
+        |  FROM sh JOIN bench USING (s) WHERE sh.doc_id % 50 <> 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(n_hits AS INT) AS n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS contam_frac
+        |FROM d JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d8_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1),
+        |    i -> struct_pack(idx := i,
+        |      sp := array_to_string(ws[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ')))) AS s
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, s.idx AS idx, s.sp AS sp,
+        |    ROW_NUMBER() OVER (PARTITION BY s.sp ORDER BY doc_id, s.idx) AS rn
+        |  FROM sp),
+        |k AS (SELECT doc_id, idx, sp FROM r WHERE rn = 1),
+        |ns AS (SELECT doc_id, CAST(ceil(len(ws) / 10.0) AS INT) AS n_spans FROM w)
+        |SELECT doc_id, md5(string_agg(sp, ' ' ORDER BY idx)) AS clean_md5,
+        |  n_spans, CAST(COUNT(*) AS INT) AS kept_spans
+        |FROM k JOIN ns USING (doc_id) GROUP BY doc_id, n_spans
+        |ORDER BY doc_id""".stripMargin,
     "d2_minhash_lsh" -> (shingleSql +
       """, p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b,

@@ -39,6 +39,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Full k-NN self-join: top-3 neighbors for EVERY vector via the
+    // LSH bucket join (the neighbor-graph builder behind semantic
+    // dedup / cluster-then-sample). Nothing broadcast — both join
+    // sides are the corpus; candidates ∝ corpus²/2^planes.
+    "s5_knn_join" -> ((s, d) => {
+      knnJoin(embeddings(s, d), "vec_id", "embedding",
+        k = 3, seed = 42L, planes = 6, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // Pairwise L2 distance on a small slice (distance-metric parity).
     "s3_l2_pairs" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 30)
@@ -104,8 +114,29 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** s5 oracle: the s2 machinery without the query-set filter — every
+    * vector ranks its own bucket's candidates; 6 planes, k=3. */
+  private def s5Sql: String = {
+    val bucketTerms = (0 until 6).map { p =>
+      val plane = graft.functions.SimilarityFunctions.hyperplane(42L, p, 64)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> v[i] * ($plane)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+       | s AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id, ${cosSql("q.v", "b.v")} AS score
+       |  FROM b JOIN b q ON b.bucket = q.bucket AND b.vec_id <> q.vec_id),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2Sql,
+    "s5_knn_join" -> s5Sql,
     "s4_ann_ivf" -> s4Sql,
     "s1_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -160,6 +160,15 @@ object TextAnalysisQueries {
       decodeMedia(payloads, "doc_id", "payload").orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality stats: most-frequent-word /
+    // most-frequent-bigram fractions + repeated-trigram occupancy, the
+    // boilerplate/spam filters of a curation pipeline. One scan, two
+    // map-side-combined hash aggs.
+    "x13_repetition" -> ((s, d) => {
+      repetitionStats(documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -306,6 +315,32 @@ object TextAnalysisQueries {
         |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 16
         |    ELSE 8 END AS INT) AS bits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // gram multiplicities are kept (UNION ALL of word/bigram/trigram
+    // streams mirrors the Spark side's tagged concat); counts are
+    // integers so the double divisions are engine-exact
+    "x13_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(ws) AS g FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 2, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)])) FROM w),
+        |c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |a AS (SELECT doc_id, n, MAX(c) AS maxc, CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS nd
+        |      FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  round(CAST(MAX(CASE WHEN n = 1 THEN maxc END) AS DOUBLE)
+        |      / CAST(MAX(CASE WHEN n = 1 THEN tot END) AS DOUBLE), 6) AS top_word_frac,
+        |  round(CAST(MAX(CASE WHEN n = 2 THEN maxc END) AS DOUBLE)
+        |      / CAST(MAX(CASE WHEN n = 2 THEN tot END) AS DOUBLE), 6) AS top_bigram_frac,
+        |  round(CAST(MAX(CASE WHEN n = 3 THEN tot END) - MAX(CASE WHEN n = 3 THEN nd END) AS DOUBLE)
+        |      / CAST(MAX(CASE WHEN n = 3 THEN tot END) AS DOUBLE), 6) AS dup_trigram_frac
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x6_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, text, greatest((octet_length(encode(text)) - 64) // 128, 0) AS maxf

@@ -96,4 +96,48 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 4L, 5L, 6L, 7L, 8L))
     labels.unpersist()
   }
+
+  test("spanDedup drops exactly the repeated spans and reassembles in order") {
+    // doc 1: spans A B; doc 2: spans B C (B repeats -> dropped);
+    // doc 3: A B (everything repeats -> doc vanishes)
+    val A = (1 to 3).map(i => s"a$i").mkString(" ")
+    val B = (1 to 3).map(i => s"b$i").mkString(" ")
+    val C = "c1 c2" // short tail span
+    val docs = Seq(
+      (1L, s"$A $B"), (2L, s"$B $C"), (3L, s"$A $B")
+    ).toDF("doc_id", "text")
+    val out = spanDedup(docs, "doc_id", "text", spanWords = 3)
+      .select("doc_id", "clean_text", "n_spans", "kept_spans")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, s"$A $B", 2, 2), (2L, C, 2, 1)))
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),        // benchmark (id % 2 == 0 plays the slice)
+      (1L, "zeta beta gamma delta epsilon"), // shares "beta gamma delta" etc.
+      (3L, "one two three four five")        // clean
+    ).toDF("doc_id", "text")
+    val out = decontaminate(docs, "doc_id", "text",
+        benchCond = col("doc_id") % 2 === 0, n = 3)
+      .as[(Long, Int, Double)].collect().toSeq
+    // doc 1 has 3-grams {zeta beta gamma, beta gamma delta, gamma delta epsilon};
+    // exactly one is in the benchmark set
+    assert(out == Seq((1L, 1, 0.333333)))
+  }
+
+  test("repetitionStats matches hand-computed fractions") {
+    import graft.functions.TextAnalysisFunctions.repetitionStats
+    // 6 words: "x x x y z w" -> top word 3/6; bigrams: "x x" twice of 5
+    // -> 2/5; trigrams: "x x x","x x y","x y z","y z w" all distinct -> 0
+    val docs = Seq((1L, "x x x y z w")).toDF("doc_id", "text")
+    val r = repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(r == ((1L, 0.5, 0.4, 0.0)))
+    // "p q p q p q" -> trigrams: "p q p","q p q","p q p","q p q" -> 2
+    // distinct of 4 occurrences -> dup frac 0.5
+    val r2 = repetitionStats(Seq((2L, "p q p q p q")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Double, Double, Double)].collect().head
+    assert(r2._4 == 0.5)
+  }
 }

@@ -95,6 +95,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("d9 decontamination broadcasts the benchmark n-gram set (corpus probe is shuffle-free)") {
+    val p = plan("d9_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("s5 kNN join is a bucket-equality join (no all-pairs scan)") {
+    val p = plan("s5_knn_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("d8 span dedup shuffles only on span text and doc id (no join wider than the corpus)") {
+    val p = plan("d8_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // keep-first window partitions by the span text
+    assert(p.contains("Window") && p.contains("__sp"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect

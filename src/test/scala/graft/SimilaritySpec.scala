@@ -30,6 +30,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.forall { case (q2, n) => q2 != n })
   }
 
+  test("knnJoin: planted duplicate vectors are each other's rank-1 at score 1") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // clone vector 0 as id 100000: identical vector -> identical bucket,
+    // cosine 1.0 -> mutual rank-1 neighbors
+    val clone = e.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val g = knnJoin(e.unionByName(clone), "vec_id", "embedding",
+      k = 3, seed = 42L, planes = 6, dim = 64)
+    val top = g.filter(col("rank") === 1 &&
+        (col("query_id") === 0L || col("query_id") === 100000L))
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(top == Set((0L, 100000L, 1.0), (100000L, 0L, 1.0)))
+    // k bound respected per query
+    val over = g.groupBy("query_id").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+
+  test("knnJoin agrees with brute force restricted to the query's bucket") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val withBucket = e.withColumn("__b",
+      lshBucket(col("embedding"), 42L, 6, 64))
+    val g = knnJoin(e, "vec_id", "embedding", k = 3, seed = 42L, planes = 6, dim = 64)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // brute-force the same candidate set for query 0's bucket
+    val rows = withBucket.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getLong(2)))
+    val (qid, qv, qb) = rows.find(_._1 == 0L).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val expect = rows.filter(r => r._3 == qb && r._1 != qid)
+      .map(r => (r._1, BigDecimal(java.math.BigDecimal.valueOf(cos(qv, r._2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    expect.zipWithIndex.foreach { case (nid, i) =>
+      assert(g.get((0L, i + 1)).contains(nid), s"rank ${i + 1}")
+    }
+  }
+
   test("IVF top-k probes its cells deterministically with nonzero recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
