@@ -20,6 +20,7 @@ object SparkEntry {
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
       (qp.SimilarityQueries.queries, qp.SimilarityQueries.oracles),
       (qp.TextAnalysisQueries.queries, qp.TextAnalysisQueries.oracles),
+      (qp.CurationQueries.queries, qp.CurationQueries.oracles),
       (qp.StreamQueries.queries, qp.StreamQueries.oracles),
       (qp.ModelQueries.queries, qp.ModelQueries.oracles),
       (qp.DbQueries.queries, qp.DbQueries.oracles),

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for pretraining pipelines: temperature-
+  * based domain mixing, shard-local sequence packing, and quality-band
+  * reporting. Like the rest of the parity-plus surface these are
+  * deterministic by construction (md5-derived uniforms, IEEE-exact
+  * math) so the DuckDB oracles compare exact results.
+  */
+object CurationFunctions {
+
+  private def ntok(textCol: String): Column = size(split(col(textCol), " "))
+
+  /** Temperature-based source mixing (the UnifiedQA / Pile / Gopher
+    * recipe: sample source s proportional to cnt_s^α so small domains
+    * are upweighted): per-source token counts → weight_s = √cnt_s
+    * normalized (α = 0.5 — √ because IEEE sqrt is correctly rounded in
+    * BOTH engines, so the oracle is bit-exact; an arbitrary α would
+    * ride on libm pow and flap in the last ulp) → per-source keep rate
+    * hitting `targetFrac` of total tokens → md5-Bernoulli per-doc
+    * sampling at that rate (reproducible at any parallelism).
+    *
+    * The weight normalizer folds in source order (an ordered window
+    * sum, not a partition-order agg) — 20 doubles summed in a
+    * deterministic sequence, so Spark and the oracle see the same
+    * denominator bit-for-bit. The per-source table is tiny (one row
+    * per domain); everything corpus-sized is a single scan + one
+    * map-side-combined agg.
+    *
+    * Returns one row per source: token count, normalized weight, keep
+    * rate, and how many docs the Bernoulli pass kept.
+    */
+  def domainMixWeights(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, targetFrac: Double): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+      ntok(textCol).as("__ntok"))
+    val perSource = tok.groupBy("__src")
+      .agg(sum(col("__ntok").cast("long")).as("__toks"))
+      .withColumn("__raw", sqrt(col("__toks").cast("double")))
+    // deterministic fold order for the two normalizers: ordered window
+    // sums over the (tiny) per-source table
+    val all = Window.orderBy("__src")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rated = perSource
+      .withColumn("__totraw", sum("__raw").over(all))
+      .withColumn("__tottoks", sum("__toks").over(all))
+      .withColumn("__wgt", col("__raw") / col("__totraw"))
+      .withColumn("__rate",
+        lit(targetFrac) * col("__tottoks").cast("double") * col("__wgt")
+          / col("__toks").cast("double"))
+    // md5-Bernoulli keep decision per doc at the source's rate (q27's
+    // uniform: 13 hex digits of md5 over 16^13)
+    val u = conv(substring(md5(concat(col("__id").cast("string"), lit(":mix"))), 1, 13), 16, 10)
+      .cast("double") / pow(lit(16.0), lit(13.0))
+    val kept = tok.join(rated.select("__src", "__rate"), Seq("__src"))
+      .filter(u < col("__rate"))
+      .groupBy("__src").agg(count(lit(1)).as("__kept"))
+    rated.join(kept, Seq("__src"), "left")
+      .select(col("__src").as(sourceCol), col("__toks").as("toks"),
+        round(col("__wgt"), 6).as("weight"),
+        round(col("__rate"), 6).as("keep_rate"),
+        coalesce(col("__kept"), lit(0L)).cast("int").as("kept_docs"))
+  }
+
+  /** Shard-local sequence packing: documents are packed greedily in
+    * (source, doc order) into fixed `budget`-token training sequences —
+    * a doc starts in the bin its running token offset falls in. Packing
+    * is per-source on purpose: a global packing order is a global sort
+    * (the classic scale trap); real pipelines pack within a shard, and
+    * the per-source windows here parallelize across sources exactly
+    * like shards. Returns per-bin stats (doc count, token count, fill
+    * ratio vs budget).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy("__src").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+        ntok(textCol).cast("long").as("__ntok"))
+      .withColumn("__cum", sum("__ntok").over(w))
+      // integer floor-division: offsets are nonnegative and < 2^52, so
+      // the double division + cast truncation is exact in both engines
+      .withColumn("__bin",
+        ((col("__cum") - col("__ntok")) / lit(budget.toLong)).cast("int"))
+      .groupBy(col("__src"), col("__bin"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum("__ntok").as("n_tokens"),
+        round(sum("__ntok").cast("double") / lit(budget.toDouble), 6).as("fill"))
+      .select(col("__src").as(sourceCol), col("__bin").as("bin"),
+        col("n_docs"), col("n_tokens"), col("fill"))
+  }
+
+  /** Quality-band report: decile boundaries come from the cumulative
+    * distribution over DISTINCT quality values (a value histogram whose
+    * size is bounded by the score's 6-digit resolution, not by corpus
+    * size — the scale-safe alternative to a global ntile window, which
+    * would sort the whole corpus on one partition). Docs sharing a
+    * quality value always land in the same band, so band sizes are
+    * equal only up to ties — that's the defined semantic, mirrored in
+    * the oracle. decile = ceil(10 · cumCount / N) over integer counts.
+    */
+  def qualityDeciles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = docs.select(col(idCol).as("__id"),
+      round(TextAnalysisFunctions.qualityScore(col(textCol)), 6).as("__q"))
+    val hist = scored.groupBy("__q").agg(count(lit(1)).as("__c"))
+    val byValue = Window.orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("__q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bands = hist
+      .withColumn("__cum", sum("__c").over(byValue))
+      .withColumn("__n", sum("__c").over(all))
+      .withColumn("decile",
+        least(ceil(lit(10.0) * col("__cum").cast("double") / col("__n").cast("double")),
+          lit(10L)).cast("int"))
+    scored.join(bands.select("__q", "decile"), Seq("__q"))
+      .groupBy("decile")
+      .agg(count(lit(1)).cast("int").as("n"),
+        min("__q").as("min_q"), max("__q").as("max_q"))
+  }
+}

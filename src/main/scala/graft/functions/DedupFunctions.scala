@@ -468,6 +468,50 @@ object DedupFunctions {
           .as("contam_frac"))
   }
 
+  /** Incremental (cross-batch) exact dedup: which docs of a NEW batch
+    * already exist in a reference corpus — the "dedup tonight's crawl
+    * against everything we already have" pass that runs far more often
+    * than a full self-dedup.
+    *
+    * A bloom sketch of the reference content hashes pre-filters the
+    * batch (built distributed via treeAggregate in `stat.bloomFilter`,
+    * then shipped to the batch scan as one bitmap — the reference is
+    * NEVER joined against the full batch); the surviving candidates
+    * (true matches + bloom false positives) are exactly verified with
+    * a join against the reference hashes, so the result equals the
+    * plain semi-join and the oracle is trivial. At 100 TB the sketch
+    * is GBs for billions of docs at 1% fpp — broadcastable — and the
+    * verify join only sees the candidate sliver.
+    *
+    * Returns (idCol, dup_of = min reference id with the same content,
+    * content_hash). */
+  def incrementalDedup(reference: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedItems: Long = 100000L): DataFrame = {
+    // the bloom kernel is long-keyed: sketch a 60-bit projection of the
+    // content hash (fpp adds to the sketch's own 1% — both kinds of
+    // false positive are removed by the exact verify join on the full
+    // hash string)
+    def hashLong(h: Column): Column =
+      conv(substring(h, 1, 15), 16, 10).cast("long")
+    val ref = reference.select(col(idCol).as("__rid"),
+      contentHash(col(textCol)).as("__h"))
+    val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("__h"))
+    val candidates =
+      if (reference.isEmpty) hashed.filter(lit(false))
+      else {
+        val bloom = ref.select(hashLong(col("__h")).as("__hl"))
+          .stat.bloomFilter("__hl", expectedItems, 0.01)
+        val bytes = { val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos); bos.toByteArray }
+        hashed.filter(graft.expressions.HashExpressions.bloom_might_contain(
+          hashLong(col("__h")), bytes))
+      }
+    candidates
+      .join(ref.groupBy("__h").agg(min("__rid").as("dup_of")), Seq("__h"))
+      .select(col(idCol), col("dup_of"), col("__h").as("content_hash"))
+  }
+
   /** Corpus-level span dedup (the C4 / Lee et al. 2022 "remove any
     * repeated span, keep the first occurrence" pass, at word-span
     * granularity): each document is cut into non-overlapping

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.CurationFunctions._
+
+/** Corpus-curation queries over `documents`: domain mixing, sequence
+  * packing, quality banding (parity-plus pretraining-pipeline surface).
+  */
+object CurationQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Temperature-based (α = 0.5) source mixing: per-source weights,
+    // keep rates targeting 25% of total tokens, md5-Bernoulli kept
+    // counts. Window-ordered normalizer folds → bit-exact vs oracle.
+    "x16_domain_mix" -> ((s, d) => {
+      domainMixWeights(documents(s, d), "doc_id", "text", "source",
+        targetFrac = 0.25)
+        .orderBy("source")
+    }),
+
+    // Shard-local sequence packing into 256-token budgets: per-bin doc
+    // and token counts + fill ratio. Packing windows parallelize
+    // across sources (no global sort).
+    "x17_pack_sequences" -> ((s, d) => {
+      packSequences(documents(s, d), "doc_id", "text", "source",
+        budget = 256)
+        .orderBy("source", "bin")
+    }),
+
+    // Quality-decile report over the x2 quality score: band boundaries
+    // from the distinct-value histogram (corpus-size-independent), not
+    // a global ntile sort.
+    "x15_quality_deciles" -> ((s, d) => {
+      qualityDeciles(documents(s, d), "doc_id", "text")
+        .orderBy("decile")
+    })
+  )
+
+  /** The x2 quality-score SQL (same IEEE op order as
+    * TextAnalysisFunctions.qualityScore; see x2_quality). */
+  private val qualitySql =
+    """SELECT doc_id, round(
+      |  0.4 * least(((nchar - (ntok - 1.0)) / ntok) / 8.0, 1.0)
+      |  + 0.4 * (ndistinct / ntok)
+      |  + 0.2 * (1.0 - least(punct / ntok + digits / nchar, 1.0)), 6) AS q
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+      |    CAST(length(text) AS DOUBLE) AS nchar,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS ndistinct,
+      |    CAST(len(string_split_regex(text, '[\.,;:!?]')) AS DOUBLE) - 1.0 AS punct,
+      |    CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits
+      |  FROM documents)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "x16_domain_mix" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+        |s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS toks FROM tok GROUP BY 1),
+        |w AS (SELECT source, toks, sqrt(CAST(toks AS DOUBLE)) AS raw FROM s),
+        |norm AS (
+        |  SELECT source, toks, raw,
+        |    SUM(raw) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS totraw,
+        |    SUM(toks) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tottoks
+        |  FROM w),
+        |rate AS (
+        |  SELECT source, toks, raw / totraw AS wgt,
+        |    0.25 * CAST(tottoks AS DOUBLE) * (raw / totraw) / CAST(toks AS DOUBLE) AS keep_rate
+        |  FROM norm),
+        |keep AS (
+        |  SELECT t.source, COUNT(*) AS kept
+        |  FROM tok t JOIN rate r USING (source)
+        |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 13)) AS BIGINT)
+        |          / pow(16.0, 13.0) < r.keep_rate
+        |  GROUP BY 1)
+        |SELECT r.source, r.toks, round(r.wgt, 6) AS weight,
+        |  round(r.keep_rate, 6) AS keep_rate,
+        |  CAST(COALESCE(k.kept, 0) AS INT) AS kept_docs
+        |FROM rate r LEFT JOIN keep k USING (source) ORDER BY r.source""".stripMargin,
+    "x17_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ntok FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, ntok,
+        |    SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok),
+        |b AS (SELECT source, CAST((cum - ntok) // 256 AS INT) AS bin, ntok FROM c)
+        |SELECT source, bin, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(ntok) AS DOUBLE) / 256.0, 6) AS fill
+        |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "x15_quality_deciles" ->
+      s"""WITH sc AS ($qualitySql),
+         |hist AS (SELECT q, COUNT(*) AS c FROM sc GROUP BY 1),
+         |bands AS (
+         |  SELECT q,
+         |    least(CAST(ceil(10.0 * CAST(SUM(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |      / CAST(SUM(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)) AS BIGINT), 10) AS decile
+         |  FROM hist)
+         |SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS INT) AS n,
+         |  MIN(sc.q) AS min_q, MAX(sc.q) AS max_q
+         |FROM sc JOIN bands USING (q) GROUP BY decile ORDER BY decile""".stripMargin
+  )
+}

@@ -236,6 +236,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental (cross-batch) dedup: tonight's batch — 50 planted
+    // copies of reference docs + a disjoint novel slice — against the
+    // full corpus via bloom-prune + exact verify. The result equals
+    // the exact semi-join, so the oracle is plain SQL.
+    "d10_incremental_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" novel")).as("text")))
+      incrementalDedup(docs, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level span dedup (C4 / Lee et al. style): 10-word spans,
     // keep first occurrence in (doc, position) order, reassemble.
     // md5 of the cleaned text pins the exact reassembly.
@@ -273,6 +288,19 @@ object DedupQueries {
         |SELECT d.doc_id, CAST(n_hits AS INT) AS n_hits,
         |  round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS contam_frac
         |FROM d JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d10_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text || ' novel' FROM documents WHERE doc_id % 7 = 3),
+        |ref AS (
+        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |    MIN(doc_id) AS dup_of
+        |  FROM documents GROUP BY 1)
+        |SELECT b.doc_id, ref.dup_of,
+        |  md5(regexp_replace(lower(b.text), '\s+', ' ', 'g')) AS content_hash
+        |FROM batch b JOIN ref ON md5(regexp_replace(lower(b.text), '\s+', ' ', 'g')) = ref.h
+        |ORDER BY b.doc_id""".stripMargin,
     "d8_span_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sp AS (

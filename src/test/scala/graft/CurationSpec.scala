@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CurationFunctions._
+
+/** Hand-computed fixtures for the curation operators (the oracle pins
+  * them statistically at corpus scale; these pin the semantics). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("domainMixWeights upweights small sources (α = 0.5 temperature)") {
+    // big: 4 docs × 4 tokens = 16 tokens; small: 1 doc × 4 tokens
+    val docs = ((1 to 4).map(i => (i.toLong, "a b c d", "big")) :+
+      ((9L, "a b c d", "small"))).toDF("doc_id", "text", "source")
+    val out = domainMixWeights(docs, "doc_id", "text", "source", targetFrac = 0.5)
+      .select("source", "toks", "weight", "keep_rate")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("big")._2 == 16L && out("small")._2 == 4L)
+    // α=0.5: raw weights √16 : √4 = 2 : 1 → 2/3, 1/3 — the small
+    // source holds 20% of tokens but gets 33% of the sampled mass
+    assert(out("big")._3 == 0.666667 && out("small")._3 == 0.333333)
+    // keep_rate = targetFrac · total · w / cnt: small is oversampled
+    // (0.5·20·(1/3)/4 = 0.833) vs big (0.5·20·(2/3)/16 = 0.417)
+    assert(out("small")._4 == 0.833333 && out("big")._4 == 0.416667)
+  }
+
+  test("packSequences bins docs by running token offset within source") {
+    // token counts 100, 200, 30 at budget 128: offsets 0, 100, 300
+    // → bins 0, 0, 2 (doc 2 straddles; doc 3 starts in bin 2)
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((1L, words(100), "s"), (2L, words(200), "s"), (3L, words(30), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = packSequences(docs, "doc_id", "text", "source", budget = 128)
+      .select("bin", "n_docs", "n_tokens").as[(Int, Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 2, 300L), (2, 1, 30L)))
+  }
+
+  test("qualityDeciles: bands partition the corpus with monotone boundaries") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = qualityDeciles(docs, "doc_id", "text")
+      .orderBy("decile")
+      .select("decile", "n", "min_q", "max_q")
+      .as[(Int, Int, Double, Double)].collect()
+    assert(out.map(_._2.toLong).sum == docs.count())
+    // value-disjoint, ordered bands: each band's min exceeds the
+    // previous band's max (ties collapse into one band by design)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, s"$a vs $b")
+      case _ =>
+    }
+    assert(out.forall(r => r._3 <= r._4))
+  }
+}

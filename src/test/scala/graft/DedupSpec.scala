@@ -126,6 +126,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1, 0.333333)))
   }
 
+  test("incrementalDedup finds planted cross-batch dups and nothing else") {
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA  beta gamma"),   // normalizes to ref doc 1
+      (11L, "eta theta iota")       // novel
+    ).toDF("doc_id", "text")
+    val out = incrementalDedup(ref, batch, "doc_id", "text")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L)))
+    // empty reference → empty result (bloom build guarded)
+    val empty = incrementalDedup(ref.filter(col("doc_id") < 0), batch,
+      "doc_id", "text")
+    assert(empty.count() == 0)
+  }
+
   test("repetitionStats matches hand-computed fractions") {
     import graft.functions.TextAnalysisFunctions.repetitionStats
     // 6 words: "x x x y z w" -> top word 3/6; bigrams: "x x" twice of 5
