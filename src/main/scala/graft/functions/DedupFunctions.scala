@@ -287,8 +287,12 @@ object DedupFunctions {
     * (unlike containmentPairs, whose asymmetric measure only bounds the
     * contained side — here both sides prune). Lossless extra pruning:
     * the size filter t·|A| ≤ |B| ≤ |A|/t, and the PPJoin positional
-    * bound |A∩B| ≤ 1 + min(|A|−r_A, |B|−r_B) which must reach
-    * ⌈t·max(|A|,|B|)⌉ through some shared prefix shingle.
+    * bound |A∩B| ≤ 1 + min(|A|−r_A, |B|−r_B) which must reach the
+    * Jaccard-equivalent overlap ⌈t/(1+t)·(|A|+|B|)⌉ (from J = i/(|A|+
+    * |B|−i) ≥ t ⟺ i ≥ t/(1+t)·(|A|+|B|); under the size filter this
+    * is always ≥ the weaker ⌈t·max⌉ bound — at t=0.4 it raised the
+    * required overlap from 0.4·max to ~0.57·max and cut the candidate
+    * stage ~2× at sf0.1, tools/ProfileD4).
     *
     * Verification runs over 40-bit md5-hashed shingle sets (sorted
     * long arrays, merge-walk kernel): the exact-verify join attaches
@@ -336,9 +340,11 @@ object DedupFunctions {
         // size filter: J ≥ t forces the sizes within a t ratio
         col("__nab") >= ceilT(col("__naa")) &&
         col("__naa") >= ceilT(col("__nab")) &&
-        // positional bound must reach the Jaccard-implied floor
+        // positional bound must reach the Jaccard-equivalent overlap
+        // floor t/(1+t)·(na+nb) — tight form of the t·max bound (same
+        // epsilon guard: loosening-only, recall preserved)
         lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceilT(greatest(col("__naa"), col("__nab"))))
+          ceil(lit(threshold / (1 + threshold)) * (col("__naa") + col("__nab")) - lit(1e-9)))
       .select(col("__pa").as("a"), col("__pb").as("b"))
       .distinct()
     // hashed verify sets: distinct hashes (two shingles may collide),

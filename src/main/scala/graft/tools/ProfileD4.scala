@@ -56,7 +56,7 @@ object ProfileD4 {
         col("__nab") >= ceil(lit(t) * col("__naa")) &&
         col("__naa") >= ceil(lit(t) * col("__nab")) &&
         lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceil(lit(t) * greatest(col("__naa"), col("__nab"))))
+          ceil(lit(t / (1 + t)) * (col("__naa") + col("__nab")) - lit(1e-9)))
       .select(col("__pa").as("a"), col("__pb").as("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
