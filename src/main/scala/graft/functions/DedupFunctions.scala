@@ -458,11 +458,25 @@ object DedupFunctions {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     benchCond: Column, n: Int): DataFrame = {
-    // >= n words on both sides mirrors the oracle's len(ws) >= n guard
-    // (and keeps wordShingles' short-text fallback branch out of play)
-    val sh = docs.filter(size(split(col(textCol), " ")) >= n)
+    import org.apache.spark.sql.expressions.Window
+    // >= n words on both sides mirrors the oracle's len(ws) >= n guard.
+    // n-grams come from lead() over the (doc, position) window — fully
+    // codegen'd (the wordShingles HOF form cost ~1 s of interpreted
+    // lambda evals at sf0.1); distinct-per-doc afterwards mirrors the
+    // shingle-SET semantics of the HOF form
+    val words = docs.filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("__id"), benchCond.as("__bench"),
-        explode(wordShingles(col(textCol), n)).as("__s"))
+        posexplode(split(col(textCol), " ")))
+      .toDF("__id", "__bench", "__pos", "__w")
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val gram = (1 until n).foldLeft(col("__w")) { (acc, j) =>
+      concat(acc, lit(" "), lead("__w", j).over(w))
+    }
+    val sh = words
+      .withColumn("__s", gram)
+      .filter(col("__s").isNotNull) // lead past the end → null gram
+      .select("__id", "__bench", "__s")
+      .distinct()
     val bench = broadcast(sh.filter(col("__bench")).select("__s").distinct())
     val corpus = sh.filter(!col("__bench"))
     val grams = corpus.groupBy("__id").agg(count(lit(1)).as("__ngrams"))
