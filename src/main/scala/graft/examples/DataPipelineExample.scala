@@ -2,20 +2,24 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.{DedupFunctions, TextAnalysisFunctions, TextFunctions}
+import graft.functions.{CurationFunctions, DedupFunctions, TextAnalysisFunctions, TextFunctions}
 
 /** End-to-end LLM training-data pipeline over the `documents` table —
   * the parity-plus surface composed the way a user would chain it:
   *
-  *   read → quality score → language ID → exact dedup → MinHash-LSH
-  *   near-dedup (cluster, keep representative) → chunk → tokenize →
-  *   token budget report → write curated parquet.
+  *   read → quality score → language ID → repetition filter → exact
+  *   dedup → MinHash-LSH near-dedup (cluster, keep representative) →
+  *   benchmark decontamination → domain-mix report → chunk → tokenize
+  *   → pack into training sequences → token budget report → write
+  *   curated parquet.
   *
   * Every stage is a lazy DataFrame transform; the only actions are the
   * near-dup materialization and the final write. At 100 TB the same
   * plan shape holds: per-row scoring is map-only, exact dedup is one
   * hash shuffle, LSH shuffles (band, id) pairs, clustering touches only
-  * the (tiny) near-dup edge set, chunk/tokenize are map-side again.
+  * the (tiny) near-dup edge set, the decontamination probe broadcasts
+  * the benchmark n-grams, chunk/tokenize/pack are map-side or
+  * shard-local again.
   *
   * Run: sbt "runMain graft.examples.DataPipelineExample [sfDir]"
   */
@@ -32,11 +36,15 @@ object DataPipelineExample {
 
     val docs = graft.Tables.documents(spark, sfDir)
 
-    // 1. per-document quality + language (pure column expressions)
+    // 1. per-document quality + language (pure column expressions) +
+    //    Gopher-style repetition gate (drop boilerplate/spam docs)
+    val rep = TextAnalysisFunctions.repetitionStats(docs, "doc_id", "text")
     val scored = docs
       .withColumn("quality", TextAnalysisFunctions.qualityScore(col("text")))
       .withColumn("lang_guess", TextAnalysisFunctions.langIdGuess(col("text")))
       .filter(col("quality") >= 0.5)
+      .join(rep.select(col("doc_id"), col("top_bigram_frac")), Seq("doc_id"))
+      .filter(col("top_bigram_frac") < 0.2).drop("top_bigram_frac")
 
     // 2. exact dedup: keep the lowest doc_id per normalized content hash
     val exactKept = scored
@@ -52,22 +60,46 @@ object DataPipelineExample {
       threshold = 0.8)
     val clusters = DedupFunctions.nearDupClusters(pairs.select("a", "b"))
     val decision = DedupFunctions.dedupDecision(exactKept, "doc_id", clusters)
-    val curated = exactKept.join(
+    val deduped = exactKept.join(
       decision.filter(col("keep")).select("doc_id"), Seq("doc_id"))
 
-    // 4. chunk to training windows, count tokens per chunk
+    // 4. benchmark decontamination: drop docs sharing a 3-gram with the
+    //    held-out eval slice (broadcast probe — the corpus never
+    //    shuffles for this)
+    val contaminated = DedupFunctions.decontaminate(
+      deduped, "doc_id", "text",
+      benchCond = col("doc_id") % 50 === 0, n = 3)
+    val curated = deduped
+      .filter(col("doc_id") % 50 =!= 0) // the bench slice itself stays out
+      .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 5. domain-mix report: what the α=0.5 temperature sampler would
+    //    keep per source at a 25% token budget
+    val mix = CurationFunctions.domainMixWeights(
+      curated, "doc_id", "text", "source", targetFrac = 0.25)
+
+    // 6. chunk to training windows, count tokens per chunk, pack the
+    //    curated docs into 512-token training sequences per source
     val chunks = TextFunctions.chunkText(curated, "doc_id", "text",
       size = 512, stride = 384)
       .withColumn("n_tokens", TextAnalysisFunctions.wsTokenCount(col("chunk")))
+    val packed = CurationFunctions.packSequences(
+      curated, "doc_id", "text", "source", budget = 512)
 
-    // 5. curation report + write
+    // 7. curation report + write
     val report = chunks.agg(
       count(lit(1)).as("n_chunks"),
       sum(col("n_tokens")).as("total_tokens"),
       round(avg(col("n_tokens")), 2).as("avg_tokens_per_chunk")).head()
     val nDocs = docs.count(); val nCurated = curated.count()
+    val nContam = contaminated.count(); val nBins = packed.count()
     println(s"docs: $nDocs -> curated: $nCurated " +
-      s"(quality+exact+near-dup removed ${nDocs - nCurated})")
+      s"(quality+repetition+dedup removed ${nDocs - nCurated - nContam}, " +
+      s"decontamination removed $nContam)")
+    println(s"packed into $nBins training-sequence bins; " +
+      s"top sources by sampled mass:")
+    mix.orderBy(col("weight").desc).limit(3).collect()
+      .foreach(r => println(s"  $r"))
     println(s"chunks: ${report.getLong(0)}, tokens: ${report.getLong(1)}, " +
       s"avg/chunk: ${report.getDouble(2)}")
 

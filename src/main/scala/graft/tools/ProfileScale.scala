@@ -198,7 +198,73 @@ object ProfileScale {
         println(f"d6    ${t}%7.1f s  labeled nodes $nc%9d")
         cells += Cell("d6_clusters", f, n, t, -1L, nc)
       }
+
+      // d8 — corpus-level span dedup: spans exploded ∝ corpus, one
+      // keep-first window on span text. "candidates" = total spans.
+      {
+        val (kept, t) = time {
+          spanDedup(docs, "doc_id", "text", 10)
+            .agg(sum("kept_spans")).collect()(0).getLong(0)
+        }
+        val spans = docs.select(
+          ceil(size(split(col("text"), " ")).cast("double") / 10).cast("long").as("ns"))
+          .agg(sum("ns")).collect()(0).getLong(0)
+        println(f"d8    ${t}%7.1f s  spans $spans%9d  kept $kept%9d")
+        cells += Cell("d8_span_dedup", f, n, t, spans, kept)
+      }
+
+      // d9 — decontamination with a FIXED benchmark (the base replica's
+      // % 50 slice — the realistic setting: the benchmark doesn't grow
+      // with the corpus). Probe volume ∝ corpus grams, broadcast const.
+      {
+        val bench = col("doc_id") < 10000000L && col("doc_id") % 50 === 0
+        val (flagged, t) = time {
+          decontaminate(docs, "doc_id", "text", bench, 3).count()
+        }
+        val grams = docs.filter(size(split(col("text"), " ")) >= 3)
+          .select((size(split(col("text"), " ")) - 2).cast("long").as("ng"))
+          .agg(sum("ng")).collect()(0).getLong(0)
+        println(f"d9    ${t}%7.1f s  grams $grams%9d  flagged $flagged%7d")
+        cells += Cell("d9_decontaminate", f, n, t, grams, flagged)
+      }
       spark.sharedState.cacheManager.clearCache()
+    }
+
+    // s5 — kNN join: candidates ∝ corpus²/2^planes, so the documented
+    // dial is planes ~ log₂(corpus): grow the corpus F× AND add
+    // ⌈log₂F⌉ planes, and candidate counts must stay ~linear (with
+    // fixed planes they'd grow F²). Embedding replicas: vec_id offset
+    // + a replica-specific sign flip on a dim subset — an isometry, so
+    // per-replica geometry is exactly the base corpus's while
+    // cross-replica vectors land in fresh buckets.
+    {
+      import graft.functions.SimilarityFunctions.{knnJoin, lshBucket}
+      val ebase = embeddings(spark, d).select("vec_id", "embedding")
+      val en = ebase.count()
+      for (f <- factors) {
+        val reps = (0 until f).map { c =>
+          if (c == 0) ebase
+          else ebase.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              (x, j) => when((j + c) % 3 === 0, -x).otherwise(x)).as("embedding"))
+        }
+        val p = s"$tmp/emb_x$f"
+        reps.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+        val e = spark.read.parquet(p)
+        val planes = 6 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt
+        val (rows, t) = time {
+          knnJoin(e, "vec_id", "embedding", k = 3, seed = 42L,
+            planes = planes, dim = 64).count()
+        }
+        val cand = {
+          val b = e.select(col("vec_id").as("__id"),
+            lshBucket(col("embedding"), 42L, planes, 64).as("__b"))
+          b.groupBy("__b").agg(count(lit(1)).as("c"))
+            .agg(sum(col("c") * (col("c") - 1))).collect()(0).getLong(0)
+        }
+        println(f"s5 f=$f planes=$planes ${t}%7.1f s  candidates $cand%9d  rows $rows%7d")
+        cells += Cell("s5_knn_join", f, en * f, t, cand, rows)
+      }
     }
 
     println("\nop,factor,docs,secs,candidates,pairs")
