@@ -132,6 +132,64 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Product-quantization top-k with ADC (asymmetric distance
+    * computation) — the fourth ANN family next to brute force, LSH and
+    * IVF, and the one real vector stores use for memory: each vector
+    * is stored as m sub-codes (here m sub-blocks × `centroids`-entry
+    * codebooks; deterministic codebooks = the first `centroids` corpus
+    * vectors' sub-blocks, the same "first C" convention as IVF, so the
+    * oracle replicates them exactly). A query computes one small
+    * distance table (m × centroids) and every corpus vector's distance
+    * estimate is m table lookups + an m-term sum — the corpus is
+    * scanned as codes, never as floats.
+    *
+    * Scale shape: encoding is one corpus pass × (m·centroids) small
+    * L2s; the ADC scan joins the (tiny, broadcast) query distance
+    * table to the code table — shuffle ∝ corpus × m, no floats move.
+    * Every distance is rounded to 6 digits before argmin/ranking with
+    * id tie-breaks; the m-term sum folds in block order (explicit
+    * d0+d1+…, not an agg) — bit-reproducible in both engines. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int, centroids: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    def blocks(df: DataFrame, idAlias: String): DataFrame =
+      df.select(col(idCol).as(idAlias),
+          explode(array((0 until m).map(b =>
+            struct(lit(b).as("__b"),
+              asDouble(slice(col(vecCol), b * sub + 1, sub)).as("__v"))): _*)).as("__e"))
+        .select(col(idAlias), col("__e.__b").as("__b"), col("__e.__v").as("__v"))
+    val cent = broadcast(blocks(corpus.filter(col(idCol) < centroids), "__cid")
+      .withColumnRenamed("__v", "__cv"))
+    // encode: per (vector, block) the nearest codebook entry
+    val codes = {
+      val scored = blocks(corpus, "neighbor_id").join(cent, Seq("__b"))
+        .withColumn("__d", round(
+          graft.expressions.HashExpressions.double_l2_squared(col("__v"), col("__cv")), 6))
+      val w = Window.partitionBy("neighbor_id", "__b")
+        .orderBy(col("__d"), col("__cid"))
+      scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        .select("neighbor_id", "__b", "__cid")
+    }
+    // query ADC table: distance from each query block to each codeword
+    val qdist = blocks(queries, "query_id").join(cent, Seq("__b"))
+      .withColumn("__qd", round(
+        graft.expressions.HashExpressions.double_l2_squared(col("__v"), col("__cv")), 6))
+      .select("query_id", "__b", "__cid", "__qd")
+    // ADC scan: m lookups per (query, neighbor), summed in block order
+    val perBlock = codes.join(broadcast(qdist), Seq("__b", "__cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    def blockD(b: Int): Column = max(when(col("__b") === b, col("__qd")))
+    val est = perBlock.groupBy("query_id", "neighbor_id")
+      .agg(round((0 until m).map(blockD).reduce(_ + _), 6).as("est"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("est").asc, col("neighbor_id").asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "est", "rank")
+  }
+
   /** LSH-pruned approximate top-k: corpus and queries are bucketed by
     * hyperplane sign bits; candidates share the query's bucket, then
     * exact cosine reranks. At scale the bucket join replaces the full

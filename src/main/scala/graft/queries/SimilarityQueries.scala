@@ -49,6 +49,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ-ADC approximate top-5 (the memory-bound ANN family: corpus
+    // scanned as 4 sub-codes, distances from a per-query lookup
+    // table). Deterministic codebooks (first-16 sub-blocks) → exact
+    // oracle; SimilaritySpec measures recall vs s1.
+    "s6_ann_pq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 4, centroids = 16, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // Pairwise L2 distance on a small slice (distance-metric parity).
     "s3_l2_pairs" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 30)
@@ -134,9 +145,41 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s6 oracle: replicates pqTopK — codebooks are the first-16
+    * vectors' sub-blocks, per-block argmin encoding with rounded L2²
+    * and cid tie-break, ADC estimate summed in explicit block order. */
+  private def s6Sql: String = {
+    def l2(q: String, c: String, off: Int): String =
+      s"""round(list_sum(list_transform(generate_series(1, 16),
+         |      i -> ($q[i + $off] - $c[i + $off]) * ($q[i + $off] - $c[i + $off]))), 6)""".stripMargin
+    val blockSum = (0 until 4).map(b => s"MAX(CASE WHEN b = $b THEN qd END)").mkString("\n   + ")
+    val dists = (0 until 4).map(b => s"SELECT $b AS b, ${l2("e.v", "c.cv", b * 16)} AS d, e.vec_id, c.cid FROM e, cent c").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | bd AS ($dists),
+       | codes AS (
+       |  SELECT vec_id AS neighbor_id, b, cid FROM (
+       |    SELECT vec_id, b, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS rk
+       |    FROM bd) WHERE rk = 1),
+       | qd AS (SELECT vec_id AS query_id, b, cid, d AS qd FROM bd WHERE vec_id < 10),
+       | adc AS (
+       |  SELECT qd.query_id, codes.neighbor_id,
+       |    round($blockSum, 6) AS est
+       |  FROM codes JOIN qd USING (b, cid)
+       |  WHERE codes.neighbor_id <> qd.query_id
+       |  GROUP BY qd.query_id, codes.neighbor_id),
+       | r AS (SELECT query_id, neighbor_id, est,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS INT) AS rank
+       |   FROM adc)
+       |SELECT query_id, neighbor_id, est, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "s2_ann_lsh" -> s2Sql,
     "s5_knn_join" -> s5Sql,
+    "s6_ann_pq" -> s6Sql,
     "s4_ann_ivf" -> s4Sql,
     "s1_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -74,6 +74,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ-ADC top-k: codes are deterministic and recall vs brute force is nonzero") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = pqTopK(e, q, "vec_id", "embedding", k = 5,
+        m = 4, centroids = 16, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(); val b = run()
+    assert(a == b) // deterministic codebooks + tie-breaks
+    // 4 sub-codebooks of 16 over random floats: a coarse quantizer —
+    // the property that matters is a real, deterministic, nonzero-
+    // recall ranking (cosine-vs-L2 disagreement also caps this)
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall > 0.02, s"recall=$recall")
+    assert(a.forall { case (qi, n) => qi != n })
+  }
+
   test("IVF top-k probes its cells deterministically with nonzero recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
