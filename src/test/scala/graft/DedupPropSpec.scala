@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.DedupFunctions._
+
+/** Property tests for the provable-recall dedup pipelines: on random
+  * small-vocabulary corpora (small vocab forces heavy shingle overlap
+  * — the adversarial regime for prefix filtering), the prefix-filtered
+  * scale paths must return EXACTLY the brute-force pair sets. Seeded
+  * generators keep runs reproducible and the Spark job count bounded.
+  */
+class DedupPropSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Random corpus: `n` docs of 6..30 words over a `vocab`-word
+    * alphabet (word `w0..w{vocab-1}`). */
+  private def corpus(seed: Long, n: Int, vocab: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val len = 6 + rnd.nextInt(25)
+      (i.toLong, Seq.fill(len)(s"w${rnd.nextInt(vocab)}").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("property: jaccardPairs(word-3-grams) equals brute force on random corpora") {
+    for (seed <- 1L to 5L) {
+      val docs = corpus(seed, n = 40, vocab = 8)
+        .filter(size(split(col("text"), " ")) >= 3)
+      val t = 0.4
+      val fast = {
+        val p = jaccardPairs(docs, "doc_id", "text", wordShingles(_, 3), t)
+        val r = p.select("a", "b").as[(Long, Long)].collect().toSet
+        p.unpersist(blocking = false); r
+      }
+      // brute force in the SAME measure (40-bit hashed shingle space)
+      val sh = docs.select(col("doc_id"),
+        array_sort(array_distinct(transform(wordShingles(col("text"), 3),
+          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("hs"))
+      val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jac", graft.expressions.HashExpressions.sorted_long_jaccard(
+          col("x.hs"), col("y.hs")))
+        .filter(col("jac") >= t)
+        .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"seed=$seed fast-only=${fast -- brute} missed=${brute -- fast}")
+    }
+  }
+
+  test("property: containmentPairs equals brute force on random corpora") {
+    for (seed <- 11L to 15L) {
+      val docs = corpus(seed, n = 40, vocab = 8)
+        .filter(size(split(col("text"), " ")) >= 3)
+      val t = 0.7
+      val fast = {
+        val p = containmentPairs(docs, "doc_id", "text", shingleN = 3, threshold = t)
+        val r = p.select("a", "b").as[(Long, Long)].collect().toSet
+        p.unpersist(blocking = false); r
+      }
+      val sh = docs.select(col("doc_id"),
+        array_sort(array_distinct(transform(wordShingles(col("text"), 3),
+          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("hs"))
+      val brute = sh.as("x").join(sh.as("y"),
+          col("x.doc_id") =!= col("y.doc_id"))
+        .withColumn("c",
+          graft.expressions.HashExpressions.sorted_long_intersect_count(
+            col("x.hs"), col("y.hs")).cast("double") / size(col("x.hs")).cast("double"))
+        .filter(col("c") >= t)
+        .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"seed=$seed fast-only=${fast -- brute} missed=${brute -- fast}")
+    }
+  }
+
+  test("property: spanDedup reassembly preserves every first-occurrence span verbatim") {
+    for (seed <- 21L to 23L) {
+      val docs = corpus(seed, n = 25, vocab = 4) // tiny vocab → real span collisions
+      val out = spanDedup(docs, "doc_id", "text", spanWords = 5)
+        .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+      // driver-side replay of the keep-first rule
+      val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+        .sortBy(_._1)
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = scala.collection.mutable.Map[Long, String]()
+      for ((id, text) <- local) {
+        val spans = text.split(" ").grouped(5).map(_.mkString(" ")).toSeq
+        val kept = spans.filter(sp => seen.add(sp))
+        if (kept.nonEmpty) expect(id) = kept.mkString(" ")
+      }
+      assert(out == expect.toMap, s"seed=$seed")
+    }
+  }
+
+  test("property: decontaminate equals a naive gram-set intersection") {
+    for (seed <- 31L to 33L) {
+      val docs = corpus(seed, n = 30, vocab = 6)
+        .filter(size(split(col("text"), " ")) >= 3)
+      val out = decontaminate(docs, "doc_id", "text",
+          benchCond = col("doc_id") % 5 === 0, n = 3)
+        .select("doc_id", "n_hits").as[(Long, Int)].collect().toMap
+      val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+      def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val bench = local.filter(_._1 % 5 == 0).flatMap(d => grams(d._2)).toSet
+      val expect = local.filter(_._1 % 5 != 0)
+        .map { case (id, t) => id -> grams(t).count(bench) }
+        .filter(_._2 > 0).toMap
+      assert(out == expect, s"seed=$seed")
+    }
+  }
+}
