@@ -81,6 +81,54 @@ object TextAnalysisFunctions {
         sequence(lit(1), length(text) - (k - 1))).otherwise(sequence(lit(1), lit(1))),
       i => md5(text.substr(i, lit(k)))))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm; x4's min-gram hash is its degenerate whole-doc-window
+    * case): hash every char k-gram, slide a w-hash window, keep each
+    * window's minimum — guaranteed to share fingerprints with any copy
+    * of a ≥(w+k−1)-char passage, the local-dedup/plagiarism primitive.
+    *
+    * Plan: chars explode once per doc; the k-gram is rebuilt from
+    * lead() chars over the (doc, position) window (codegen'd — no
+    * interpreted per-gram lambdas), hashed to a 40-bit long; the
+    * window minimum is a second frame over the same partitioning
+    * (ROWS 0..w−1), so Spark plans ONE sort+shuffle on doc id for
+    * both. Fingerprints are the distinct window minima.
+    *
+    * Returns per doc: fingerprint count, min/max fingerprint, and an
+    * order-independent checksum (sum of distinct minima — integer math,
+    * engine-exact). Shuffle ∝ total chars; at 100 TB this is the
+    * standard one-pass fingerprint extraction feeding a (fingerprint →
+    * doc) inverted index. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = docs.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("__id"), posexplode(split(col(textCol), "")))
+      .toDF("__id", "__pos", "__c")
+    val byPos = Window.partitionBy("__id").orderBy("__pos")
+    val gram = concat((0 until k).map(j =>
+      if (j == 0) col("__c") else lead("__c", j).over(byPos)): _*)
+    val hashed = chars.withColumn("__g", gram)
+      .filter(col("__g").isNotNull && length(col("__g")) === k) // tail grams drop
+      .withColumn("__h", conv(md5(col("__g")).substr(lit(1), lit(10)), 16, 10).cast("long"))
+    val winMin = min("__h").over(
+      Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1))
+    val fps = hashed
+      // frame minima over ALL gram rows first — filtering before the
+      // window would amputate the tail hashes from end-of-doc frames
+      .withColumn("__wm", winMin)
+      .withColumn("__nh", count(lit(1)).over(Window.partitionBy("__id")))
+      // then keep only full windows (the last w−1 positions' shrinking
+      // frames would re-select suffix minima the algorithm doesn't emit)
+      .filter(col("__pos") <= col("__nh") - w)
+      .select(col("__id"), col("__wm")).distinct()
+    fps.groupBy("__id").agg(
+        count(lit(1)).cast("int").as("n_fp"),
+        min("__wm").as("min_fp"), max("__wm").as("max_fp"),
+        sum("__wm").as("fp_checksum"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1
     * use these to drop boilerplate/spam): fraction of tokens taken by
     * the most frequent word, fraction of bigram slots taken by the most

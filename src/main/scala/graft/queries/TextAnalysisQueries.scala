@@ -169,6 +169,14 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprints (MOSS): char-8-gram hashes, window-4
+    // minima, distinct — order-independent integer checksum pins the
+    // exact fingerprint set per doc.
+    "x18_winnowing" -> ((s, d) => {
+      winnowingFingerprints(documents(s, d), "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -341,6 +349,24 @@ object TextAnalysisQueries {
         |  round(CAST(MAX(CASE WHEN n = 3 THEN tot END) - MAX(CASE WHEN n = 3 THEN nd END) AS DOUBLE)
         |      / CAST(MAX(CASE WHEN n = 3 THEN tot END) AS DOUBLE), 6) AS dup_trigram_frac
         |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 40-bit gram hashes = ('0x' || first 10 md5 hex digits)::BIGINT,
+    // identical bits to Spark's conv(md5 substr, 16, 10)
+    "x18_winnowing" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 7),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 10)) AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |fp AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 3),
+        |    j -> list_aggregate(hs[CAST(j AS INT):CAST(j + 3 AS INT)], 'min'))) AS fps
+        |  FROM h)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+        |  list_aggregate(fps, 'min') AS min_fp,
+        |  list_aggregate(fps, 'max') AS max_fp,
+        |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+        |FROM fp ORDER BY doc_id""".stripMargin,
     "x6_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, text, greatest((octet_length(encode(text)) - 64) // 128, 0) AS maxf

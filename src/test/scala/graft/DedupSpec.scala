@@ -142,6 +142,36 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("winnowingFingerprints matches a driver-side replay of the algorithm") {
+    import graft.functions.TextAnalysisFunctions.winnowingFingerprints
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abababababababab"), // periodic: few distinct fingerprints
+      (3L, "shared tail the lazy dog"))
+    val (k, w) = (5, 3)
+    val out = winnowingFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .select("doc_id", "n_fp", "fp_checksum").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def hash40(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = texts.map { case (id, t) =>
+      val hs = t.sliding(k).map(hash40).toVector
+      val mins = (0 to hs.length - w).map(i => hs.slice(i, i + w).min).distinct
+      id -> ((mins.length, mins.sum))
+    }.toMap
+    assert(out == expect)
+    // the guarantee winnowing exists for: docs 1 and 3 share a >=
+    // (w+k-1)-char passage (" the lazy dog") -> they share a fingerprint
+    val fpOf = texts.map { case (id, t) =>
+      val hs = t.sliding(k).map(hash40).toVector
+      id -> (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+    }.toMap
+    assert((fpOf(1L) intersect fpOf(3L)).nonEmpty)
+  }
+
   test("repetitionStats matches hand-computed fractions") {
     import graft.functions.TextAnalysisFunctions.repetitionStats
     // 6 words: "x x x y z w" -> top word 3/6; bigrams: "x x" twice of 5
