@@ -247,4 +247,53 @@ object SimilarityFunctions {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** SemDeDup — semantic (embedding-space) deduplication, the
+    * cluster-then-prune recipe: assign every vector to its nearest of
+    * C centroids, then within each cluster mark a vector a duplicate
+    * when some LOWER-id cluster-mate is cosine-similar at or above
+    * `threshold` — the lowest id of each similarity group survives as
+    * the representative. Centroids are the deterministic "first C
+    * corpus vectors" convention shared with ivfTopK/pqTopK, so the
+    * oracle replicates the clustering decision-for-decision.
+    *
+    * Scale shape: assignment is one corpus pass × C broadcast centroid
+    * dots (identical to the IVF assignment stage); the duplicate scan
+    * is a self-join KEYED ON THE CLUSTER ID — shuffle ∝ corpus, pair
+    * work ∝ Σ cluster² ≈ corpus · (corpus/C). The production dial is
+    * C ∝ corpus: constant cluster size makes pair work linear in the
+    * corpus (real deployments use tens of thousands of clusters for
+    * 100M+ vectors); a hot cluster is AQE-skew-join territory, and the
+    * per-cluster pair scan never leaves its shuffle partition.
+    *
+    * Returns one row per corpus vector: (id, cluster, is_dup). The
+    * reference has no embedding dedup — parity-plus surface; the
+    * nearest upstream analogue is the embeddings_pipe tensor path
+    * (fireworks pipes.py) feeding an external index. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               clusters: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus.filter(col(idCol) < clusters)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__centv")))
+    val scored = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(cent)
+      .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
+    val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid"))
+    val assigned = scored
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("__id"), col("__v"), col("__cid"))
+    // within-cluster scan: only (lower-id → higher-id) direction, so
+    // the group representative can never be marked
+    val dup = assigned.select(col("__cid"), col("__id"), col("__v")).as("x")
+      .join(assigned.select(col("__cid"), col("__id").as("__lo"),
+        col("__v").as("__lov")).as("y"),
+        col("x.__cid") === col("y.__cid") && col("__lo") < col("__id"))
+      .filter(round(cosine(col("__v"), col("__lov")), 6) >= threshold)
+      .select(col("__id")).distinct()
+      .withColumn("__isdup", lit(true))
+    assigned.join(dup, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cid").as("cluster"),
+        coalesce(col("__isdup"), lit(false)).as("is_dup"))
+  }
 }

@@ -179,4 +179,62 @@ object TextAnalysisFunctions {
           / pick(3, "__tot").cast("double"), 6).as("dup_trigram_frac"))
       .withColumnRenamed("__id", idCol)
   }
+
+  /** Add-α-smoothed bigram language-model scoring — the "perplexity
+    * filter" of CCNet-style curation: documents whose token sequences
+    * the corpus LM finds improbable are boilerplate/gibberish
+    * candidates. The corpus is its own training corpus here; scoring
+    * a crawl against an external reference LM (the usual deployment)
+    * is the same plan with the count tables read from the reference
+    * corpus instead.
+    *
+    * Per bigram: ln((c(w1,w2) + α) / (c(w1,·) + α·V)), where c(w1,·)
+    * is the bigram-head count (so conditionals sum to 1) and V the
+    * corpus vocabulary. Per document: the mean over its bigram
+    * positions, plus perplexity exp(−mean).
+    *
+    * Determinism across engines: a float sum over shuffled rows is
+    * fold-order-dependent, so each logprob is fixed-pointed to
+    * integer micros (round(lp·10⁶) as long) and SUMMED IN EXACT LONG
+    * ARITHMETIC — the per-doc mean is then a single double division,
+    * bit-identical in any execution order and in the oracle. α = 0.5
+    * keeps every smoothing term exactly representable.
+    *
+    * Scale shape: token explode + two map-side-combined hash aggs
+    * build the LM (vocab grows sublinearly in corpus — Heaps' law);
+    * scoring joins corpus bigrams to the count tables keyed on the
+    * bigram/head — shuffle ∝ corpus tokens, broadcastable when the
+    * LM fits an executor. No sort anywhere; the per-doc window is
+    * partitioned by doc. */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                   alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .filter(size(toks(col(textCol))) >= 2)
+      .select(col(idCol).as("__id"), posexplode(toks(col(textCol))))
+      .toDF("__id", "__pos", "__w")
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    val big = words
+      .withColumn("__w2", lead("__w", 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .select(col("__id"), col("__w"), col("__w2"))
+    val ctx = big.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val bi = big.groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))
+    val vocab = broadcast(words.agg(countDistinct("__w").as("__v")))
+    val micros = big
+      .join(bi, Seq("__w", "__w2"))
+      .join(ctx, Seq("__w"))
+      .crossJoin(vocab)
+      .withColumn("__lp",
+        log((col("__cb").cast("double") + lit(alpha)) /
+          (col("__cu").cast("double") + lit(alpha) * col("__v").cast("double"))))
+      .withColumn("__micro", round(col("__lp") * lit(1e6)).cast("long"))
+    micros.groupBy("__id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__micro").as("__s"))
+      .withColumn("__mean",
+        (col("__s").cast("double") / lit(1e6)) / col("n_bigrams").cast("double"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(col("__mean"), 6).as("avg_logprob"),
+        round(exp(-col("__mean")), 6).as("perplexity"))
+  }
 }

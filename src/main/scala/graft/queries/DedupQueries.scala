@@ -226,6 +226,18 @@ object DedupQueries {
         .orderBy("a", "b")
     }),
 
+    // SemDeDup (semantic dedup): nearest-centroid clustering (first-16
+    // deterministic centroids, the IVF convention) + within-cluster
+    // cosine prune keeping the lowest id of each similarity group.
+    // Pair work ∝ corpus · cluster-size; C ∝ corpus is the linear
+    // dial (semDedup scaladoc). One row per vector, is_dup marked.
+    "d11_semdedup" -> ((s, d) => {
+      import graft.functions.SimilarityFunctions.semDedup
+      semDedup(embeddings(s, d), "vec_id", "embedding",
+        clusters = 16, threshold = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Test-set decontamination: docs sharing a word 3-gram with the
     // benchmark slice (doc_id % 50 == 0). The benchmark n-gram set is
     // broadcast (PlanSpec pins it) — the corpus never shuffles for the
@@ -439,6 +451,29 @@ object DedupQueries {
          |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> y.v[i] * y.v[i])))), 6) AS cos
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+    },
+    // replicates semDedup decision-for-decision: first-16 centroids,
+    // round(cos,6) argmax assignment with cid tie-break, within-cluster
+    // lower-id witness at round(cos,6) >= 0.35
+    "d11_semdedup" -> {
+      val cos = (a: String, b: String) =>
+        s"""round(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
+           |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $a[i]))) *
+           |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> $b[i] * $b[i])))), 6)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         | ca AS (
+         |  SELECT e.vec_id, e.v, cent.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+         |  FROM e, cent),
+         | assigned AS (SELECT vec_id, v, cid FROM ca WHERE crank = 1),
+         | dup AS (
+         |  SELECT DISTINCT x.vec_id FROM assigned x JOIN assigned y
+         |    ON x.cid = y.cid AND y.vec_id < x.vec_id
+         |  WHERE ${cos("x.v", "y.v")} >= 0.35)
+         |SELECT a.vec_id, a.cid AS cluster, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
     },
     "d5_embed_neardup" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 1000),

@@ -335,6 +335,25 @@ object ExtraQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // ORC round-trip (the third columnar container next to parquet and
+    // the CSV/JSON text formats of q17): write a lineitem slice as
+    // ORC, read it back, aggregate — proves the source/sink pair and
+    // that predicate/column pushdown survives the format swap. The
+    // oracle computes the same aggregate straight from parquet.
+    "q33_orc_roundtrip" -> ((s, d) => {
+      val dir = tempDir(s"orc_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val slice = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+      slice.write.mode("overwrite").orc(s"$dir/orc")
+      s.read.orc(s"$dir/orc")
+        .filter(col("l_orderkey") <= 4000)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
     // read both back, verify identical content (round-trip identity).
     "q17_io_roundtrip" -> ((s, d) => {
@@ -524,6 +543,11 @@ object ExtraQueries {
         |ORDER BY doc_id, rnk""".stripMargin,
     "q17_io_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(2 AS BIGINT) AS n_copies
-        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "q33_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_orderkey <= 4000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -177,6 +177,16 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram-LM perplexity scoring (the CCNet-style quality filter):
+    // corpus-trained add-0.5 LM, per-doc mean logprob + perplexity.
+    // Logprobs are fixed-pointed to integer micros and long-summed, so
+    // the per-doc mean is fold-order-independent (lmPerplexity
+    // scaladoc) — the oracle reproduces it bit-for-bit.
+    "x19_lm_perplexity" -> ((s, d) => {
+      lmPerplexity(documents(s, d), "doc_id", "text", alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -326,6 +336,29 @@ object TextAnalysisQueries {
     // gram multiplicities are kept (UNION ALL of word/bigram/trigram
     // streams mirrors the Spark side's tagged concat); counts are
     // integers so the double divisions are engine-exact
+    // LM built over bigram-head counts (c(w1,·)) and distinct-token
+    // vocabulary; per-bigram logprob fixed-pointed to micros, summed
+    // as BIGINT (DuckDB SUM(BIGINT) is HUGEINT — cast back), mean and
+    // perplexity derived from the exact integer sum.
+    "x19_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        | tok AS (SELECT unnest(ws) AS w FROM w),
+        | v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM tok),
+        | big AS (SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS w2
+        |   FROM w),
+        | ctx AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+        | bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+        | sc AS (SELECT big.doc_id,
+        |   CAST(round(ln((CAST(cb AS DOUBLE) + 0.5) / (CAST(cu AS DOUBLE) + 0.5 * vsz)) * 1000000.0) AS BIGINT) AS micro
+        |   FROM big JOIN bi USING (w1, w2) JOIN ctx USING (w1), v),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(micro) AS BIGINT) AS s FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob,
+        |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "x13_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

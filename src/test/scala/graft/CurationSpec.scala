@@ -37,6 +37,43 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 2, 300L), (2, 1, 30L)))
   }
 
+  test("lmPerplexity matches hand-computed add-0.5 bigram logprobs") {
+    import graft.functions.TextAnalysisFunctions.lmPerplexity
+    // corpus bigrams: doc1 "a b a b" -> (a,b),(b,a),(a,b); doc2 "a b"
+    // -> (a,b). Counts: cb(a,b)=3, cb(b,a)=1; heads cu(a)=3, cu(b)=1;
+    // vocab V=2.
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = lmPerplexity(docs, "doc_id", "text", alpha = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    def micro(cb: Long, cu: Long): Long =
+      math.round(math.log((cb + 0.5) / (cu + 0.5 * 2)) * 1e6)
+    val mAB = micro(3, 3) // ln(3.5/4)
+    val mBA = micro(1, 1) // ln(1.5/2)
+    def expect(micros: Seq[Long]): (Double, Double) = {
+      val mean = (micros.sum.toDouble / 1e6) / micros.size
+      (math.rint(mean * 1e6) / 1e6,
+        math.rint(math.exp(-mean) * 1e6) / 1e6)
+    }
+    val (lp1, ppl1) = expect(Seq(mAB, mBA, mAB))
+    val (lp2, ppl2) = expect(Seq(mAB))
+    assert(out.toSeq == Seq((1L, 3L, lp1, ppl1), (2L, 1L, lp2, ppl2)))
+  }
+
+  test("lmPerplexity ranks a gibberish doc below the modal phrasing") {
+    import graft.functions.TextAnalysisFunctions.lmPerplexity
+    // 20 copies of the same sentence + one scrambled outlier: the
+    // outlier's bigrams are unseen (count-0, smoothed) so its
+    // perplexity must be strictly higher
+    val common = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val docs = (common :+ ((99L, "mat the on sat cat the"))).toDF("doc_id", "text")
+    val out = lmPerplexity(docs, "doc_id", "text", alpha = 0.5)
+      .select("doc_id", "perplexity")
+      .as[(Long, Double)].collect().toMap
+    assert(out(99L) > out(1L) * 2,
+      s"outlier ppl ${out(99L)} vs common ${out(1L)}")
+  }
+
   test("qualityDeciles: bands partition the corpus with monotone boundaries") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = qualityDeciles(docs, "doc_id", "text")

@@ -125,4 +125,53 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
   }
+
+  test("semDedup: planted clone is pruned, representative survives, cover is total") {
+    val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // identical vector under a higher id -> same cluster, cosine 1.0
+    val clone = e.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val out = semDedup(e.unionByName(clone), "vec_id", "embedding",
+      clusters = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = e.count() + 1
+    // every vector appears exactly once with a valid cluster
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    assert(out.forall { case (_, c, _) => c >= 0 && c < 8 })
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(100000L)._3, "clone must be marked duplicate")
+    assert(!byId(0L)._3, "lowest-id representative can never be marked")
+    // the lowest id of every cluster is never a duplicate (its witness
+    // would need a lower id in the same cluster)
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      val lowest = rows.minBy(_._1)
+      assert(!lowest._3, s"cluster $c lowest id ${lowest._1} marked dup")
+    }
+  }
+
+  test("semDedup duplicates each have a lower-id witness at >= threshold (driver replay)") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 60).select("vec_id", "embedding")
+    val t = 0.2
+    val out = semDedup(e, "vec_id", "embedding", clusters = 4, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    out.filter(_._3).foreach { case (id, c, _) =>
+      val witness = out.exists { case (j, cj, _) =>
+        j < id && cj == c && cos(vecs(j), vecs(id)) >= t }
+      assert(witness, s"dup $id in cluster $c has no lower-id witness")
+    }
+    // and non-dups have none
+    out.filterNot(_._3).foreach { case (id, c, _) =>
+      val witness = out.exists { case (j, cj, _) =>
+        j < id && cj == c && cos(vecs(j), vecs(id)) >= t }
+      assert(!witness, s"non-dup $id in cluster $c has a witness")
+    }
+  }
 }
