@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout: interleave the bits of two
+  * normalized key columns so that rows close in BOTH dimensions land
+  * in the same parquet row groups — then ANY 2-D box predicate skips
+  * most of the file via row-group min/max stats, where a linear sort
+  * only helps its leading column.
+  *
+  * This is the multi-dimensional data-skipping strategy production
+  * lakehouse layouts use for 100 TB fact tables (the OPTIMIZE ZORDER
+  * pattern): layout is a one-time write-side cost — one range
+  * repartition + in-partition sort on the z-value, both ∝ corpus —
+  * and every subsequent selective scan pays only for the row groups
+  * whose [min, max] z-interval intersects the predicate's ranks.
+  * The z-value itself is pure codegen'd bit math (shift/and/or
+  * terms), no UDF anywhere.
+  *
+  * Rank normalization: bit interleaving assumes the two inputs use
+  * their low `bits` uniformly, so raw skewed keys are first mapped to
+  * their quantile rank on a [0, 2^bits) scale. The rank table is one
+  * small ordered aggregation per column (`approx`-free: exact
+  * distinct-value histogram like qualityDeciles, bounded by value
+  * cardinality, not corpus size); here we normalize affinely from
+  * [min, max], which is exact for the uniform-ish TPC-H keys and
+  * keeps the oracle trivial.
+  */
+object Layout {
+
+  /** Morton z-value of two long columns already scaled to [0, 2^bits):
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Affine [lo, hi] → [0, 2^bits) scaling (exact long math). */
+  def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    least(lit((1L << bits) - 1),
+      ((c - lit(lo)) * lit(1L << bits)) / lit(hi - lo + 1))
+
+  /** Write `df` z-ordered by (`aCol`, `bCol`): range-repartition on
+    * the z-value (so files hold disjoint z-ranges), sort within each
+    * partition (so row groups within a file hold tight min/max
+    * intervals), drop the helper column, write parquet. Both steps
+    * are linear in the corpus; nothing is collected. */
+  def zorderWrite(df: DataFrame, path: String, aCol: String, bCol: String,
+                  aRange: (Long, Long), bRange: (Long, Long),
+                  bits: Int, partitions: Int): Unit = {
+    val z = zValue(
+      scaleTo(col(aCol).cast("long"), aRange._1, aRange._2, bits),
+      scaleTo(col(bCol).cast("long"), bRange._1, bRange._2, bits), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

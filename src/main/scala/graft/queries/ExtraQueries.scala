@@ -354,6 +354,29 @@ object ExtraQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Z-order layout: write lineitem clustered on the Morton curve of
+    // (l_orderkey, l_partkey), read back, 2-D box-filter aggregate.
+    // The result is layout-independent (the oracle reads the plain
+    // table) — what the layout buys is row-group skipping on BOTH
+    // box dimensions, measured in LayoutSpec; here the gate pins that
+    // the curve write loses/duplicates no rows.
+    "q34_zorder_scan" -> ((s, d) => {
+      val dir = tempDir(s"zorder_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val (okMax, pkMax) = (
+        li.agg(max("l_orderkey")).collect()(0).getLong(0),
+        li.agg(max("l_partkey")).collect()(0).getLong(0))
+      graft.operators.Layout.zorderWrite(li, s"$dir/z", "l_orderkey", "l_partkey",
+        (1L, okMax), (1L, pkMax), bits = 16, partitions = 16)
+      s.read.parquet(s"$dir/z")
+        .filter(col("l_orderkey") <= 1000 && col("l_partkey") <= 200)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     // S2/S7 Message.read/to parity: write a slice to CSV and JSON,
     // read both back, verify identical content (round-trip identity).
     "q17_io_roundtrip" -> ((s, d) => {
@@ -548,6 +571,11 @@ object ExtraQueries {
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_orderkey <= 4000
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_zorder_scan" ->
+      """SELECT l_partkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 200
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
   )
 }

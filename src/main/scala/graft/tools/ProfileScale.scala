@@ -264,6 +264,26 @@ object ProfileScale {
         }
         println(f"s5 f=$f planes=$planes ${t}%7.1f s  candidates $cand%9d  rows $rows%7d")
         cells += Cell("s5_knn_join", f, en * f, t, cand, rows)
+
+        // d11 — SemDeDup with the documented linear dial C ∝ corpus:
+        // cluster count grows with the factor, so cluster sizes (and
+        // with them the within-cluster pair scan, candidates =
+        // Σ c·(c−1)/2) stay ~constant per vector. Timed end-to-end on
+        // the persisted output; dups/candidates read from it.
+        {
+          import graft.functions.SimilarityFunctions.semDedup
+          val cSem = 16 * f
+          val out = semDedup(e, "vec_id", "embedding", cSem, 0.35)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (nv, t2) = time { out.count() }
+          val dups = out.filter(col("is_dup")).count()
+          val cand2 = out.groupBy("cluster").agg(count(lit(1)).as("c"))
+            .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")))
+            .collect()(0).getLong(0)
+          out.unpersist(blocking = false)
+          println(f"d11 f=$f C=$cSem ${t2}%7.1f s  candidates $cand2%9d  dups $dups%7d  ($nv vectors)")
+          cells += Cell("d11_semdedup", f, en * f, t2, cand2, dups)
+        }
       }
     }
 

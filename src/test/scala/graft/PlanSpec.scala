@@ -118,6 +118,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("__sp"), p.take(1500))
   }
 
+  test("d11 semDedup: the only nested loop is the broadcast centroid assignment; the dup scan joins on cluster id") {
+    val df = SparkEntry.queries("d11_semdedup")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // assignment = corpus × broadcast centroids (intended BNLJ over a
+    // tiny build side); the within-cluster pair scan must be an
+    // equality join on __cid — a plain CartesianProduct anywhere means
+    // the cluster key was lost
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("x19 LM scoring joins bigrams on equality keys and partitions the doc window (no global sort, no cross product)") {
+    val df = SparkEntry.queries("x19_lm_perplexity")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-doc position window is partitioned (a global window would
+    // print 'Window [' with an empty partition spec and warn)
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("hashpartitioning(__id"), p.take(2000))
+  }
+
+  test("q33 ORC round-trip pushes the key filter into the ORC scan") {
+    val df = SparkEntry.queries("q33_orc_roundtrip")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("OrcScan") || p.contains("Format: orc") ||
+      p.toLowerCase.contains("orc"), p.take(1500))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,4000)]") ||
+      p.contains("LessThanOrEqual(l_orderkey,4000)"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
