@@ -248,6 +248,62 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Deterministic Lloyd (k-means) refinement of the first-C seed
+    * centroids — the clustering primitive behind IVF cells and
+    * SemDeDup buckets, as an actual iterative optimizer instead of
+    * the raw seed convention. Each iteration is (a) one corpus pass
+    * assigning every vector to its nearest centroid by round(cos, 6)
+    * with centroid-id tie-break, and (b) a per-(cluster, dimension)
+    * mean recompute. Returns the assignment to the LAST refined
+    * centroids: (id, cluster, score).
+    *
+    * Cross-engine determinism: a distributed double sum is
+    * fold-order-dependent, so each component is fixed-pointed to
+    * integer micros (round(x·10⁶) as long) and summed in exact long
+    * arithmetic; the mean is then one double division — bit-identical
+    * at any parallelism and in the oracle, which rebuilds the same
+    * centroid lists with `list(… ORDER BY dim)`. Empty clusters drop
+    * out in both engines (GROUP BY emits no row).
+    *
+    * Scale shape: per iteration one corpus pass × C broadcast dots +
+    * one map-side-combined (cluster, dim) agg of C·dim cells; the
+    * driver materializes only the C·dim mean table (KB — the same
+    * tiny-readback boundary as Factory's trial store). Iterations are
+    * a small constant (Lloyd converges in few steps for bucketing
+    * purposes); everything corpus-sized stays distributed. */
+  def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
+                   clusters: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = corpus.sparkSession
+    import session.implicits._
+    val e = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    var cent: Seq[(Long, Seq[Double])] = e.filter(col("__id") < clusters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    def assigned = {
+      val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid"))
+      e.crossJoin(broadcast(cent.toDF("__cid", "__centv")))
+        .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+    }
+    for (_ <- 1 to iters) {
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("__cid", "__dim")
+        .agg(sum(round(col("__x") * lit(1e6)).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .withColumn("__m",
+          col("__s").cast("double") / lit(1e6) / col("__n").cast("double"))
+        .select("__cid", "__dim", "__m")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      cent = means.groupBy(_._1).map { case (cid, rs) =>
+        (cid, rs.sortBy(_._2).map(_._3).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    assigned.select(col("__id").as(idCol), col("__cid").as("cluster"),
+      col("__cs").as("score"))
+  }
+
   /** SemDeDup — semantic (embedding-space) deduplication, the
     * cluster-then-prune recipe: assign every vector to its nearest of
     * C centroids, then within each cluster mark a vector a duplicate

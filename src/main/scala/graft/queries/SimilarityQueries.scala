@@ -60,6 +60,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // One deterministic Lloyd step on the first-16 seeds: assignment
+    // to the REFINED centroids (per-cluster fixed-point means). The
+    // oracle rebuilds the identical means via exact integer micro
+    // sums (kmeansRefine scaladoc).
+    "s7_kmeans_refine" -> ((s, d) => {
+      kmeansRefine(embeddings(s, d), "vec_id", "embedding",
+        clusters = 16, iters = 1)
+        .orderBy("vec_id")
+    }),
+
     // Pairwise L2 distance on a small slice (distance-metric parity).
     "s3_l2_pairs" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 30)
@@ -176,7 +186,33 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s7 oracle: replicates kmeansRefine with iters=1 — first-16
+    * seeds, rounded-cosine argmax assignment, per-(cluster, dim)
+    * means from exact BIGINT micro sums, centroid lists rebuilt in
+    * dim order, re-assignment to the refined centroids. */
+  private def s7Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | a0 AS (SELECT vec_id, v, cid FROM (
+       |   SELECT e.vec_id, e.v, cent.cid,
+       |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS rk
+       |   FROM e, cent) WHERE rk = 1),
+       | dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+       | m AS (SELECT cid, dim,
+       |     CAST(SUM(CAST(round(v[CAST(dim AS INT)] * 1000000.0) AS BIGINT)) AS BIGINT) AS s,
+       |     COUNT(*) AS n
+       |   FROM a0, dims GROUP BY 1, 2),
+       | c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cv
+       |   FROM m GROUP BY cid),
+       | a1 AS (SELECT vec_id, cid, sc FROM (
+       |   SELECT e.vec_id, c1.cid, ${cosSql("e.v", "c1.cv")} AS sc,
+       |     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cid ASC) AS rk
+       |   FROM e, c1) WHERE rk = 1)
+       |SELECT vec_id, cid AS cluster, sc AS score FROM a1
+       |ORDER BY vec_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "s7_kmeans_refine" -> s7Sql,
     "s2_ann_lsh" -> s2Sql,
     "s5_knn_join" -> s5Sql,
     "s6_ann_pq" -> s6Sql,

@@ -126,6 +126,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("kmeansRefine one Lloyd step equals an independent driver-side replay") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 120).select("vec_id", "embedding")
+    val out = kmeansRefine(e, "vec_id", "embedding", clusters = 8, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // independent replay in plain Scala over the collected vectors
+    val vecs = e.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.sortBy(_._1)
+    def rcos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def assign(cent: Seq[(Long, Array[Double])]): Map[Long, (Long, Double)] =
+      vecs.map { case (id, v) =>
+        val best = cent.map { case (cid, cv) => (cid, rcos(v, cv)) }
+          .maxBy { case (cid, s) => (s, -cid) }
+        id -> best
+      }.toMap
+    val seeds = vecs.filter(_._1 < 8).map { case (id, v) => (id, v) }.toSeq
+    val a0 = assign(seeds)
+    val refined = a0.toSeq.groupBy(_._2._1).toSeq.map { case (cid, members) =>
+      val vs = members.map(m => vecs.find(_._1 == m._1).get._2)
+      // HALF_UP (away from zero), matching Spark/DuckDB round — plain
+      // math.round sends negative halves toward +inf instead
+      def micro(x: Double): Long =
+        BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val mean = (0 until 64).map { d =>
+        vs.map(v => micro(v(d))).sum.toDouble / 1e6 / vs.size
+      }.toArray
+      (cid, mean)
+    }.sortBy(_._1)
+    val a1 = assign(refined)
+    assert(out.length == vecs.length)
+    out.foreach { case (id, c, s) =>
+      val (ec, es) = a1(id)
+      assert(c == ec && s == es, s"vec $id: got ($c, $s), replay ($ec, $es)")
+    }
+  }
+
   test("semDedup: planted clone is pruned, representative survives, cover is total") {
     val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     // identical vector under a higher id -> same cluster, cosine 1.0
