@@ -2,16 +2,17 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.{CurationFunctions, DedupFunctions, TextAnalysisFunctions, TextFunctions}
+import graft.functions.{CurationFunctions, DedupFunctions, SimilarityFunctions, TextAnalysisFunctions, TextFunctions}
 
 /** End-to-end LLM training-data pipeline over the `documents` table —
   * the parity-plus surface composed the way a user would chain it:
   *
-  *   read → quality score → language ID → repetition filter → exact
-  *   dedup → MinHash-LSH near-dedup (cluster, keep representative) →
-  *   benchmark decontamination → domain-mix report → chunk → tokenize
-  *   → pack into training sequences → token budget report → write
-  *   curated parquet.
+  *   read → quality score → language ID → repetition filter →
+  *   LM-perplexity gate → exact dedup → MinHash-LSH near-dedup
+  *   (cluster, keep representative) → SemDeDup on the document
+  *   embeddings → benchmark decontamination → domain-mix report →
+  *   chunk → tokenize → pack into training sequences → token budget
+  *   report → Z-order-clustered curated parquet.
   *
   * Every stage is a lazy DataFrame transform; the only actions are the
   * near-dup materialization and the final write. At 100 TB the same
@@ -46,8 +47,17 @@ object DataPipelineExample {
       .join(rep.select(col("doc_id"), col("top_bigram_frac")), Seq("doc_id"))
       .filter(col("top_bigram_frac") < 0.2).drop("top_bigram_frac")
 
+    // 1b. LM-perplexity gate (the CCNet recipe): train the bigram LM on
+    //     the corpus itself, drop the least-probable tail — boilerplate
+    //     and gibberish score high-perplexity under the corpus LM
+    val ppl = TextAnalysisFunctions.lmPerplexity(docs, "doc_id", "text", alpha = 0.5)
+    val pplCut = ppl.agg(expr("percentile(perplexity, 0.95)")).head().getDouble(0)
+    val fluent = scored
+      .join(ppl.select("doc_id", "perplexity"), Seq("doc_id"))
+      .filter(col("perplexity") <= pplCut).drop("perplexity")
+
     // 2. exact dedup: keep the lowest doc_id per normalized content hash
-    val exactKept = scored
+    val exactKept = fluent
       .withColumn("__h", DedupFunctions.contentHash(col("text")))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("__h").orderBy("doc_id")))
@@ -63,13 +73,22 @@ object DataPipelineExample {
     val deduped = exactKept.join(
       decision.filter(col("keep")).select("doc_id"), Seq("doc_id"))
 
+    // 3b. semantic dedup (SemDeDup) over the document embeddings:
+    //     cluster by nearest centroid, prune within-cluster cosine
+    //     duplicates — catches paraphrases the shingle families miss
+    val sem = SimilarityFunctions.semDedup(
+      graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      clusters = 16, threshold = 0.35)
+    val semKept = deduped.join(
+      sem.filter(!col("is_dup")).select(col("vec_id").as("doc_id")), Seq("doc_id"))
+
     // 4. benchmark decontamination: drop docs sharing a 3-gram with the
     //    held-out eval slice (broadcast probe — the corpus never
     //    shuffles for this)
     val contaminated = DedupFunctions.decontaminate(
-      deduped, "doc_id", "text",
+      semKept, "doc_id", "text",
       benchCond = col("doc_id") % 50 === 0, n = 3)
-    val curated = deduped
+    val curated = semKept
       .filter(col("doc_id") % 50 =!= 0) // the bench slice itself stays out
       .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
 
@@ -103,9 +122,16 @@ object DataPipelineExample {
     println(s"chunks: ${report.getLong(0)}, tokens: ${report.getLong(1)}, " +
       s"avg/chunk: ${report.getDouble(2)}")
 
+    // final write Z-order-clustered on (doc id, chunk token count):
+    // training-shard readers filter by doc ranges AND token-length
+    // buckets, and the Morton layout row-group-skips on both
     val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
-    chunks.write.mode("overwrite").parquet(out)
-    println(s"curated chunks written to $out")
+    val maxDoc = chunks.agg(max("doc_id")).head().getLong(0)
+    val maxTok = chunks.agg(max("n_tokens")).head().getInt(0).toLong
+    graft.operators.Layout.zorderWrite(chunks, s"$out/chunks",
+      "doc_id", "n_tokens", (0L, maxDoc), (0L, maxTok),
+      bits = 16, partitions = 8)
+    println(s"curated chunks written z-ordered to $out/chunks")
 
     pairs.unpersist(); clusters.unpersist()
     require(nCurated > 0 && report.getLong(0) > 0, "pipeline produced no data")
