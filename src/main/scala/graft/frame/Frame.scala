@@ -124,8 +124,8 @@ final class Frame private[frame] (val df: DataFrame) extends Serializable {
   /** M12: positional equality (same columns, same rows at same `_idx`). */
   def sameAs(other: Frame): Boolean = {
     if (columns.sorted != other.columns.sorted) return false
-    val a = df.select(df.columns.sorted.map(col): _*)
-    val b = other.df.select(other.df.columns.sorted.map(col): _*)
+    val a = df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+    val b = other.df.select(other.df.columns.sorted.toIndexedSeq.map(col): _*)
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
   }
 
@@ -230,7 +230,7 @@ object Frame {
     */
   private def zipIdx(df: DataFrame): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField(IDX, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 }

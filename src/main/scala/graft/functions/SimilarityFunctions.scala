@@ -89,7 +89,7 @@ object SimilarityFunctions {
   def lshBucket(vec: Column, seed: Long, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val plane = hyperplane(seed, p, dim)
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bits.reduce(_ + _)

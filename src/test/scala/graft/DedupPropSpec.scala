@@ -90,6 +90,35 @@ class DedupPropSpec extends AnyFunSuite {
     }
   }
 
+  test("property: lmPerplexity equals a naive driver-side LM replay on random corpora") {
+    import graft.functions.TextAnalysisFunctions.lmPerplexity
+    for (seed <- 41L to 43L) {
+      val docs = corpus(seed, n = 30, vocab = 6)
+      val out = lmPerplexity(docs, "doc_id", "text", alpha = 0.5)
+        .select("doc_id", "n_bigrams", "avg_logprob")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // naive replay: full count tables in plain Scala maps
+      val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+      val toks = local.map { case (id, t) => id -> t.split(" ").toSeq }
+      val bigrams = toks.flatMap { case (id, ws) =>
+        ws.sliding(2).filter(_.size == 2).map(p => (id, p.head, p(1))) }
+      val cb = bigrams.groupBy(b => (b._2, b._3)).map { case (k, v) => k -> v.size }
+      val cu = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size }
+      val vsz = toks.flatMap(_._2).distinct.size
+      def micro(w1: String, w2: String): Long =
+        BigDecimal(math.log((cb((w1, w2)) + 0.5) / (cu(w1) + 0.5 * vsz)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val micros = bs.map(b => micro(b._2, b._3))
+        val mean = (micros.sum.toDouble / 1e6) / micros.size
+        id -> (micros.size.toLong,
+          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(out == expect, s"seed=$seed diff=${
+        out.toSet.diff(expect.toSet).take(3)} / ${expect.toSet.diff(out.toSet).take(3)}")
+    }
+  }
+
   test("property: decontaminate equals a naive gram-set intersection") {
     for (seed <- 31L to 33L) {
       val docs = corpus(seed, n = 30, vocab = 6)
