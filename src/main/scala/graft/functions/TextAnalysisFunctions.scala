@@ -207,27 +207,34 @@ object TextAnalysisFunctions {
     * LM fits an executor. No sort anywhere; the per-doc window is
     * partitioned by doc. */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
-                   alpha: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs
-      .filter(size(toks(col(textCol))) >= 2)
-      .select(col(idCol).as("__id"), posexplode(toks(col(textCol))))
-      .toDF("__id", "__pos", "__w")
-    val w = Window.partitionBy("__id").orderBy("__pos")
-    val big = words
-      .withColumn("__w2", lead("__w", 1).over(w))
-      .filter(col("__w2").isNotNull)
-      .select(col("__id"), col("__w"), col("__w2"))
-    val ctx = big.groupBy("__w").agg(count(lit(1)).as("__cu"))
-    val bi = big.groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))
-    val vocab = broadcast(words.agg(countDistinct("__w").as("__v")))
-    val micros = big
-      .join(bi, Seq("__w", "__w2"))
-      .join(ctx, Seq("__w"))
+                   alpha: Double): DataFrame =
+    lmPerplexityAgainst(docs, docs, idCol, textCol, alpha)
+
+  /** Cross-corpus variant — the actual CCNet deployment: train the
+    * bigram LM on `reference` (the trusted corpus), score `docs` (the
+    * crawl). Bigrams unseen in the reference fall back to the smoothed
+    * floor: unseen head → ln(α / (α·V)) = ln(1/V); unseen pair under a
+    * seen head → ln(α / (c(w1,·) + α·V)). V is the reference
+    * vocabulary. Same fixed-point micro determinism and scale shape as
+    * the self-trained form (scaladoc above); the LM tables come from
+    * one extra pass over the reference. */
+  def lmPerplexityAgainst(reference: DataFrame, docs: DataFrame,
+                          idCol: String, textCol: String,
+                          alpha: Double): DataFrame = {
+    val ref = bigramsOf(reference, idCol, textCol)
+    val ctx = ref.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val bi = ref.groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))
+    val vocab = broadcast(
+      reference.filter(size(toks(col(textCol))) >= 2)
+        .select(explode(toks(col(textCol))).as("__w"))
+        .agg(countDistinct("__w").as("__v")))
+    val micros = bigramsOf(docs, idCol, textCol)
+      .join(bi, Seq("__w", "__w2"), "left")
+      .join(ctx, Seq("__w"), "left")
       .crossJoin(vocab)
       .withColumn("__lp",
-        log((col("__cb").cast("double") + lit(alpha)) /
-          (col("__cu").cast("double") + lit(alpha) * col("__v").cast("double"))))
+        log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(alpha)) /
+          (coalesce(col("__cu"), lit(0L)).cast("double") + lit(alpha) * col("__v").cast("double"))))
       .withColumn("__micro", round(col("__lp") * lit(1e6)).cast("long"))
     micros.groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"), sum("__micro").as("__s"))
@@ -236,5 +243,20 @@ object TextAnalysisFunctions {
       .select(col("__id").as(idCol), col("n_bigrams"),
         round(col("__mean"), 6).as("avg_logprob"),
         round(exp(-col("__mean")), 6).as("perplexity"))
+  }
+
+  /** (id, w1, w2) bigram stream of a corpus: posexplode + per-doc
+    * lead() — whole-stage-codegen'd, no HOF lambdas. */
+  private def bigramsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .filter(size(toks(col(textCol))) >= 2)
+      .select(col(idCol).as("__id"), posexplode(toks(col(textCol))))
+      .toDF("__id", "__pos", "__w")
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    words
+      .withColumn("__w2", lead("__w", 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .select(col("__id"), col("__w"), col("__w2"))
   }
 }

@@ -187,6 +187,19 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-corpus perplexity (the real CCNet deployment): LM trained
+    // on the even-id half (the "trusted reference"), the odd-id half
+    // scored against it — unseen bigrams fall back to the smoothed
+    // floor via left joins.
+    "x20_lm_cross_perplexity" -> ((s, d) => {
+      val docs = documents(s, d)
+      lmPerplexityAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -336,6 +349,35 @@ object TextAnalysisQueries {
     // gram multiplicities are kept (UNION ALL of word/bigram/trigram
     // streams mirrors the Spark side's tagged concat); counts are
     // integers so the double divisions are engine-exact
+    // reference LM from even ids, odd ids scored with left-join
+    // fallback to the smoothed floor — mirrors lmPerplexityAgainst
+    // exactly (same micro fixed-point arithmetic as x19)
+    "x20_lm_cross_perplexity" ->
+      """WITH wref AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |              WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 2),
+        | wdoc AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |          WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 2),
+        | v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz
+        |       FROM (SELECT unnest(ws) AS w FROM wref)),
+        | bref AS (SELECT
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS w2
+        |   FROM wref),
+        | ctx AS (SELECT w1, COUNT(*) AS cu FROM bref GROUP BY 1),
+        | bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bref GROUP BY 1, 2),
+        | bdoc AS (SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS w2
+        |   FROM wdoc),
+        | sc AS (SELECT bdoc.doc_id,
+        |   CAST(round(ln((CAST(COALESCE(cb, 0) AS DOUBLE) + 0.5)
+        |     / (CAST(COALESCE(cu, 0) AS DOUBLE) + 0.5 * vsz)) * 1000000.0) AS BIGINT) AS micro
+        |   FROM bdoc LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1), v),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(micro) AS BIGINT) AS s FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob,
+        |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // LM built over bigram-head counts (c(w1,·)) and distinct-token
     // vocabulary; per-bigram logprob fixed-pointed to micros, summed
     // as BIGINT (DuckDB SUM(BIGINT) is HUGEINT — cast back), mean and

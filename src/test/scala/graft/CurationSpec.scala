@@ -60,6 +60,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, lp1, ppl1), (2L, 1L, lp2, ppl2)))
   }
 
+  test("lmPerplexityAgainst: unseen bigrams hit the smoothed floor of the reference LM") {
+    import graft.functions.TextAnalysisFunctions.lmPerplexityAgainst
+    // reference: two copies of "a b" -> cb(a,b)=2, cu(a)=2, V=2
+    val ref = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    // seen bigram: ln(2.5/3); fully unseen head: ln(0.5/(0 + 0.5*2)) = ln(1/2)
+    val docs = Seq((10L, "a b"), (11L, "x y")).toDF("doc_id", "text")
+    val out = lmPerplexityAgainst(ref, docs, "doc_id", "text", alpha = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    def lp(x: Double): Double = math.rint(math.log(x) * 1e6) / 1e6
+    assert(out == Seq((10L, 1L, lp(2.5 / 3)), (11L, 1L, lp(0.5))))
+  }
+
   test("lmPerplexity ranks a gibberish doc below the modal phrasing") {
     import graft.functions.TextAnalysisFunctions.lmPerplexity
     // 20 copies of the same sentence + one scrambled outlier: the
