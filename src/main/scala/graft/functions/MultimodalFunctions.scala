@@ -38,6 +38,38 @@ object MultimodalFunctions {
     StructField("byte_len", IntegerType, nullable = false),
     StructField("feat", ArrayType(FloatType, containsNull = false), nullable = false)))
 
+  /** Shannon entropy of the payload's byte histogram — a REAL
+    * codec-free feature over opaque binary columns (compressed or
+    * encrypted payloads sit near 8 bits/byte, structured media headers
+    * and text well below; the usual cheap pre-filter before any codec
+    * is spent on a payload). Stays entirely in SQL expressions: the
+    * payload is hexed and split into byte pairs (one explode ∝ total
+    * bytes), counted with two map-side-combined hash aggs — no
+    * mapPartitions boundary, unlike `decodeFeatures`.
+    *
+    * Determinism: each histogram term p·ln(p) is fixed-pointed to
+    * integer micros and long-summed (the lmPerplexity discipline), so
+    * the per-payload sum is fold-order-independent and the oracle
+    * reproduces it bit-for-bit. Returns (id, byte_len, n_distinct,
+    * entropy) with entropy in nats. */
+  def payloadEntropy(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val bytes = df
+      .select(col(idCol).as("__id"), hex(col(payloadCol)).as("__hx"))
+      .select(col("__id"), (length(col("__hx")) / 2).cast("long").as("__n"),
+        explode(split(col("__hx"), "(?<=\\G..)")).as("__b"))
+      .filter(col("__b") =!= "")
+    val hist = bytes.groupBy("__id", "__n", "__b").agg(count(lit(1)).as("__c"))
+    hist
+      .withColumn("__p", col("__c").cast("double") / col("__n").cast("double"))
+      .withColumn("__t",
+        round(col("__p") * log(col("__p")) * lit(1e6)).cast("long"))
+      .groupBy("__id", "__n")
+      .agg(count(lit(1)).as("n_distinct"), sum("__t").as("__s"))
+      .select(col("__id").as(idCol), col("__n").as("byte_len"),
+        col("n_distinct"),
+        round(-(col("__s").cast("double") / lit(1e6)), 6).as("entropy"))
+  }
+
   /** STUB decode kernel: a real implementation would initialize a codec
     * per partition and decode each payload batch (image decode, audio
     * PCM, video frame-sample). The stub derives 8 deterministic float

@@ -200,6 +200,16 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Payload byte-histogram entropy: the codec-free media pre-filter
+    // (compressed/encrypted vs structured payloads), pure SQL
+    // expressions, micro-fixed-point determinism.
+    "x21_payload_entropy" -> ((s, d) => {
+      payloadEntropy(
+        documents(s, d).select(col("doc_id"), asPayload(col("text")).as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal frame sampling: every 2nd 64-byte window of the
     // payload as a frame row (video frame-sample plumbing).
     "x6_frame_sample" -> ((s, d) => {
@@ -442,6 +452,23 @@ object TextAnalysisQueries {
         |  list_aggregate(fps, 'max') AS max_fp,
         |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum
         |FROM fp ORDER BY doc_id""".stripMargin,
+    // payload = UTF-8 bytes of text (ASCII corpus: byte == char), so
+    // the histogram is over characters; entropy terms fixed-pointed
+    // to micros exactly as the Spark side
+    "x21_payload_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    unnest(list_transform(generate_series(1, length(text)),
+        |      i -> substr(text, CAST(i AS INT), 1))) AS b
+        |  FROM documents),
+        | h AS (SELECT doc_id, n, b, COUNT(*) AS c FROM c GROUP BY 1, 2, 3),
+        | e AS (SELECT doc_id, n, COUNT(*) AS n_distinct,
+        |   CAST(SUM(CAST(round(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |   FROM h GROUP BY 1, 2)
+        |SELECT doc_id, n AS byte_len, n_distinct,
+        |  round(-(CAST(s AS DOUBLE) / 1000000.0), 6) AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     "x6_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, text, greatest((octet_length(encode(text)) - 64) // 128, 0) AS maxf

@@ -96,4 +96,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 1))
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
+
+  test("payloadEntropy: constant payload is 0, uniform alphabet is ln(k)") {
+    val df = Seq(
+      (1L, "aaaaaaaa"),          // one symbol: entropy 0
+      (2L, "abababab"),          // two symbols, uniform: ln 2
+      (3L, "abcdabcd")           // four symbols, uniform: ln 4
+    ).toDF("doc_id", "txt").withColumn("payload", asPayload(col("txt")))
+    val out = payloadEntropy(df, "doc_id", "payload")
+      .orderBy("doc_id")
+      .select("doc_id", "byte_len", "n_distinct", "entropy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def fx(k: Int): Double = {
+      // the operator's fixed-point arithmetic at p = 1/k over 1 symbol
+      // class each: k identical terms round individually then sum
+      val term = BigDecimal((1.0 / k) * math.log(1.0 / k) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      math.rint(-(term * k).toDouble / 1e6 * 1e6) / 1e6
+    }
+    assert(out.toSeq == Seq(
+      (1L, 8L, 1L, 0.0), (2L, 8L, 2L, fx(2)), (3L, 8L, 4L, fx(4))))
+  }
 }
