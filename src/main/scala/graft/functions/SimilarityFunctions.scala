@@ -273,21 +273,36 @@ object SimilarityFunctions {
     * purposes); everything corpus-sized stays distributed. */
   def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
                    clusters: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val session = corpus.sparkSession
-    import session.implicits._
     val e = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val assigned = assignToCentroids(e, refineCentroids(e, clusters, iters))
+    assigned.select(col("__id").as(idCol), col("__cid").as("cluster"),
+      col("__cs").as("score"))
+  }
+
+  /** Nearest-centroid assignment of (__id, __v) rows to a driver-side
+    * centroid list: rounded-cosine argmax, centroid-id tie-break.
+    * Keeps __id, __v, __cid, __cs. */
+  private def assignToCentroids(e: DataFrame,
+                                cent: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = e.sparkSession
+    import session.implicits._
+    val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid"))
+    e.crossJoin(broadcast(cent.toDF("__cid", "__centv")))
+      .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select("__id", "__v", "__cid", "__cs")
+  }
+
+  /** First-C seeds refined by `iters` Lloyd steps (fixed-point micro
+    * means — see kmeansRefine). iters = 0 returns the raw seeds. */
+  private def refineCentroids(e: DataFrame, clusters: Int,
+                              iters: Int): Seq[(Long, Seq[Double])] = {
     var cent: Seq[(Long, Seq[Double])] = e.filter(col("__id") < clusters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    def assigned = {
-      val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid"))
-      e.crossJoin(broadcast(cent.toDF("__cid", "__centv")))
-        .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-    }
     for (_ <- 1 to iters) {
-      val means = assigned
+      val means = assignToCentroids(e, cent)
         .select(col("__cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy("__cid", "__dim")
         .agg(sum(round(col("__x") * lit(1e6)).cast("long")).as("__s"),
@@ -300,8 +315,7 @@ object SimilarityFunctions {
         (cid, rs.sortBy(_._2).map(_._3).toSeq)
       }.toSeq.sortBy(_._1)
     }
-    assigned.select(col("__id").as(idCol), col("__cid").as("cluster"),
-      col("__cs").as("score"))
+    cent
   }
 
   /** SemDeDup — semantic (embedding-space) deduplication, the
@@ -322,22 +336,18 @@ object SimilarityFunctions {
     * 100M+ vectors); a hot cluster is AQE-skew-join territory, and the
     * per-cluster pair scan never leaves its shuffle partition.
     *
-    * Returns one row per corpus vector: (id, cluster, is_dup). The
-    * reference has no embedding dedup — parity-plus surface; the
-    * nearest upstream analogue is the embeddings_pipe tensor path
-    * (fireworks pipes.py) feeding an external index. */
+    * Returns one row per corpus vector: (id, cluster, is_dup).
+    * `refineIters` > 0 first tightens the seed centroids with that
+    * many deterministic Lloyd steps (kmeansRefine's machinery — the
+    * paper's actual k-means clustering); 0 keeps the raw first-C
+    * convention the d11 oracle pins. The reference has no embedding
+    * dedup — parity-plus surface. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-               clusters: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cent = broadcast(corpus.filter(col(idCol) < clusters)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__centv")))
-    val scored = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .crossJoin(cent)
-      .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
-    val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid"))
-    val assigned = scored
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
+               clusters: Int, threshold: Double,
+               refineIters: Int = 0): DataFrame = {
+    val e = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val assigned = assignToCentroids(e, refineCentroids(e, clusters, refineIters))
       .select(col("__id"), col("__v"), col("__cid"))
     // within-cluster scan: only (lower-id → higher-id) direction, so
     // the group representative can never be marked

@@ -167,6 +167,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup(refineIters=1) clusters on exactly kmeansRefine's refined cells") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 150).select("vec_id", "embedding")
+    val km = kmeansRefine(e, "vec_id", "embedding", clusters = 8, iters = 1)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sd = semDedup(e, "vec_id", "embedding", clusters = 8, threshold = 0.3,
+      refineIters = 1)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sd == km)
+  }
+
   test("semDedup: planted clone is pruned, representative survives, cover is total") {
     val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     // identical vector under a higher id -> same cluster, cosine 1.0
