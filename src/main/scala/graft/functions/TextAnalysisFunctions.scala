@@ -210,6 +210,14 @@ object TextAnalysisFunctions {
                    alpha: Double): DataFrame =
     lmPerplexityAgainst(docs, docs, idCol, textCol, alpha)
 
+  /** n-gram-order variant (n ≥ 2): the context is the preceding n−1
+    * tokens (CCNet's production filter is a 5-gram LM; the plan shape
+    * is order-independent — only the join key widens). Self-trained;
+    * pass a reference corpus via lmPerplexityAgainst's machinery. */
+  def lmPerplexityN(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, alpha: Double): DataFrame =
+    lmPerplexityAgainst(docs, docs, idCol, textCol, alpha, n)
+
   /** Cross-corpus variant — the actual CCNet deployment: train the
     * bigram LM on `reference` (the trusted corpus), score `docs` (the
     * crawl). Bigrams unseen in the reference fall back to the smoothed
@@ -220,15 +228,16 @@ object TextAnalysisFunctions {
     * one extra pass over the reference. */
   def lmPerplexityAgainst(reference: DataFrame, docs: DataFrame,
                           idCol: String, textCol: String,
-                          alpha: Double): DataFrame = {
-    val ref = bigramsOf(reference, idCol, textCol)
+                          alpha: Double, n: Int = 2): DataFrame = {
+    require(n >= 2, "LM order must be at least 2")
+    val ref = gramsOf(reference, idCol, textCol, n)
     val ctx = ref.groupBy("__w").agg(count(lit(1)).as("__cu"))
     val bi = ref.groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))
     val vocab = broadcast(
-      reference.filter(size(toks(col(textCol))) >= 2)
+      reference.filter(size(toks(col(textCol))) >= n)
         .select(explode(toks(col(textCol))).as("__w"))
         .agg(countDistinct("__w").as("__v")))
-    val micros = bigramsOf(docs, idCol, textCol)
+    val micros = gramsOf(docs, idCol, textCol, n)
       .join(bi, Seq("__w", "__w2"), "left")
       .join(ctx, Seq("__w"), "left")
       .crossJoin(vocab)
@@ -238,25 +247,39 @@ object TextAnalysisFunctions {
       .withColumn("__micro", round(col("__lp") * lit(1e6)).cast("long"))
     micros.groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"), sum("__micro").as("__s"))
+      // the 6-digit mean via EXACT integer half-away division of the
+      // micro sum — s/n can land on a true half-micro tie (2s ≡ n mod
+      // 2n), where `round` on a double legitimately differs between a
+      // BigDecimal engine and a multiply-then-round engine; the
+      // integer quotient is identical everywhere by construction
+      .withColumn("__q",
+        expr("CAST(sign(__s) AS BIGINT) * ((2 * abs(__s) + n_bigrams) DIV (2 * n_bigrams))"))
       .withColumn("__mean",
         (col("__s").cast("double") / lit(1e6)) / col("n_bigrams").cast("double"))
       .select(col("__id").as(idCol), col("n_bigrams"),
-        round(col("__mean"), 6).as("avg_logprob"),
+        (col("__q").cast("double") / lit(1e6)).as("avg_logprob"),
         round(exp(-col("__mean")), 6).as("perplexity"))
   }
 
-  /** (id, w1, w2) bigram stream of a corpus: posexplode + per-doc
-    * lead() — whole-stage-codegen'd, no HOF lambdas. */
-  private def bigramsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (id, context, next) n-gram stream of a corpus: the context is
+    * the n−1 preceding tokens joined by " ". posexplode + per-doc
+    * lead() chain — whole-stage-codegen'd, no HOF lambdas. The last
+    * lead being non-null implies all shorter leads are too (same
+    * partition suffix), so one filter suffices. */
+  private def gramsOf(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = docs
-      .filter(size(toks(col(textCol))) >= 2)
+      .filter(size(toks(col(textCol))) >= n)
       .select(col(idCol).as("__id"), posexplode(toks(col(textCol))))
       .toDF("__id", "__pos", "__w")
     val w = Window.partitionBy("__id").orderBy("__pos")
+    val leads = (1 until n).map(k => lead("__w", k).over(w))
+    val context = concat_ws(" ", (col("__w") +: leads.dropRight(1)): _*)
     words
-      .withColumn("__w2", lead("__w", 1).over(w))
+      .withColumn("__w2", leads.last)
+      .withColumn("__ctx", context)
       .filter(col("__w2").isNotNull)
-      .select(col("__id"), col("__w"), col("__w2"))
+      .select(col("__id"), col("__ctx").as("__w"), col("__w2"))
   }
 }

@@ -187,6 +187,14 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Trigram-order LM (context = 2 preceding tokens — the step
+    // toward CCNet's 5-gram production filter; only the join key
+    // widens, the plan shape is order-independent).
+    "x22_lm_trigram" -> ((s, d) => {
+      lmPerplexityN(documents(s, d), "doc_id", "text", n = 3, alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Cross-corpus perplexity (the real CCNet deployment): LM trained
     // on the even-id half (the "trusted reference"), the odd-id half
     // scored against it — unseen bigrams fall back to the smoothed
@@ -359,6 +367,30 @@ object TextAnalysisQueries {
     // gram multiplicities are kept (UNION ALL of word/bigram/trigram
     // streams mirrors the Spark side's tagged concat); counts are
     // integers so the double divisions are engine-exact
+    // trigram contexts: ws[i] || ' ' || ws[i+1] heads, ws[i+2] next —
+    // otherwise identical micro fixed-point arithmetic to x19
+    "x22_lm_trigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        | tok AS (SELECT unnest(ws) AS w FROM w),
+        | v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM tok),
+        | big AS (SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2),
+        |     i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2),
+        |     i -> ws[CAST(i + 2 AS INT)])) AS w2
+        |   FROM w),
+        | ctx AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+        | bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+        | sc AS (SELECT big.doc_id,
+        |   CAST(round(ln((CAST(cb AS DOUBLE) + 0.5) / (CAST(cu AS DOUBLE) + 0.5 * vsz)) * 1000000.0) AS BIGINT) AS micro
+        |   FROM big JOIN bi USING (w1, w2) JOIN ctx USING (w1), v),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(micro) AS BIGINT) AS s FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |    * ((2 * abs(s) + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 1000000.0 AS avg_logprob,
+        |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // reference LM from even ids, odd ids scored with left-join
     // fallback to the smoothed floor — mirrors lmPerplexityAgainst
     // exactly (same micro fixed-point arithmetic as x19)
@@ -385,7 +417,8 @@ object TextAnalysisQueries {
         |   FROM bdoc LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1), v),
         | agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(micro) AS BIGINT) AS s FROM sc GROUP BY 1)
         |SELECT doc_id, n_bigrams,
-        |  round((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob,
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |    * ((2 * abs(s) + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 1000000.0 AS avg_logprob,
         |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
         |FROM agg ORDER BY doc_id""".stripMargin,
     // LM built over bigram-head counts (c(w1,·)) and distinct-token
@@ -408,7 +441,8 @@ object TextAnalysisQueries {
         |   FROM big JOIN bi USING (w1, w2) JOIN ctx USING (w1), v),
         | agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(micro) AS BIGINT) AS s FROM sc GROUP BY 1)
         |SELECT doc_id, n_bigrams,
-        |  round((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob,
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |    * ((2 * abs(s) + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 1000000.0 AS avg_logprob,
         |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
         |FROM agg ORDER BY doc_id""".stripMargin,
     "x13_repetition" ->

@@ -51,9 +51,11 @@ class CurationSpec extends AnyFunSuite {
     val mAB = micro(3, 3) // ln(3.5/4)
     val mBA = micro(1, 1) // ln(1.5/2)
     def expect(micros: Seq[Long]): (Double, Double) = {
-      val mean = (micros.sum.toDouble / 1e6) / micros.size
-      (math.rint(mean * 1e6) / 1e6,
-        math.rint(math.exp(-mean) * 1e6) / 1e6)
+      val s = micros.sum; val n = micros.size
+      // exact integer half-away division — the operator's contract
+      val q = (if (s < 0) -1L else 1L) * ((2 * math.abs(s) + n) / (2L * n))
+      val mean = (s.toDouble / 1e6) / n
+      (q.toDouble / 1e6, math.rint(math.exp(-mean) * 1e6) / 1e6)
     }
     val (lp1, ppl1) = expect(Seq(mAB, mBA, mAB))
     val (lp2, ppl2) = expect(Seq(mAB))

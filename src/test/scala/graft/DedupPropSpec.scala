@@ -110,9 +110,10 @@ class DedupPropSpec extends AnyFunSuite {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
         val micros = bs.map(b => micro(b._2, b._3))
-        val mean = (micros.sum.toDouble / 1e6) / micros.size
-        id -> (micros.size.toLong,
-          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val s = micros.sum; val n = micros.size
+        // integer half-away mean — the operator's contract
+        val q = (if (s < 0) -1L else 1L) * ((2 * math.abs(s) + n) / (2L * n))
+        id -> (n.toLong, q.toDouble / 1e6)
       }
       assert(out == expect, s"seed=$seed diff=${
         out.toSet.diff(expect.toSet).take(3)} / ${expect.toSet.diff(out.toSet).take(3)}")
