@@ -40,6 +40,20 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** k-column generalization: bit i of column j lands at position
+    * i·k + j (round-robin interleave — the layout OPTIMIZE ZORDER
+    * applies to arbitrarily many clustering columns). k·bits ≤ 62. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 1 && bits >= 1 && k * bits <= 62,
+      s"need k*bits <= 62, got $k * $bits")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Affine [lo, hi] → [0, 2^bits) scaling (exact long math). */
   def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column =
     least(lit((1L << bits) - 1),

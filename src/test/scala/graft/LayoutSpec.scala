@@ -22,6 +22,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows == Seq(27L, 0L, 63L, 1L, 2L))
   }
 
+  test("zValueN round-robin interleave: 2-column form matches zValue; 3-column quadrant is contiguous") {
+    val rows = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
+    val r = rows.select(
+      zValue(col("a"), col("b"), 3).as("z2"),
+      zValueN(Seq(col("a"), col("b")), 3).as("z2n"),
+      zValueN(Seq(col("a"), col("b"), col("c")), 3).as("z3"))
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    // a=101, b=011, c=110 → position i*3+j: bits (a0,b0,c0)=(1,1,0) at
+    // 0,1,2; (a1,b1,c1)=(0,1,1) at 3,4,5; (a2,b2,c2)=(1,0,1) at 6,7,8
+    // → 0b101110011 = 371
+    assert(r.getLong(2) == 371L)
+    // top-level octant of the 3-D lattice: all (a,b,c < 4) under 3 bits
+    // fill exactly z < 64
+    val grid = (for { a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L }
+      yield (a, b, c)).toDF("a", "b", "c")
+      .withColumn("z", zValueN(Seq(col("a"), col("b"), col("c")), 3))
+    val oct = grid.filter(col("a") < 4 && col("b") < 4 && col("c") < 4)
+      .agg(max("z"), count(lit(1))).collect()(0)
+    assert(oct.getLong(0) == 63L && oct.getLong(1) == 64L)
+  }
+
   test("zValue is monotone under the box containment the curve guarantees") {
     // within any aligned quadrant, all z-values are contiguous: the
     // top-level quadrant of (a<4, b<4) under 3 bits is exactly z < 16
