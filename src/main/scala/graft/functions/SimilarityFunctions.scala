@@ -334,7 +334,12 @@ object SimilarityFunctions {
     * C ∝ corpus: constant cluster size makes pair work linear in the
     * corpus (real deployments use tens of thousands of clusters for
     * 100M+ vectors); a hot cluster is AQE-skew-join territory, and the
-    * per-cluster pair scan never leaves its shuffle partition.
+    * per-cluster pair scan never leaves its shuffle partition. Honest
+    * boundary of THIS assignment stage: broadcasting C centroids costs
+    * C·dim·8 bytes per executor — fine through C ~ 10⁵ at dim 64,
+    * beyond which assignment should itself go through an ANN join
+    * (lshBucket the centroids and probe, same plan as lshTopK with
+    * centroids as the corpus) rather than a dense broadcast scan.
     *
     * Returns one row per corpus vector: (id, cluster, is_dup).
     * `refineIters` > 0 first tightens the seed centroids with that
