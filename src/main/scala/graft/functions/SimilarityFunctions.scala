@@ -273,6 +273,7 @@ object SimilarityFunctions {
     * purposes); everything corpus-sized stays distributed. */
   def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
                    clusters: Int, iters: Int): DataFrame = {
+    require(clusters >= 1 && iters >= 0, "need clusters >= 1, iters >= 0")
     val e = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val assigned = assignToCentroids(e, refineCentroids(e, clusters, iters))
     assigned.select(col("__id").as(idCol), col("__cid").as("cluster"),

@@ -230,6 +230,8 @@ object TextAnalysisFunctions {
                           idCol: String, textCol: String,
                           alpha: Double, n: Int = 2): DataFrame = {
     require(n >= 2, "LM order must be at least 2")
+    require(alpha > 0, "smoothing alpha must be positive (an empty " +
+      "reference or unseen gram would otherwise divide by zero)")
     val ref = gramsOf(reference, idCol, textCol, n)
     val ctx = ref.groupBy("__w").agg(count(lit(1)).as("__cu"))
     val bi = ref.groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))

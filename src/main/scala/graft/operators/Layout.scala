@@ -55,9 +55,11 @@ object Layout {
   }
 
   /** Affine [lo, hi] → [0, 2^bits) scaling (exact long math). */
-  def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column =
+  def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(hi >= lo, s"empty range [$lo, $hi]")
     least(lit((1L << bits) - 1),
       ((c - lit(lo)) * lit(1L << bits)) / lit(hi - lo + 1))
+  }
 
   /** Write `df` z-ordered by (`aCol`, `bCol`): range-repartition on
     * the z-value (so files hold disjoint z-ranges), sort within each

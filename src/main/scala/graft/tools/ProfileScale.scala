@@ -213,6 +213,21 @@ object ProfileScale {
         cells += Cell("d8_span_dedup", f, n, t, spans, kept)
       }
 
+      // x19 — self-trained bigram-LM perplexity: two hash aggs build
+      // the LM, one bigram-keyed join scores. Work ∝ corpus tokens;
+      // "candidates" = scored bigram positions.
+      {
+        import graft.functions.TextAnalysisFunctions.lmPerplexity
+        val (scored, t) = time {
+          lmPerplexity(docs, "doc_id", "text", alpha = 0.5).count()
+        }
+        val grams = docs.filter(size(split(col("text"), " ")) >= 2)
+          .select((size(split(col("text"), " ")) - 1).cast("long").as("ng"))
+          .agg(sum("ng")).collect()(0).getLong(0)
+        println(f"x19   ${t}%7.1f s  grams $grams%9d  scored docs $scored%7d")
+        cells += Cell("x19_lm_perplexity", f, n, t, grams, scored)
+      }
+
       // d9 — decontamination with a FIXED benchmark (the base replica's
       // % 50 slice — the realistic setting: the benchmark doesn't grow
       // with the corpus). Probe volume ∝ corpus grams, broadcast const.
