@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expressions.{VectorExpressions, VectorKernels}
 
 /** Similarity search over embedding columns (ArrayType(FloatType)).
   *
@@ -10,9 +11,18 @@ import org.apache.spark.sql.functions._
   * no shuffle of the corpus). Scale path: random-hyperplane LSH
   * bucketing that prunes the corpus before the exact rerank.
   *
-  * All vector math is native higher-order functions over
+  * All vector math is native kernels or higher-order functions over
   * double-promoted elements — codegen'd, deterministic fold order, no
   * UDFs.
+  *
+  * Centroid-based stages (IVF cells, PQ codebooks, k-means, SemDeDup
+  * clusters) share one discipline: the centroid set is driver-side
+  * (C·dim doubles — the same KB-scale readback boundary as Factory's
+  * trial store) and assignment is a PER-ROW kernel expression
+  * ([[graft.expressions.VectorKernels]]) — no crossJoin, no window, no
+  * exchange; the assignment stage costs exactly one corpus scan. The
+  * dense-broadcast boundary (C beyond ~10⁵ at dim 64) has a bucketed
+  * escape hatch: [[bucketedAssign]].
   */
 object SimilarityFunctions {
 
@@ -95,34 +105,53 @@ object SimilarityFunctions {
     bits.reduce(_ + _)
   }
 
+  /** Driver-side centroid seeds: the deterministic "first C corpus
+    * vectors" convention shared by IVF / PQ / k-means / SemDeDup (the
+    * oracles replicate it). The readback is C·dim doubles — KB-scale,
+    * the same documented boundary as Factory's trial store. The id is
+    * cast to long alongside the vector cast (a non-long id column
+    * would otherwise throw on the driver, and a pre-filtered corpus
+    * with no ids below C would silently assign nothing — both
+    * round-5 advice items). */
+  private def collectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                               centroids: Int): Seq[(Long, Seq[Double])] = {
+    require(centroids >= 1, "need centroids >= 1")
+    val rows = corpus.filter(col(idCol) < centroids)
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+    require(rows.nonEmpty, s"no centroid seeds: the corpus has no ids in " +
+      s"[0, $centroids) — first-C seeding needs the id space to start at 0")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are
     * assigned once to their nearest of C centroids (deterministic
     * "sample": the first C corpus vectors); each query probes its
     * `nprobe` nearest centroids and reranks exactly within those
-    * cells. At scale: assignment is one corpus pass × C small dots;
-    * the probe join prunes the corpus ~C/nprobe-fold before rerank. */
+    * cells.
+    *
+    * At scale: the centroid list is a KB driver readback; assignment
+    * and probing are per-row kernel expressions (no exchange at all —
+    * the corpus×C window shuffle of the round-5 plan is gone); the
+    * probe join prunes the corpus ~C/nprobe-fold before rerank. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroids: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = broadcast(corpus
-      .filter(col(idCol) < centroids)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__centv")))
-    def nearest(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(cent)
-        .withColumn("__cscore", round(cosine(col(v), col("__centv")), 6))
-      val w = Window.partitionBy(id).orderBy(col("__cscore").desc, col("__cid"))
-      scored.withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .drop("__centv", "__cscore", "__crank")
-    }
-    val assigned = nearest(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", 1)
-    val probes = nearest(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", nprobe)
-    val scored = assigned.join(probes, Seq("__cid"))
+    require(nprobe >= 1, "need nprobe >= 1")
+    val cent = collectCentroids(corpus, idCol, vecCol, centroids)
+      .map { case (cid, v) => (cid, v.toArray) }
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cid", element_at(VectorExpressions.nearest_centroids(
+        asDouble(col("__cv")), cent, 1, VectorKernels.MetricCosine), 1).getField("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__pc", explode(VectorExpressions.nearest_centroids(
+        asDouble(col("__qv")), cent, nprobe, VectorKernels.MetricCosine)))
+      .withColumn("__cid", col("__pc").getField("cid"))
+      .drop("__pc")
+    val scored = assigned.join(broadcast(probes), Seq("__cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy("query_id")
@@ -143,36 +172,46 @@ object SimilarityFunctions {
     * estimate is m table lookups + an m-term sum — the corpus is
     * scanned as codes, never as floats.
     *
-    * Scale shape: encoding is one corpus pass × (m·centroids) small
-    * L2s; the ADC scan joins the (tiny, broadcast) query distance
-    * table to the code table — shuffle ∝ corpus × m, no floats move.
-    * Every distance is rounded to 6 digits before argmin/ranking with
-    * id tie-breaks; the m-term sum folds in block order (explicit
+    * Scale shape: the codebooks are a KB driver readback; encoding is
+    * m per-row argmin kernels in ONE corpus scan (the round-5 plan
+    * shuffled corpus×m rows through a per-block window — gone); the
+    * ADC scan joins the (tiny, broadcast) query distance table to the
+    * code table — shuffle ∝ corpus × m, no floats move. Every
+    * distance is rounded to 6 digits before argmin/ranking with id
+    * tie-breaks; the m-term sum folds in block order (explicit
     * d0+d1+…, not an agg) — bit-reproducible in both engines. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              m: Int, centroids: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got $dim / $m")
     val sub = dim / m
+    val full = collectCentroids(corpus, idCol, vecCol, centroids)
+    // per-block codebooks: the first-C vectors' sub-blocks
+    def blockCent(b: Int): Seq[(Long, Array[Double])] =
+      full.map { case (cid, v) =>
+        (cid, v.slice(b * sub, (b + 1) * sub).toArray)
+      }
     def blocks(df: DataFrame, idAlias: String): DataFrame =
       df.select(col(idCol).as(idAlias),
           explode(array((0 until m).map(b =>
             struct(lit(b).as("__b"),
               asDouble(slice(col(vecCol), b * sub + 1, sub)).as("__v"))): _*)).as("__e"))
         .select(col(idAlias), col("__e.__b").as("__b"), col("__e.__v").as("__v"))
+    // encode: per (vector, block) the nearest codebook entry — m
+    // per-row argmin kernels, one corpus scan, zero exchange
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__dv"))
+      .select(col("neighbor_id"), posexplode(array((0 until m).map { b =>
+        element_at(VectorExpressions.nearest_centroids(
+          slice(col("__dv"), b * sub + 1, sub), blockCent(b), 1,
+          VectorKernels.MetricL2), 1).getField("cid")
+      }: _*)))
+      .toDF("neighbor_id", "__b", "__cid")
+    // query ADC table: distance from each query block to each codeword
+    // (needs ALL m×C distances, not an argmin — stays a tiny join)
     val cent = broadcast(blocks(corpus.filter(col(idCol) < centroids), "__cid")
       .withColumnRenamed("__v", "__cv"))
-    // encode: per (vector, block) the nearest codebook entry
-    val codes = {
-      val scored = blocks(corpus, "neighbor_id").join(cent, Seq("__b"))
-        .withColumn("__d", round(
-          graft.expressions.HashExpressions.double_l2_squared(col("__v"), col("__cv")), 6))
-      val w = Window.partitionBy("neighbor_id", "__b")
-        .orderBy(col("__d"), col("__cid"))
-      scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-        .select("neighbor_id", "__b", "__cid")
-    }
-    // query ADC table: distance from each query block to each codeword
     val qdist = blocks(queries, "query_id").join(cent, Seq("__b"))
       .withColumn("__qd", round(
         graft.expressions.HashExpressions.double_l2_squared(col("__v"), col("__cv")), 6))
@@ -190,14 +229,6 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "est", "rank")
   }
 
-  /** LSH-pruned approximate top-k: corpus and queries are bucketed by
-    * hyperplane sign bits; candidates share the query's bucket, then
-    * exact cosine reranks. At scale the bucket join replaces the full
-    * cross product — shuffle ∝ corpus, candidates ∝ corpus/2^planes
-    * per query. Approximate (recall < 1 by design), yet exactly
-    * reproducible: the md5-derived planes are deterministic, so the
-    * s2_ann_lsh oracle replicates the bucketing bit-for-bit and the
-    * gate compares exact results. */
   /** Full k-NN self-join: top-k neighbors for EVERY corpus vector (the
     * all-pairs version of lshTopK — semantic-dedup and
     * cluster-then-sample pipelines need the whole neighbor graph, not a
@@ -229,6 +260,14 @@ object SimilarityFunctions {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** LSH-pruned approximate top-k: corpus and queries are bucketed by
+    * hyperplane sign bits; candidates share the query's bucket, then
+    * exact cosine reranks. At scale the bucket join replaces the full
+    * cross product — shuffle ∝ corpus, candidates ∝ corpus/2^planes
+    * per query. Approximate (recall < 1 by design), yet exactly
+    * reproducible: the md5-derived planes are deterministic, so the
+    * s2_ann_lsh oracle replicates the bucketing bit-for-bit and the
+    * gate compares exact results. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               seed: Long, planes: Int, dim: Int): DataFrame = {
@@ -265,43 +304,84 @@ object SimilarityFunctions {
     * centroid lists with `list(… ORDER BY dim)`. Empty clusters drop
     * out in both engines (GROUP BY emits no row).
     *
-    * Scale shape: per iteration one corpus pass × C broadcast dots +
-    * one map-side-combined (cluster, dim) agg of C·dim cells; the
-    * driver materializes only the C·dim mean table (KB — the same
-    * tiny-readback boundary as Factory's trial store). Iterations are
-    * a small constant (Lloyd converges in few steps for bucketing
-    * purposes); everything corpus-sized stays distributed. */
+    * Scale shape: per iteration one corpus scan with a per-row
+    * assignment kernel (NO exchange — the corpus×C argmin window of
+    * the round-5 plan is gone) + one map-side-combined (cluster, dim)
+    * agg of C·dim cells; the driver materializes only the C·dim mean
+    * table (KB — the same tiny-readback boundary as Factory's trial
+    * store). Iterations are a small constant (Lloyd converges in few
+    * steps for bucketing purposes); everything corpus-sized stays
+    * distributed. */
   def kmeansRefine(corpus: DataFrame, idCol: String, vecCol: String,
                    clusters: Int, iters: Int): DataFrame = {
     require(clusters >= 1 && iters >= 0, "need clusters >= 1, iters >= 0")
-    val e = corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val e = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
     val assigned = assignToCentroids(e, refineCentroids(e, clusters, iters))
     assigned.select(col("__id").as(idCol), col("__cid").as("cluster"),
       col("__cs").as("score"))
   }
 
   /** Nearest-centroid assignment of (__id, __v) rows to a driver-side
-    * centroid list: rounded-cosine argmax, centroid-id tie-break.
-    * Keeps __id, __v, __cid, __cs. */
+    * centroid list, as a single per-row kernel expression:
+    * rounded-cosine argmax, centroid-id tie-break — identical decision
+    * to the old crossJoin+window form, with ZERO exchange (the window
+    * shuffled corpus×C rows; the kernel is part of the scan
+    * projection). Keeps __id, __v, __cid, __cs. */
   private def assignToCentroids(e: DataFrame,
                                 cent: Seq[(Long, Seq[Double])]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val session = e.sparkSession
-    import session.implicits._
-    val w = Window.partitionBy("__id").orderBy(col("__cs").desc, col("__cid"))
-    e.crossJoin(broadcast(cent.toDF("__cid", "__centv")))
+    require(cent.nonEmpty, "empty centroid set: nothing to assign to " +
+      "(first-C seeding needs the id space to start at 0)")
+    val best = element_at(VectorExpressions.nearest_centroids(
+      col("__v"), cent.map { case (cid, v) => (cid, v.toArray) }, 1,
+      VectorKernels.MetricCosine), 1)
+    e.withColumn("__best", best)
+      .select(col("__id"), col("__v"),
+        col("__best").getField("cid").as("__cid"),
+        col("__best").getField("score").as("__cs"))
+  }
+
+  /** Bucketed (large-C) assignment path: when C grows past the dense
+    * broadcast boundary (~10⁵ centroids at dim 64 — semDedup scaladoc),
+    * ship the centroids through an LSH bucket join instead of a dense
+    * per-row scan: centroids and vectors bucket by the same hyperplane
+    * signs (lshBucket), candidates share the vector's bucket, and the
+    * per-vector argmax is a map-side-combined `max(struct)` — exchange
+    * ∝ corpus (one hash agg), never corpus×C. APPROXIMATE by design
+    * (the true nearest centroid can land in another bucket — recall is
+    * the planes dial, exactly lshTopK's contract); on well-separated
+    * clusters it equals dense assignment (SimilaritySpec pins this at
+    * C=4096). Vectors whose bucket holds no centroid drop out — callers
+    * needing total cover union a fallback or lower `planes`. */
+  def bucketedAssign(e: DataFrame, cent: DataFrame,
+                     seed: Long, planes: Int, dim: Int): DataFrame = {
+    val vb = e.select(col("__id"), col("__v"),
+      lshBucket(col("__v"), seed, planes, dim).as("__bucket"))
+    val cb = cent.select(col("__cid"), col("__centv"),
+      lshBucket(col("__centv"), seed, planes, dim).as("__bucket"))
+    vb.join(cb, Seq("__bucket"))
       .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select("__id", "__v", "__cid", "__cs")
+      // lexicographic struct max = (score desc, cid asc) argmax: the
+      // negated cid makes the tie-break pick the SMALLEST cid — a
+      // first-class hash agg with map-side partial combine
+      .groupBy("__id")
+      .agg(max(struct(col("__cs"), (-col("__cid")).as("__ncid"),
+        col("__v"))).as("__best"))
+      .select(col("__id"),
+        col("__best").getField("__v").as("__v"),
+        (-col("__best").getField("__ncid")).as("__cid"),
+        col("__best").getField("__cs").as("__cs"))
   }
 
   /** First-C seeds refined by `iters` Lloyd steps (fixed-point micro
     * means — see kmeansRefine). iters = 0 returns the raw seeds. */
   private def refineCentroids(e: DataFrame, clusters: Int,
                               iters: Int): Seq[(Long, Seq[Double])] = {
-    var cent: Seq[(Long, Seq[Double])] = e.filter(col("__id") < clusters)
+    val seeds = e.filter(col("__id") < clusters)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    require(seeds.nonEmpty, s"no seed centroids: the corpus has no ids in " +
+      s"[0, $clusters) — first-C seeding needs the id space to start at 0")
+    var cent: Seq[(Long, Seq[Double])] = seeds
     for (_ <- 1 to iters) {
       val means = assignToCentroids(e, cent)
         .select(col("__cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
@@ -328,19 +408,22 @@ object SimilarityFunctions {
     * corpus vectors" convention shared with ivfTopK/pqTopK, so the
     * oracle replicates the clustering decision-for-decision.
     *
-    * Scale shape: assignment is one corpus pass × C broadcast centroid
-    * dots (identical to the IVF assignment stage); the duplicate scan
-    * is a self-join KEYED ON THE CLUSTER ID — shuffle ∝ corpus, pair
-    * work ∝ Σ cluster² ≈ corpus · (corpus/C). The production dial is
-    * C ∝ corpus: constant cluster size makes pair work linear in the
-    * corpus (real deployments use tens of thousands of clusters for
-    * 100M+ vectors); a hot cluster is AQE-skew-join territory, and the
-    * per-cluster pair scan never leaves its shuffle partition. Honest
-    * boundary of THIS assignment stage: broadcasting C centroids costs
-    * C·dim·8 bytes per executor — fine through C ~ 10⁵ at dim 64,
-    * beyond which assignment should itself go through an ANN join
-    * (lshBucket the centroids and probe, same plan as lshTopK with
-    * centroids as the corpus) rather than a dense broadcast scan.
+    * Scale shape: assignment is ONE corpus scan with a per-row kernel
+    * (no exchange — see assignToCentroids), locally checkpointed so
+    * the three consumers (both self-join sides, the final left join)
+    * read the materialized assignment instead of re-running the scan;
+    * the duplicate scan is a self-join KEYED ON THE CLUSTER ID —
+    * shuffle ∝ corpus, pair work ∝ Σ cluster² ≈ corpus · (corpus/C).
+    * The production dial is C ∝ corpus: constant cluster size makes
+    * pair work linear in the corpus (real deployments use tens of
+    * thousands of clusters for 100M+ vectors); a hot cluster is
+    * AQE-skew-join territory, and the per-cluster pair scan never
+    * leaves its shuffle partition. Honest boundary of the assignment
+    * stage: the dense centroid matrix costs C·dim·8 bytes per task —
+    * fine through C ~ 10⁵ at dim 64, beyond which assignment goes
+    * through [[bucketedAssign]] (LSH-bucketed centroid probe, same
+    * plan as lshTopK with centroids as the corpus) rather than a
+    * dense per-row scan.
     *
     * Returns one row per corpus vector: (id, cluster, is_dup).
     * `refineIters` > 0 first tightens the seed centroids with that
@@ -351,10 +434,17 @@ object SimilarityFunctions {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                clusters: Int, threshold: Double,
                refineIters: Int = 0): DataFrame = {
-    val e = corpus.select(col(idCol).as("__id"),
+    require(clusters >= 1 && refineIters >= 0,
+      "need clusters >= 1, refineIters >= 0")
+    val e = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+    // one assignment pass, materialized: localCheckpoint cuts the
+    // lineage so the three consumers below read the stored blocks
+    // (executor-local — on a multi-node cluster swap for reliable
+    // checkpoint, the d6 nearDupClusters discipline)
     val assigned = assignToCentroids(e, refineCentroids(e, clusters, refineIters))
       .select(col("__id"), col("__v"), col("__cid"))
+      .localCheckpoint()
     // within-cluster scan: only (lower-id → higher-id) direction, so
     // the group representative can never be marked
     val dup = assigned.select(col("__cid"), col("__id"), col("__v")).as("x")

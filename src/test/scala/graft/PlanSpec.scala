@@ -118,17 +118,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("__sp"), p.take(1500))
   }
 
-  test("d11 semDedup: the only nested loop is the broadcast centroid assignment; the dup scan joins on cluster id") {
+  test("d11 semDedup: assignment is a per-row kernel (no nested loop anywhere); the dup scan joins on cluster id") {
     val df = SparkEntry.queries("d11_semdedup")(spark, d)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // assignment = corpus × broadcast centroids (intended BNLJ over a
-    // tiny build side); the within-cluster pair scan must be an
-    // equality join on __cid — a plain CartesianProduct anywhere means
-    // the cluster key was lost
-    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // assignment is a per-row nearest-centroid kernel — the round-5
+    // crossJoin+window form is gone, so NO nested loop may appear; the
+    // within-cluster pair scan must be an equality join on __cid — a
+    // plain CartesianProduct anywhere means the cluster key was lost
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
+  test("s7 k-means assignment adds NO exchange: per-row kernel, no window, no join (corpus-sized plan)") {
+    // the round-5 plan shuffled corpus×C scored rows through a
+    // row_number window; the kernel form is one scan projection — the
+    // only exchange left is the output sort's range partitioning
+    val df = SparkEntry.queries("s7_kmeans_refine")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("nearest_centroids"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("hashpartitioning"), p.take(1500))
   }
 
   test("x19 LM scoring joins bigrams on equality keys and partitions the doc window (no global sort, no cross product)") {

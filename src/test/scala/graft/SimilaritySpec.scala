@@ -203,6 +203,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedAssign at C=4096 equals dense kernel assignment on a planted-cluster fixture") {
+    // beyond C ~ 1e5 the dense centroid matrix stops fitting a task;
+    // bucketedAssign is the documented escape hatch (LSH-bucketed
+    // centroid probe). On well-separated clusters (each vector IS a
+    // centroid copy, so its bucket contains its nearest centroid)
+    // the approximate path must agree with the dense kernel exactly.
+    import spark.implicits._
+    val dim = 16
+    // deterministic pseudo-random unit-free vectors per seed
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(d => math.sin(seed * 31.0 + d * 7.0) + 0.001 * seed)
+    val cents = (0 until 4096).map(c => (c.toLong, vec(c)))
+    val centDf = cents.toDF("__cid", "__centv")
+    val vecs = (0 until 2000).map(i => (10000L + i, vec(i % 4096)))
+    val eDf = vecs.toDF("__id", "__v")
+    val bucketed = graft.functions.SimilarityFunctions.bucketedAssign(
+        eDf, centDf, seed = 11L, planes = 8, dim = dim)
+      .select("__id", "__cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dense path: the per-row kernel over the full 4096-centroid list
+    val dense = eDf.withColumn("__best", element_at(
+        graft.expressions.VectorExpressions.nearest_centroids(col("__v"),
+          cents.map { case (c, v) => (c, v.toArray) }, 1,
+          graft.expressions.VectorKernels.MetricCosine), 1))
+      .select(col("__id"), col("__best").getField("cid").as("__cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed.size == 2000, s"bucketed covered ${bucketed.size}/2000")
+    assert(bucketed == dense)
+    // and both recover the planted cluster id
+    dense.foreach { case (id, cid) => assert(cid == (id - 10000) % 4096) }
+  }
+
   test("semDedup duplicates each have a lower-id witness at >= threshold (driver replay)") {
     val e = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 60).select("vec_id", "embedding")
