@@ -59,6 +59,33 @@ object SimilarityFunctions {
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Exact rerank shared by every ANN path: top-k (neighbor_id,
+    * scoreCol) rows per query_id ordered by (score desc — or asc for
+    * distances — then neighbor_id asc), ranks 1..k.
+    *
+    * Runs as the bounded_topk heap aggregate
+    * ([[graft.expressions.BoundedTopK]]), NOT a row_number window: the
+    * window form shuffled every candidate row to rank them and threw
+    * away all but k — candidate-sized exchange; the heap combines
+    * map-side, so the exchange carries at most k rows per (task,
+    * query) regardless of candidate count. The (score, id) order is
+    * total, so the selection is merge-order-insensitive —
+    * bit-identical to the window form. */
+  private def rankTopK(scored: DataFrame, k: Int, scoreCol: String,
+                       ascending: Boolean): DataFrame = {
+    // negation turns desc into asc exactly (doubles negate losslessly)
+    val ordScore = if (ascending) col(scoreCol) else -col(scoreCol)
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct(ordScore.as("__o"), col("neighbor_id")),
+        struct(col("neighbor_id"), col(scoreCol)), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"),
+        col("col").getField("neighbor_id").as("neighbor_id"),
+        col("col").getField(scoreCol).as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries` (small,
     * broadcast), the k nearest rows of `corpus` (scanned once).
     * Scores are rounded to `roundDigits` before ranking so ordering is
@@ -66,17 +93,12 @@ object SimilarityFunctions {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundDigits: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), roundDigits))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k, "score", ascending = false)
   }
 
   /** Deterministic pseudo-random unit hyperplanes: component d of plane
@@ -137,7 +159,6 @@ object SimilarityFunctions {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroids: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, "need nprobe >= 1")
     val cent = collectCentroids(corpus, idCol, vecCol, centroids)
       .map { case (cid, v) => (cid, v.toArray) }
@@ -154,11 +175,7 @@ object SimilarityFunctions {
     val scored = assigned.join(broadcast(probes), Seq("__cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k, "score", ascending = false)
   }
 
   /** Product-quantization top-k with ADC (asymmetric distance
@@ -183,7 +200,6 @@ object SimilarityFunctions {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              m: Int, centroids: Int, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(m >= 1 && dim % m == 0, s"need dim divisible by m, got $dim / $m")
     val sub = dim / m
     val full = collectCentroids(corpus, idCol, vecCol, centroids)
@@ -222,11 +238,7 @@ object SimilarityFunctions {
     def blockD(b: Int): Column = max(when(col("__b") === b, col("__qd")))
     val est = perBlock.groupBy("query_id", "neighbor_id")
       .agg(round((0 until m).map(blockD).reduce(_ + _), 6).as("est"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("est").asc, col("neighbor_id").asc)
-    est.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "est", "rank")
+    rankTopK(est, k, "est", ascending = true)
   }
 
   /** Full k-NN self-join: top-k neighbors for EVERY corpus vector (the
@@ -244,7 +256,6 @@ object SimilarityFunctions {
     * bit-for-bit. */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
               seed: Long, planes: Int, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucket = lshBucket(col(vecCol), seed, planes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       bucket.as("__bucket"))
@@ -253,11 +264,7 @@ object SimilarityFunctions {
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k, "score", ascending = false)
   }
 
   /** LSH-pruned approximate top-k: corpus and queries are bucketed by
@@ -271,7 +278,6 @@ object SimilarityFunctions {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               seed: Long, planes: Int, dim: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bucket = lshBucket(col(vecCol), seed, planes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       bucket.as("__bucket"))
@@ -280,11 +286,7 @@ object SimilarityFunctions {
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k, "score", ascending = false)
   }
 
   /** Deterministic Lloyd (k-means) refinement of the first-C seed

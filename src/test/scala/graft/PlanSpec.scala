@@ -145,6 +145,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(1500))
   }
 
+  test("ANN rerank is a map-side bounded_topk heap aggregate, not a candidate-sized window shuffle") {
+    // the round-5 plans ranked candidates with row_number().over(
+    // partitionBy(query_id)) — shuffling EVERY candidate to discard
+    // all but k; the heap aggregate combines map-side, so the rerank
+    // exchange is k×partitions per query, independent of candidates
+    for (q <- Seq("s1_ann_topk", "s2_ann_lsh", "s5_knn_join", "s4_ann_ivf", "s6_ann_pq")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q: ${p.take(800)}")
+      assert(p.contains("bounded_topk"), s"$q: ${p.take(800)}")
+    }
+  }
+
   test("x19 LM scoring joins bigrams on equality keys and partitions the doc window (no global sort, no cross product)") {
     val df = SparkEntry.queries("x19_lm_perplexity")(spark, d)
     df.collect()
