@@ -285,14 +285,32 @@ object DedupFunctions {
     * so u can't sit deeper than |X| − |A∩B| + 1. Joining the two rare
     * PREFIXES on the shingle therefore surfaces every qualifying pair
     * (unlike containmentPairs, whose asymmetric measure only bounds the
-    * contained side — here both sides prune). Lossless extra pruning:
-    * the size filter t·|A| ≤ |B| ≤ |A|/t, and the PPJoin positional
-    * bound |A∩B| ≤ 1 + min(|A|−r_A, |B|−r_B) which must reach the
-    * Jaccard-equivalent overlap ⌈t/(1+t)·(|A|+|B|)⌉ (from J = i/(|A|+
-    * |B|−i) ≥ t ⟺ i ≥ t/(1+t)·(|A|+|B|); under the size filter this
-    * is always ≥ the weaker ⌈t·max⌉ bound — at t=0.4 it raised the
-    * required overlap from 0.4·max to ~0.57·max and cut the candidate
-    * stage ~2× at sf0.1, tools/ProfileD4).
+    * contained side — here both sides prune). Lossless extra pruning,
+    * all with the Jaccard-equivalent overlap floor req = ⌈t/(1+t)·(|A|
+    * +|B|)⌉ (from J = i/(|A|+|B|−i) ≥ t ⟺ i ≥ t/(1+t)·(|A|+|B|)):
+    *
+    *  1. Size filter t·|A| ≤ |B| ≤ |A|/t.
+    *  2. Asymmetric INDEX prefix (the PPJoin indexing trick): orient
+    *     each pair so A is the smaller set (size, then id). J ≥ t with
+    *     |A| ≤ |B| forces i ≥ 2t/(1+t)·|A|, so the globally-first
+    *     shared shingle sits within A's first |A| − ⌈2t/(1+t)·|A|⌉ + 1
+    *     elements while still within B's standard t-prefix — the join
+    *     is short-prefix × standard-prefix, not standard × standard
+    *     (at t=0.4: 0.43·n vs 0.6·n on the indexed side).
+    *  3. Group positional bound on the LAST shared prefix shingle
+    *     (the PPJoin+-style second level, replacing the single-
+    *     shingle bound): ranks follow one global (df, shingle) order
+    *     in every doc, so for a pair sharing s prefix shingles whose
+    *     deepest ranks are (ra, rb), every shared element at-or-before
+    *     that shingle in the global order is one of the s join rows,
+    *     and everything after ranks deeper than (ra, rb) in BOTH docs:
+    *     |A∩B| ≤ s + min(|A|−ra, |B|−rb) ≥ req must hold. Aggregated
+    *     per pair (count, max-rank) — strictly tighter than the
+    *     round-5 per-row bound 1 + min(|A|−r_A, |B|−r_B), and the agg
+    *     replaces the distinct the pairs needed anyway. Candidates at
+    *     sf0.1: 7.9M → 3.3M at flat end-to-end cost — the win is the
+    *     2.4× smaller verify shuffle, the scale-dominant term
+    *     (tools/ProfileD4).
     *
     * Verification runs over 40-bit md5-hashed shingle sets (sorted
     * long arrays, merge-walk kernel): the exact-verify join attaches
@@ -324,29 +342,52 @@ object DedupFunctions {
       explode(col("__sh")).as("__s"))
     val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
-    // both join sides are the same rare-prefix projection (rank ≤
-    // n − ⌈t·n⌉ + 1) — prefix×prefix, not prefix×full-index. The join
-    // key is xxhash64(shingle): an 8-byte exchange key instead of the
-    // string; a hash collision only ADDS candidates (exact verification
-    // removes them), so recall is untouched
+    // one standard-prefix projection (rank ≤ n − ⌈t·n⌉ + 1) with an
+    // index-membership flag (rank ≤ n − ⌈2t/(1+t)·n⌉ + 1) — the join
+    // is index-prefix × standard-prefix (scaladoc item 2). The join
+    // KEY is xxhash64(shingle) (8-byte hash-join key); the shingle
+    // itself travels as payload for the exact-equality collision
+    // reject below
+    def ceil2T(n: Column): Column =
+      ceil(lit(2 * threshold / (1 + threshold)) * n - lit(1e-9))
     val prefix = tok.join(dfreq, Seq("__s"))
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= col("__na") - ceilT(col("__na")) + 1)
-      .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__rn"), col("__na"))
+      .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__s"),
+        col("__rn"), col("__na"),
+        (col("__rn") <= col("__na") - ceil2T(col("__na")) + 1).as("__ix"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = prefix.toDF("__pa", "__sk", "__ra", "__naa")
-      .join(prefix.toDF("__pb", "__sk", "__rb", "__nab"), Seq("__sk"))
-      .filter(col("__pa") < col("__pb") &&
+    val cand = prefix.filter(col("__ix")).drop("__ix")
+      .toDF("__pa", "__sk", "__sa", "__ra", "__naa")
+      .join(prefix.drop("__ix").toDF("__pb", "__sk", "__sb", "__rb", "__nab"),
+        Seq("__sk"))
+      // the string ships as payload so a join-key collision can be
+      // rejected exactly: the group bound below COUNTS shared
+      // shingles, and a spurious collision row would tighten it
+      // unsoundly (round 5's distinct-only form was loosening-only;
+      // the count form needs true equality to stay provable)
+      .filter(col("__sa") === col("__sb"))
+      // orientation: the indexed side is the SMALLER set (ties by id)
+      .filter((col("__naa") < col("__nab") ||
+          (col("__naa") === col("__nab") && col("__pa") < col("__pb"))) &&
         // size filter: J ≥ t forces the sizes within a t ratio
         col("__nab") >= ceilT(col("__naa")) &&
-        col("__naa") >= ceilT(col("__nab")) &&
-        // positional bound must reach the Jaccard-equivalent overlap
-        // floor t/(1+t)·(na+nb) — tight form of the t·max bound (same
-        // epsilon guard: loosening-only, recall preserved)
-        lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceil(lit(threshold / (1 + threshold)) * (col("__naa") + col("__nab")) - lit(1e-9)))
-      .select(col("__pa").as("a"), col("__pb").as("b"))
-      .distinct()
+        col("__naa") >= ceilT(col("__nab")))
+      // group positional bound (scaladoc item 3) over ALL shared
+      // prefix shingles — deliberately NO per-row positional
+      // prefilter: each extra shared shingle adds 1 to s but usually
+      // deepens the max ranks by more, so the full-group bound is
+      // what cuts candidates 7.9M → 3.3M (a prefiltered group keeps
+      // only rank-monotone survivors and degenerates to the round-5
+      // per-row bound, measured right back at 7.9M). The agg doubles
+      // as the pair distinct.
+      .groupBy("__pa", "__pb", "__naa", "__nab")
+      .agg(count(lit(1)).as("__s"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
+      .filter(col("__s") +
+          least(col("__naa") - col("__mra"), col("__nab") - col("__mrb")) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("__naa") + col("__nab")) - lit(1e-9)))
+      .select(least(col("__pa"), col("__pb")).as("a"),
+        greatest(col("__pa"), col("__pb")).as("b"))
     // hashed verify sets: distinct hashes (two shingles may collide),
     // sorted for the merge walk
     val hsh = sh.select(col("__id"),

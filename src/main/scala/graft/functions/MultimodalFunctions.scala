@@ -53,21 +53,27 @@ object MultimodalFunctions {
     * reproduces it bit-for-bit. Returns (id, byte_len, n_distinct,
     * entropy) with entropy in nats. */
   def payloadEntropy(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val bytes = df
-      .select(col(idCol).as("__id"), hex(col(payloadCol)).as("__hx"))
+    val base = df.select(col(idCol).as("__id"), hex(col(payloadCol)).as("__hx"))
+    val bytes = base
       .select(col("__id"), (length(col("__hx")) / 2).cast("long").as("__n"),
         explode(split(col("__hx"), "(?<=\\G..)")).as("__b"))
       .filter(col("__b") =!= "")
     val hist = bytes.groupBy("__id", "__n", "__b").agg(count(lit(1)).as("__c"))
-    hist
+    val scored = hist
       .withColumn("__p", col("__c").cast("double") / col("__n").cast("double"))
       .withColumn("__t",
         round(col("__p") * log(col("__p")) * lit(1e6)).cast("long"))
       .groupBy("__id", "__n")
       .agg(count(lit(1)).as("n_distinct"), sum("__t").as("__s"))
-      .select(col("__id").as(idCol), col("__n").as("byte_len"),
-        col("n_distinct"),
-        round(-(col("__s").cast("double") / lit(1e6)), 6).as("entropy"))
+    // empty/NULL payloads never survive the explode — left-join the
+    // histogram back so the contract stays one row per input row
+    // ((id, 0, 0, 0.0) for payload-less rows; a caller joining on id
+    // would otherwise lose them without a signal)
+    base.select(col("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("byte_len"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(round(-(col("__s").cast("double") / lit(1e6)), 6), lit(0.0)).as("entropy"))
   }
 
   /** STUB decode kernel: a real implementation would initialize a codec

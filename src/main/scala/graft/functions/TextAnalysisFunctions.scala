@@ -230,8 +230,8 @@ object TextAnalysisFunctions {
                           idCol: String, textCol: String,
                           alpha: Double, n: Int = 2): DataFrame = {
     require(n >= 2, "LM order must be at least 2")
-    require(alpha > 0, "smoothing alpha must be positive (an empty " +
-      "reference or unseen gram would otherwise divide by zero)")
+    require(alpha > 0, "smoothing alpha must be positive (an unseen " +
+      "gram would otherwise divide by zero)")
     val ref = gramsOf(reference, idCol, textCol, n)
     val ctx = ref.groupBy("__w").agg(count(lit(1)).as("__cu"))
     val bi = ref.groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))
@@ -243,9 +243,16 @@ object TextAnalysisFunctions {
       .join(bi, Seq("__w", "__w2"), "left")
       .join(ctx, Seq("__w"), "left")
       .crossJoin(vocab)
+      // alpha > 0 does NOT save an EMPTY reference: V = 0 makes the
+      // smoothed denominator 0 + α·0 = 0 and ln(Inf) would saturate
+      // the micro cast into silent garbage — fail loudly per row
+      // instead (free when V > 0: the branch never evaluates)
       .withColumn("__lp",
-        log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(alpha)) /
-          (coalesce(col("__cu"), lit(0L)).cast("double") + lit(alpha) * col("__v").cast("double"))))
+        when(col("__v") > 0,
+          log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(alpha)) /
+            (coalesce(col("__cu"), lit(0L)).cast("double") + lit(alpha) * col("__v").cast("double"))))
+          .otherwise(raise_error(lit(
+            "lmPerplexity: empty reference vocabulary (no doc reaches the LM order n)"))))
       .withColumn("__micro", round(col("__lp") * lit(1e6)).cast("long"))
     micros.groupBy("__id")
       .agg(count(lit(1)).as("n_bigrams"), sum("__micro").as("__s"))

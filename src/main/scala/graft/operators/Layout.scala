@@ -54,11 +54,64 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** Affine [lo, hi] → [0, 2^bits) scaling (exact long math). */
+  /** Affine [lo, hi] → [0, 2^bits) scaling (exact long math).
+    *
+    * Out-of-range keys are clamped to [lo, hi] — an unclamped value
+    * below lo would go negative and its sign-extended bits would
+    * corrupt the Morton interleave silently (layout quality, not
+    * correctness — but silent). The scale multiply is guarded against
+    * long overflow (range width must fit 63−bits bits), and the
+    * division is integral (`div`), not double `/` — a double quotient
+    * loses exactness past 2^53. The clamped product is < 2^63 and the
+    * quotient provably < 2^bits, so no output cap is needed. */
   def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi >= lo, s"empty range [$lo, $hi]")
-    least(lit((1L << bits) - 1),
-      ((c - lit(lo)) * lit(1L << bits)) / lit(hi - lo + 1))
+    require(hi - lo >= 0 && hi - lo <= (Long.MaxValue >> bits),
+      s"range width ${hi} - ${lo} overflows the $bits-bit scale multiply")
+    val cc = least(lit(hi), greatest(lit(lo), c))
+    call_function("div", (cc - lit(lo)) * lit(1L << bits), lit(hi - lo + 1))
+  }
+
+  /** Min/max of a long/int column read from parquet FOOTER statistics
+    * (driver-side metadata IO, no Spark job): the z-order domain for
+    * [[zorderWrite]] without the two full-corpus `max()` scans q34
+    * first shipped with — at 100 TB those were two extra table reads
+    * before the layout write. Folds row-group stats across every
+    * file of a parquet directory. */
+  def parquetLongRange(spark: org.apache.spark.sql.SparkSession,
+                       path: String, column: String): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Array(root)
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column) c.getStatistics match {
+              case s: org.apache.parquet.column.statistics.LongStatistics
+                  if s.hasNonNullValue =>
+                lo = math.min(lo, s.getMin); hi = math.max(hi, s.getMax)
+              case s: org.apache.parquet.column.statistics.IntStatistics
+                  if s.hasNonNullValue =>
+                lo = math.min(lo, s.getMin.toLong); hi = math.max(hi, s.getMax.toLong)
+              case _ => ()
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    require(lo <= hi,
+      s"no long/int footer statistics for column '$column' under $path")
+    (lo, hi)
   }
 
   /** Write `df` z-ordered by (`aCol`, `bCol`): range-repartition on

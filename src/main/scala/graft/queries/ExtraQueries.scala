@@ -364,11 +364,14 @@ object ExtraQueries {
       val dir = tempDir(s"zorder_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       val li = lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-      val (okMax, pkMax) = (
-        li.agg(max("l_orderkey")).collect()(0).getLong(0),
-        li.agg(max("l_partkey")).collect()(0).getLong(0))
+      // z-order domain from parquet FOOTER stats (driver metadata IO) —
+      // the round-5 form ran two full-table max() scans before the
+      // layout write, two extra corpus reads at 100 TB
+      val src = s"$d/lineitem.parquet"
+      val okRange = graft.operators.Layout.parquetLongRange(s, src, "l_orderkey")
+      val pkRange = graft.operators.Layout.parquetLongRange(s, src, "l_partkey")
       graft.operators.Layout.zorderWrite(li, s"$dir/z", "l_orderkey", "l_partkey",
-        (1L, okMax), (1L, pkMax), bits = 16, partitions = 16)
+        okRange, pkRange, bits = 16, partitions = 16)
       s.read.parquet(s"$dir/z")
         .filter(col("l_orderkey") <= 1000 && col("l_partkey") <= 200)
         .groupBy("l_partkey")

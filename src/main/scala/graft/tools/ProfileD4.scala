@@ -47,20 +47,29 @@ object ProfileD4 {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
       .filter(col("__rn") <= col("__na") - ceil(lit(t) * col("__na")) + 1)
-      .select(col("__id"), col("__s"), col("__rn"), col("__na"))
+      .select(col("__id"), col("__s"), col("__rn"), col("__na"),
+        (col("__rn") <= col("__na") - ceil(lit(2 * t / (1 + t)) * col("__na") - lit(1e-9)) + 1).as("__ix"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("rank + prefix (persisted)")(prefix.count())
-    val cand = prefix.toDF("__pa", "__s", "__ra", "__naa")
-      .join(prefix.toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
-      .filter(col("__pa") < col("__pb") &&
+    // index-prefix × standard-prefix + group positional bound — the
+    // jaccardPairs candidate stage (string join key here; the real
+    // path keys on xxhash64 with a string-equality collision reject)
+    val cand = prefix.filter(col("__ix")).drop("__ix")
+      .toDF("__pa", "__s", "__ra", "__naa")
+      .join(prefix.drop("__ix").toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
+      .filter((col("__naa") < col("__nab") ||
+          (col("__naa") === col("__nab") && col("__pa") < col("__pb"))) &&
         col("__nab") >= ceil(lit(t) * col("__naa")) &&
-        col("__naa") >= ceil(lit(t) * col("__nab")) &&
-        lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceil(lit(t / (1 + t)) * (col("__naa") + col("__nab")) - lit(1e-9)))
-      .select(col("__pa").as("a"), col("__pb").as("b"))
-      .distinct()
+        col("__naa") >= ceil(lit(t) * col("__nab")))
+      .groupBy("__pa", "__pb", "__naa", "__nab")
+      .agg(count(lit(1)).as("__s"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
+      .filter(col("__s") +
+          least(col("__naa") - col("__mra"), col("__nab") - col("__mrb")) >=
+        ceil(lit(t / (1 + t)) * (col("__naa") + col("__nab")) - lit(1e-9)))
+      .select(least(col("__pa"), col("__pb")).as("a"),
+        greatest(col("__pa"), col("__pb")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("candidate join + distinct")(cand.count())
+    time("candidate join + group bound")(println(s"  candidates: ${cand.count()}"))
     time("verify (array join + merge walk)") {
       cand.join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
         .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))

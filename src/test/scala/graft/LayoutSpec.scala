@@ -44,6 +44,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(oct.getLong(0) == 63L && oct.getLong(1) == 64L)
   }
 
+  test("scaleTo clamps out-of-range keys and divides exactly") {
+    val r = Seq(-5L, 0L, 10L, 99L).toDF("c")
+      .select(scaleTo(col("c"), 0L, 10L, 4).as("s"))
+      .as[Long].collect().toSeq
+    // below-lo clamps to 0 (an unclamped negative would sign-extend
+    // into the Morton interleave); above-hi clamps to the top cell
+    assert(r == Seq(0L, 0L, (10L * 16) / 11, (10L * 16) / 11))
+    assert(r.forall(v => v >= 0 && v < 16))
+    // range width must fit the shift
+    intercept[IllegalArgumentException] {
+      scaleTo(col("c"), 0L, Long.MaxValue / 2, 16)
+    }
+  }
+
+  test("parquetLongRange reads footer min/max equal to a full scan") {
+    val d = "/root/testdata/sf0.001"
+    val (lo, hi) = parquetLongRange(spark, s"$d/lineitem.parquet", "l_orderkey")
+    val r = Tables.lineitem(spark, d)
+      .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+    assert((lo, hi) == (r.getLong(0), r.getLong(1)))
+  }
+
   test("zValue is monotone under the box containment the curve guarantees") {
     // within any aligned quadrant, all z-values are contiguous: the
     // top-level quadrant of (a<4, b<4) under 3 bits is exactly z < 16

@@ -117,4 +117,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, 8L, 1L, 0.0), (2L, 8L, 2L, fx(2)), (3L, 8L, 4L, fx(4))))
   }
+
+  test("payloadEntropy keeps one row per input: empty and NULL payloads get zero defaults") {
+    // empty/NULL never survive the explode — the operator must emit
+    // (id, 0, 0, 0.0) for them or a caller joining back on id loses
+    // the rows without a signal (round-5 advice)
+    val df = Seq((1L, Option("abc")), (2L, Option("")), (3L, Option.empty[String]))
+      .toDF("doc_id", "txt")
+      .withColumn("payload", asPayload(col("txt")))
+    val out = payloadEntropy(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) == ((0L, 0L, 0.0)) && out(3L) == ((0L, 0L, 0.0)))
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L)
+  }
 }
