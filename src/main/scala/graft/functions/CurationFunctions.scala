@@ -101,18 +101,39 @@ object CurationFunctions {
     * quality value always land in the same band, so band sizes are
     * equal only up to ties — that's the defined semantic, mirrored in
     * the oracle. decile = ceil(10 · cumCount / N) over integer counts.
+    *
+    * The cumulative sum is TWO-LEVEL (round-5 advice): scores bucket
+    * by their 3rd digit, bucket prefix totals come from a tiny
+    * non-equi self-join of the ≤ ~10³-row bucket table (no window at
+    * all), and the within-bucket running sum is a PARTITIONED window —
+    * the distinct-value histogram (up to ~10⁶ rows at 6-digit
+    * resolution) never funnels through one task. This removes main's
+    * only unpartitioned data-sized window; the one remaining
+    * `Window.orderBy` without partitionBy is domainMixWeights' ordered
+    * fold over the per-source table (tens of rows, documented there).
     */
   def qualityDeciles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scored = docs.select(col(idCol).as("__id"),
       round(TextAnalysisFunctions.qualityScore(col(textCol)), 6).as("__q"))
+    // level 1: coarse buckets of the score domain — floor is monotone
+    // in __q, so (bucket asc, __q asc) is the global score order
     val hist = scored.groupBy("__q").agg(count(lit(1)).as("__c"))
-    val byValue = Window.orderBy("__q")
+      .withColumn("__bk", floor(col("__q") * lit(1000.0)).cast("long"))
+    val bcnt = hist.groupBy("__bk").agg(sum("__c").as("__bc"))
+    // exclusive bucket prefix: tiny × tiny non-equi join (bounded by
+    // score resolution, independent of corpus size)
+    val bpre = bcnt
+      .join(bcnt.select(col("__bk").as("__bk2"), col("__bc").as("__bc2")),
+        col("__bk2") < col("__bk"), "left")
+      .groupBy("__bk")
+      .agg(coalesce(sum("__bc2"), lit(0L)).as("__pre"))
+    val total = hist.agg(sum("__c").as("__n"))
+    // level 2: within-bucket running sum — partitioned window
+    val inBucket = Window.partitionBy("__bk").orderBy("__q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy("__q")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val bands = hist
-      .withColumn("__cum", sum("__c").over(byValue))
-      .withColumn("__n", sum("__c").over(all))
+    val bands = hist.join(bpre, Seq("__bk"))
+      .withColumn("__cum", col("__pre") + sum("__c").over(inBucket))
+      .crossJoin(broadcast(total))
       .withColumn("decile",
         least(ceil(lit(10.0) * col("__cum").cast("double") / col("__n").cast("double")),
           lit(10L)).cast("int"))

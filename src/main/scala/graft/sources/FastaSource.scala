@@ -3,19 +3,39 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Distributed FASTA reader (reference: BioSeqPipe,
+/** Distributed sequence-file reader (reference: BioSeqPipe,
   * fireworks/toolbox/pipes.py:18-68 — one row per record with columns
-  * `sequences, ids, names, descriptions, dbxrefs`).
+  * `sequences, ids, names, descriptions, dbxrefs`; the reference's
+  * `filetype` arg accepts any Biopython SeqIO format string,
+  * pipes.py:33-47). This port carries the two formats with tests:
+  * FASTA and FASTQ (FASTQ rows add a `qualities` column).
   *
-  * Record splitting uses the text source's custom `lineSep` ("\n>"),
-  * so the input format handles record boundaries across file splits —
-  * no whole-file reads, scales to arbitrarily large FASTA. The
-  * reference's `reset()` re-open semantics are subsumed by Spark
+  * FASTA record splitting uses the text source's custom `lineSep`
+  * ("\n>"), so the input format handles record boundaries across file
+  * splits — no whole-file reads, scales to arbitrarily large FASTA.
+  * The reference's `reset()` re-open semantics are subsumed by Spark
   * sources being re-scannable.
-  */
+  *
+  * FASTQ can NOT use the lineSep trick: '@' (ASCII 64) is a legal
+  * Phred+33 quality character, so a quality line may begin with '@'
+  * and a "\n@" split would shear records. Valid FASTQ is exactly
+  * 4 lines per record, so records are recovered positionally: a
+  * distributed line index (zipWithIndex — one extra count job, the
+  * Frame `_idx` discipline) groups lines 4-at-a-time. Input must be
+  * well-formed 4-line FASTQ (one file or files each holding a
+  * multiple of 4 lines). */
 object FastaSource {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+           filetype: String = "fasta"): DataFrame =
+    filetype.toLowerCase match {
+      case "fasta" => readFasta(spark, path)
+      case "fastq" => readFastq(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported filetype '$other' (supported: fasta, fastq)")
+    }
+
+  private def readFasta(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("lineSep", "\n>").text(path)
     raw
       .filter(length(trim(col("value"))) > 0)
@@ -29,5 +49,28 @@ object FastaSource {
         split(col("header"), " ").getItem(0).as("names"),
         col("header").as("descriptions"),
         array().cast("array<string>").as("dbxrefs"))
+  }
+
+  private def readFastq(spark: SparkSession, path: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    val byRecord = spark.read.text(path).rdd.zipWithIndex()
+      .map { case (r, i) => (i / 4, (i % 4).toInt, r.getString(0)) }
+      .toDF("__rec", "__pos", "value")
+      .groupBy("__rec")
+      .agg(
+        max(when(col("__pos") === 0, col("value"))).as("__hdr"),
+        max(when(col("__pos") === 1, col("value"))).as("sequences"),
+        max(when(col("__pos") === 3, col("value"))).as("qualities"))
+    byRecord
+      .filter(col("__hdr").isNotNull && length(trim(col("__hdr"))) > 0)
+      .withColumn("header", regexp_replace(col("__hdr"), "^@", ""))
+      .select(
+        col("sequences"),
+        split(col("header"), " ").getItem(0).as("ids"),
+        split(col("header"), " ").getItem(0).as("names"),
+        col("header").as("descriptions"),
+        array().cast("array<string>").as("dbxrefs"),
+        col("qualities"))
   }
 }

@@ -11,17 +11,62 @@ import graft.operators.Pipes
   * vector; the cluster serves shuffled batches — the exact split of
   * labor the reference runs single-process.
   *
+  * The optimizer step mirrors the reference's optimizer surface
+  * (extensions/training.py:57-77 exposes the torch optimizer matrix)
+  * for the testable linear case: plain SGD, heavy-ball momentum, and
+  * Adam — all driver-side math over the KB-scale parameter vector, so
+  * the cluster-side plan (shuffled batch serving) is identical for
+  * every optimizer.
+  *
   * For production-size linear fits prefer LinearModel.fit (one exact
   * pass); this loop exists for training-semantics parity and for
   * models that genuinely need SGD.
   */
 object Trainer {
 
-  final case class SgdConfig(lr: Double, epochs: Int, batchSize: Int, seed: Long)
+  /** Optimizer step rule for the driver-side update loop. */
+  sealed trait Optimizer
+  /** Plain SGD: p -= lr · g. */
+  case object Sgd extends Optimizer
+  /** Heavy-ball momentum: v = mu·v + g; p -= lr · v. */
+  final case class Momentum(mu: Double = 0.9) extends Optimizer
+  /** Adam (Kingma & Ba): bias-corrected first/second moments. */
+  final case class Adam(beta1: Double = 0.9, beta2: Double = 0.999,
+                        eps: Double = 1e-8) extends Optimizer
+
+  final case class SgdConfig(lr: Double, epochs: Int, batchSize: Int, seed: Long,
+                             optimizer: Optimizer = Sgd)
 
   def sgdLinear(f: Frame, xCols: Seq[String], yCol: String,
                 cfg: SgdConfig): LinearModel =
     sgdLinear(f, xCols, yCol, cfg, LinearModel("sgd_linear", xCols, yCol))
+
+  /** Per-parameter optimizer state: one slot per weight + one for the
+    * bias (index p). */
+  private final class OptState(n: Int, opt: Optimizer) {
+    private val m = Array.fill(n)(0.0) // momentum / first moment
+    private val v = Array.fill(n)(0.0) // second moment (Adam)
+    private var t = 0                  // Adam step count
+
+    def beginStep(): Unit = opt match {
+      case Adam(_, _, _) => t += 1
+      case _             => ()
+    }
+
+    /** The (lr-scaled) update for gradient `g` at slot `i`. */
+    def step(i: Int, g: Double, lr: Double): Double = opt match {
+      case Sgd => lr * g
+      case Momentum(mu) =>
+        m(i) = mu * m(i) + g
+        lr * m(i)
+      case Adam(b1, b2, eps) =>
+        m(i) = b1 * m(i) + (1 - b1) * g
+        v(i) = b2 * v(i) + (1 - b2) * g * g
+        val mh = m(i) / (1 - math.pow(b1, t))
+        val vh = v(i) / (1 - math.pow(b2, t))
+        lr * mh / (math.sqrt(vh) + eps)
+    }
+  }
 
   /** Continue training an existing model in place: starts from its
     * current parameters and SKIPS updates to frozen components
@@ -36,6 +81,7 @@ object Trainer {
     var b = model.components("b")(0)
     val mFrozen = model.components.isFrozen("m")
     val bFrozen = model.components.isFrozen("b")
+    val state = new OptState(p + 1, cfg.optimizer)
     for (epoch <- 0 until cfg.epochs) {
       val shuffled = Pipes.shuffle(f, cfg.seed + epoch)
         .cols(xCols :+ yCol: _*)
@@ -51,8 +97,9 @@ object Trainer {
           gb += err
         }
         val n = batch.size
-        if (!mFrozen) (0 until p).foreach(i => w(i) -= cfg.lr * gw(i) / n)
-        if (!bFrozen) b -= cfg.lr * gb / n
+        state.beginStep()
+        if (!mFrozen) (0 until p).foreach(i => w(i) -= state.step(i, gw(i) / n, cfg.lr))
+        if (!bFrozen) b -= state.step(p, gb / n, cfg.lr)
       }
     }
     model.components("m") = w

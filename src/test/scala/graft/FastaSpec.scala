@@ -26,4 +26,38 @@ class FastaSpec extends AnyFunSuite {
     val df = FastaSource.read(spark, fixture)
     assert(df.count() == df.count())
   }
+
+  test("filetype=fastq round-trips a synthesized fixture, surviving '@'-leading quality lines") {
+    import org.apache.spark.sql.functions.col
+    // '@' is a legal Phred+33 quality char: record r1's quality line
+    // starts with '@', which would shear a naive "\n@" record split —
+    // the positional 4-line parser must still see exactly 3 records
+    val fastq = Seq(
+      "@r1 first read", "ACGTACGT", "+", "@AABBCCD",
+      "@r2 second read", "TTTTGGGG", "+", "IIIIIIII",
+      "@r3", "AC", "+", "!~").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fastq")
+    val f = dir.resolve("reads.fastq")
+    java.nio.file.Files.writeString(f, fastq + "\n")
+    try {
+      val df = FastaSource.read(spark, f.toString, filetype = "fastq")
+      assert(df.columns.toSet ==
+        Set("sequences", "ids", "names", "descriptions", "dbxrefs", "qualities"))
+      val rows = df.orderBy("ids").collect().map(r =>
+        (r.getAs[String]("ids"), r.getAs[String]("sequences"),
+          r.getAs[String]("descriptions"), r.getAs[String]("qualities")))
+      assert(rows.toSeq == Seq(
+        ("r1", "ACGTACGT", "r1 first read", "@AABBCCD"),
+        ("r2", "TTTTGGGG", "r2 second read", "IIIIIIII"),
+        ("r3", "AC", "r3", "!~")))
+      // unknown formats fail loudly (the reference defers to SeqIO's
+      // format table; we carry the tested subset)
+      intercept[IllegalArgumentException] {
+        FastaSource.read(spark, f.toString, filetype = "genbank")
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
 }

@@ -85,6 +85,43 @@ class ModelSpec extends AnyFunSuite {
     assert(math.abs(model.m(0) - 2.0) < 0.6, s"slope=${model.m(0)}")
   }
 
+  test("Adam reaches tolerance in fewer epochs than plain SGD (optimizer surface, training.py:57-77)") {
+    // mismatched feature scales — the fixture where the optimizers
+    // genuinely differ: x1 ~ [0,100], x2 ~ [0,1] gives a 10⁴
+    // curvature ratio, so plain SGD's single rate (capped by x1's
+    // stability bound) leaves the x2 weight crawling, while Adam's
+    // per-parameter normalization fits both at once
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val df = (0 until 300).map { i =>
+      val x1 = math.round(rng.nextDouble() * 10000.0) / 100.0
+      val x2 = math.round(rng.nextDouble() * 100.0) / 100.0
+      val y = math.round((2.0 * x1 + 2.0 * x2 + rng.nextGaussian() * 0.2) * 100.0) / 100.0
+      (i.toLong, x1, x2, y)
+    }.toDF("id", "x1", "x2", "y")
+    val f = Frame.fromDF(df, Seq("id"))
+    def errs(m: graft.model.LinearModel): (Double, Double) =
+      (math.abs(m.m(0) - 2.0), math.abs(m.m(1) - 2.0))
+    // Adam: BOTH weights inside tolerance after 2 epochs
+    val adam = Trainer.sgdLinear(f, Seq("x1", "x2"), "y",
+      Trainer.SgdConfig(lr = 0.1, epochs = 2, batchSize = 25, seed = 11L,
+        optimizer = Trainer.Adam()))
+    val (a1, a2) = errs(adam)
+    assert(a1 < 0.5 && a2 < 0.5, s"adam errors after 2 epochs: ($a1, $a2)")
+    // SGD: the small-scale weight is still far off after 16 epochs —
+    // Adam converged in strictly fewer epochs
+    val sgd = Trainer.sgdLinear(f, Seq("x1", "x2"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 16, batchSize = 25, seed = 11L))
+    val (s1, s2) = errs(sgd)
+    assert(s1 < 0.5, s"sgd large-scale weight diverged: $s1")
+    assert(s2 > 0.5, s"sgd small-scale weight unexpectedly converged: $s2")
+    // momentum: state plumbing converges the large-scale weight
+    val mom = Trainer.sgdLinear(f, Seq("x1", "x2"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 8, batchSize = 25, seed = 11L,
+        optimizer = Trainer.Momentum()))
+    assert(errs(mom)._1 < 0.5, s"momentum large-scale weight=${mom.m(0)}")
+  }
+
   test("freeze/unfreeze toggle per component, and propagate through shared links (model_test.py:179-227)") {
     val a = LinearModel("a", Seq("x"), "y")
     assert(!a.components.isFrozen("m") && !a.components.isFrozen("b"))
