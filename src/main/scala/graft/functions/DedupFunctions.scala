@@ -297,20 +297,23 @@ object DedupFunctions {
     *     elements while still within B's standard t-prefix — the join
     *     is short-prefix × standard-prefix, not standard × standard
     *     (at t=0.4: 0.43·n vs 0.6·n on the indexed side).
-    *  3. Group positional bound on the LAST shared prefix shingle
-    *     (the PPJoin+-style second level, replacing the single-
-    *     shingle bound): ranks follow one global (df, shingle) order
-    *     in every doc, so for a pair sharing s prefix shingles whose
-    *     deepest ranks are (ra, rb), every shared element at-or-before
-    *     that shingle in the global order is one of the s join rows,
-    *     and everything after ranks deeper than (ra, rb) in BOTH docs:
-    *     |A∩B| ≤ s + min(|A|−ra, |B|−rb) ≥ req must hold. Aggregated
-    *     per pair (count, max-rank) — strictly tighter than the
-    *     round-5 per-row bound 1 + min(|A|−r_A, |B|−r_B), and the agg
-    *     replaces the distinct the pairs needed anyway. Candidates at
-    *     sf0.1: 7.9M → 3.3M at flat end-to-end cost — the win is the
-    *     2.4× smaller verify shuffle, the scale-dominant term
-    *     (tools/ProfileD4).
+    *  3. Group positional bound on the LAST surviving shared prefix
+    *     shingle (the PPJoin+-style second level, replacing the
+    *     single-shingle bound): ranks follow one global (df, shingle)
+    *     order in every doc, so with a rank-MONOTONE row filter the
+    *     surviving shared shingles of any pair form a prefix of its
+    *     shared sequence — every shared element at-or-before the last
+    *     survivor is itself a survivor, and everything after ranks
+    *     deeper than (max ra, max rb) in BOTH docs:
+    *     |A∩B| ≤ s + min(|A|−ra, |B|−rb) ≥ req must hold over the s
+    *     survivors. The row filter keeps rows within 0.05·(|A|+|B|)
+    *     of the floor: slack 0 degenerates to the round-5 per-row
+    *     bound (7.9M candidates at sf0.1), unbounded slack admits the
+    *     high-df cross-corpus matches and the agg input grows
+    *     superlinearly; 0.05 lands within 10% of the unfiltered
+    *     optimum at LINEAR agg input (tools/ProbeSlack). Candidates
+    *     at sf0.1: 7.9M → 3.6M at flat end-to-end cost — the win is
+    *     the 2.2× smaller verify shuffle, the scale-dominant term.
     *
     * Verification runs over 40-bit md5-hashed shingle sets (sorted
     * long arrays, merge-walk kernel): the exact-verify join attaches
@@ -372,15 +375,27 @@ object DedupFunctions {
           (col("__naa") === col("__nab") && col("__pa") < col("__pb"))) &&
         // size filter: J ≥ t forces the sizes within a t ratio
         col("__nab") >= ceilT(col("__naa")) &&
-        col("__naa") >= ceilT(col("__nab")))
-      // group positional bound (scaladoc item 3) over ALL shared
-      // prefix shingles — deliberately NO per-row positional
-      // prefilter: each extra shared shingle adds 1 to s but usually
-      // deepens the max ranks by more, so the full-group bound is
-      // what cuts candidates 7.9M → 3.3M (a prefiltered group keeps
-      // only rank-monotone survivors and degenerates to the round-5
-      // per-row bound, measured right back at 7.9M). The agg doubles
-      // as the pair distinct.
+        col("__naa") >= ceilT(col("__nab")) &&
+        // slacked per-row positional bound: keep rows within
+        // slack·(|A|+|B|) of the overlap floor. The filter is
+        // rank-monotone (the bound only shrinks with depth), so a
+        // true pair's surviving rows are a PREFIX of its shared-
+        // shingle sequence — exactly what the group bound below
+        // needs; looser slack admits deeper survivors (tighter group
+        // bound) but lets high-df cross-corpus matches into the agg,
+        // whose row count then grows superlinearly (measured 5.1×
+        // time at corpus ×3 with no row filter). slack = 0.05 keeps
+        // candidate counts within 10% of the unfiltered optimum at
+        // LINEAR agg input (tools/ProbeSlack)
+        lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
+          ceil(lit(threshold / (1 + threshold)) * (col("__naa") + col("__nab")) - lit(1e-9)) -
+            ceil(lit(0.05) * (col("__naa") + col("__nab"))))
+      // group positional bound (scaladoc item 3) over the surviving
+      // prefix of shared shingles: s survivors whose deepest ranks
+      // are (max ra, max rb) — every shared shingle at-or-before the
+      // last survivor in the global rarity order is itself a
+      // survivor (monotone filter), so |A∩B| ≤ s + min remaining
+      // still holds. The agg doubles as the pair distinct.
       .groupBy("__pa", "__pb", "__naa", "__nab")
       .agg(count(lit(1)).as("__s"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
       .filter(col("__s") +

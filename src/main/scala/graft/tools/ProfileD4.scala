@@ -60,7 +60,10 @@ object ProfileD4 {
       .filter((col("__naa") < col("__nab") ||
           (col("__naa") === col("__nab") && col("__pa") < col("__pb"))) &&
         col("__nab") >= ceil(lit(t) * col("__naa")) &&
-        col("__naa") >= ceil(lit(t) * col("__nab")))
+        col("__naa") >= ceil(lit(t) * col("__nab")) &&
+        lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
+          ceil(lit(t / (1 + t)) * (col("__naa") + col("__nab")) - lit(1e-9)) -
+            ceil(lit(0.05) * (col("__naa") + col("__nab"))))
       .groupBy("__pa", "__pb", "__naa", "__nab")
       .agg(count(lit(1)).as("__s"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
       .filter(col("__s") +

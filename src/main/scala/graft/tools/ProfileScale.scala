@@ -164,24 +164,36 @@ object ProfileScale {
         }
         val cand = {
           import org.apache.spark.sql.expressions.Window
+          val t0 = 0.4
           val tok = input.select(col("doc_id").as("__id"),
               array_sort(charShingles(col("text"), 5)).as("__sh"))
             .select(col("__id"), size(col("__sh")).as("__na"),
               explode(col("__sh")).as("__s"))
           val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+          // round-6 stage shape: index-prefix × standard-prefix join +
+          // group positional bound on the last shared prefix shingle
           val prefix = tok.join(dfreq, Seq("__s"))
             .withColumn("__rn", row_number().over(
               Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
-            .filter(col("__rn") <= col("__na") - ceil(lit(0.4) * col("__na")) + 1)
-            .select(col("__id"), col("__s"), col("__rn"), col("__na"))
-          prefix.toDF("__pa", "__s", "__ra", "__naa")
-            .join(prefix.toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
-            .filter(col("__pa") < col("__pb") &&
-              col("__nab") >= ceil(lit(0.4) * col("__naa")) &&
-              col("__naa") >= ceil(lit(0.4) * col("__nab")) &&
+            .filter(col("__rn") <= col("__na") - ceil(lit(t0) * col("__na") - lit(1e-9)) + 1)
+            .select(col("__id"), col("__s"), col("__rn"), col("__na"),
+              (col("__rn") <= col("__na") -
+                ceil(lit(2 * t0 / (1 + t0)) * col("__na") - lit(1e-9)) + 1).as("__ix"))
+          prefix.filter(col("__ix")).drop("__ix").toDF("__pa", "__s", "__ra", "__naa")
+            .join(prefix.drop("__ix").toDF("__pb", "__s", "__rb", "__nab"), Seq("__s"))
+            .filter((col("__naa") < col("__nab") ||
+                (col("__naa") === col("__nab") && col("__pa") < col("__pb"))) &&
+              col("__nab") >= ceil(lit(t0) * col("__naa") - lit(1e-9)) &&
+              col("__naa") >= ceil(lit(t0) * col("__nab") - lit(1e-9)) &&
               lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-                ceil(lit(0.4) * greatest(col("__naa"), col("__nab"))))
-            .select("__pa", "__pb").distinct().count()
+                ceil(lit(t0 / (1 + t0)) * (col("__naa") + col("__nab")) - lit(1e-9)) -
+                  ceil(lit(0.05) * (col("__naa") + col("__nab"))))
+            .groupBy("__pa", "__pb", "__naa", "__nab")
+            .agg(count(lit(1)).as("__cnt"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
+            .filter(col("__cnt") +
+                least(col("__naa") - col("__mra"), col("__nab") - col("__mrb")) >=
+              ceil(lit(t0 / (1 + t0)) * (col("__naa") + col("__nab")) - lit(1e-9)))
+            .count()
         }
         println(f"d4b   ${t}%7.1f s  candidates $cand%9d  pairs $pairs%7d")
         cells += Cell("d4b_jaccard", f, n, t, cand, pairs)

@@ -34,8 +34,36 @@ object Trainer {
   final case class Adam(beta1: Double = 0.9, beta2: Double = 0.999,
                         eps: Double = 1e-8) extends Optimizer
 
+  /** Learning-rate schedule: per-epoch multiplier on the base rate
+    * (epoch is 0-based) — the reference's scheduler surface
+    * (training.py:66-77) for the schedules expressible as a pure
+    * epoch → factor map. */
+  sealed trait Schedule { def mult(epoch: Int): Double }
+  /** Fixed rate. */
+  case object Constant extends Schedule {
+    override def mult(epoch: Int): Double = 1.0
+  }
+  /** Multiply by `gamma` every `stepEvery` epochs (torch StepLR). */
+  final case class StepDecay(stepEvery: Int, gamma: Double) extends Schedule {
+    require(stepEvery >= 1, "need stepEvery >= 1")
+    override def mult(epoch: Int): Double = math.pow(gamma, epoch / stepEvery)
+  }
+  /** Multiply by `gamma` every epoch (torch ExponentialLR). */
+  final case class ExpDecay(gamma: Double) extends Schedule {
+    override def mult(epoch: Int): Double = math.pow(gamma, epoch)
+  }
+  /** Cosine annealing from 1 down to `etaMinFrac` over `tMax` epochs
+    * (torch CosineAnnealingLR). */
+  final case class CosineAnneal(tMax: Int, etaMinFrac: Double = 0.0) extends Schedule {
+    require(tMax >= 1, "need tMax >= 1")
+    override def mult(epoch: Int): Double =
+      etaMinFrac + (1 - etaMinFrac) *
+        (1 + math.cos(math.Pi * (epoch % tMax) / tMax)) / 2
+  }
+
   final case class SgdConfig(lr: Double, epochs: Int, batchSize: Int, seed: Long,
-                             optimizer: Optimizer = Sgd)
+                             optimizer: Optimizer = Sgd,
+                             schedule: Schedule = Constant)
 
   def sgdLinear(f: Frame, xCols: Seq[String], yCol: String,
                 cfg: SgdConfig): LinearModel =
@@ -83,6 +111,7 @@ object Trainer {
     val bFrozen = model.components.isFrozen("b")
     val state = new OptState(p + 1, cfg.optimizer)
     for (epoch <- 0 until cfg.epochs) {
+      val lr = cfg.lr * cfg.schedule.mult(epoch)
       val shuffled = Pipes.shuffle(f, cfg.seed + epoch)
         .cols(xCols :+ yCol: _*)
       for (batch <- Pipes.batchIterator(shuffled, cfg.batchSize)) {
@@ -98,8 +127,8 @@ object Trainer {
         }
         val n = batch.size
         state.beginStep()
-        if (!mFrozen) (0 until p).foreach(i => w(i) -= state.step(i, gw(i) / n, cfg.lr))
-        if (!bFrozen) b -= state.step(p, gb / n, cfg.lr)
+        if (!mFrozen) (0 until p).foreach(i => w(i) -= state.step(i, gw(i) / n, lr))
+        if (!bFrozen) b -= state.step(p, gb / n, lr)
       }
     }
     model.components("m") = w

@@ -122,6 +122,29 @@ class ModelSpec extends AnyFunSuite {
     assert(errs(mom)._1 < 0.5, s"momentum large-scale weight=${mom.m(0)}")
   }
 
+  test("LR schedules apply per epoch (scheduler surface, training.py:66-77)") {
+    val df = syntheticLinear(200, 2.0, 1.0, 0.4)
+    val f = Frame.fromDF(df, Seq("id"))
+    // StepDecay(1, 0) zeroes the rate after epoch 0: five scheduled
+    // epochs must land EXACTLY where one unscheduled epoch does
+    val one = Trainer.sgdLinear(f, Seq("x"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 1, batchSize = 25, seed = 11L))
+    val stepped = Trainer.sgdLinear(f, Seq("x"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 5, batchSize = 25, seed = 11L,
+        schedule = Trainer.StepDecay(stepEvery = 1, gamma = 0.0)))
+    assert(stepped.m(0) == one.m(0) && stepped.b == one.b)
+    // the multiplier curves themselves
+    assert(Trainer.ExpDecay(0.5).mult(3) == 0.125)
+    assert(Trainer.StepDecay(2, 0.1).mult(3) == 0.1)
+    assert(math.abs(Trainer.CosineAnneal(10).mult(5) - 0.5) < 1e-12)
+    assert(Trainer.CosineAnneal(10).mult(0) == 1.0)
+    // cosine-scheduled run still converges on the well-scaled fixture
+    val cos = Trainer.sgdLinear(f, Seq("x"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 12, batchSize = 25, seed = 11L,
+        schedule = Trainer.CosineAnneal(tMax = 12)))
+    assert(math.abs(cos.m(0) - 2.0) < 0.6, s"cosine slope=${cos.m(0)}")
+  }
+
   test("freeze/unfreeze toggle per component, and propagate through shared links (model_test.py:179-227)") {
     val a = LinearModel("a", Seq("x"), "y")
     assert(!a.components.isFrozen("m") && !a.components.isFrozen("b"))
