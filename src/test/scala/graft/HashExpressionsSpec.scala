@@ -111,7 +111,9 @@ class HashExpressionsSpec extends AnyFunSuite {
         size(array_intersect(col("x.sh"), col("y.sh"))).as("h"))
       .filter(col("n") =!= col("h")).count()
     assert(diff == 0)
-    // SQL registry reaches the long kernels
+    // SQL registry reaches the long kernels (register here too —
+    // relying on ExtensionsSpec having run first is order-coupling)
+    graft.expressions.GraftExtensions.registerAll(spark)
     sh.limit(4).createOrReplaceTempView("__hs_sql")
     val viaSql = spark.sql(
       """SELECT sorted_long_intersect_count(x.sh, y.sh) AS n,
@@ -161,6 +163,72 @@ class HashExpressionsSpec extends AnyFunSuite {
       }.sum
       assert(r.getLong(1) == expected, s"for text '${r.getString(0)}'")
     }
+  }
+
+  test("VectorKernels.round6 equals Spark round(_, 6) across magnitudes and specials") {
+    val rng = new scala.util.Random(7)
+    val xs = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, 1.0000005, -1.0000005, 2.5e-7, -2.5e-7, 1e15 + 0.1234567) ++
+      (0 until 200).map(_ => (rng.nextDouble() - 0.5) * math.pow(10, rng.nextInt(12) - 4))
+    val sparkSide = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+      .select(col("i"), round(col("x"), 6).as("r")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    xs.zipWithIndex.foreach { case (x, i) =>
+      val k = graft.expressions.VectorKernels.round6(x)
+      val s = sparkSide(i)
+      assert(java.lang.Double.compare(k, s) == 0 || (k.isNaN && s.isNaN),
+        s"x=$x kernel=$k spark=$s")
+    }
+  }
+
+  test("nearest_centroids kernel equals the crossJoin+window argmax on random vectors") {
+    val rng = new scala.util.Random(13)
+    val dim = 8
+    def vec(): Seq[Double] = Seq.fill(dim)((rng.nextDouble() - 0.5) * 2)
+    val cents = (0 until 7).map(c => (c.toLong, vec().toArray))
+    val vecs = (0 until 60).map(i => (i.toLong, vec()))
+    val e = vecs.toDF("__id", "__v")
+    // kernel: top-3 per row
+    val kernel = e.select(col("__id"), posexplode(
+        graft.expressions.VectorExpressions.nearest_centroids(col("__v"), cents, 3,
+          graft.expressions.VectorKernels.MetricCosine)))
+      .select(col("__id"), col("pos"), col("col.cid"), col("col.score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // replay: rounded cosine + (score desc, cid asc) rank, driver-side
+    def rcos(a: Seq[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(java.math.BigDecimal.valueOf(r)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vecs.foreach { case (id, v) =>
+      val ranked = cents.map { case (cid, cv) => (cid, rcos(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(3)
+      ranked.zipWithIndex.foreach { case ((cid, s), pos) =>
+        assert(kernel((id, pos)) == ((cid, s)), s"vec $id pos $pos")
+      }
+    }
+  }
+
+  test("bounded_topk equals the row_number window rerank on random scored candidates") {
+    val rng = new scala.util.Random(99)
+    val rows = (0 until 2000).map { _ =>
+      (rng.nextInt(12).toLong, rng.nextInt(300).toLong,
+        math.rint(rng.nextDouble() * 1e6) / 1e6)
+    }.distinct
+    val df = rows.toDF("query_id", "neighbor_id", "score")
+    val agg = df.groupBy("query_id")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("score")).as("__o"), col("neighbor_id")),
+        struct(col("neighbor_id"), col("score")), 5).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.neighbor_id"), col("col.score"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val win = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg == win)
   }
 
   test("unknown hash family is rejected at construction") {
