@@ -180,6 +180,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("LessThanOrEqual(l_orderkey,4000)"), p.take(1500))
   }
 
+  test("x15 quality deciles: every window is partitioned (no data-sized single-partition funnel)") {
+    val df = SparkEntry.queries("x15_quality_deciles")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // WindowExec prints `Window [exprs], [partitionSpec], [orderSpec]`;
+    // an unpartitioned window drops the middle group — require every
+    // Window line to carry all three
+    val winLines = p.split("\n").filter(_.contains("Window ["))
+    assert(winLines.nonEmpty, p.take(1200))
+    winLines.foreach { l =>
+      assert("\\], \\[".r.findAllIn(l).size >= 2, s"unpartitioned window: $l")
+    }
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
