@@ -375,6 +375,28 @@ object SimilarityFunctions {
         col("__best").getField("__cs").as("__cs"))
   }
 
+  /** Assignment dispatcher: dense per-row kernel by default; with
+    * `planes` set, the large-C bucketed path ([[bucketedAssign]])
+    * handles the bulk and the UNCOVERED residual — vectors whose
+    * bucket holds no centroid — falls back to the dense kernel, so
+    * cover stays total (one assignment per vector) while the dense
+    * matrix is only evaluated on the residual sliver. Exchange stays
+    * ∝ corpus: one bucket join + hash agg + one anti-join. */
+  private def assignAll(e: DataFrame, cent: Seq[(Long, Seq[Double])],
+                        planes: Option[Int], seed: Long): DataFrame =
+    planes match {
+      case None => assignToCentroids(e, cent)
+      case Some(p) =>
+        val dim = cent.head._2.size
+        val session = e.sparkSession
+        import session.implicits._
+        val centDf = broadcast(
+          cent.map { case (cid, v) => (cid, v) }.toDF("__cid", "__centv"))
+        val bulk = bucketedAssign(e, centDf, seed, p, dim)
+        val residual = e.join(bulk.select("__id"), Seq("__id"), "left_anti")
+        bulk.unionByName(assignToCentroids(residual, cent))
+    }
+
   /** First-C seeds refined by `iters` Lloyd steps (fixed-point micro
     * means — see kmeansRefine). iters = 0 returns the raw seeds. */
   private def refineCentroids(e: DataFrame, clusters: Int,
@@ -431,20 +453,29 @@ object SimilarityFunctions {
     * `refineIters` > 0 first tightens the seed centroids with that
     * many deterministic Lloyd steps (kmeansRefine's machinery — the
     * paper's actual k-means clustering); 0 keeps the raw first-C
-    * convention the d11 oracle pins. The reference has no embedding
-    * dedup — parity-plus surface. */
+    * convention the d11 oracle pins. `assignPlanes = Some(p)` flips
+    * assignment to the large-C bucketed path (see [[bucketedAssign]]
+    * and [[assignAll]]): APPROXIMATE per the LSH contract — a
+    * vector's true nearest centroid can sit outside its bucket — but
+    * cover stays total (uncovered vectors fall back to the dense
+    * kernel) and on separated clusters it equals the dense result
+    * (SimilaritySpec). The reference has no embedding dedup —
+    * parity-plus surface. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                clusters: Int, threshold: Double,
-               refineIters: Int = 0): DataFrame = {
+               refineIters: Int = 0,
+               assignPlanes: Option[Int] = None,
+               assignSeed: Long = 42L): DataFrame = {
     require(clusters >= 1 && refineIters >= 0,
       "need clusters >= 1, refineIters >= 0")
     val e = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
+    val cent = refineCentroids(e, clusters, refineIters)
     // one assignment pass, materialized: localCheckpoint cuts the
     // lineage so the three consumers below read the stored blocks
     // (executor-local — on a multi-node cluster swap for reliable
     // checkpoint, the d6 nearDupClusters discipline)
-    val assigned = assignToCentroids(e, refineCentroids(e, clusters, refineIters))
+    val assigned = assignAll(e, cent, assignPlanes, assignSeed)
       .select(col("__id"), col("__v"), col("__cid"))
       .localCheckpoint()
     // within-cluster scan: only (lower-id → higher-id) direction, so

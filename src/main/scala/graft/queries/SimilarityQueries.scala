@@ -70,6 +70,28 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Large-C bucketed centroid assignment (the dense-broadcast escape
+    // hatch, exercised as a first-class oracle query): centroids and
+    // vectors bucket by the same md5-derived hyperplane signs; each
+    // vector takes the argmax centroid WITHIN its bucket via a
+    // map-side max(struct) — exchange ∝ corpus, never corpus×C.
+    // Approximate by the LSH contract (vectors in centroid-free
+    // buckets drop; a same-bucket centroid may not be the global
+    // nearest) yet fully deterministic, so the oracle replicates the
+    // decision exactly.
+    "d12_bucketed_assign" -> ((s, d) => {
+      import graft.functions.SimilarityFunctions.bucketedAssign
+      val e = embeddings(s, d)
+        .select(col("vec_id").cast("long").as("__id"),
+          col("embedding").cast("array<double>").as("__v"))
+      val cent = e.filter(col("__id") < 16)
+        .select(col("__id").as("__cid"), col("__v").as("__centv"))
+      bucketedAssign(e, cent, seed = 5L, planes = 4, dim = 64)
+        .select(col("__id").as("vec_id"), col("__cid").as("cluster"),
+          col("__cs").as("score"))
+        .orderBy("vec_id")
+    }),
+
     // Pairwise L2 distance on a small slice (distance-metric parity).
     "s3_l2_pairs" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 30)
@@ -211,7 +233,30 @@ object SimilarityQueries {
        |SELECT vec_id, cid AS cluster, sc AS score FROM a1
        |ORDER BY vec_id""".stripMargin
 
+  /** d12 oracle: replicates bucketedAssign — seed-5 4-plane buckets
+    * (plane literals embedded like s2), inner join on bucket equality
+    * (centroid-free buckets drop), per-vector argmax by
+    * round(cos, 6) desc with centroid-id tie-break. */
+  private def d12Sql: String = {
+    val bucketTerms = (0 until 4).map { p =>
+      val plane = graft.functions.SimilarityFunctions.hyperplane(5L, p, 64)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> v[i] * ($plane)[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+       | cent AS (SELECT vec_id AS cid, v AS cv, bucket AS cb FROM b WHERE vec_id < 16),
+       | s AS (
+       |  SELECT b.vec_id, cent.cid, ${cosSql("b.v", "cent.cv")} AS sc,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${cosSql("b.v", "cent.cv")} DESC, cent.cid ASC) AS rk
+       |  FROM b JOIN cent ON b.bucket = cent.cb)
+       |SELECT vec_id, cid AS cluster, sc AS score FROM s WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "d12_bucketed_assign" -> d12Sql,
     "s7_kmeans_refine" -> s7Sql,
     "s2_ann_lsh" -> s2Sql,
     "s5_knn_join" -> s5Sql,

@@ -235,6 +235,27 @@ class SimilaritySpec extends AnyFunSuite {
     dense.foreach { case (id, cid) => assert(cid == (id - 10000) % 4096) }
   }
 
+  test("semDedup assignPlanes: bucketed assignment equals dense on planted clusters, cover stays total") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(d => math.sin(seed * 31.0 + d * 7.0).toFloat)
+    // ids 0..7 are the first-C seeds; every later id copies one seed
+    // exactly (same vector → same bucket → in-bucket nearest is its
+    // own centroid at cosine 1.0) — bucketed must equal dense
+    val rows = (0 until 8).map(c => (c.toLong, vec(c))) ++
+      (0 until 120).map(i => (100L + i, vec(i % 8)))
+    val df = rows.toDF("vec_id", "embedding")
+    def run(planes: Option[Int]) =
+      semDedup(df, "vec_id", "embedding", clusters = 8, threshold = 0.95,
+        assignPlanes = planes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dense = run(None)
+    val bucketed = run(Some(6))
+    assert(bucketed == dense)
+    assert(bucketed.size == 128, "one row per vector (total cover)")
+  }
+
   test("semDedup duplicates each have a lower-id witness at >= threshold (driver replay)") {
     val e = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 60).select("vec_id", "embedding")
