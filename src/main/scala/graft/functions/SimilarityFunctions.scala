@@ -241,6 +241,81 @@ object SimilarityFunctions {
     rankTopK(est, k, "est", ascending = true)
   }
 
+  /** IVF-PQ composed top-k — the coarse-quantizer + product-code
+    * layout real vector stores run at scale (the FAISS IVFPQ shape):
+    * corpus vectors are assigned once to their nearest of `cells`
+    * coarse centroids AND encoded once as m sub-codes; a query probes
+    * its `nprobe` nearest cells and ranks ONLY those cells' members
+    * by the ADC estimate (m table lookups per member, no floats
+    * touched at scan time). Composes the ivfTopK cell machinery with
+    * the pqTopK code machinery: both the assignment and the encoding
+    * are per-row kernels (one corpus scan, zero exchange), the probe
+    * and distance tables broadcast, the candidate join keys on the
+    * cell id, and the rerank is the bounded_topk heap — every stage's
+    * exchange ∝ corpus or ∝ k.
+    *
+    * Codes quantize the RAW vectors (the first-`codebook` convention
+    * shared with pqTopK, so the oracle replicates them exactly);
+    * production IVFPQ quantizes residuals v − centroid(v) for tighter
+    * cells — same plan shape (the kernel input becomes a column
+    * expression), traded away here for the deterministic convention
+    * the cross-engine gate pins. Deterministic end to end: rounded
+    * distances, id tie-breaks, block-ordered sums. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                cells: Int, nprobe: Int,
+                m: Int, codebook: Int, dim: Int): DataFrame = {
+    require(nprobe >= 1, "need nprobe >= 1")
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got $dim / $m")
+    val sub = dim / m
+    val cellCent = collectCentroids(corpus, idCol, vecCol, cells)
+      .map { case (cid, v) => (cid, v.toArray) }
+    val full = collectCentroids(corpus, idCol, vecCol, codebook)
+    def blockCent(b: Int): Seq[(Long, Array[Double])] =
+      full.map { case (cid, v) => (cid, v.slice(b * sub, (b + 1) * sub).toArray) }
+    // one corpus scan: cell assignment + m block codes, all kernels
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__dv"))
+      .withColumn("__cell", element_at(VectorExpressions.nearest_centroids(
+        col("__dv"), cellCent, 1, VectorKernels.MetricCosine), 1).getField("cid"))
+      .select(col("neighbor_id"), col("__cell"),
+        posexplode(array((0 until m).map { b =>
+          element_at(VectorExpressions.nearest_centroids(
+            slice(col("__dv"), b * sub + 1, sub), blockCent(b), 1,
+            VectorKernels.MetricL2), 1).getField("cid")
+        }: _*)))
+      .toDF("neighbor_id", "__cell", "__b", "__cid")
+    // query-side tables (tiny, broadcast): probed cells, and the ADC
+    // distance table — the same kernel with n = codebook returns ALL
+    // codewords with their rounded distances in one evaluation
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val probes = q
+      .withColumn("__pc", explode(VectorExpressions.nearest_centroids(
+        col("__qv"), cellCent, nprobe, VectorKernels.MetricCosine)))
+      .select(col("query_id"), col("__pc").getField("cid").as("__cell"))
+    val qdist = q
+      .select(col("query_id"), posexplode(array((0 until m).map { b =>
+        VectorExpressions.nearest_centroids(
+          slice(col("__qv"), b * sub + 1, sub), blockCent(b), codebook,
+          VectorKernels.MetricL2)
+      }: _*)))
+      .toDF("query_id", "__b", "__ds")
+      .select(col("query_id"), col("__b"), explode(col("__ds")).as("__d"))
+      .select(col("query_id"), col("__b"),
+        col("__d").getField("cid").as("__cid"),
+        col("__d").getField("score").as("__qd"))
+    // ADC scan over probed cells only: candidate join keys on the
+    // cell id, m lookups per (query, member), block-ordered sum
+    val perBlock = codes
+      .join(broadcast(probes), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qdist), Seq("query_id", "__b", "__cid"))
+    def blockD(b: Int): Column = max(when(col("__b") === b, col("__qd")))
+    val est = perBlock.groupBy("query_id", "neighbor_id")
+      .agg(round((0 until m).map(blockD).reduce(_ + _), 6).as("est"))
+    rankTopK(est, k, "est", ascending = true)
+  }
+
   /** Full k-NN self-join: top-k neighbors for EVERY corpus vector (the
     * all-pairs version of lshTopK — semantic-dedup and
     * cluster-then-sample pipelines need the whole neighbor graph, not a

@@ -60,6 +60,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ composed top-5: coarse cells prune the corpus (nprobe=4
+    // of 16), PQ-ADC ranks within the probed cells (4 sub-codes of
+    // 16) — the layout real vector stores run at 100 TB; corpus
+    // scanned ONCE for cell + codes (per-row kernels, no exchange),
+    // candidates keyed on the cell id. Deterministic (first-16
+    // conventions) → exact oracle; SimilaritySpec measures recall.
+    "s8_ann_ivfpq" -> ((s, d) => {
+      val e = embeddings(s, d)
+      ivfpqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cells = 16, nprobe = 4, m = 4, codebook = 16, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // One deterministic Lloyd step on the first-16 seeds: assignment
     // to the REFINED centroids (per-cluster fixed-point means). The
     // oracle rebuilds the identical means via exact integer micro
@@ -255,8 +268,51 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** s8 oracle: replicates ivfpqTopK — first-16 cells with rounded-
+    * cosine assignment/probing (the s4 machinery), first-16 sub-block
+    * codebooks with rounded-L2² argmin encoding and ADC block sums
+    * (the s6 machinery), ranked within probed cells only. */
+  private def s8Sql: String = {
+    def l2(q: String, c: String, off: Int): String =
+      s"""round(list_sum(list_transform(generate_series(1, 16),
+         |      i -> ($q[i + $off] - $c[i + $off]) * ($q[i + $off] - $c[i + $off]))), 6)""".stripMargin
+    val blockSum = (0 until 4).map(b => s"MAX(CASE WHEN codes.b = $b THEN qd.qd END)").mkString("\n   + ")
+    val dists = (0 until 4).map(b =>
+      s"SELECT $b AS b, ${l2("e.v", "c.cv", b * 16)} AS d, e.vec_id, c.cid FROM e, cent c")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |  FROM e, cent),
+       | assigned AS (SELECT vec_id AS neighbor_id, cid AS cell FROM ca WHERE crank = 1),
+       | probes AS (SELECT vec_id AS query_id, cid AS cell FROM ca WHERE crank <= 4 AND vec_id < 10),
+       | bd AS ($dists),
+       | codes AS (
+       |  SELECT vec_id AS neighbor_id, b, cid FROM (
+       |    SELECT vec_id, b, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS rk
+       |    FROM bd) WHERE rk = 1),
+       | qd AS (SELECT vec_id AS query_id, b, cid, d AS qd FROM bd WHERE vec_id < 10),
+       | adc AS (
+       |  SELECT p.query_id, a.neighbor_id, round($blockSum, 6) AS est
+       |  FROM codes
+       |  JOIN assigned a USING (neighbor_id)
+       |  JOIN probes p ON a.cell = p.cell
+       |  JOIN qd ON qd.query_id = p.query_id AND qd.b = codes.b AND qd.cid = codes.cid
+       |  WHERE a.neighbor_id <> p.query_id
+       |  GROUP BY p.query_id, a.neighbor_id),
+       | r AS (SELECT query_id, neighbor_id, est,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS INT) AS rank
+       |   FROM adc)
+       |SELECT query_id, neighbor_id, est, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "d12_bucketed_assign" -> d12Sql,
+    "s8_ann_ivfpq" -> s8Sql,
     "s7_kmeans_refine" -> s7Sql,
     "s2_ann_lsh" -> s2Sql,
     "s5_knn_join" -> s5Sql,

@@ -94,6 +94,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.forall { case (qi, n) => qi != n })
   }
 
+  test("IVF-PQ composed top-k: deterministic, k-bounded, nonzero recall vs brute force") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val exact = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = ivfpqTopK(e, q, "vec_id", "embedding", k = 5,
+        cells = 16, nprobe = 4, m = 4, codebook = 16, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(); val b = run()
+    assert(a == b) // deterministic cells + codebooks + tie-breaks
+    // double-approximate (cell pruning × coarse 4×16 PQ over random
+    // floats, cosine-vs-L2 disagreement): the properties that matter
+    // are determinism, the k bound, and real nonzero recall
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall > 0.02, s"recall=$recall")
+    assert(a.forall { case (qi, n) => qi != n })
+    val over = ivfpqTopK(e, q, "vec_id", "embedding", k = 5,
+        cells = 16, nprobe = 4, m = 4, codebook = 16, dim = 64)
+      .groupBy("query_id").count().filter(col("count") > 5).count()
+    assert(over == 0)
+  }
+
   test("IVF top-k probes its cells deterministically with nonzero recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 10)
