@@ -150,7 +150,8 @@ class PlanSpec extends AnyFunSuite {
     // partitionBy(query_id)) — shuffling EVERY candidate to discard
     // all but k; the heap aggregate combines map-side, so the rerank
     // exchange is k×partitions per query, independent of candidates
-    for (q <- Seq("s1_ann_topk", "s2_ann_lsh", "s5_knn_join", "s4_ann_ivf", "s6_ann_pq")) {
+    for (q <- Seq("s1_ann_topk", "s2_ann_lsh", "s5_knn_join", "s4_ann_ivf",
+      "s6_ann_pq", "s8_ann_ivfpq")) {
       val df = SparkEntry.queries(q)(spark, d)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -178,6 +179,17 @@ class PlanSpec extends AnyFunSuite {
       p.toLowerCase.contains("orc"), p.take(1500))
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,4000)]") ||
       p.contains("LessThanOrEqual(l_orderkey,4000)"), p.take(1500))
+  }
+
+  test("d12 bucketed assignment: bucket-equality join + hash-agg argmax (no window, no nested loop)") {
+    val df = SparkEntry.queries("d12_bucketed_assign")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
   test("x15 quality deciles: every window is partitioned (no data-sized single-partition funnel)") {
