@@ -208,12 +208,6 @@ object SimilarityFunctions {
       full.map { case (cid, v) =>
         (cid, v.slice(b * sub, (b + 1) * sub).toArray)
       }
-    def blocks(df: DataFrame, idAlias: String): DataFrame =
-      df.select(col(idCol).as(idAlias),
-          explode(array((0 until m).map(b =>
-            struct(lit(b).as("__b"),
-              asDouble(slice(col(vecCol), b * sub + 1, sub)).as("__v"))): _*)).as("__e"))
-        .select(col(idAlias), col("__e.__b").as("__b"), col("__e.__v").as("__v"))
     // encode: per (vector, block) the nearest codebook entry — m
     // per-row argmin kernels, one corpus scan, zero exchange
     val codes = corpus
@@ -224,14 +218,21 @@ object SimilarityFunctions {
           VectorKernels.MetricL2), 1).getField("cid")
       }: _*)))
       .toDF("neighbor_id", "__b", "__cid")
-    // query ADC table: distance from each query block to each codeword
-    // (needs ALL m×C distances, not an argmin — stays a tiny join)
-    val cent = broadcast(blocks(corpus.filter(col(idCol) < centroids), "__cid")
-      .withColumnRenamed("__v", "__cv"))
-    val qdist = blocks(queries, "query_id").join(cent, Seq("__b"))
-      .withColumn("__qd", round(
-        graft.expressions.HashExpressions.double_l2_squared(col("__v"), col("__cv")), 6))
-      .select("query_id", "__b", "__cid", "__qd")
+    // query ADC table: ALL m×C distances per query — the same kernel
+    // with n = centroids returns every codeword with its rounded
+    // distance, so no second corpus scan builds a codeword relation
+    val qdist = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .select(col("query_id"), posexplode(array((0 until m).map { b =>
+        VectorExpressions.nearest_centroids(
+          slice(col("__qv"), b * sub + 1, sub), blockCent(b), centroids,
+          VectorKernels.MetricL2)
+      }: _*)))
+      .toDF("query_id", "__b", "__ds")
+      .select(col("query_id"), col("__b"), explode(col("__ds")).as("__d"))
+      .select(col("query_id"), col("__b"),
+        col("__d").getField("cid").as("__cid"),
+        col("__d").getField("score").as("__qd"))
     // ADC scan: m lookups per (query, neighbor), summed in block order
     val perBlock = codes.join(broadcast(qdist), Seq("__b", "__cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
