@@ -47,7 +47,11 @@ object GraftExtensions {
     "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
     "sorted_long_jaccard" -> (exprs => SortedLongJaccard(exprs.head, exprs(1))),
     "sorted_long_intersect_count" -> (exprs => SortedLongIntersectCount(exprs.head, exprs(1))),
-    "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1)))
+    "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1))),
+    // aggregate: k smallest `ord` values' payloads, ascending —
+    // SELECT bounded_topk(struct(-score, id), struct(id, score), 5)
+    "bounded_topk" -> (exprs => BoundedTopK(exprs.head, exprs(1),
+      intArg(exprs(2), "bounded_topk")).toAggregateExpression())
   )
 
   /** Register into an already-built session (tests, REPLs). */

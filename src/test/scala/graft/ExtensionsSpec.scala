@@ -27,4 +27,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getAs[Double]("l2") == 8.0)
     assert(viaSql.getAs[scala.collection.Seq[Long]]("sig").size == 4)
   }
+
+  test("bounded_topk aggregate is reachable from SQL (score-desc rerank)") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.7), (2L, 20L, 0.1))
+      .toDF("q", "n", "s").createOrReplaceTempView("__topk_sql")
+    val rows = spark.sql(
+      """SELECT q, bounded_topk(struct(-s, n), n, 2) AS top
+        |FROM __topk_sql GROUP BY q ORDER BY q""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toSeq)
+    assert(rows.toSeq == Seq(1L -> Seq(10L, 12L), 2L -> Seq(20L)))
+  }
 }
