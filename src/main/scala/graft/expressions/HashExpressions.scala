@@ -479,7 +479,50 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Sorted distinct 40-bit hashed shingle set: byte-identical to
+    * `array_sort(array_distinct(transform(shingles,
+    *    s => conv(md5(s).substr(1, 10), 16, 10).cast("long"))))` for
+    * the md5 family (the DuckDB-reproducible verify sets of
+    * jaccardPairs/containmentPairs), computed in one pass — one digest
+    * per shingle, primitive sort, in-place dedup — instead of an
+    * interpreted lambda with hex-string round-trips (profiled 1.5 s →
+    * ~0.2 s on the d4b verify sets at sf0.1). */
+  case class HashedSet40(child: Expression, family: String = "md5")
+      extends UnaryExpression with CodegenFallback {
+    require(Families.contains(family), s"unknown hash family: $family")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hashed_set40"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val isMd5 = family == "md5"
+      val md = if (isMd5) md5Local.get() else null
+      val vals = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        vals(i) = if (isMd5) bits40(md.digest(s.getBytes), 0) else xx(s, 0L) & Mask40
+        i += 1
+      }
+      java.util.Arrays.sort(vals)
+      var w = 0
+      var r = 0
+      while (r < n) {
+        if (w == 0 || vals(r) != vals(w - 1)) { vals(w) = vals(r); w += 1 }
+        r += 1
+      }
+      new GenericArrayData(if (w == n) vals else java.util.Arrays.copyOf(vals, w))
+    }
+
+    override protected def withNewChildInternal(c: Expression): HashedSet40 =
+      copy(child = c)
+  }
+
   /** Column-API entry points. */
+  def hashed_set40(shingles: Column, family: String = "md5"): Column =
+    ColumnBridge.column(HashedSet40(ColumnBridge.expression(shingles), family))
+
   def minhash_signature(shingles: Column, k: Int, family: String = "md5"): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k, family))
 

@@ -1,0 +1,125 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingle kernels as Catalyst expressions.
+  *
+  * The HOF formulations in DedupFunctions (split → transform(slice +
+  * concat_ws) → array_distinct) are the semantic reference the DuckDB
+  * oracles replicate, but they evaluate interpreted with 3-4 heap
+  * allocations per shingle — profiled as the single largest stage of
+  * the x11b/d4b pipelines at sf0.1 (~2.5 s of a ~5 s run). These
+  * kernels emit the identical distinct-shingle arrays in one pass over
+  * the raw UTF-8 bytes: word shingles are contiguous byte spans
+  * (split-on-single-space + rejoin-with-single-space reproduces the
+  * original bytes, including empty tokens from doubled spaces), char
+  * shingles are code-point windows over a precomputed offset table.
+  * Same bytes out, one output-string allocation per DISTINCT shingle.
+  */
+object ShingleExpressions {
+
+  /** Distinct word n-gram shingles of a single-space-tokenized text:
+    * byte-identical to
+    * `array_distinct(transform(sequence(0, size(toks)-n),
+    *    i => concat_ws(" ", slice(toks, i+1, n))))` with
+    * `toks = split(text, " ")` (trailing empties kept), falling back
+    * to `array(text)` when the text has fewer than n tokens —
+    * `concat_ws(" ", toks)` over a single-space split IS the original
+    * byte string, so each shingle is the contiguous byte span from the
+    * start of token i to the end of token i+n-1, and the fallback is
+    * the text itself. First-occurrence order, like array_distinct. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes // one copy per doc; spans below share it
+      val nb = bytes.length
+      var spaces = 0
+      var i = 0
+      while (i < nb) {
+        if (bytes(i) == 0x20) spaces += 1
+        i += 1
+      }
+      val numToks = spaces + 1
+      if (numToks < n) return new GenericArrayData(Array[Any](s))
+      // token boundaries: starts(w)..ends(w) in bytes (empty tokens
+      // from doubled/leading/trailing spaces get zero-width spans,
+      // exactly like split's empty strings)
+      val starts = new Array[Int](numToks)
+      val ends = new Array[Int](numToks)
+      var w = 0
+      i = 0
+      while (i < nb) {
+        if (bytes(i) == 0x20) { ends(w) = i; w += 1; starts(w) = i + 1 }
+        i += 1
+      }
+      ends(w) = nb
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var j = 0
+      while (j + n <= numToks) {
+        val from = starts(j)
+        seen.add(UTF8String.fromBytes(bytes, from, ends(j + n - 1) - from))
+        j += 1
+      }
+      new GenericArrayData(seen.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
+  }
+
+  /** Distinct character k-gram shingles: byte-identical to
+    * `array_distinct(transform(sequence(1, length(text)-(k-1)),
+    *    i => substr(text, i, k)))`, falling back to `array(text)` for
+    * texts shorter than k characters. Windows are code-point spans (a
+    * precomputed char→byte offset table makes the pass linear for
+    * multi-byte text). First-occurrence order, like array_distinct. */
+  case class CharShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, s"shingle width must be >= 1, got $k")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "char_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val numChars = s.numChars()
+      if (numChars < k) return new GenericArrayData(Array[Any](s))
+      val bytes = s.getBytes
+      val offs = new Array[Int](numChars + 1)
+      var i = 0
+      var c = 0
+      while (i < bytes.length) {
+        offs(c) = i
+        i += UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offs(numChars) = bytes.length
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var p = 0
+      while (p + k <= numChars) {
+        seen.add(UTF8String.fromBytes(bytes, offs(p), offs(p + k) - offs(p)))
+        p += 1
+      }
+      new GenericArrayData(seen.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): CharShingles =
+      copy(child = c)
+  }
+
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def char_shingles(text: Column, k: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(text), k))
+}

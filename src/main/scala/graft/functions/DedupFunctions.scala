@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupFunctions {
 
-  /** Distinct word n-gram shingles of a text column. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles of a text column (native one-pass
+    * kernel; [[wordShinglesHof]] is the semantic reference it must
+    * match bit-for-bit — pinned by ShingleKernelSpec). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.ShingleExpressions.word_shingles(text, n)
+
+  /** HOF reference form of [[wordShingles]] — what the DuckDB oracles
+    * replicate; kept as the equivalence-test baseline. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
@@ -24,8 +31,15 @@ object DedupFunctions {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Distinct character k-gram shingles. */
+  /** Distinct character k-gram shingles (native one-pass kernel;
+    * [[charShinglesHof]] is the semantic reference — pinned by
+    * ShingleKernelSpec). */
   def charShingles(text: Column, k: Int): Column =
+    graft.expressions.ShingleExpressions.char_shingles(text, k)
+
+  /** HOF reference form of [[charShingles]] — what the DuckDB oracles
+    * replicate; kept as the equivalence-test baseline. */
+  def charShinglesHof(text: Column, k: Int): Column =
     when(length(text) >= k,
       array_distinct(transform(sequence(lit(1), length(text) - (k - 1)),
         i => text.substr(i, lit(k)))))
@@ -196,12 +210,21 @@ object DedupFunctions {
     * verification then touches candidates only. Completeness holds for
     * any total order; rarity-first only minimizes the candidate count.
     *
-    * The PPJoin positional filter prunes further, also losslessly: let
-    * u be the globally-rarest shared shingle, at rank r_A in A and r_B
-    * in B — every intersection element ranks at or after u in both
-    * docs, so |A∩B| ≤ 1 + min(|A|−r_A, |B|−r_B); pairs whose bound
-    * can't reach ⌈t·|A|⌉ through any shared prefix shingle are dropped
-    * before the distinct/verify stages ever see them.
+    * The group positional bound prunes further, also losslessly (the
+    * PPJoin+-style second level jaccardPairs got in round 6, ported
+    * here): ranks follow one global (df, shingle) order in every doc,
+    * so under a rank-MONOTONE row filter the surviving shared shingles
+    * of any pair form a prefix of its shared sequence — everything
+    * after the last survivor ranks deeper than (max r_A, max r_B) in
+    * BOTH docs, giving |A∩B| ≤ s + min(|A|−max r_A, |B|−max r_B) over
+    * the s survivors, which must reach ⌈t·|A|⌉. The per-row filter
+    * keeps rows within 0.05·|A| of that floor (the floor's own scale —
+    * containment has no B-side term): slack 0 degenerates to the
+    * round-5 single-shingle bound, unbounded slack feeds every high-df
+    * shared shingle into the agg. Unlike jaccardPairs there is no
+    * index-prefix trick: the contained side A is the only bounded side
+    * (B can be arbitrarily large), so the join stays A-prefix ×
+    * full-index — the group bound is the transferable half.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, threshold: Double): DataFrame = {
@@ -224,25 +247,44 @@ object DedupFunctions {
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
     // every token with its in-doc rarity rank — the inverted index side
     // (persisted: it is both the prefix source and the index side of
-    // the candidate join). The join key is xxhash64(shingle): an
-    // 8-byte exchange key; a collision only ADDS candidates, which
-    // exact verification removes — recall untouched.
+    // the candidate join). The join KEY is xxhash64(shingle) (8-byte
+    // hash-join key); the shingle itself travels as payload for the
+    // exact-equality collision reject below.
     val ranked = tok.join(dfreq, Seq("__s"))
       .withColumn("__rn", row_number().over(byRarity))
-      .select(col("__id"), xxhash64(col("__s")).as("__sk"),
+      .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__s"),
         col("__rn"), col("__na"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ranked
       .filter(col("__rn") <= col("__na") - ceilT(col("__na")) + 1)
-      .select(col("__id").as("__pa"), col("__sk"),
-        col("__rn").as("__ra"), col("__na").as("__naa"))
+      .toDF("__pa", "__sk", "__sa", "__ra", "__naa")
     val cand = prefix
-      .join(ranked.toDF("__pb", "__sk", "__rb", "__nab"), Seq("__sk"))
+      .join(ranked.toDF("__pb", "__sk", "__sb", "__rb", "__nab"), Seq("__sk"))
+      // exact-equality collision reject: the group bound below COUNTS
+      // shared shingles, and a spurious hash-collision row would break
+      // the survivors-form-a-prefix argument (the round-5 distinct-only
+      // form was loosening-only; the count form needs true equality)
+      .filter(col("__sa") === col("__sb"))
       .filter(col("__pa") =!= col("__pb") &&
+        // slacked per-row positional bound (rank-monotone: the LHS only
+        // shrinks with depth, the RHS is fixed per pair) — keeps rows
+        // within 0.05·|A| of the ⌈t·|A|⌉ floor, so a true pair's
+        // surviving rows are a PREFIX of its shared-shingle sequence,
+        // exactly what the group bound needs
         lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-          ceilT(col("__naa")))
+          ceilT(col("__naa")) - ceil(lit(0.05) * col("__naa")))
+      // group positional bound over the surviving prefix of shared
+      // shingles: s survivors whose deepest ranks are (max ra, max rb)
+      // — every shared shingle at-or-before the last survivor in the
+      // global rarity order is itself a survivor (monotone filter), so
+      // |A∩B| ≤ s + min remaining must still reach ⌈t·|A|⌉. The agg
+      // doubles as the pair distinct.
+      .groupBy("__pa", "__pb", "__naa", "__nab")
+      .agg(count(lit(1)).as("__cnt"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
+      .filter(col("__cnt") +
+          least(col("__naa") - col("__mra"), col("__nab") - col("__mrb")) >=
+        ceilT(col("__naa")))
       .select(col("__pa").as("a"), col("__pb").as("b"))
-      .distinct()
     // hashed verify sets (40-bit md5, sorted longs): the verify join
     // attaches both docs' sets to every candidate row — 8-byte
     // elements cut that shuffle ~3× and the merge walk is primitive
@@ -252,8 +294,7 @@ object DedupFunctions {
     // collision shifts both engines identically so gate equality
     // stays exact.
     val hsh = sh.select(col("__id"),
-        array_sort(array_distinct(transform(col("__sh"),
-          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("__hs"))
+        graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
       .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
@@ -404,10 +445,9 @@ object DedupFunctions {
       .select(least(col("__pa"), col("__pb")).as("a"),
         greatest(col("__pa"), col("__pb")).as("b"))
     // hashed verify sets: distinct hashes (two shingles may collide),
-    // sorted for the merge walk
+    // sorted for the merge walk — native one-pass kernel
     val hsh = sh.select(col("__id"),
-        array_sort(array_distinct(transform(col("__sh"),
-          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("__hs"))
+        graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = cand
       .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))

@@ -107,9 +107,12 @@ object ProfileScale {
           val p = containmentPairs(input, "doc_id", "text", 3, 0.7)
           val c = p.count(); p.unpersist(blocking = false); c
         }
-        // candidate reconstruction: same prefix + positional bound
+        // candidate reconstruction: round-7 stage shape — slacked
+        // per-row positional bound + group bound on the surviving
+        // shared-prefix shingles (the agg doubles as the distinct)
         val cand = {
           import org.apache.spark.sql.expressions.Window
+          val t0 = 0.7
           val sh = input.select(col("doc_id").as("__id"),
             array_sort(wordShingles(col("text"), 3)).as("__sh"))
           val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
@@ -120,15 +123,21 @@ object ProfileScale {
               Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
             .drop("__df")
           val prefix = ranked
-            .filter(col("__rn") <= col("__na") - ceil(lit(0.7) * col("__na")) + 1)
+            .filter(col("__rn") <= col("__na") - ceil(lit(t0) * col("__na") - lit(1e-9)) + 1)
             .select(col("__id").as("__pa"), col("__s"),
               col("__rn").as("__ra"), col("__na").as("__naa"))
           prefix.join(ranked.select(col("__id").as("__pb"), col("__s"),
               col("__rn").as("__rb"), col("__na").as("__nab")), Seq("__s"))
             .filter(col("__pa") =!= col("__pb") &&
               lit(1) + least(col("__naa") - col("__ra"), col("__nab") - col("__rb")) >=
-                ceil(lit(0.7) * col("__naa")))
-            .select("__pa", "__pb").distinct().count()
+                ceil(lit(t0) * col("__naa") - lit(1e-9)) -
+                  ceil(lit(0.05) * col("__naa")))
+            .groupBy("__pa", "__pb", "__naa", "__nab")
+            .agg(count(lit(1)).as("__cnt"), max("__ra").as("__mra"), max("__rb").as("__mrb"))
+            .filter(col("__cnt") +
+                least(col("__naa") - col("__mra"), col("__nab") - col("__mrb")) >=
+              ceil(lit(t0) * col("__naa") - lit(1e-9)))
+            .count()
         }
         println(f"x11b  ${t}%7.1f s  candidates $cand%9d  pairs $pairs%7d")
         cells += Cell("x11b_containment", f, n, t, cand, pairs)

@@ -237,4 +237,70 @@ class HashExpressionsSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.expressions.Literal(1), 4, "sha1")
     }
   }
+
+  // edge inputs for the shingle kernels: doubled/leading/trailing
+  // spaces (empty tokens), multi-byte UTF-8, exactly-n tokens, short
+  // fallbacks, empty string
+  private lazy val edgeTexts = Seq(
+    "plain three word text", "a  doubled  space run", " leading space",
+    "trailing space ", "héllo wörld ünïcode 漢字 テスト", "exactly three toks",
+    "two toks", "one", "", "x y z x y z x y z", "αβ γδ εζ αβ γδ εζ",
+    "  ", "a b  ", "tab\tis one token here"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+  test("WordShingles kernel equals the HOF formulation (sorted sets + fallback cases)") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = edgeTexts.select(
+          array_sort(wordShingles(col("text"), n)).as("native"),
+          array_sort(wordShinglesHof(col("text"), n)).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    // first-occurrence order matches array_distinct's, not just the set
+    val ordDiff = edgeTexts.select(
+        wordShingles(col("text"), 3).as("native"),
+        wordShinglesHof(col("text"), 3).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(ordDiff == 0)
+  }
+
+  test("CharShingles kernel equals the HOF formulation (sorted sets + fallback cases)") {
+    for (k <- Seq(1, 3, 5)) {
+      val diff = edgeTexts.select(
+          array_sort(charShingles(col("text"), k)).as("native"),
+          array_sort(charShinglesHof(col("text"), k)).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"k=$k")
+    }
+    val ordDiff = edgeTexts.select(
+        charShingles(col("text"), 5).as("native"),
+        charShinglesHof(col("text"), 5).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(ordDiff == 0)
+  }
+
+  test("HashedSet40 equals the sorted-distinct md5 transform") {
+    val sh = docs.select(charShingles(col("text"), 3).as("sh"))
+      .unionByName(edgeTexts.select(wordShingles(col("text"), 2).as("sh")))
+    val diff = sh.select(
+        graft.expressions.HashExpressions.hashed_set40(col("sh")).as("native"),
+        array_sort(array_distinct(transform(col("sh"),
+          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("shingle kernels equal the HOF forms on the real corpus") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wDiff = corpus.select(
+        wordShingles(col("text"), 3).as("native"),
+        wordShinglesHof(col("text"), 3).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(wDiff == 0)
+    val cDiff = corpus.select(
+        charShingles(col("text"), 5).as("native"),
+        charShinglesHof(col("text"), 5).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(cDiff == 0)
+  }
 }
