@@ -50,8 +50,13 @@ object GraftExtensions {
     "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1))),
     // aggregate: k smallest `ord` values' payloads, ascending —
     // SELECT bounded_topk(struct(-score, id), struct(id, score), 5)
-    "bounded_topk" -> (exprs => BoundedTopK(exprs.head, exprs(1),
-      intArg(exprs(2), "bounded_topk")).toAggregateExpression())
+    "bounded_topk" -> (exprs => {
+      if (exprs.length != 3) throw new IllegalArgumentException(
+        "bounded_topk expects exactly 3 arguments (ord, payload, k), " +
+          s"got ${exprs.length} — e.g. bounded_topk(struct(-score, id), struct(id, score), 5)")
+      BoundedTopK(exprs.head, exprs(1),
+        intArg(exprs(2), "bounded_topk")).toAggregateExpression()
+    })
   )
 
   /** Register into an already-built session (tests, REPLs). */

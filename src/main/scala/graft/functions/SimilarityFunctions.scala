@@ -70,12 +70,20 @@ object SimilarityFunctions {
     * map-side, so the exchange carries at most k rows per (task,
     * query) regardless of candidate count. The (score, id) order is
     * total, so the selection is merge-order-insensitive —
-    * bit-identical to the window form. */
+    * bit-identical to the window form.
+    *
+    * Null/NaN scores (a zero-norm vector's cosine, a null payload) are
+    * dropped BEFORE aggregation: under the negated-ord heap they would
+    * sort opposite to the window form's NULLS LAST / NaN-greatest
+    * semantics, so excluding them is what keeps the bit-identical
+    * claim true for malformed vectors (well-formed inputs are
+    * unaffected). */
   private def rankTopK(scored: DataFrame, k: Int, scoreCol: String,
                        ascending: Boolean): DataFrame = {
     // negation turns desc into asc exactly (doubles negate losslessly)
     val ordScore = if (ascending) col(scoreCol) else -col(scoreCol)
-    scored.groupBy("query_id")
+    scored.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .groupBy("query_id")
       .agg(graft.expressions.TopKAggregate.bounded_topk(
         struct(ordScore.as("__o"), col("neighbor_id")),
         struct(col("neighbor_id"), col(scoreCol)), k).as("__top"))

@@ -66,6 +66,9 @@ object Layout {
     * quotient provably < 2^bits, so no output cap is needed. */
   def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi >= lo, s"empty range [$lo, $hi]")
+    // bits >= 63 would wrap the Java shift (mod 64) and silently
+    // mis-scale; 62 is the widest the overflow guard below can hold
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     require(hi - lo >= 0 && hi - lo <= (Long.MaxValue >> bits),
       s"range width ${hi} - ${lo} overflows the $bits-bit scale multiply")
     val cc = least(lit(hi), greatest(lit(lo), c))

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * and a "\n@" split would shear records. Valid FASTQ is exactly
   * 4 lines per record, so records are recovered positionally: a
   * distributed line index (zipWithIndex — one extra count job, the
-  * Frame `_idx` discipline) groups lines 4-at-a-time. Input must be
-  * well-formed 4-line FASTQ (one file or files each holding a
-  * multiple of 4 lines). */
+  * Frame `_idx` discipline) groups lines 4-at-a-time. Malformed input
+  * (line count not a multiple of 4, missing '@' header or '+'
+  * separator) fails the read loudly via an in-plan assertion rather
+  * than silently shearing records. */
 object FastaSource {
 
   def read(spark: SparkSession, path: String,
@@ -59,10 +60,30 @@ object FastaSource {
       .toDF("__rec", "__pos", "value")
       .groupBy("__rec")
       .agg(
+        count(lit(1)).as("__n"),
         max(when(col("__pos") === 0, col("value"))).as("__hdr"),
         max(when(col("__pos") === 1, col("value"))).as("sequences"),
+        max(when(col("__pos") === 2, col("value"))).as("__plus"),
         max(when(col("__pos") === 3, col("value"))).as("qualities"))
     byRecord
+      // fail loudly on malformed input instead of silently shearing
+      // every record after the defect: each positional group must hold
+      // all 4 lines (catches truncation / line count not a multiple of
+      // 4) with the FASTQ sentinels in place ('@' header, '+'
+      // separator — catches mid-file shear that preserves the line
+      // count). assert_true sits in a filter so the optimizer can't
+      // prune it; it returns null on success, so the filter keeps
+      // every valid row and the first bad record fails the job.
+      .filter(assert_true(
+        col("__n") === 4 &&
+          col("__hdr").startsWith("@") && col("__plus").startsWith("+"),
+        concat(lit("malformed FASTQ: record "), col("__rec").cast("string"),
+          lit(" (lines "), (col("__rec") * 4 + 1).cast("string"),
+          lit("-"), (col("__rec") * 4 + 4).cast("string"),
+          lit(") has "), col("__n").cast("string"),
+          lit(" lines, header '"), coalesce(col("__hdr"), lit("<missing>")),
+          lit("', separator '"), coalesce(col("__plus"), lit("<missing>")),
+          lit("'"))).isNull)
       .filter(col("__hdr").isNotNull && length(trim(col("__hdr"))) > 0)
       .withColumn("header", regexp_replace(col("__hdr"), "^@", ""))
       .select(

@@ -39,4 +39,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]](1).toSeq)
     assert(rows.toSeq == Seq(1L -> Seq(10L, 12L), 2L -> Seq(20L)))
   }
+
+  test("bounded_topk with wrong arity gives an arity error, not an index error") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    Seq((1L, 0.9)).toDF("q", "s").createOrReplaceTempView("__topk_arity")
+    val e = intercept[Exception] {
+      spark.sql("SELECT bounded_topk(struct(-s, q)) FROM __topk_arity GROUP BY q")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bounded_topk expects exactly 3 arguments")),
+      s"got: ${messages(e)}")
+  }
 }

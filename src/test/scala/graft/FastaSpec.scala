@@ -60,4 +60,27 @@ class FastaSpec extends AnyFunSuite {
       java.nio.file.Files.deleteIfExists(dir)
     }
   }
+
+  test("malformed FASTQ fails loudly instead of silently shearing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fastq_bad")
+    def readAll(lines: Seq[String], name: String): Unit = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
+      try FastaSource.read(spark, f.toString, filetype = "fastq").collect()
+      finally java.nio.file.Files.deleteIfExists(f)
+    }
+    // truncated: 7 lines — the last positional group has 3 lines
+    val truncated = intercept[Exception] {
+      readAll(Seq("@r1", "ACGT", "+", "IIII", "@r2", "ACGT", "+"), "trunc.fastq")
+    }
+    assert(truncated.getMessage != null || truncated.getCause != null)
+    // sheared: one line deleted mid-file shifts the '+' sentinel out
+    // of position 2 — caught by the sentinel check, not the count
+    intercept[Exception] {
+      readAll(Seq("@r1", "ACGT", "+", "IIII",
+        "@r2", "+", "IIII",
+        "@r3", "ACGT", "+", "IIII", "@pad"), "shear.fastq")
+    }
+    java.nio.file.Files.deleteIfExists(dir)
+  }
 }

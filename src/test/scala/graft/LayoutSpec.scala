@@ -56,6 +56,10 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       scaleTo(col("c"), 0L, Long.MaxValue / 2, 16)
     }
+    // bits outside [1, 62] would wrap the Java shift (mod 64) and
+    // silently mis-scale — rejected at construction
+    intercept[IllegalArgumentException] { scaleTo(col("c"), 0L, 10L, 0) }
+    intercept[IllegalArgumentException] { scaleTo(col("c"), 0L, 10L, 64) }
   }
 
   test("parquetLongRange reads footer min/max equal to a full scan") {

@@ -30,6 +30,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.forall { case (q2, n) => q2 != n })
   }
 
+  test("NaN-scored vectors are excluded from top-k, not ranked first") {
+    import spark.implicits._
+    // a NaN component makes every cosine against this vector NaN (a
+    // zero-NORM vector instead errors at the division under ANSI mode,
+    // so it can never reach the rerank); under the negated-ord heap an
+    // unfiltered NaN would rank FIRST — the rankTopK filter must drop it
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val bad = Seq((99999L, Array.fill(64)(Float.NaN))).toDF("vec_id", "embedding")
+    val corpus = e.unionByName(bad)
+    val q = e.filter(col("vec_id") < 3)
+    val res = bruteForceTopK(corpus, q, "vec_id", "embedding", k = 5).collect()
+    assert(!res.exists(_.getLong(1) == 99999L))
+    assert(res.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+    assert(res.count(_.getLong(0) == 0L) == 5) // full k still returned
+  }
+
   test("knnJoin: planted duplicate vectors are each other's rank-1 at score 1") {
     val e = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
     // clone vector 0 as id 100000: identical vector -> identical bucket,
