@@ -263,62 +263,108 @@ object SimilarityFunctions {
     * cell id, and the rerank is the bounded_topk heap — every stage's
     * exchange ∝ corpus or ∝ k.
     *
-    * Codes quantize the RAW vectors (the first-`codebook` convention
-    * shared with pqTopK, so the oracle replicates them exactly);
-    * production IVFPQ quantizes residuals v − centroid(v) for tighter
-    * cells — same plan shape (the kernel input becomes a column
-    * expression), traded away here for the deterministic convention
-    * the cross-engine gate pins. Deterministic end to end: rounded
-    * distances, id tie-breaks, block-ordered sums. */
+    * With `residual = false` (default) codes quantize the RAW vectors
+    * (the first-`codebook` convention shared with pqTopK, so the
+    * oracle replicates them exactly). `residual = true` is production
+    * IVFPQ: codes quantize v − centroid(v) — removing the cell mean
+    * leaves only the within-cell variation for the codebook to spend
+    * its entries on, so codes are tighter and recall rises on
+    * clustered corpora (SimilaritySpec pins residual ≥ raw on a
+    * planted fixture). Same plan shape and exchange profile: the cell
+    * centroids broadcast-join into the corpus scan (still one scan),
+    * and the ADC table becomes per-(query, probed cell) — still a
+    * tiny broadcast, now keyed by cell. The codebook in residual mode
+    * is the first-`codebook` vectors' OWN residuals — deterministic,
+    * driver-side KB math. Deterministic end to end either way:
+    * rounded distances, id tie-breaks, block-ordered sums. */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
                 cells: Int, nprobe: Int,
-                m: Int, codebook: Int, dim: Int): DataFrame = {
+                m: Int, codebook: Int, dim: Int,
+                residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, "need nprobe >= 1")
     require(m >= 1 && dim % m == 0, s"need dim divisible by m, got $dim / $m")
     val sub = dim / m
     val cellCent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
     val full = collectCentroids(corpus, idCol, vecCol, codebook)
+    // residual mode: codebook seeds live in residual space — each
+    // seed minus ITS nearest cell centroid (cosine argmax, rounded,
+    // lowest-cid ties: the kernel's own ordering, replicated here in
+    // driver-side KB math)
+    def nearestCell(v: Seq[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cellCent.map { case (cid, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        val cos = v.zip(cv).map { case (a, b) => a * b }.sum / (n * cn)
+        (-VectorKernels.round6(cos), cid, cv)
+      }.minBy { case (negCos, cid, _) => (negCos, cid) }._3
+    }
+    val codeSeeds: Seq[(Long, Seq[Double])] =
+      if (!residual) full
+      else full.map { case (cid, v) =>
+        (cid, v.zip(nearestCell(v)).map { case (x, c) => x - c })
+      }
     def blockCent(b: Int): Seq[(Long, Array[Double])] =
-      full.map { case (cid, v) => (cid, v.slice(b * sub, (b + 1) * sub).toArray) }
-    // one corpus scan: cell assignment + m block codes, all kernels
-    val codes = corpus
+      codeSeeds.map { case (cid, v) => (cid, v.slice(b * sub, (b + 1) * sub).toArray) }
+    val session = corpus.sparkSession
+    import session.implicits._
+    val centDf = broadcast(
+      cellCent.map { case (cid, v) => (cid, v.toSeq) }.toDF("__cell", "__centv"))
+    // one corpus scan: cell assignment + m block codes, all kernels.
+    // In residual mode the encoded vector is __dv − centroid(cell) —
+    // the centroid table broadcast-joins into the scan (no exchange).
+    val base = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__dv"))
       .withColumn("__cell", element_at(VectorExpressions.nearest_centroids(
         col("__dv"), cellCent, 1, VectorKernels.MetricCosine), 1).getField("cid"))
+    val withEnc =
+      if (!residual) base.withColumn("__ev", col("__dv"))
+      else base.join(centDf, Seq("__cell"))
+        .withColumn("__ev", zip_with(col("__dv"), col("__centv"), (x, c) => x - c))
+    val codes = withEnc
       .select(col("neighbor_id"), col("__cell"),
         posexplode(array((0 until m).map { b =>
           element_at(VectorExpressions.nearest_centroids(
-            slice(col("__dv"), b * sub + 1, sub), blockCent(b), 1,
+            slice(col("__ev"), b * sub + 1, sub), blockCent(b), 1,
             VectorKernels.MetricL2), 1).getField("cid")
         }: _*)))
       .toDF("neighbor_id", "__cell", "__b", "__cid")
     // query-side tables (tiny, broadcast): probed cells, and the ADC
     // distance table — the same kernel with n = codebook returns ALL
-    // codewords with their rounded distances in one evaluation
+    // codewords with their rounded distances in one evaluation. In
+    // residual mode the table is per-(query, probed cell): the query
+    // residual differs per cell, so the join below also keys on it.
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
     val probes = q
       .withColumn("__pc", explode(VectorExpressions.nearest_centroids(
         col("__qv"), cellCent, nprobe, VectorKernels.MetricCosine)))
-      .select(col("query_id"), col("__pc").getField("cid").as("__cell"))
-    val qdist = q
-      .select(col("query_id"), posexplode(array((0 until m).map { b =>
+      .select(col("query_id"), col("__qv"), col("__pc").getField("cid").as("__cell"))
+    val qSide =
+      if (!residual) q.withColumn("__cell", lit(-1L)).withColumn("__rv", col("__qv"))
+      else probes.join(centDf, Seq("__cell"))
+        .withColumn("__rv", zip_with(col("__qv"), col("__centv"), (x, c) => x - c))
+        .select(col("query_id"), col("__cell"), col("__rv"))
+    val qdist = qSide
+      .select(col("query_id"), col("__cell"), posexplode(array((0 until m).map { b =>
         VectorExpressions.nearest_centroids(
-          slice(col("__qv"), b * sub + 1, sub), blockCent(b), codebook,
+          slice(col("__rv"), b * sub + 1, sub), blockCent(b), codebook,
           VectorKernels.MetricL2)
       }: _*)))
-      .toDF("query_id", "__b", "__ds")
-      .select(col("query_id"), col("__b"), explode(col("__ds")).as("__d"))
-      .select(col("query_id"), col("__b"),
+      .toDF("query_id", "__cell", "__b", "__ds")
+      .select(col("query_id"), col("__cell"), col("__b"), explode(col("__ds")).as("__d"))
+      .select(col("query_id"), col("__cell"), col("__b"),
         col("__d").getField("cid").as("__cid"),
         col("__d").getField("score").as("__qd"))
     // ADC scan over probed cells only: candidate join keys on the
     // cell id, m lookups per (query, member), block-ordered sum
+    val adcKeys =
+      if (residual) Seq("query_id", "__cell", "__b", "__cid")
+      else Seq("query_id", "__b", "__cid")
     val perBlock = codes
-      .join(broadcast(probes), Seq("__cell"))
+      .join(broadcast(probes.select("query_id", "__cell")), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(broadcast(qdist), Seq("query_id", "__b", "__cid"))
+      .join(broadcast(qdist.drop(if (residual) "" else "__cell")), adcKeys)
     def blockD(b: Int): Column = max(when(col("__b") === b, col("__qd")))
     val est = perBlock.groupBy("query_id", "neighbor_id")
       .agg(round((0 until m).map(blockD).reduce(_ + _), 6).as("est"))
@@ -544,24 +590,33 @@ object SimilarityFunctions {
     * cover stays total (uncovered vectors fall back to the dense
     * kernel) and on separated clusters it equals the dense result
     * (SimilaritySpec). The reference has no embedding dedup —
-    * parity-plus surface. */
+    * parity-plus surface.
+    *
+    * `reliable = false` (default) materializes the assignment with
+    * `localCheckpoint` — right for local/single-JVM runs, but the
+    * blocks live on executors: on a real cluster an executor loss
+    * mid-job fails the run. For cluster runs pass `reliable = true`
+    * to use fault-tolerant `checkpoint` (requires
+    * `spark.sparkContext.setCheckpointDir` on durable storage) — the
+    * same knob as nearDupClusters (d6). */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                clusters: Int, threshold: Double,
                refineIters: Int = 0,
                assignPlanes: Option[Int] = None,
-               assignSeed: Long = 42L): DataFrame = {
+               assignSeed: Long = 42L,
+               reliable: Boolean = false): DataFrame = {
     require(clusters >= 1 && refineIters >= 0,
       "need clusters >= 1, refineIters >= 0")
     val e = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val cent = refineCentroids(e, clusters, refineIters)
-    // one assignment pass, materialized: localCheckpoint cuts the
-    // lineage so the three consumers below read the stored blocks
-    // (executor-local — on a multi-node cluster swap for reliable
-    // checkpoint, the d6 nearDupClusters discipline)
-    val assigned = assignAll(e, cent, assignPlanes, assignSeed)
+    // one assignment pass, materialized: the checkpoint cuts the
+    // lineage so the three consumers below read the materialized
+    // assignment instead of re-running the scan
+    val materialized = assignAll(e, cent, assignPlanes, assignSeed)
       .select(col("__id"), col("__v"), col("__cid"))
-      .localCheckpoint()
+    val assigned =
+      if (reliable) materialized.checkpoint() else materialized.localCheckpoint()
     // within-cluster scan: only (lower-id → higher-id) direction, so
     // the group representative can never be marked
     val dup = assigned.select(col("__cid"), col("__id"), col("__v")).as("x")
