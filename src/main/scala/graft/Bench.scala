@@ -10,10 +10,17 @@ import org.apache.spark.sql.SparkSession
   * reports the per-query MEDIAN ("value" = sum of medians), so
   * environmental one-offs (GC pauses, page-cache misses) stop
   * masquerading as regressions; "spread" carries per-query max−min for
-  * the honesty trail. Memoized intermediates are released BETWEEN
-  * passes — every pass pays its own materialization (intra-pass
-  * sharing between queries is unchanged from the single-pass bench),
-  * so the median measures the query, not a warm cache. */
+  * the honesty trail. SPARK_GRAFT_WARMUP (default 1) UNCOUNTED full
+  * passes run first: the first pass of a cold JVM carries codegen
+  * compilation, classloading and page-cache fill for every query —
+  * with only 3 counted reps that cost lands in half the medians and
+  * round-over-round deltas drown in it (round-6 recorded a 19.9 s
+  * d4b spread; two clean builder runs of the same build differed by
+  * 20 s on the same queries). Memoized intermediates are released
+  * BETWEEN passes — every pass pays its own materialization
+  * (intra-pass sharing between queries is unchanged from the
+  * single-pass bench), so the median measures the query, not a warm
+  * cache. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,8 +42,9 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to reps).map { _ =>
+    def runPass(): Map[String, Double] = {
       val pass = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -47,6 +55,8 @@ object Bench {
       SparkEntry.releaseCaches() // next pass pays its own materialization
       pass.toMap
     }
+    (1 to warmup).foreach(_ => runPass()) // uncounted: absorbs cold-JVM cost
+    val passes = (1 to reps).map(_ => runPass())
     val results = queries.map { case (name, _) =>
       val ts = passes.map(_(name)).sorted
       (name, ts(ts.size / 2), ts.last - ts.head)
@@ -57,7 +67,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
-    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$sp}"""
+    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"spread":$sp}"""
     // Full per-query JSON: printed first AND written to a fixed path —
     // the single ~4 KB line outruns the driver's stdout tail capture
     // (BENCH_r01–r03 all recorded "parsed": null), so the durable copy
@@ -71,7 +81,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(5)
       .map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","reps":$reps,"n":${results.size},"top":$top,"full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n":${results.size},"top":$top,"full":"$fullPath"}""")
     SparkEntry.releaseCaches()
     spark.stop()
   }

@@ -242,18 +242,25 @@ object DedupFunctions {
         wordShingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
-      explode(col("__sh")).as("__s"))
-    val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+        explode(col("__sh")).as("__s"))
+      .withColumn("__sk", xxhash64(col("__s")))
+    // df counted per HASH key: the aggregation and the rank-attach
+    // join exchange 8-byte longs instead of shingle strings. The
+    // rarity order becomes (df(hash), shingle) — still one global
+    // total order (string tie-break), which is all the recall proof
+    // needs (completeness holds for ANY total order; a collision
+    // merging two shingles' counts only nudges which order minimizes
+    // candidates). The verified output is order-invariant.
+    val dfreq = tok.groupBy("__sk").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
     // every token with its in-doc rarity rank — the inverted index side
     // (persisted: it is both the prefix source and the index side of
-    // the candidate join). The join KEY is xxhash64(shingle) (8-byte
-    // hash-join key); the shingle itself travels as payload for the
-    // exact-equality collision reject below.
-    val ranked = tok.join(dfreq, Seq("__s"))
+    // the candidate join). The join KEY is the same xxhash64; the
+    // shingle itself travels as payload for the exact-equality
+    // collision reject below.
+    val ranked = tok.join(dfreq, Seq("__sk"))
       .withColumn("__rn", row_number().over(byRarity))
-      .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__s"),
-        col("__rn"), col("__na"))
+      .select(col("__id"), col("__sk"), col("__s"), col("__rn"), col("__na"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ranked
       .filter(col("__rn") <= col("__na") - ceilT(col("__na")) + 1)
@@ -378,26 +385,30 @@ object DedupFunctions {
     // proof valid when fl(t*n) rounds above an exact integer product
     def ceilT(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
     // unsorted string sets: only the hashed long sets need sort order
-    // (for the merge walk); the strings feed the df count and ranking
+    // (for the merge walk)
     val sh = docs.select(col(idCol).as("__id"),
         shingles(col(textCol)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tok = sh.select(col("__id"), size(col("__sh")).as("__na"),
-      explode(col("__sh")).as("__s"))
-    val dfreq = tok.groupBy("__s").agg(count(lit(1)).as("__df"))
+        explode(col("__sh")).as("__s"))
+      .withColumn("__sk", xxhash64(col("__s")))
+    // df counted per HASH key — see containmentPairs: the aggregation
+    // and rank-attach join exchange longs, the (df(hash), shingle)
+    // order stays a global total order, and the verified output is
+    // order-invariant
+    val dfreq = tok.groupBy("__sk").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy("__id").orderBy(col("__df"), col("__s"))
     // one standard-prefix projection (rank ≤ n − ⌈t·n⌉ + 1) with an
     // index-membership flag (rank ≤ n − ⌈2t/(1+t)·n⌉ + 1) — the join
     // is index-prefix × standard-prefix (scaladoc item 2). The join
-    // KEY is xxhash64(shingle) (8-byte hash-join key); the shingle
-    // itself travels as payload for the exact-equality collision
-    // reject below
+    // KEY is the same xxhash64; the shingle itself travels as payload
+    // for the exact-equality collision reject below
     def ceil2T(n: Column): Column =
       ceil(lit(2 * threshold / (1 + threshold)) * n - lit(1e-9))
-    val prefix = tok.join(dfreq, Seq("__s"))
+    val prefix = tok.join(dfreq, Seq("__sk"))
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= col("__na") - ceilT(col("__na")) + 1)
-      .select(col("__id"), xxhash64(col("__s")).as("__sk"), col("__s"),
+      .select(col("__id"), col("__sk"), col("__s"),
         col("__rn"), col("__na"),
         (col("__rn") <= col("__na") - ceil2T(col("__na")) + 1).as("__ix"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

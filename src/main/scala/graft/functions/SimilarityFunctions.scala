@@ -135,6 +135,38 @@ object SimilarityFunctions {
     bits.reduce(_ + _)
   }
 
+  /** Multi-probe bucket list (Lv et al.'s recall-recovery dial for
+    * sign-bit LSH): the vector's own bucket first, then the buckets
+    * reached by flipping the planes the vector is CLOSEST to (smallest
+    * |dot| margin — the flips most likely to hold a true neighbor that
+    * landed just across a boundary), margin-ordered, plane-id
+    * tie-broken. `probes` = number of buckets returned (1 degenerates
+    * to `array(lshBucket(...))`; max planes+1 single-bit flips).
+    * Deterministic like everything in this family — same md5 planes,
+    * total (margin, plane) order. */
+  def lshProbeBuckets(vec: Column, seed: Long, planes: Int, dim: Int,
+                      probes: Int): Column = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes+1] = [1, ${planes + 1}], got $probes")
+    val base = lshBucket(vec, seed, planes, dim)
+    if (probes == 1) array(base)
+    else {
+      val margins = (0 until planes).map { p =>
+        val plane = hyperplane(seed, p, dim)
+        val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+        struct(abs(dot(vec, planeCol)).as("m"), lit(p).as("p"))
+      }
+      // lexicographic struct sort = margin asc, plane asc
+      val ranked = array_sort(array(margins: _*))
+      val flips = (0 until probes - 1).map { i =>
+        val p = element_at(ranked, i + 1).getField("p")
+        // 1L << p as exact double pow (p < 53 always; planes is small)
+        base.bitwiseXOR(pow(lit(2.0), p.cast("double")).cast("long"))
+      }
+      array(base +: flips: _*)
+    }
+  }
+
   /** Driver-side centroid seeds: the deterministic "first C corpus
     * vectors" convention shared by IVF / PQ / k-means / SemDeDup (the
     * oracles replicate it). The readback is C·dim doubles — KB-scale,
@@ -379,18 +411,28 @@ object SimilarityFunctions {
     * Both sides of the candidate join are the bucketed corpus itself:
     * shuffle ∝ corpus, candidates ∝ corpus²/2^planes. `planes` is the
     * recall/cost dial — at 100 TB it scales with log₂(corpus) to hold
-    * per-vector candidate counts roughly constant (multi-probe or
-    * band-OR variants recover recall, same plan shape). The exact
-    * rerank window shuffles on query_id — again ∝ candidates.
-    * Deterministic md5 planes → the oracle replicates the bucketing
-    * bit-for-bit. */
+    * per-vector candidate counts roughly constant. `probes` > 1 is the
+    * OTHER dial ([[lshProbeBuckets]]): the query side probes its own
+    * bucket plus the probes−1 lowest-margin single-bit flips, so
+    * recall recovers without re-bucketing the corpus — candidates ∝
+    * probes × corpus²/2^planes, same plan shape (the corpus index
+    * side stays single-bucket, so no pair is produced twice).
+    * probes = 1 keeps the exact s5-oracle plan. Deterministic md5
+    * planes → the oracle replicates the bucketing bit-for-bit. */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-              seed: Long, planes: Int, dim: Int): DataFrame = {
+              seed: Long, planes: Int, dim: Int,
+              probes: Int = 1): DataFrame = {
     val bucket = lshBucket(col(vecCol), seed, planes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       bucket.as("__bucket"))
-    val q = corpus.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      bucket.as("__bucket"))
+    val q =
+      if (probes == 1)
+        corpus.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          bucket.as("__bucket"))
+      else
+        corpus.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          explode(lshProbeBuckets(col(vecCol), seed, planes, dim, probes))
+            .as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
@@ -401,18 +443,26 @@ object SimilarityFunctions {
     * hyperplane sign bits; candidates share the query's bucket, then
     * exact cosine reranks. At scale the bucket join replaces the full
     * cross product — shuffle ∝ corpus, candidates ∝ corpus/2^planes
-    * per query. Approximate (recall < 1 by design), yet exactly
-    * reproducible: the md5-derived planes are deterministic, so the
-    * s2_ann_lsh oracle replicates the bucketing bit-for-bit and the
-    * gate compares exact results. */
+    * per query. `probes` > 1 ([[lshProbeBuckets]]) widens each query
+    * to its lowest-margin neighbor buckets — recall recovers at
+    * probes× candidate cost, same plan shape, corpus untouched;
+    * probes = 1 keeps the exact s2-oracle plan. Approximate (recall
+    * < 1 by design), yet exactly reproducible: the md5-derived planes
+    * are deterministic, so the s2_ann_lsh oracle replicates the
+    * bucketing bit-for-bit and the gate compares exact results. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              seed: Long, planes: Int, dim: Int): DataFrame = {
+              seed: Long, planes: Int, dim: Int,
+              probes: Int = 1): DataFrame = {
     val bucket = lshBucket(col(vecCol), seed, planes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       bucket.as("__bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      bucket.as("__bucket")))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val q = broadcast(
+      if (probes == 1)
+        qBase.withColumn("__bucket", lshBucket(col("__qv"), seed, planes, dim))
+      else qBase.withColumn("__bucket",
+        explode(lshProbeBuckets(col("__qv"), seed, planes, dim, probes))))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))

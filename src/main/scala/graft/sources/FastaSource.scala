@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * fireworks/toolbox/pipes.py:18-68 — one row per record with columns
   * `sequences, ids, names, descriptions, dbxrefs`; the reference's
   * `filetype` arg accepts any Biopython SeqIO format string,
-  * pipes.py:33-47). This port carries the two formats with tests:
-  * FASTA and FASTQ (FASTQ rows add a `qualities` column).
+  * pipes.py:33-47). This port carries the three formats with tests:
+  * FASTA, FASTQ (FASTQ rows add a `qualities` column), and SeqIO's
+  * two-column `tab` format (one `id<TAB>sequence` record per line —
+  * line-splittable, so it distributes like any text source).
   *
   * FASTA record splitting uses the text source's custom `lineSep`
   * ("\n>"), so the input format handles record boundaries across file
@@ -32,8 +34,9 @@ object FastaSource {
     filetype.toLowerCase match {
       case "fasta" => readFasta(spark, path)
       case "fastq" => readFastq(spark, path)
+      case "tab" => readTab(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unsupported filetype '$other' (supported: fasta, fastq)")
+        s"unsupported filetype '$other' (supported: fasta, fastq, tab)")
     }
 
   private def readFasta(spark: SparkSession, path: String): DataFrame = {
@@ -49,6 +52,29 @@ object FastaSource {
         split(col("header"), " ").getItem(0).as("ids"),
         split(col("header"), " ").getItem(0).as("names"),
         col("header").as("descriptions"),
+        array().cast("array<string>").as("dbxrefs"))
+  }
+
+  /** SeqIO's `tab` format: `id<TAB>sequence`, one record per line.
+    * Like Biopython, the id doubles as name and description (a tab
+    * record has no separate description field), and a line without a
+    * tab is malformed — rejected in-plan, same loud-failure discipline
+    * as readFastq. Blank lines are skipped (SeqIO tolerates them at
+    * end-of-file). */
+  private def readTab(spark: SparkSession, path: String): DataFrame = {
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .filter(assert_true(col("value").contains("\t"),
+        concat(lit("malformed tab record (no tab separator): '"),
+          col("value"), lit("'"))).isNull)
+      .withColumn("__id", substring_index(col("value"), "\t", 1))
+      .select(
+        // everything after the FIRST tab (substring_index(…, -1) would
+        // split at the last one if a malformed sequence embedded a tab)
+        expr("substring(value, length(__id) + 2)").as("sequences"),
+        col("__id").as("ids"),
+        col("__id").as("names"),
+        col("__id").as("descriptions"),
         array().cast("array<string>").as("dbxrefs"))
   }
 

@@ -32,11 +32,13 @@ import graft.functions.DedupFunctions._
   * themselves stay the oracle-pinned implementations.
   *
   * Run: `sbt "runMain graft.tools.ProfileScale /root/testdata/sf0.1 1,3,10"`
-  * Results: SCALE.md. */
+  * (append `--embeddings-only` to skip the text cells and measure just
+  * the s5/d11/d12 embedding family). Results: SCALE.md. */
 object ProfileScale {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
+    val embOnly = args.contains("--embeddings-only")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -95,7 +97,7 @@ object ProfileScale {
       jp.unpersist(blocking = false)
     }
 
-    for (f <- factors) {
+    for (f <- factors if !embOnly) {
       val docs = spark.read.parquet(corpusPath(f))
       val n = docs.count()
       println(s"\n== factor $f: $n docs ==")
@@ -319,6 +321,38 @@ object ProfileScale {
           out.unpersist(blocking = false)
           println(f"d11 f=$f C=$cSem ${t2}%7.1f s  candidates $cand2%9d  dups $dups%7d  ($nv vectors)")
           cells += Cell("d11_semdedup", f, en * f, t2, cand2, dups)
+        }
+
+        // d12 — SemDeDup through the BUCKETED (large-C) assignment
+        // path, end-to-end: same linear dial C ∝ corpus, and the
+        // bucket dial planes ∝ log₂C keeps centroids-per-bucket (and
+        // so per-vector probe work) constant as both grow. The dense
+        // path's growth law is d11's row; this one measures the path
+        // real deployments take once C leaves broadcast range.
+        // "candidates" = the same within-cluster pair volume; the
+        // residual count (vectors whose bucket held no centroid,
+        // re-derived from the public lshBucket) is the dense-fallback
+        // volume — it must stay a sliver for the path to be honest.
+        {
+          import graft.functions.SimilarityFunctions.{semDedup, lshBucket}
+          val cSem = 16 * f
+          val planesB = 5 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt
+          val out = semDedup(e, "vec_id", "embedding", cSem, 0.35,
+              assignPlanes = Some(planesB))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val (nv, t3) = time { out.count() }
+          val dups = out.filter(col("is_dup")).count()
+          val cand3 = out.groupBy("cluster").agg(count(lit(1)).as("c"))
+            .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")))
+            .collect()(0).getLong(0)
+          val vb = e.select(col("vec_id"),
+            lshBucket(col("embedding").cast("array<double>"), 42L, planesB, 64).as("__b"))
+          val resid = vb.join(
+            vb.filter(col("vec_id") < cSem).select("__b").distinct(),
+            Seq("__b"), "left_anti").count()
+          out.unpersist(blocking = false)
+          println(f"d12 f=$f C=$cSem planes=$planesB ${t3}%7.1f s  candidates $cand3%9d  dups $dups%7d  residual $resid%7d  ($nv vectors)")
+          cells += Cell("d12_bucketed_semdedup", f, en * f, t3, cand3, dups)
         }
       }
     }

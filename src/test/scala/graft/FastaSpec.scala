@@ -61,6 +61,37 @@ class FastaSpec extends AnyFunSuite {
     }
   }
 
+  test("filetype=tab round-trips SeqIO's two-column format; malformed lines fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_tab")
+    val f = dir.resolve("seqs.tab")
+    // trailing blank line tolerated (SeqIO skips it); ids carry over
+    // to names/descriptions like Biopython's TabIterator
+    java.nio.file.Files.writeString(f,
+      "seq1\tACGTACGT\nseq2\tTTTTGGGG\nseq3\tAC\n\n")
+    try {
+      val df = FastaSource.read(spark, f.toString, filetype = "tab")
+      assert(df.columns.toSet ==
+        Set("sequences", "ids", "names", "descriptions", "dbxrefs"))
+      val rows = df.orderBy("ids").collect().map(r =>
+        (r.getAs[String]("ids"), r.getAs[String]("sequences"),
+          r.getAs[String]("names"), r.getAs[String]("descriptions")))
+      assert(rows.toSeq == Seq(
+        ("seq1", "ACGTACGT", "seq1", "seq1"),
+        ("seq2", "TTTTGGGG", "seq2", "seq2"),
+        ("seq3", "AC", "seq3", "seq3")))
+      // a line without a tab separator is malformed — loud failure
+      val bad = dir.resolve("bad.tab")
+      java.nio.file.Files.writeString(bad, "seq1\tACGT\nnotab\n")
+      try intercept[Exception] {
+        FastaSource.read(spark, bad.toString, filetype = "tab").collect()
+      } finally java.nio.file.Files.deleteIfExists(bad)
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("malformed FASTQ fails loudly instead of silently shearing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fastq_bad")
     def readAll(lines: Seq[String], name: String): Unit = {

@@ -30,6 +30,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.forall { case (q2, n) => q2 != n })
   }
 
+  test("multi-probe LSH: recall is monotone in probes; probes=1 equals the single-bucket plan") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(p: Int): Double = {
+      val approx = lshTopK(e, q, "vec_id", "embedding", k = 5,
+          seed = 42L, planes = 6, dim = 64, probes = p)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r4 = recallAt(4)
+    // widening the probe set only ADDS candidates: recall is monotone,
+    // and on this corpus the low-margin flips recover real neighbors
+    assert(r1 <= r2 && r2 <= r4, s"r1=$r1 r2=$r2 r4=$r4")
+    assert(r4 > r1, s"probes=4 must beat probes=1 here: r1=$r1 r4=$r4")
+    // the default equals an explicit probes=1 (the s2-oracle plan)
+    val viaDefault = lshTopK(e, q, "vec_id", "embedding", k = 5,
+        seed = 42L, planes = 6, dim = 64)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaOne = lshTopK(e, q, "vec_id", "embedding", k = 5,
+        seed = 42L, planes = 6, dim = 64, probes = 1)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDefault == viaOne)
+    // knnJoin accepts the same dial
+    val g1 = knnJoin(e.filter(col("vec_id") < 100), "vec_id", "embedding",
+      k = 3, seed = 42L, planes = 6, dim = 64, probes = 2)
+    assert(g1.groupBy("query_id").count().filter(col("count") > 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      lshProbeBuckets(col("x"), 42L, 6, 64, probes = 8)
+    }
+  }
+
   test("NaN-scored vectors are excluded from top-k, not ranked first") {
     import spark.implicits._
     // a NaN component makes every cosine against this vector NaN (a
