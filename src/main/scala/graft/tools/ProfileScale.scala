@@ -325,10 +325,14 @@ object ProfileScale {
 
         // d12 — SemDeDup through the BUCKETED (large-C) assignment
         // path, end-to-end: same linear dial C ∝ corpus, and the
-        // bucket dial planes ∝ log₂C keeps centroids-per-bucket (and
-        // so per-vector probe work) constant as both grow. The dense
-        // path's growth law is d11's row; this one measures the path
-        // real deployments take once C leaves broadcast range.
+        // bucket dial 2^planes ≈ C/8 keeps ~8 centroids per bucket as
+        // both grow — buckets must stay MUCH FEWER than centroids so
+        // every vector's bucket holds candidate centroids (coverage
+        // ~1, pruning factor 2^planes vs the dense C-dot scan); a
+        // 2^planes ≥ C dial inverts the regime and routes most of the
+        // corpus through the dense fallback. The dense path's growth
+        // law is d11's row; this one measures the path real
+        // deployments take once C leaves broadcast range.
         // "candidates" = the same within-cluster pair volume; the
         // residual count (vectors whose bucket held no centroid,
         // re-derived from the public lshBucket) is the dense-fallback
@@ -336,7 +340,8 @@ object ProfileScale {
         {
           import graft.functions.SimilarityFunctions.{semDedup, lshBucket}
           val cSem = 16 * f
-          val planesB = 5 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt
+          val planesB = math.max(1,
+            (math.log(cSem.toDouble) / math.log(2.0)).floor.toInt - 3)
           val out = semDedup(e, "vec_id", "embedding", cSem, 0.35,
               assignPlanes = Some(planesB))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
