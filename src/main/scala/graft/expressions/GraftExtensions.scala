@@ -48,6 +48,12 @@ object GraftExtensions {
     "sorted_long_jaccard" -> (exprs => SortedLongJaccard(exprs.head, exprs(1))),
     "sorted_long_intersect_count" -> (exprs => SortedLongIntersectCount(exprs.head, exprs(1))),
     "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1))),
+    "hashed_set40" -> (exprs => HashedSet40(exprs.head,
+      if (exprs.size > 1) stringArg(exprs(1), "hashed_set40") else "md5")),
+    "word_shingles" -> (exprs => ShingleExpressions.WordShingles(
+      exprs.head, intArg(exprs(1), "word_shingles"))),
+    "char_shingles" -> (exprs => ShingleExpressions.CharShingles(
+      exprs.head, intArg(exprs(1), "char_shingles"))),
     // aggregate: k smallest `ord` values' payloads, ascending —
     // SELECT bounded_topk(struct(-score, id), struct(id, score), 5)
     "bounded_topk" -> (exprs => {

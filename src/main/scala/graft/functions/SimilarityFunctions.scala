@@ -143,7 +143,10 @@ object SimilarityFunctions {
     * tie-broken. `probes` = number of buckets returned (1 degenerates
     * to `array(lshBucket(...))`; max planes+1 single-bit flips).
     * Deterministic like everything in this family — same md5 planes,
-    * total (margin, plane) order. */
+    * total (margin, plane) order, margins ROUNDED to 6 digits before
+    * comparison so the flip choice is engine-reproducible (the same
+    * round(…, 6) convention every cross-engine compare in this file
+    * uses — the s2b oracle replicates the probe set exactly). */
   def lshProbeBuckets(vec: Column, seed: Long, planes: Int, dim: Int,
                       probes: Int): Column = {
     require(probes >= 1 && probes <= planes + 1,
@@ -154,7 +157,7 @@ object SimilarityFunctions {
       val margins = (0 until planes).map { p =>
         val plane = hyperplane(seed, p, dim)
         val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-        struct(abs(dot(vec, planeCol)).as("m"), lit(p).as("p"))
+        struct(round(abs(dot(vec, planeCol)), 6).as("m"), lit(p).as("p"))
       }
       // lexicographic struct sort = margin asc, plane asc
       val ranked = array_sort(array(margins: _*))

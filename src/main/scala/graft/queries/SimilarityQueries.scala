@@ -28,6 +28,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-probe LSH top-5: each query probes its own bucket PLUS the
+    // bucket across its lowest-margin hyperplane (probes = 2) — the
+    // recall-recovery dial with the corpus untouched. Margins are
+    // rounded to 6 digits before the argmin (plane-id tie-break), so
+    // the oracle replicates the probe set bit-for-bit.
+    "s2b_ann_multiprobe" -> ((s, d) => {
+      val e = embeddings(s, d)
+      lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, seed = 42L, planes = 4, dim = 64, probes = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF approximate top-5: nearest-centroid cells + nprobe probing
     // (the other scale path besides LSH). Deterministic (centroids =
     // first C corpus vectors) → exact oracle; SimilaritySpec measures
@@ -70,6 +82,22 @@ object SimilarityQueries {
       val e = embeddings(s, d)
       ivfpqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, cells = 16, nprobe = 4, m = 4, codebook = 16, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Residual-quantized IVF-PQ: codes quantize v − centroid(v), the
+    // production FAISS convention — deterministic end to end (rounded
+    // distances, id tie-breaks), so the oracle replicates the cell
+    // assignment, the residual codebook (the first-32 seeds' own
+    // residuals) and the per-(query, cell) ADC tables exactly. Cells
+    // and codebook are DISTINCT prefixes (8 vs 32): with them equal,
+    // every seed residual would be the zero vector and the mode
+    // degenerates.
+    "s8b_ann_ivfpq_residual" -> ((s, d) => {
+      val e = embeddings(s, d)
+      ivfpqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cells = 8, nprobe = 2, m = 4, codebook = 32, dim = 64,
+        residual = true)
         .orderBy("query_id", "rank")
     }),
 
@@ -142,6 +170,46 @@ object SimilarityQueries {
        | s AS (
        |  SELECT q.qid AS query_id, b.vec_id AS neighbor_id, ${cosSql("q.qv", "b.v")} AS score
        |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.qid),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s2b oracle: the s2 machinery plus the second probe bucket — the
+    * base bucket XOR the bit of the lowest-round(|margin|, 6) plane
+    * (ties to the lowest plane index, matching lshProbeBuckets'
+    * lexicographic (margin, plane) struct sort). */
+  private def s2bSql: String = {
+    val planeArrs = (0 until 4).map { p =>
+      graft.functions.SimilarityFunctions.hyperplane(42L, p, 64)
+        .mkString("[", ", ", "]")
+    }
+    val bucketTerms = (0 until 4).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> v[i] * (${planeArrs(p)})[i])) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val marginTerms = (0 until 4).map { p =>
+      s"round(abs(list_sum(list_transform(generate_series(1, 64), i -> v[i] * (${planeArrs(p)})[i]))), 6) AS m$p"
+    }.mkString(",\n   ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | b AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+       | qm AS (SELECT vec_id AS qid, v AS qv, bucket,
+       |   $marginTerms
+       |   FROM b WHERE vec_id < 10),
+       | qp AS (SELECT qid, qv, bucket,
+       |   CASE WHEN m0 <= m1 AND m0 <= m2 AND m0 <= m3 THEN 1
+       |        WHEN m1 < m0 AND m1 <= m2 AND m1 <= m3 THEN 2
+       |        WHEN m2 < m0 AND m2 < m1 AND m2 <= m3 THEN 4
+       |        ELSE 8 END AS flipbit
+       |   FROM qm),
+       | probes AS (
+       |  SELECT qid, qv, bucket FROM qp
+       |  UNION ALL
+       |  SELECT qid, qv, xor(bucket, flipbit) AS bucket FROM qp),
+       | s AS (
+       |  SELECT p.qid AS query_id, b.vec_id AS neighbor_id, ${cosSql("p.qv", "b.v")} AS score
+       |  FROM b JOIN probes p ON b.bucket = p.bucket AND b.vec_id <> p.qid),
        | r AS (SELECT query_id, neighbor_id, score,
        |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
        |   FROM s)
@@ -310,11 +378,72 @@ object SimilarityQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s8b oracle: the s8 machinery in RESIDUAL space — cell assignment
+    * as in s8 (rounded cosine argmax, cid tie-break) over the first-8
+    * cells; corpus and query vectors become v − cellv; the codebook is
+    * the first-32 seeds' OWN residuals (seed minus ITS nearest cell);
+    * the ADC table is per-(query, probed cell). Every compared value
+    * passes through round(…, 6), so the replication is exact. */
+  private def s8bSql: String = {
+    def l2(q: String, c: String, off: Int): String =
+      s"""round(list_sum(list_transform(generate_series(1, 16),
+         |      i -> ($q[i + $off] - $c[i + $off]) * ($q[i + $off] - $c[i + $off]))), 6)""".stripMargin
+    val blockSum = (0 until 4).map(b => s"MAX(CASE WHEN codes.b = $b THEN qbd.qd END)").mkString("\n   + ")
+    val dists = (0 until 4).map(b =>
+      s"SELECT $b AS b, ${l2("r.rv", "s.cv", b * 16)} AS d, r.vec_id, s.cid FROM rve r, seedres s")
+      .mkString(" UNION ALL ")
+    val qdists = (0 until 4).map(b =>
+      s"SELECT query_id, cell, $b AS b, ${l2("q.rv", "s.cv", b * 16)} AS qd, s.cid FROM qrv q, seedres s")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cell AS (SELECT vec_id AS ccid, v AS ccv FROM e WHERE vec_id < 8),
+       | ca AS (
+       |  SELECT e.vec_id, cell.ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cell.ccv")} DESC, cell.ccid ASC) AS crank
+       |  FROM e, cell),
+       | assigned AS (SELECT vec_id, ccid AS cell FROM ca WHERE crank = 1),
+       | rve AS (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(generate_series(1, 64), i -> e.v[i] - c.ccv[i]) AS rv
+       |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cell c ON c.ccid = a.cell),
+       | seedres AS (SELECT vec_id AS cid, rv AS cv FROM rve WHERE vec_id < 32),
+       | bd AS ($dists),
+       | codes AS (
+       |  SELECT vec_id AS neighbor_id, b, cid FROM (
+       |    SELECT vec_id, b, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS rk
+       |    FROM bd) WHERE rk = 1),
+       | probes AS (SELECT vec_id AS query_id, ccid AS cell FROM ca WHERE crank <= 2 AND vec_id < 10),
+       | qrv AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, 64), i -> e.v[i] - c.ccv[i]) AS rv
+       |  FROM probes p JOIN e ON e.vec_id = p.query_id
+       |  JOIN cell c ON c.ccid = p.cell),
+       | qbd AS ($qdists),
+       | adc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, round($blockSum, 6) AS est
+       |  FROM codes
+       |  JOIN assigned a ON a.vec_id = codes.neighbor_id
+       |  JOIN probes p ON a.cell = p.cell
+       |  JOIN qbd ON qbd.query_id = p.query_id AND qbd.cell = p.cell
+       |    AND qbd.b = codes.b AND qbd.cid = codes.cid
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY p.query_id, a.vec_id),
+       | r AS (SELECT query_id, neighbor_id, est,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS INT) AS rank
+       |   FROM adc)
+       |SELECT query_id, neighbor_id, est, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "d12_bucketed_assign" -> d12Sql,
     "s8_ann_ivfpq" -> s8Sql,
+    "s8b_ann_ivfpq_residual" -> s8bSql,
     "s7_kmeans_refine" -> s7Sql,
     "s2_ann_lsh" -> s2Sql,
+    "s2b_ann_multiprobe" -> s2bSql,
     "s5_knn_join" -> s5Sql,
     "s6_ann_pq" -> s6Sql,
     "s4_ann_ivf" -> s4Sql,

@@ -28,6 +28,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getAs[scala.collection.Seq[Long]]("sig").size == 4)
   }
 
+  test("shingle and hashed-set kernels are reachable from SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS ws,
+        |  char_shingles('abcd', 3) AS cs,
+        |  hashed_set40(array('x', 'y', 'x')) AS hs""".stripMargin).head()
+    assert(r.getAs[scala.collection.Seq[String]]("ws") == Seq("a b c", "b c d"))
+    assert(r.getAs[scala.collection.Seq[String]]("cs") == Seq("abc", "bcd"))
+    val hs = r.getAs[scala.collection.Seq[Long]]("hs")
+    assert(hs.size == 2 && hs == hs.sorted)
+  }
+
   test("bounded_topk aggregate is reachable from SQL (score-desc rerank)") {
     GraftExtensions.registerAll(spark)
     import spark.implicits._

@@ -206,6 +206,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe lshTopK keeps the broadcast bucket join (probe explode stays on the tiny query side)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, d)
+    val df = graft.functions.SimilarityFunctions.lshTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, seed = 42L, planes = 4, dim = 64, probes = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the probe expansion multiplies QUERY rows (broadcast side), never
+    // the corpus: the join must stay a broadcast hash join on the
+    // bucket, with no nested loop and no corpus-side generate
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("residual ivfpqTopK still scans the corpus once (centroid attach is a broadcast, ADC tables broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, d)
+    val df = graft.functions.SimilarityFunctions.ivfpqTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      cells = 8, nprobe = 2, m = 4, codebook = 8, dim = 64, residual = true)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // residual mode adds the cell-centroid join INTO the corpus scan:
+    // it must be broadcast (no corpus exchange for the attach), and the
+    // corpus parquet may be read only once in the whole plan
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the query side (5 rows, vec_id < 5 pushed to its scans) may
+    // appear in several broadcast branches — what must NOT happen is a
+    // second CORPUS-sized scan (one without the query filter): encode +
+    // cell-assign + residual-attach all live in the single corpus pass
+    // AQE's toString prints the plan twice (Final + Initial) — count
+    // scans in the final section only
+    val finalP = p.split("== Initial Plan ==").head
+    val fileScans = finalP.split("FileScan").drop(1)
+    val corpusScans = fileScans.count(s =>
+      s.contains("embeddings.parquet") && !s.contains("LessThan(vec_id,5)"))
+    assert(corpusScans == 1,
+      s"expected exactly 1 unfiltered corpus scan, got $corpusScans:\n${p.take(2000)}")
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
