@@ -614,29 +614,72 @@ object DedupFunctions {
     * content_hash). */
   def incrementalDedup(reference: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
-                       expectedItems: Long = 100000L): DataFrame = {
-    // the bloom kernel is long-keyed: sketch a 60-bit projection of the
-    // content hash (fpp adds to the sketch's own 1% — both kinds of
-    // false positive are removed by the exact verify join on the full
-    // hash string)
-    def hashLong(h: Column): Column =
-      conv(substring(h, 1, 15), 16, 10).cast("long")
+                       expectedItems: Long = 100000L,
+                       precomputedBloom: Option[Array[Byte]] = None): DataFrame = {
     val ref = reference.select(col(idCol).as("__rid"),
       contentHash(col(textCol)).as("__h"))
     val hashed = batch.select(col(idCol), contentHash(col(textCol)).as("__h"))
-    val candidates =
-      if (reference.isEmpty) hashed.filter(lit(false))
-      else {
-        val bloom = ref.select(hashLong(col("__h")).as("__hl"))
-          .stat.bloomFilter("__hl", expectedItems, 0.01)
-        val bytes = { val bos = new java.io.ByteArrayOutputStream()
-          bloom.writeTo(bos); bos.toByteArray }
+    val candidates = precomputedBloom match {
+      case Some(bytes) =>
         hashed.filter(graft.expressions.HashExpressions.bloom_might_contain(
-          hashLong(col("__h")), bytes))
-      }
+          bloomKey(col("__h")), bytes))
+      case None if reference.isEmpty => hashed.filter(lit(false))
+      case None =>
+        hashed.filter(graft.expressions.HashExpressions.bloom_might_contain(
+          bloomKey(col("__h")),
+          buildContentBloom(reference, textCol, expectedItems)))
+    }
     candidates
       .join(ref.groupBy("__h").agg(min("__rid").as("dup_of")), Seq("__h"))
       .select(col(idCol), col("dup_of"), col("__h").as("content_hash"))
+  }
+
+  /** The 60-bit long projection of the md5 content hash that the
+    * incremental-dedup bloom is keyed on: the projection's collisions
+    * and the sketch's fpp both only ADD candidates, which the exact
+    * verify join on the full hash removes. */
+  private def bloomKey(h: Column): Column =
+    conv(substring(h, 1, 15), 16, 10).cast("long")
+
+  /** Build the reference-corpus bloom sketch `incrementalDedup`
+    * pre-filters with, as portable bytes (built distributed via
+    * `stat.bloomFilter`'s treeAggregate — the driver holds only the
+    * bitmap). Persist it with [[saveBloom]] and tonight's crawl dedups
+    * against yesterday's corpus WITHOUT re-scanning it — the sketch
+    * pre-filters, and the exact verify join reads the (append-only)
+    * reference hash table for just the candidate sliver. */
+  def buildContentBloom(reference: DataFrame, textCol: String,
+                        expectedItems: Long = 100000L,
+                        fpp: Double = 0.01): Array[Byte] = {
+    val bloom = reference.select(
+        bloomKey(contentHash(col(textCol))).as("__hl"))
+      .stat.bloomFilter("__hl", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Persist / reload the sketch on the cluster filesystem (hadoop FS,
+    * so the path may be HDFS/object storage, not just local disk). */
+  def saveBloom(spark: org.apache.spark.sql.SparkSession, path: String,
+                bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+                path: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
   }
 
   /** Corpus-level span dedup (the C4 / Lee et al. 2022 "remove any

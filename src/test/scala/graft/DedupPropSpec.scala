@@ -136,4 +136,29 @@ class DedupPropSpec extends AnyFunSuite {
       assert(out == expect, s"seed=$seed")
     }
   }
+
+  test("property: shingle kernels equal the HOF forms on random unicode text") {
+    // the kernels walk raw UTF-8 bytes by hand — fuzz them with text
+    // mixing ASCII, multi-byte scripts, doubled/leading/trailing
+    // spaces, and boundary lengths around every n/k
+    val alphabet = "ab α漢🦜 é ن"
+    val rnd = new scala.util.Random(7L)
+    val texts = (0 until 300).map { i =>
+      val len = rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(1, 2, 3); k <- Seq(1, 2, 5)) {
+      val wDiff = df.select(
+          wordShingles(col("text"), n).as("a"),
+          wordShinglesHof(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(wDiff == 0, s"wordShingles n=$n")
+      val cDiff = df.select(
+          charShingles(col("text"), k).as("a"),
+          charShinglesHof(col("text"), k).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(cDiff == 0, s"charShingles k=$k")
+    }
+  }
 }

@@ -142,6 +142,29 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("incrementalDedup with a saved/reloaded bloom state equals the direct run") {
+    // the cross-RUN shape: build the sketch once, persist it, and a
+    // later session pre-filters tonight's batch with the reloaded
+    // bytes — no reference re-scan for the sketch
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "ALPHA  beta gamma"), (11L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom")
+    val path = dir.resolve("ref.bloom").toString
+    saveBloom(spark, path, buildContentBloom(ref, "text"))
+    val viaState = incrementalDedup(ref, batch, "doc_id", "text",
+        precomputedBloom = Some(loadBloom(spark, path)))
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+    val direct = incrementalDedup(ref, batch, "doc_id", "text")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+    assert(viaState == direct && viaState == Seq((10L, 1L)))
+    // hadoop's LocalFileSystem writes a .crc sidecar — clean recursively
+    java.nio.file.Files.walk(dir)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   test("winnowingFingerprints matches a driver-side replay of the algorithm") {
     import graft.functions.TextAnalysisFunctions.winnowingFingerprints
     val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
