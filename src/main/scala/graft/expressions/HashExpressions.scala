@@ -52,20 +52,54 @@ object HashExpressions {
       ((d(off + 2) & 0xffL) << 16) | ((d(off + 3) & 0xffL) << 8) |
       (d(off + 4) & 0xffL)
 
+  /** Largest prime below 2^40 — the minhash family's field modulus. */
+  val MinHashP: Long = (1L << 40) - 87
+
+  /** Per-member coefficient pairs (a_j, b_j) of the minhash family —
+    * 20-bit values from md5("mh:j"), forced odd, deterministic, shared
+    * by the kernel and the HOF reference form. Each member j hashes a
+    * shingle's 40-bit base pair as (a_j·h1 + b_j·h2) mod [[MinHashP]]:
+    * an INDEPENDENT 2-universal draw per member. The round-6-and-
+    * earlier family h1 + j·h2 shared one random point across all k
+    * members with coefficient directions (1, j) collapsing onto a
+    * line — a single extreme-h2 shingle then decided the min for MOST
+    * members at once, so two 0.94-similar docs could (measured, ~1/|doc|
+    * odds per near-dup pair) disagree on nearly every signature
+    * position and miss every LSH band; the advertised 1-(1-j^r)^b
+    * recall bound silently did not hold. Products fit comfortably:
+    * 2^20·2^40 + 2^20·2^40 < 2^62. */
+  private[graft] def minhashCoef(k: Int): (Array[Long], Array[Long]) = {
+    val ca = new Array[Long](k)
+    val cb = new Array[Long](k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var j = 0
+    while (j < k) {
+      val d = md.digest(s"mh:$j".getBytes("UTF-8"))
+      ca(j) = (bits40(d, 0) & 0xFFFFFL) | 1L
+      cb(j) = (bits40(d, 5) & 0xFFFFFL) | 1L
+      j += 1
+    }
+    (ca, cb)
+  }
+
   /** MinHash signature over an array<string> of shingles: member j of
-    * the universal family is h1 + j·h2, with (h1, h2) two 40-bit base
-    * hashes per shingle (fits in 47 bits for k<=128 — no overflow in
-    * either engine), evaluated in one pass over the shingles.
+    * the family is (a_j·h1 + b_j·h2) mod [[MinHashP]] with (h1, h2)
+    * two 40-bit base hashes per shingle and (a_j, b_j) the
+    * [[minhashCoef]] per-member coefficients (see there for why the
+    * members must be independent draws), evaluated in one pass over
+    * the shingles — still one digest per shingle.
     *
     * `family` picks the base hash ([[Families]]): "md5" takes the
     * first/second 40 bits of md5(shingle) — bit-identical to
-    * DedupFunctions.minhashSignature and the DuckDB oracles; "xxh64"
-    * takes the low 40 bits of XXH64(shingle, seed=0 / seed=1). */
+    * DedupFunctions.minhashSignature; "xxh64" takes the low 40 bits of
+    * XXH64(shingle, seed=0 / seed=1). */
   case class MinHashSignature(child: Expression, k: Int, family: String = "md5")
       extends UnaryExpression with CodegenFallback {
     require(Families.contains(family), s"unknown hash family: $family")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_signature"
+
+    @transient private lazy val (ca, cb) = minhashCoef(k)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -87,10 +121,9 @@ object HashExpressions {
           h2 = xx(s, 1L) & Mask40
         }
         var j = 0
-        var h = h1
         while (j < k) {
+          val h = (ca(j) * h1 + cb(j) * h2) % MinHashP
           if (h < mins(j)) mins(j) = h
-          h += h2
           j += 1
         }
         i += 1

@@ -52,9 +52,14 @@ object DedupFunctions {
       size(array_union(a, b)).cast("double")
 
   /** Two 40-bit base hashes per shingle, parsed from one md5. MinHash
-    * family member j is then the linear combination h1 + j·h2 (fits in
-    * 47 bits for k<=128 — no overflow in either engine) — one md5 per
-    * shingle instead of k, the standard universal-hashing trick. */
+    * family member j is then (a_j·h1 + b_j·h2) mod P with the
+    * [[graft.expressions.HashExpressions.minhashCoef]] per-member
+    * 20-bit coefficients and P the largest prime below 2^40 — one md5
+    * per shingle instead of k, with an INDEPENDENT 2-universal draw
+    * per member (products < 2^62, no overflow in either engine). The
+    * earlier h1 + j·h2 form shared one random point across all
+    * members and measurably broke the LSH recall bound — see the
+    * kernel scaladoc. */
   def minhashBaseHashes(shingles: Column): Column =
     transform(shingles, s => {
       val h = md5(s)
@@ -66,10 +71,16 @@ object DedupFunctions {
   /** Signature from a *materialized* base-hash column (materialize it
     * with withColumn first — referencing the base-hash expression
     * inside the k lambdas would recompute the md5s k times). */
-  def minhashSignatureFromHashes(baseHashes: Column, k: Int): Column =
+  def minhashSignatureFromHashes(baseHashes: Column, k: Int): Column = {
+    val (ca, cb) = graft.expressions.HashExpressions.minhashCoef(k)
+    val caLit = array(ca.toIndexedSeq.map(lit): _*)
+    val cbLit = array(cb.toIndexedSeq.map(lit): _*)
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(baseHashes,
-        h => h.getField("h1") + j.cast("long") * h.getField("h2"))))
+        h => (element_at(caLit, j + 1) * h.getField("h1") +
+              element_at(cbLit, j + 1) * h.getField("h2")) %
+          lit(graft.expressions.HashExpressions.MinHashP))))
+  }
 
   /** Convenience single-expression form (prefer the two-step API in
     * pipelines). */

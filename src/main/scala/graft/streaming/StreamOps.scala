@@ -59,6 +59,92 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming NEAR-duplicate detection — the MinHash-LSH family
+    * (DedupFunctions.minhashNearDuplicates) as a stateful stream: each
+    * arriving document is checked against every previously-seen
+    * document it shares an LSH band with, and verified pairs at
+    * Jaccard ≥ `threshold` (over the 40-bit hashed shingle space, the
+    * same measure the batch scale paths verify in) are emitted as
+    * (doc_id, dup_of, jac) with `dup_of` the earlier-seen member.
+    *
+    * Plan shape: signature/shingle/band computation is the SAME
+    * per-row kernel chain as the batch pipeline (no UDF, no second
+    * code path for the math); the only stateful stage is a
+    * `flatMapGroupsWithState` KEYED ON THE BAND — state per band is
+    * the (id, hashed-set) list of its members, so state size ∝ seen
+    * docs × bands and lookup work per arrival ∝ its bands' member
+    * counts, never the corpus. A pair sharing multiple bands is
+    * emitted once per colliding band (possibly across batches) —
+    * downstream consumers dedup on (doc_id, dup_of) the same way the
+    * batch pipeline's `.distinct()` does.
+    *
+    * `stateTTL` bounds state for endless streams (processing-time
+    * timeout: a band idle longer than the TTL drops its members —
+    * after that, a re-arriving duplicate is a miss, the standard
+    * recall/state trade every streaming dedup makes). In-batch
+    * arrival order is fixed by sorting each micro-batch's band group
+    * by id, so emissions are deterministic given the same batch
+    * boundaries. */
+  def streamNearDup(docs: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, numHashes: Int, bands: Int,
+                    threshold: Double,
+                    stateTTL: Option[String] = None)
+  : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val r = numHashes / bands
+    val banded = docs.select(col(idCol).cast("long").as("__id"),
+        graft.functions.DedupFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+      .withColumn("__hs",
+        graft.expressions.HashExpressions.hashed_set40(col("__sh")))
+      .withColumn("__band", explode(graft.functions.DedupFunctions.bandKeys(
+        graft.expressions.HashExpressions.minhash_signature(col("__sh"), numHashes),
+        bands, r)))
+      .select(col("__band"), col("__id"), col("__hs"))
+      .as[(String, Long, Array[Long])]
+    val timeout =
+      if (stateTTL.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
+        OutputMode.Append(), timeout) {
+        (_, it, state: GroupState[Seq[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val arrivals = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
+            val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+            for ((id, hs) <- arrivals) {
+              for ((pid, phs) <- seen if pid != id) {
+                val j = sortedLongJaccard(phs, hs)
+                if (j >= threshold)
+                  out += ((id, pid, math.rint(j * 1e6) / 1e6))
+              }
+              seen = seen :+ ((id, hs))
+            }
+            state.update(seen)
+            stateTTL.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /** Merge-walk Jaccard over two sorted distinct long arrays — the
+    * state-function twin of HashExpressions.SortedLongJaccard (which
+    * is a Catalyst expression and can't be called on plain arrays
+    * inside mapGroupsWithState). */
+  private def sortedLongJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Time-series resampling with forward fill: events are bucketed to a
     * `stepSec` grid (max per bucket), the grid is completed per key
     * from its min to max bucket, and gaps take the latest prior value

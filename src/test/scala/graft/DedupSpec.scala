@@ -126,6 +126,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1, 0.333333)))
   }
 
+  test("minhash family: prefix-extension near-dups all collide (shared-line family regression)") {
+    // the adversarial shape for the pre-round-7 h1 + j·h2 family: doc
+    // and doc+" extra" share all but one shingle (jac ≈ 0.94), yet if
+    // the extra shingle drew the minimum h2 it decided the min for
+    // most members at once and the pair missed EVERY band (~1/|doc|
+    // odds per pair — ~70% odds of at least one miss on this fixture).
+    // With independent per-member coefficient draws the miss odds are
+    // (1-j^4)^16 ≈ 3e-11 per pair; all 30 planted pairs must be found.
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(" ")
+    val rnd = new scala.util.Random(11L)
+    val docs = (0 until 30).flatMap { i =>
+      val body = Seq.fill(18)(words(rnd.nextInt(words.length))).mkString(" ")
+      Seq((i.toLong * 2, body), (i.toLong * 2 + 1, body + s" extra$i"))
+    }.toDF("doc_id", "text")
+    val pairs = minhashNearDuplicates(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val found = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    pairs.unpersist(blocking = false)
+    val expectedPlanted = (0 until 30).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(expectedPlanted.subsetOf(found),
+      s"missed planted pairs: ${(expectedPlanted -- found).take(5)}")
+  }
+
   test("incrementalDedup finds planted cross-batch dups and nothing else") {
     val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")

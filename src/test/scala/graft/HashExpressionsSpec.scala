@@ -138,8 +138,10 @@ class HashExpressionsSpec extends AnyFunSuite {
       val shingles =
         if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
         else Seq(toks.mkString(" "))
+      val (ca, cb) = graft.expressions.HashExpressions.minhashCoef(k)
+      val p = graft.expressions.HashExpressions.MinHashP
       val expected = (0 until k).map { j =>
-        shingles.map(s => xx40(s, 0L) + j * xx40(s, 1L)).min
+        shingles.map(s => (ca(j) * xx40(s, 0L) + cb(j) * xx40(s, 1L)) % p).min
       }
       assert(r.getSeq[Long](1) == expected, s"for text '${r.getString(0)}'")
     }

@@ -131,6 +131,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamNearDup finds cross-batch near-duplicates and agrees with the batch LSH family") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight"
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " again"),                               // near-copy of 1 (in-batch pair)
+      3L -> "completely different words about glass towers and morning trains under heavy snow",
+      4L -> (base + " indeed"),                              // near-copy of 1 AND 2 (cross-batch)
+      5L -> "another unrelated document mentioning rivers bridges and the architecture of old libraries"
+    ).toMap
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.streamNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val q = out.toDF("doc_id", "dup_of", "jac")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_out").start()
+    try {
+      mem.addData((1L, docs(1L)), (2L, docs(2L)), (3L, docs(3L)))
+      q.processAllAvailable()
+      mem.addData((4L, docs(4L)), (5L, docs(5L)))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // dup_of is always the earlier-seen member
+      assert(rows.forall { case (id, dupOf, _) => dupOf < id })
+      val pairs = rows.map { case (id, dupOf, _) => (dupOf, id) }.toSet
+      // batch ground truth: the same LSH family over the full corpus
+      val batch = graft.functions.DedupFunctions.minhashNearDuplicates(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val expected = batch.select("a", "b").as[(Long, Long)].collect().toSet
+      batch.unpersist(blocking = false)
+      assert(pairs == expected, s"stream=$pairs batch=$expected")
+      assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)),
+        "cross-batch pairs must be found from band state")
+      // every verified jac clears the threshold
+      assert(rows.forall(_._3 >= 0.8))
+    } finally q.stop()
+  }
+
   test("running-moments state via mapGroupsWithState (streaming Normalizer)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
