@@ -173,6 +173,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamNearDup equals the batch LSH family on a random corpus split across 3 batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // small vocab forces heavy shingle overlap (the DedupPropSpec
+    // regime) — many borderline pairs, so the state bookkeeping is
+    // exercised across batch boundaries, not just on planted copies
+    val rnd = new scala.util.Random(23L)
+    val words = (0 until 8).map(i => s"w$i")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (i <- 0 until 60) {
+      val text =
+        if (i % 3 == 2) {
+          // every third doc near-copies an earlier one (extra trailing word)
+          buf(rnd.nextInt(i))._2 + s" w${rnd.nextInt(8)}"
+        } else {
+          val len = 8 + rnd.nextInt(10)
+          Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" ")
+        }
+      buf += ((i.toLong, text))
+    }
+    val docs = buf.toSeq
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.streamNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val q = out.toDF("doc_id", "dup_of", "jac")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_rand_out").start()
+    try {
+      docs.grouped(20).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamPairs = spark.table("neardup_rand_out")
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val batchRes = graft.functions.DedupFunctions.minhashNearDuplicates(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      val batchPairs = batchRes.select("a", "b").as[(Long, Long)].collect().toSet
+      batchRes.unpersist(blocking = false)
+      assert(streamPairs == batchPairs,
+        s"stream-only=${(streamPairs -- batchPairs).take(5)} batch-only=${(batchPairs -- streamPairs).take(5)}")
+      assert(streamPairs.nonEmpty, "fixture must actually contain near-dups")
+    } finally q.stop()
+  }
+
   test("running-moments state via mapGroupsWithState (streaming Normalizer)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
