@@ -88,10 +88,9 @@ object ProfileD4 {
         .filter(col("jac") >= t).count()
     }
     val hsh = sh.select(col("__id"),
-        array_sort(array_distinct(transform(col("__sh"),
-          s => conv(md5(s).substr(lit(1), lit(10)), 16, 10).cast("long")))).as("__sh"))
+        graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("hashed long sets (persisted)")(hsh.count())
+    time("hashed long sets (persisted, kernel)")(hsh.count())
     time("verify w/ hashed long arrays (shuffle)") {
       cand.join(hsh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
         .join(hsh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
