@@ -23,6 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity gate with a usage hint — wrong-arity SQL must raise a
+    * legible argument error, not the builder's
+    * IndexOutOfBoundsException (the bounded_topk fix, applied to every
+    * registered function). */
+  private def arity(exprs: Seq[Expression], fn: String, min: Int, max: Int,
+                    usage: String): Unit =
+    if (exprs.length < min || exprs.length > max) {
+      val want = if (min == max) s"exactly $min" else s"$min to $max"
+      throw new IllegalArgumentException(
+        s"$fn expects $want arguments, got ${exprs.length} — e.g. $usage")
+    }
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -37,23 +49,55 @@ object GraftExtensions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // optional trailing literal picks the hash family ('md5' | 'xxh64')
-    "minhash_signature" -> (exprs =>
+    "minhash_signature" -> (exprs => {
+      arity(exprs, "minhash_signature", 2, 3,
+        "minhash_signature(shingles, 64) or minhash_signature(shingles, 64, 'xxh64')")
       MinHashSignature(exprs.head, intArg(exprs(1), "minhash_signature"),
-        if (exprs.size > 2) stringArg(exprs(2), "minhash_signature") else "md5")),
-    "simhash32" -> (exprs => SimHash32(exprs.head,
-      if (exprs.size > 1) stringArg(exprs(1), "simhash32") else "md5")),
-    "double_dot" -> (exprs => DoubleDot(exprs.head, exprs(1))),
-    "sorted_jaccard" -> (exprs => SortedJaccard(exprs.head, exprs(1))),
-    "sorted_intersect_count" -> (exprs => SortedIntersectCount(exprs.head, exprs(1))),
-    "sorted_long_jaccard" -> (exprs => SortedLongJaccard(exprs.head, exprs(1))),
-    "sorted_long_intersect_count" -> (exprs => SortedLongIntersectCount(exprs.head, exprs(1))),
-    "double_l2_squared" -> (exprs => DoubleL2Squared(exprs.head, exprs(1))),
-    "hashed_set40" -> (exprs => HashedSet40(exprs.head,
-      if (exprs.size > 1) stringArg(exprs(1), "hashed_set40") else "md5")),
-    "word_shingles" -> (exprs => ShingleExpressions.WordShingles(
-      exprs.head, intArg(exprs(1), "word_shingles"))),
-    "char_shingles" -> (exprs => ShingleExpressions.CharShingles(
-      exprs.head, intArg(exprs(1), "char_shingles"))),
+        if (exprs.size > 2) stringArg(exprs(2), "minhash_signature") else "md5")
+    }),
+    "simhash32" -> (exprs => {
+      arity(exprs, "simhash32", 1, 2, "simhash32(tokens) or simhash32(tokens, 'xxh64')")
+      SimHash32(exprs.head,
+        if (exprs.size > 1) stringArg(exprs(1), "simhash32") else "md5")
+    }),
+    "double_dot" -> (exprs => {
+      arity(exprs, "double_dot", 2, 2, "double_dot(vec_a, vec_b)")
+      DoubleDot(exprs.head, exprs(1))
+    }),
+    "sorted_jaccard" -> (exprs => {
+      arity(exprs, "sorted_jaccard", 2, 2, "sorted_jaccard(set_a, set_b)")
+      SortedJaccard(exprs.head, exprs(1))
+    }),
+    "sorted_intersect_count" -> (exprs => {
+      arity(exprs, "sorted_intersect_count", 2, 2, "sorted_intersect_count(set_a, set_b)")
+      SortedIntersectCount(exprs.head, exprs(1))
+    }),
+    "sorted_long_jaccard" -> (exprs => {
+      arity(exprs, "sorted_long_jaccard", 2, 2, "sorted_long_jaccard(set_a, set_b)")
+      SortedLongJaccard(exprs.head, exprs(1))
+    }),
+    "sorted_long_intersect_count" -> (exprs => {
+      arity(exprs, "sorted_long_intersect_count", 2, 2,
+        "sorted_long_intersect_count(set_a, set_b)")
+      SortedLongIntersectCount(exprs.head, exprs(1))
+    }),
+    "double_l2_squared" -> (exprs => {
+      arity(exprs, "double_l2_squared", 2, 2, "double_l2_squared(vec_a, vec_b)")
+      DoubleL2Squared(exprs.head, exprs(1))
+    }),
+    "hashed_set40" -> (exprs => {
+      arity(exprs, "hashed_set40", 1, 2, "hashed_set40(shingles) or hashed_set40(shingles, 'xxh64')")
+      HashedSet40(exprs.head,
+        if (exprs.size > 1) stringArg(exprs(1), "hashed_set40") else "md5")
+    }),
+    "word_shingles" -> (exprs => {
+      arity(exprs, "word_shingles", 2, 2, "word_shingles(text, 3)")
+      ShingleExpressions.WordShingles(exprs.head, intArg(exprs(1), "word_shingles"))
+    }),
+    "char_shingles" -> (exprs => {
+      arity(exprs, "char_shingles", 2, 2, "char_shingles(text, 5)")
+      ShingleExpressions.CharShingles(exprs.head, intArg(exprs(1), "char_shingles"))
+    }),
     // aggregate: k smallest `ord` values' payloads, ascending —
     // SELECT bounded_topk(struct(-score, id), struct(id, score), 5)
     "bounded_topk" -> (exprs => {

@@ -59,7 +59,11 @@ object HashExpressions {
     * 20-bit values from md5("mh:j"), forced odd, deterministic, shared
     * by the kernel and the HOF reference form. Each member j hashes a
     * shingle's 40-bit base pair as (a_j·h1 + b_j·h2) mod [[MinHashP]]:
-    * an INDEPENDENT 2-universal draw per member. The round-6-and-
+    * independent per-member coefficient draws (not strictly 2-universal
+    * — the coefficients are odd 20-bit values, not uniform over the
+    * field mod P; what matters and what DedupSpec's 30-pair regression
+    * pins is that no two members share a coefficient direction). The
+    * round-6-and-
     * earlier family h1 + j·h2 shared one random point across all k
     * members with coefficient directions (1, j) collapsing onto a
     * line — a single extreme-h2 shingle then decided the min for MOST
@@ -552,6 +556,123 @@ object HashExpressions {
       copy(child = c)
   }
 
+  /** Fixed-size stripe-occupancy sketch of a hashed shingle set:
+    * `[4-byte big-endian set size][bits/8-byte bitmap]` with bit
+    * `v & (bits-1)` set for every element. Feeds
+    * [[StripeOverlapUpper]]'s deterministic intersection bound — the
+    * verify pre-filter of jaccardPairs/containmentPairs: the sketch is
+    * ~8× smaller than the hashed set itself (260 B vs ~2 KB at the
+    * sf0.1 shingle sizes), so the per-candidate attach join ships
+    * sketches and only bound-survivors touch the full arrays. Built
+    * once per document (corpus-sized evals, not candidate-sized), so
+    * interpreted eval is fine. */
+  case class StripeSketch(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"sketch bits must be a power of two >= 64, got $bits")
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "stripe_sketch"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Byte](4 + bits / 8)
+      out(0) = (n >>> 24).toByte; out(1) = (n >>> 16).toByte
+      out(2) = (n >>> 8).toByte; out(3) = n.toByte
+      val mask = bits - 1
+      var i = 0
+      while (i < n) {
+        val idx = (arr.getLong(i) & mask).toInt
+        out(4 + (idx >> 3)) = (out(4 + (idx >> 3)) | (1 << (idx & 7))).toByte
+        i += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): StripeSketch =
+      copy(child = c)
+  }
+
+  /** Deterministic upper bound on |A∩B| from two [[StripeSketch]]es.
+    *
+    * Soundness: every element of A∩B occupies a stripe set in BOTH
+    * bitmaps. Over the p = popcount(bmA ∧ bmB) shared stripes, stripe
+    * i holds at most min(cA_i, cB_i) intersection elements, and
+    * Σ min(cA_i, cB_i) ≤ p + Σ(cA_i − 1) ≤ p + (nA − popcount(bmA))
+    * (each occupied stripe contributes one "free" element; the rest
+    * are within-A collisions) — symmetrically for B, so
+    *   |A∩B| ≤ p + min(nA − pop(bmA), nB − pop(bmB)).
+    * The bound can only over-count, so filtering candidates on it is
+    * loosening-only: exact verification sees every qualifying pair.
+    * Mismatched sketch lengths fall back to min(nA, nB) — still sound,
+    * never wrong, just unhelpful. Runs per candidate pair (tens of
+    * millions of evals), hence codegen'd: ~bits/8 byte ANDs +
+    * popcounts, far cheaper than the merge walk it gates. */
+  case class StripeOverlapUpper(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "stripe_overlap_upper"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[Array[Byte]]
+      val b = r.asInstanceOf[Array[Byte]]
+      java.lang.Integer.valueOf(StripeOverlapUpper.bound(a, b))
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val sh = ctx.freshName("sh"); val pa = ctx.freshName("pa")
+        val pb = ctx.freshName("pb"); val i = ctx.freshName("i")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $na = (($a[0] & 0xff) << 24) | (($a[1] & 0xff) << 16) |
+           |  (($a[2] & 0xff) << 8) | ($a[3] & 0xff);
+           |int $nb = (($b[0] & 0xff) << 24) | (($b[1] & 0xff) << 16) |
+           |  (($b[2] & 0xff) << 8) | ($b[3] & 0xff);
+           |if ($a.length != $b.length) {
+           |  ${ev.value} = java.lang.Math.min($na, $nb);
+           |} else {
+           |  int $sh = 0; int $pa = 0; int $pb = 0;
+           |  for (int $i = 4; $i < $a.length; $i++) {
+           |    int $x = $a[$i] & 0xff; int $y = $b[$i] & 0xff;
+           |    $sh += java.lang.Integer.bitCount($x & $y);
+           |    $pa += java.lang.Integer.bitCount($x);
+           |    $pb += java.lang.Integer.bitCount($y);
+           |  }
+           |  ${ev.value} = $sh + java.lang.Math.min($na - $pa, $nb - $pb);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StripeOverlapUpper =
+      copy(left = l, right = r)
+  }
+
+  object StripeOverlapUpper {
+    /** Shared kernel for eval and codegen. */
+    def bound(a: Array[Byte], b: Array[Byte]): Int = {
+      val na = ((a(0) & 0xff) << 24) | ((a(1) & 0xff) << 16) |
+        ((a(2) & 0xff) << 8) | (a(3) & 0xff)
+      val nb = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+        ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      if (a.length != b.length) return math.min(na, nb)
+      var shared = 0; var popA = 0; var popB = 0
+      var i = 4
+      while (i < a.length) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        shared += java.lang.Integer.bitCount(x & y)
+        popA += java.lang.Integer.bitCount(x)
+        popB += java.lang.Integer.bitCount(y)
+        i += 1
+      }
+      shared + math.min(na - popA, nb - popB)
+    }
+  }
+
   /** Column-API entry points. */
   def hashed_set40(shingles: Column, family: String = "md5"): Column =
     ColumnBridge.column(HashedSet40(ColumnBridge.expression(shingles), family))
@@ -582,4 +703,10 @@ object HashExpressions {
 
   def bloom_might_contain(key: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(key), bloomBytes))
+
+  def stripe_sketch(hashedSet: Column, bits: Int): Column =
+    ColumnBridge.column(StripeSketch(ColumnBridge.expression(hashedSet), bits))
+
+  def stripe_overlap_upper(a: Column, b: Column): Column =
+    ColumnBridge.column(StripeOverlapUpper(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * parse belongs INSIDE whole-stage codegen as a column expression, not
   * behind an `rdd.mapPartitions` boundary that deserializes every
   * payload row out of Tungsten. The mapPartitions path
-  * (MultimodalFunctions.decodeFeatures) remains the documented boundary
+  * (MultimodalFunctions.fakeFeaturesForTesting) remains the documented boundary
   * for formats that need a real codec (full image decode, audio PCM,
   * video frames).
   */

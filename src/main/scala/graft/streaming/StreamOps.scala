@@ -116,12 +116,24 @@ object StreamOps {
             val arrivals = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
             val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
             for ((id, hs) <- arrivals) {
-              for ((pid, phs) <- seen if pid != id) {
-                val j = sortedLongJaccard(phs, hs)
-                if (j >= threshold)
-                  out += ((id, pid, math.rint(j * 1e6) / 1e6))
+              // a replayed doc_id (at-least-once sources redeliver) must
+              // not grow state or re-emit its pairs: skip both the
+              // compare loop and the append when the id is already a
+              // member of this band's state
+              if (!seen.exists(_._1 == id)) {
+                for ((pid, phs) <- seen) {
+                  val j = sortedLongJaccard(phs, hs)
+                  // HALF_UP to the 6th decimal — Spark round() semantics,
+                  // so stream output is bit-identical to the batch
+                  // pipeline's round(jac, 6) even on exact .5 ties
+                  // (math.rint is half-even and disagreed there)
+                  if (j >= threshold)
+                    out += ((id, pid, BigDecimal(j)
+                      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                      .toDouble))
+                }
+                seen = seen :+ ((id, hs))
               }
-              seen = seen :+ ((id, hs))
             }
             state.update(seen)
             stateTTL.foreach(state.setTimeoutDuration)

@@ -53,6 +53,37 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(interDiff == 0)
   }
 
+  test("StripeOverlapUpper is a sound intersection bound on random hashed sets") {
+    // the verify pre-filter of jaccardPairs/containmentPairs drops
+    // candidates whose bound misses the threshold — soundness means
+    // bound >= |A∩B| ALWAYS, including in the adversarial dense
+    // regime (sets much larger than the stripe count, heavy
+    // within-set collisions)
+    val rnd = new scala.util.Random(97L)
+    for (bits <- Seq(64, 256, 2048)) {
+      val pairs = (0 until 60).map { i =>
+        val na = 1 + rnd.nextInt(500); val nb = 1 + rnd.nextInt(500)
+        val overlap = rnd.nextInt(math.min(na, nb) + 1)
+        val common = Seq.fill(overlap)(rnd.nextLong() & ((1L << 40) - 1))
+        def fresh(k: Int) = Seq.fill(k)(rnd.nextLong() & ((1L << 40) - 1))
+        (i, (common ++ fresh(na - overlap)).distinct.sorted.toArray,
+          (common ++ fresh(nb - overlap)).distinct.sorted.toArray)
+      }.toDF("i", "a", "b")
+      val violations = pairs.select(
+          stripe_overlap_upper(
+            stripe_sketch(col("a"), bits), stripe_sketch(col("b"), bits)).as("ub"),
+          size(array_intersect(col("a"), col("b"))).as("true_i"))
+        .filter(col("ub") < col("true_i")).count()
+      assert(violations == 0, s"bits=$bits")
+    }
+    // mismatched sketch widths fall back to min(|A|,|B|) — sound, not wrong
+    val one = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 4L, 5L))).toDF("a", "b")
+    val fb = one.select(stripe_overlap_upper(
+      stripe_sketch(col("a"), 64), stripe_sketch(col("b"), 256)).as("ub"))
+      .head().getInt(0)
+    assert(fb == 3)
+  }
+
   test("DoubleDot/DoubleL2Squared are null on ragged input, like the HOF fold") {
     // zip_with null-pads the shorter array, so the HOF fold collapses
     // to NULL on unequal lengths — the kernels must agree, not silently

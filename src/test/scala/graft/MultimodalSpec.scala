@@ -20,17 +20,17 @@ class MultimodalSpec extends AnyFunSuite {
       df.select(md5(col("payload"))).head().getString(0))
   }
 
-  test("decodeFeatures emits the documented schema with deterministic stub features") {
+  test("fakeFeaturesForTesting emits the documented schema with deterministic stub features") {
     val df = Seq((7L, "abc")).toDF("doc_id", "txt")
       .withColumn("payload", asPayload(col("txt")))
-    val out = decodeFeatures(df, "doc_id", "payload")
+    val out = fakeFeaturesForTesting(df, "doc_id", "payload")
     assert(out.schema == decodedSchema)
     val row = out.head()
     assert(row.getLong(0) == 7L && row.getInt(1) == 3)
     val feats = row.getAs[scala.collection.Seq[Float]](2)
     assert(feats.size == 8 && feats.forall(f => f >= 0.0f && f <= 1.0f))
     // deterministic: same payload, same features
-    assert(decodeFeatures(df, "doc_id", "payload").head().getAs[scala.collection.Seq[Float]](2) == feats)
+    assert(fakeFeaturesForTesting(df, "doc_id", "payload").head().getAs[scala.collection.Seq[Float]](2) == feats)
   }
 
   test("decodeMedia parses real BMP and WAV headers and falls back to raw") {

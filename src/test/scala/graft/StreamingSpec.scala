@@ -173,6 +173,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamNearDup ignores replayed doc_ids: no re-emission, no state growth") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight"
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.streamNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val q = out.toDF("doc_id", "dup_of", "jac")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_replay_out").start()
+    try {
+      mem.addData((1L, base), (2L, base + " again"))
+      q.processAllAvailable()
+      val first = spark.table("neardup_replay_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(first.toSet == Set((2L, 1L)), s"fixture must pair up: ${first.toSeq}")
+      // per-band emission multiplicity is documented behavior; the
+      // replay invariant is that it does not GROW
+      val mult = first.length
+      // at-least-once redelivery of BOTH docs, then a fresh near-copy:
+      // the replays must not re-emit (2,1) — in any orientation — and
+      // doc 3 must pair only against the ONE retained copy of each
+      mem.addData((1L, base), (2L, base + " again"), (3L, base + " indeed"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_replay_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.count(p => p == ((2L, 1L))) == mult,
+        s"replay re-emitted the seen pair: ${rows.toSeq}")
+      assert(!rows.contains((1L, 2L)),
+        s"replayed id compared against state emits a REVERSED pair: ${rows.toSeq}")
+      assert(rows.toSet == Set((2L, 1L), (3L, 1L), (3L, 2L)), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streamNearDup equals the batch LSH family on a random corpus split across 3 batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
