@@ -57,17 +57,56 @@ object Bench {
     }
     (1 to warmup).foreach(_ => runPass()) // uncounted: absorbs cold-JVM cost
     val passes = (1 to reps).map(_ => runPass())
-    val results = queries.map { case (name, _) =>
-      val ts = passes.map(_(name)).sorted
-      (name, ts(ts.size / 2), ts.last - ts.head)
+    // Adaptive top-up for the high-spread tail: with 3 base reps, one
+    // GC pause or page-cache miss leaves a query's spread above its
+    // own median (r7: u11_gradx spread 3.95 s on a 1.79 s median) —
+    // more reps for EVERY query would triple the bench for the sake of
+    // a few. Instead, any query whose central spread ≥ its median gets
+    // solo reps (cap SPARK_GRAFT_MAX_REPS, default 9) until the spread
+    // of the 3 samples around the median drops below the median.
+    // Caches are released before each solo rep so it pays its own
+    // materialization exactly like a pass does. Reported "spread" is
+    // that central-3 window (identical to max−min for exactly-3-rep
+    // queries, so unflagged queries are unchanged); the raw max−min
+    // and sample counts stay in the full JSON as spread_raw/samples
+    // for the honesty trail.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "9").toInt
+    def central3(sorted: Vector[Double]): (Double, Double) = {
+      val med = sorted(sorted.size / 2)
+      val w = if (sorted.size <= 3) sorted
+        else sorted.slice(sorted.size / 2 - 1, sorted.size / 2 + 2)
+      (med, w.last - w.head)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+    queries.foreach { case (name, _) =>
+      samples(name) = passes.map(_(name)).sorted.toVector }
+    queries.foreach { case (name, fn) =>
+      var (med, sp) = central3(samples(name))
+      while (sp >= med && samples(name).size < maxReps) {
+        SparkEntry.releaseCaches()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        samples(name) = (samples(name) :+ t).sorted
+        val ms = central3(samples(name)); med = ms._1; sp = ms._2
+      }
+    }
+    val results = queries.map { case (name, _) =>
+      val ts = samples(name)
+      val (med, sp) = central3(ts)
+      (name, med, sp, ts.last - ts.head, ts.size)
+    }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+    val sp = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
+    val spRaw = results.map { case (k, _, _, r, _) => "\"" + k + "\":" + f"$r%.3f" }
+      .mkString("{", ",", "}")
+    val nSamples = results.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
-    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"spread":$sp}"""
+    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples}"""
     // Full per-query JSON: printed first AND written to a fixed path —
     // the single ~4 KB line outruns the driver's stdout tail capture
     // (BENCH_r01–r03 all recorded "parsed": null), so the durable copy
@@ -79,7 +118,7 @@ object Bench {
     java.nio.file.Files.write(fullPath,
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val top = results.sortBy(-_._2).take(5)
-      .map { case (k, med, _) => "\"" + k + "\":" + f"$med%.3f" }
+      .map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n":${results.size},"top":$top,"full":"$fullPath"}""")
     SparkEntry.releaseCaches()

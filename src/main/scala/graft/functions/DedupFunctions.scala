@@ -239,7 +239,8 @@ object DedupFunctions {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, threshold: Double,
-                       sketchBits: Int = 2048): DataFrame = {
+                       sketchBits: Int = 0,
+                       broadcastVerifyBytes: Long = 256L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ⌈t·n⌉ with an epsilon guard: if fl(t*n) rounds just above the
     // true rational t·n (possible when t·n is an exact integer), a
@@ -333,9 +334,21 @@ object DedupFunctions {
           col("__nha").cast("double"), 6) >= threshold)
         .select("a", "b")
     }
+    // verify-join strategy — see jaccardPairs: broadcast both array
+    // attaches when the corpus-sized relation fits the cap (no
+    // exchange, no sort, one codegen stage over the candidate
+    // stream); SHUFFLE_HASH fallback above it (no candidate sort)
+    val hstat = sh.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(avg(size(col("__sh"))), lit(0.0)).as("sz")).head()
+    val estBytes = (hstat.getLong(0) * (hstat.getDouble(1) * 8 + 48)).toLong
+    val hshA = hsh.select(col("__id").as("a"), col("__hs").as("__sha"))
+    val hshB = hsh.select(col("__id").as("b"), col("__hs").as("__shb"))
+    val (attachA, attachB) =
+      if (estBytes <= broadcastVerifyBytes) (broadcast(hshA), broadcast(hshB))
+      else (hshA.hint("shuffle_hash"), hshB.hint("shuffle_hash"))
     val verified = pre
-      .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
-      .join(hsh.select(col("__id").as("b"), col("__hs").as("__shb")), Seq("b"))
+      .join(attachA, Seq("a"))
+      .join(attachB, Seq("b"))
       .withColumn("containment",
         round(graft.expressions.HashExpressions.sorted_long_intersect_count(
             col("__sha"), col("__shb")).cast("double") /
@@ -410,7 +423,8 @@ object DedupFunctions {
     * caller releases. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingles: Column => Column, threshold: Double,
-                   sketchBits: Int = 2048): DataFrame = {
+                   sketchBits: Int = 0,
+                   broadcastVerifyBytes: Long = 256L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // epsilon-guarded ⌈t·n⌉ — see containmentPairs: keeps the recall
     // proof valid when fl(t*n) rounds above an exact integer product
@@ -491,17 +505,22 @@ object DedupFunctions {
     val hsh = sh.select(col("__id"),
         graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sketch pre-filter: the candidate set is verify's scale term
-    // (tens of millions of pairs for thousands of true pairs), and
-    // attaching two full hashed arrays (~2 KB each) to every candidate
-    // row was the dominant shuffle — superlinear time at corpus ×10
-    // from spill alone. Instead attach a fixed-size stripe sketch
-    // (sketchBits/8 + 4 bytes, ~8× smaller) and keep only pairs whose
-    // DETERMINISTIC overlap upper bound (see StripeOverlapUpper:
-    // shared-stripe popcount + within-set collision slack) could still
-    // reach the threshold — loosening-only, so exact verification
-    // sees every qualifying pair and the output is bit-identical.
-    // Only bound-survivors (≈ true pairs + near misses) touch arrays.
+    // optional sketch pre-filter (sketchBits > 0, default OFF): attach
+    // fixed-size stripe sketches instead of full hashed arrays and keep
+    // only pairs whose DETERMINISTIC overlap upper bound (see
+    // StripeOverlapUpper) could still reach the threshold —
+    // loosening-only, output bit-identical. MEASURED A LOSS on this
+    // corpus (ProfileD4b, idle machine, f10 = 50k docs / 36.3M
+    // candidates: off 78.7–79.8 s, 512 bits 129.1 s, 2048 bits
+    // 78.7 s): the ~280-element char-5-gram sets saturate any sketch
+    // small enough to be cheaper than the arrays (512 bits → bound
+    // never below threshold → two pure-overhead 36M-row joins; 2048
+    // bits → filtering exactly pays for its own join cost). Kept as a
+    // knob because the bound DOES bite when sets are small relative to
+    // the width (word-shingled short docs: tens of elements vs 2048
+    // stripes) — but the default path must not pay 2 extra passes over
+    // the candidate relation, which the A/B pinned at ~25 s each at
+    // f10.
     val pre = if (sketchBits == 0) cand else {
       val skb = hsh.select(col("__id"),
         graft.expressions.HashExpressions.stripe_sketch(col("__hs"), sketchBits).as("__bm"),
@@ -519,9 +538,34 @@ object DedupFunctions {
           (col("__nha") + col("__nhb") - col("__ub")).cast("double") >= threshold)
         .select("a", "b")
     }
+    // Verify-join strategy: the candidate relation is tens of millions
+    // of 16-byte (a, b) rows, the hashed-set relation is corpus-sized
+    // with ~KB array payloads. Left to itself Spark plans two
+    // sort-merge joins — each an exchange + sort of the CANDIDATE
+    // relation, the second one carrying the first join's attached
+    // array through the shuffle (candidates × ~KB of write+read+sort).
+    // When the whole hashed-set relation fits a broadcast (estimated
+    // from corpus count × avg set size against `broadcastVerifyBytes`,
+    // default 256 MB), both attaches become broadcast hash joins: the
+    // candidate stream pipelines through one codegen stage, the arrays
+    // never cross an exchange, and no sort happens at all. Above the
+    // cap (the 100-TB regime: billions of docs — sets totalling TBs),
+    // fall back to SHUFFLE_HASH hints: still no sort of the candidate
+    // relation, the per-partition build side is the corpus slice
+    // (tiny), and the one unavoidable volume term is the intermediate
+    // a-attached candidate shuffle — ∝ candidates × set size, the
+    // honest distributed cost of exact verification.
+    val hstat = sh.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(avg(size(col("__sh"))), lit(0.0)).as("sz")).head()
+    val estBytes = (hstat.getLong(0) * (hstat.getDouble(1) * 8 + 48)).toLong
+    val hshA = hsh.select(col("__id").as("a"), col("__hs").as("__sha"))
+    val hshB = hsh.select(col("__id").as("b"), col("__hs").as("__shb"))
+    val (attachA, attachB) =
+      if (estBytes <= broadcastVerifyBytes) (broadcast(hshA), broadcast(hshB))
+      else (hshA.hint("shuffle_hash"), hshB.hint("shuffle_hash"))
     val verified = pre
-      .join(hsh.select(col("__id").as("a"), col("__hs").as("__sha")), Seq("a"))
-      .join(hsh.select(col("__id").as("b"), col("__hs").as("__shb")), Seq("b"))
+      .join(attachA, Seq("a"))
+      .join(attachB, Seq("b"))
       .withColumn("jac", graft.expressions.HashExpressions.sorted_long_jaccard(
         col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)

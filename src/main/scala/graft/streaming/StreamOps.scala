@@ -88,7 +88,9 @@ object StreamOps {
   def streamNearDup(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, numHashes: Int, bands: Int,
                     threshold: Double,
-                    stateTTL: Option[String] = None)
+                    stateTTL: Option[String] = None,
+                    hashFamily: String = "md5",
+                    telemetry: Option[NearDupTelemetry] = None)
   : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     val session = docs.sparkSession
     import session.implicits._
@@ -97,9 +99,9 @@ object StreamOps {
     val banded = docs.select(col(idCol).cast("long").as("__id"),
         graft.functions.DedupFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
       .withColumn("__hs",
-        graft.expressions.HashExpressions.hashed_set40(col("__sh")))
+        graft.expressions.HashExpressions.hashed_set40(col("__sh"), hashFamily))
       .withColumn("__band", explode(graft.functions.DedupFunctions.bandKeys(
-        graft.expressions.HashExpressions.minhash_signature(col("__sh"), numHashes),
+        graft.expressions.HashExpressions.minhash_signature(col("__sh"), numHashes, hashFamily),
         bands, r)))
       .select(col("__band"), col("__id"), col("__hs"))
       .as[(String, Long, Array[Long])]
@@ -110,7 +112,13 @@ object StreamOps {
       .flatMapGroupsWithState[Seq[(Long, Array[Long])], (Long, Long, Double)](
         OutputMode.Append(), timeout) {
         (_, it, state: GroupState[Seq[(Long, Array[Long])]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (state.hasTimedOut) {
+            telemetry.foreach { t =>
+              t.bandsDropped.add(1)
+              t.membersDropped.add(state.getOption.map(_.size.toLong).getOrElse(0L))
+            }
+            state.remove(); Iterator.empty
+          }
           else {
             var seen = state.getOption.getOrElse(Seq.empty)
             val arrivals = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
@@ -122,6 +130,7 @@ object StreamOps {
               // member of this band's state
               if (!seen.exists(_._1 == id)) {
                 for ((pid, phs) <- seen) {
+                  telemetry.foreach(_.comparisons.add(1))
                   val j = sortedLongJaccard(phs, hs)
                   // HALF_UP to the 6th decimal — Spark round() semantics,
                   // so stream output is bit-identical to the batch
@@ -133,6 +142,7 @@ object StreamOps {
                       .toDouble))
                 }
                 seen = seen :+ ((id, hs))
+                telemetry.foreach(_.membersAdded.add(1))
               }
             }
             state.update(seen)
@@ -140,6 +150,40 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** State/work accounting for [[streamNearDup]] — named
+    * `LongAccumulator`s (visible in the Spark UI, queryable per batch
+    * from the driver), closed over by the state function:
+    *
+    *  - `membersAdded − membersDropped` IS the current state size in
+    *    members (the append above and the TTL drop are the only state
+    *    mutations), so a TTL-less run's growth is directly observable
+    *    and a TTL'd run is measurably bounded;
+    *  - `comparisons` is the per-arrival work term (∝ band occupancy,
+    *    the quantity the LSH banding keeps sub-corpus);
+    *  - `bandsDropped` counts TTL evictions.
+    *
+    * Band count (state ROWS) is already first-class Spark telemetry:
+    * `StreamingQueryProgress.stateOperators(0).numRowsTotal`. */
+  final class NearDupTelemetry private (
+      val comparisons: org.apache.spark.util.LongAccumulator,
+      val membersAdded: org.apache.spark.util.LongAccumulator,
+      val membersDropped: org.apache.spark.util.LongAccumulator,
+      val bandsDropped: org.apache.spark.util.LongAccumulator)
+      extends Serializable {
+    def stateMembers: Long = membersAdded.value - membersDropped.value
+  }
+
+  object NearDupTelemetry {
+    def apply(spark: org.apache.spark.sql.SparkSession): NearDupTelemetry = {
+      val sc = spark.sparkContext
+      new NearDupTelemetry(
+        sc.longAccumulator("graft.streamNearDup.comparisons"),
+        sc.longAccumulator("graft.streamNearDup.membersAdded"),
+        sc.longAccumulator("graft.streamNearDup.membersDropped"),
+        sc.longAccumulator("graft.streamNearDup.bandsDropped"))
+    }
   }
 
   /** Merge-walk Jaccard over two sorted distinct long arrays — the

@@ -24,7 +24,35 @@ object ProfileD4 {
     }
 
     val t = 0.4
-    val input = documents(spark, d).filter(length(col("text")) >= 5)
+    // `--factor N` scales the corpus with ProfileScale's
+    // rotation-replica synthesis so the stage breakdown can be read at
+    // the SCALE.md factors, not just the base corpus
+    val factor = args.sliding(2).collectFirst {
+      case Array("--factor", n) => n.toInt }.getOrElse(1)
+    val baseDocs = documents(spark, d)
+    val docs = if (factor == 1) baseDocs else {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_d4prof")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(tmp))
+          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val upper = lower.toUpperCase
+      val digits = "0123456789"
+      def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+      val p = s"$tmp/docs_x$factor"
+      (0 until factor).map { c =>
+        if (c == 0) baseDocs.select("doc_id", "text")
+        else baseDocs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          translate(col("text"), lower + upper + digits,
+            rot(lower, c * 7) + rot(upper, c * 7) + rot(digits, c * 3)).as("text"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val input = docs.filter(length(col("text")) >= 5)
     time("warm: docs count")(input.count())
     if (args.contains("--pipeline-only")) {
       // clean end-to-end number: no profiler-persisted stages for the

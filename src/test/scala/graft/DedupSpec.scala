@@ -188,6 +188,40 @@ class DedupSpec extends AnyFunSuite {
       .forEach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
+  test("bloom byte format is pinned by a checked-in fixture (Spark-upgrade tripwire)") {
+    // the sketch saved tonight must pre-filter tomorrow's batch even
+    // if the cluster was upgraded in between: saveBloom bytes are
+    // Spark's BloomFilter.writeTo format, consumed again by readFrom
+    // inside bloom_might_contain. This fixture was written by
+    // buildContentBloom under Spark 4.1.2 (tools/MakeBloomFixture) —
+    // if an upgrade changes the serialized format OR the sketch
+    // construction (hash seeds, bit sizing), one of these asserts
+    // fails loudly instead of production sketches silently degrading.
+    val in = getClass.getResourceAsStream("/fixtures/ref_content.bloom")
+    assert(in != null, "fixture missing: src/test/resources/fixtures/ref_content.bloom")
+    val fixture = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+        .foreach(n => bos.write(buf, 0, n))
+      bos.toByteArray
+    } finally in.close()
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // construction determinism: the same corpus re-sketches to the
+    // same bytes
+    val rebuilt = buildContentBloom(ref, "text", expectedItems = 100L, fpp = 0.01)
+    assert(java.util.Arrays.equals(fixture, rebuilt),
+      s"bloom bytes changed: fixture ${fixture.length} B vs rebuilt ${rebuilt.length} B")
+    // consumption: the fixture bytes drive the pre-filter end to end
+    val batch = Seq((10L, "ALPHA  beta gamma"), (11L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = incrementalDedup(ref, batch, "doc_id", "text",
+        precomputedBloom = Some(fixture))
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L)))
+  }
+
   test("winnowingFingerprints matches a driver-side replay of the algorithm") {
     import graft.functions.TextAnalysisFunctions.winnowingFingerprints
     val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),

@@ -172,29 +172,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(over == 0)
   }
 
+  // planted geometry: 4 well-separated cluster directions in R^16,
+  // vectors = direction + deterministic small perturbation. Residual
+  // coding removes the cell mean, so the codebook spends its entries
+  // on the within-cluster variation — the regime where residual
+  // quantization earns its keep.
+  //
+  // dense, distinct cluster means (every PQ block carries mean
+  // signal) + per-VECTOR-unique jitter: raw codewords partition
+  // across the 4 cluster means (a member only ever matches its own
+  // cluster's ~2 seeds → coarse codes), while residual codewords —
+  // means removed — form one SHARED jitter codebook all cells draw
+  // from: 4× the effective resolution, measurably higher recall.
+  // (Jitter keyed by i alone would make residuals identical across
+  // clusters and the two modes provably equal — the sharing is the
+  // whole effect.)
+  private val clusteredDim = 16
+  private def clusteredVec(cluster: Int, i: Int): Array[Double] =
+    Array.tabulate(clusteredDim) { d =>
+      val mean = ((cluster * 5 + d * 3) % 7 - 3) / 3.0
+      val jitter = ((((cluster + 4 * i) * 13 + d * 7) % 11) - 5) / 5.0 * 0.2
+      mean + jitter
+    }
+
   test("residual IVF-PQ: recall >= raw mode on a clustered fixture; raw mode unchanged by the flag") {
     import spark.implicits._
-    // planted geometry: 4 well-separated cluster directions in R^16,
-    // vectors = direction + deterministic small perturbation. Residual
-    // coding removes the cell mean, so the codebook spends its entries
-    // on the within-cluster variation — the regime where residual
-    // quantization earns its keep.
-    val dim = 16
-    // dense, distinct cluster means (every PQ block carries mean
-    // signal) + per-VECTOR-unique jitter: raw codewords partition
-    // across the 4 cluster means (a member only ever matches its own
-    // cluster's ~2 seeds → coarse codes), while residual codewords —
-    // means removed — form one SHARED jitter codebook all cells draw
-    // from: 4× the effective resolution, measurably higher recall.
-    // (Jitter keyed by i alone would make residuals identical across
-    // clusters and the two modes provably equal — the sharing is the
-    // whole effect.)
-    def vec(cluster: Int, i: Int): Array[Double] =
-      Array.tabulate(dim) { d =>
-        val mean = ((cluster * 5 + d * 3) % 7 - 3) / 3.0
-        val jitter = ((((cluster + 4 * i) * 13 + d * 7) % 11) - 5) / 5.0 * 0.2
-        mean + jitter
-      }
+    val dim = clusteredDim
+    def vec(cluster: Int, i: Int): Array[Double] = clusteredVec(cluster, i)
     val rows = (0 until 200).map { id => (id.toLong, vec(id % 4, id / 4).toSeq) }
     val e = rows.toDF("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 8)
@@ -219,6 +223,46 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaDefault == raw)
+  }
+
+  test("multi-probe × residual IVF-PQ matrix: residual keeps its recall edge at nprobe > 1") {
+    import spark.implicits._
+    // the production FAISS operating point is residual=true WITH
+    // nprobe>1 — the two knobs compose: probing widens the candidate
+    // cells, residual coding sharpens the per-cell ADC estimates. The
+    // matrix pins that composing them never trades one for the other
+    // on the clustered fixture (deterministic data → stable recalls).
+    val rows = (0 until 200).map { id =>
+      (id.toLong, clusteredVec(id % 4, id / 4).toSeq) }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val exact = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(res: Boolean, np: Int): Double = {
+      val got = ivfpqTopK(e, q, "vec_id", "embedding", k = 5,
+          cells = 4, nprobe = np, m = 4, codebook = 8, dim = clusteredDim,
+          residual = res)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val matrix = for (np <- Seq(1, 2); res <- Seq(false, true))
+      yield ((np, res), recall(res, np))
+    val m = matrix.toMap
+    // residual >= raw at EQUAL nprobe, both operating points
+    assert(m((1, true)) >= m((1, false)),
+      s"nprobe=1: residual=${m((1, true))} raw=${m((1, false))}")
+    assert(m((2, true)) >= m((2, false)),
+      s"nprobe=2: residual=${m((2, true))} raw=${m((2, false))}")
+    // probing a second cell must not cost residual-mode recall on this
+    // fixture (cells only ADD ranked candidates; the planted geometry
+    // has no adversarial ADC ties)
+    assert(m((2, true)) >= m((1, true)),
+      s"residual: nprobe2=${m((2, true))} nprobe1=${m((1, true))}")
+    // and the composed point stays a real operating point, not a
+    // degenerate one
+    assert(m((2, true)) > 0.4, s"composed recall=${m((2, true))}")
   }
 
   test("IVF top-k probes its cells deterministically with nonzero recall") {
