@@ -81,7 +81,16 @@ object StreamOps {
     * `stateTTL` bounds state for endless streams (processing-time
     * timeout: a band idle longer than the TTL drops its members —
     * after that, a re-arriving duplicate is a miss, the standard
-    * recall/state trade every streaming dedup makes). In-batch
+    * recall/state trade every streaming dedup makes). TWO operational
+    * rules for TTL'd queries (measured, tools/ProfileStream): (1) set
+    * an explicit trigger interval — with the default
+    * as-fast-as-possible trigger, processing-time timeouts make an
+    * idle engine fire back-to-back EMPTY micro-batches, each a full
+    * state scan + commit (measured ~850% CPU of pure churn); (2) size
+    * the TTL in hours, not seconds — every expired band costs a
+    * state-function invocation at its expiry batch, so a TTL short
+    * enough to expire most bands per batch turns each batch into a
+    * full-state eviction pass. In-batch
     * arrival order is fixed by sorting each micro-batch's band group
     * by id, so emissions are deterministic given the same batch
     * boundaries. */

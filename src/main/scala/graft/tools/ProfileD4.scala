@@ -101,6 +101,7 @@ object ProfileD4 {
         greatest(col("__pa"), col("__pb")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("candidate join + group bound")(println(s"  candidates: ${cand.count()}"))
+    if (!args.contains("--hashed-only")) {
     time("verify (array join + merge walk)") {
       cand.join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), Seq("a"))
         .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), Seq("b"))
@@ -114,6 +115,7 @@ object ProfileD4 {
         .withColumn("jac", graft.expressions.HashExpressions.sorted_jaccard(
           col("__sha"), col("__shb")))
         .filter(col("jac") >= t).count()
+    }
     }
     val hsh = sh.select(col("__id"),
         graft.expressions.HashExpressions.hashed_set40(col("__sh")).as("__sh"))

@@ -60,7 +60,10 @@ object ProfileStream {
     val cells = scala.collection.mutable.ArrayBuffer[Cell]()
 
     def run(mode: String, f: Int, ttl: Option[String],
-            interBatchSleepMs: Long): Unit = {
+            interBatchSleepMs: Long, batch: Int = batchSize,
+            provider: Option[String] = None): Unit = {
+      provider.foreach(p =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
       val docs = corpus(f)
       val mem = MemoryStream[(Long, String)]
       val telem = graft.streaming.StreamOps.NearDupTelemetry(spark)
@@ -69,12 +72,23 @@ object ProfileStream {
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
         stateTTL = ttl, telemetry = Some(telem))
       val sink = s"stream_scale_${mode}_x$f"
-      val q = out.toDF("doc_id", "dup_of", "jac")
+      // a TTL'd stateful query MUST set a trigger interval: with the
+      // default as-fast-as-possible trigger, processing-time timeouts
+      // make the engine fire continuous EMPTY micro-batches whenever
+      // the source is idle (each one a full state scan + commit) —
+      // measured here as ~850% CPU of pure empty-batch churn during
+      // the inter-batch sleeps, hundreds of stages per minute doing
+      // nothing. A bounded trigger caps the churn at 1/interval.
+      val writer = out.toDF("doc_id", "dup_of", "jac")
         .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(sink).start()
+        .format("memory").queryName(sink)
+      val q = (if (ttl.isDefined)
+          writer.trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("500 milliseconds"))
+        else writer).start()
       val lat = scala.collection.mutable.ArrayBuffer[Double]()
       try {
-        docs.grouped(batchSize).foreach { b =>
+        docs.grouped(batch).foreach { b =>
           val t0 = System.nanoTime()
           mem.addData(b: _*)
           q.processAllAvailable()
@@ -99,10 +113,24 @@ object ProfileStream {
     // warm codegen/state-store paths
     run("warm", 1, None, 0)
     cells.clear()
-    for (f <- factors) run("nottl", f, None, 0)
+    if (!args.contains("--ttl-only"))
+      for (f <- factors) run("nottl", f, None, 0)
     // TTL'd: state bounded to ~recent batches (eviction between
-    // batches via processing-time timeout + sleep past the horizon)
-    run("ttl1s", factors.max, Some("1 second"), 1500)
+    // batches via processing-time timeout + sleep past the horizon).
+    // DELIBERATELY TINY: a 1 s TTL with sleeps past the horizon is
+    // the worst-case eviction storm — EVERY band expires EVERY batch
+    // — and the default HDFS-backed state store pays O(total state)
+    // PER TRIGGER regardless (it clones the full version map and
+    // commits a delta file per partition each trigger, measured as
+    // minutes per batch at 240k members / 400 MB of band state; see
+    // SCALE.md). The cells below bound state at ~16k members so both
+    // providers finish fast, and run HDFS vs RocksDB back to back —
+    // RocksDB is the production store for large streaming-dedup
+    // state precisely because its commits are incremental.
+    run("ttl1s-hdfs", 1, Some("1 second"), 1500, batch = 1000)
+    run("ttl1s-rocks", 1, Some("1 second"), 1500, batch = 1000,
+      provider = Some("org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider"))
 
     println("\nmode,factor,docs,batches,first_s,median_s,last_s,pairs,comparisons,state_members")
     cells.foreach(c => println(s"${c.mode},${c.factor},${c.docs},${c.batches}," +
