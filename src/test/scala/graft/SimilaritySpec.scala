@@ -439,6 +439,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(reliable = true) == rows(reliable = false))
   }
 
+  /** Round-7's MinHash bug class (a hash "family" whose members share a
+    * random direction, collapsing onto a low-dim span) would hit the
+    * hyperplane family the same way: per-plane stats would still look
+    * right while joint (bucket-level) collision rates broke. This pin
+    * asserts BOTH laws of sign-bit LSH directly on the shipped md5
+    * plane generator — per-plane disagreement ≈ θ/π (Goemans/
+    * Williamson) and the k-plane product law P[all k agree] ≈
+    * (1−θ/π)^k, which only holds if planes are jointly independent —
+    * plus a negative control showing a deliberately collapsed family
+    * (plane_p ∝ g1 + p·g2, the round-7 shape) fails the product law
+    * by ~17× the tolerance, so the pin has teeth. Pure driver math;
+    * tolerances are 3.5σ-calibrated for 2048 planes × 8 pairs. */
+  test("hyperplane family obeys the sign-LSH collision law and the k-plane product law") {
+    val dim = 64; val nPlanes = 2048; val k = 8
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dot(a, a)); a.map(_ / n)
+    }
+    val planes = Array.tabulate(nPlanes)(p => hyperplane(42L, p, dim))
+    // deliberately collapsed family: every plane in span(g1, g2)
+    val g1 = hyperplane(7L, 0, dim); val g2 = hyperplane(7L, 1, dim)
+    val collapsed = Array.tabulate(nPlanes) { p =>
+      unit(g1.zip(g2).map { case (x, y) => x + (p + 1) * y })
+    }
+    // 8 deterministic controlled-angle pairs per θ, from the same generator
+    def pairAt(i: Int, theta: Double): (Array[Double], Array[Double]) = {
+      val u = hyperplane(999L, 2 * i, dim)
+      val w0 = hyperplane(999L, 2 * i + 1, dim)
+      val w = unit(w0.zip(u).map { case (x, ux) => x - dot(w0, u) * ux })
+      val v = u.zip(w).map { case (ux, wx) =>
+        math.cos(theta) * ux + math.sin(theta) * wx }
+      (u, v)
+    }
+    def productErr(fam: Array[Array[Double]], theta: Double): Double = {
+      val q = theta / math.Pi
+      val errs = (0 until 8).map { i =>
+        val (u, v) = pairAt(i, theta)
+        val dis = fam.map(pl => (dot(pl, u) >= 0) != (dot(pl, v) >= 0))
+        val agreeAll = dis.grouped(k).count(g => !g.exists(identity)).toDouble / (nPlanes / k)
+        agreeAll - math.pow(1 - q, k)
+      }
+      errs.sum / errs.size
+    }
+    for (thetaDeg <- Seq(30, 60, 90)) {
+      val theta = math.toRadians(thetaDeg)
+      val q = theta / math.Pi
+      val perPlaneErrs = (0 until 8).map { i =>
+        val (u, v) = pairAt(i, theta)
+        planes.count(pl => (dot(pl, u) >= 0) != (dot(pl, v) >= 0)).toDouble / nPlanes - q
+      }
+      val meanErr = perPlaneErrs.sum / perPlaneErrs.size
+      assert(math.abs(meanErr) < 0.015,
+        s"per-plane collision law off at theta=$thetaDeg: mean err $meanErr")
+      assert(perPlaneErrs.forall(e => math.abs(e) < 0.04),
+        s"per-plane outlier at theta=$thetaDeg: ${perPlaneErrs.map(e => f"$e%.4f")}")
+      val pErr = productErr(planes, theta)
+      assert(math.abs(pErr) < 0.02,
+        s"k-plane product law off at theta=$thetaDeg: mean err $pErr — planes not independent")
+    }
+    // negative control: the collapsed family must FAIL the product law loudly
+    val collapsedErr = productErr(collapsed, math.toRadians(60))
+    assert(math.abs(collapsedErr) > 0.2,
+      s"negative control too weak: collapsed family product err $collapsedErr should be ~0.34")
+  }
+
   test("semDedup duplicates each have a lower-id witness at >= threshold (driver replay)") {
     val e = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 60).select("vec_id", "embedding")
