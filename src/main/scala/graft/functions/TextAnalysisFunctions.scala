@@ -100,7 +100,19 @@ object TextAnalysisFunctions {
     * standard one-pass fingerprint extraction feeding a (fingerprint →
     * doc) inverted index. */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                            k: Int, w: Int): DataFrame = {
+                            k: Int, w: Int): DataFrame =
+    winnowFps(docs, idCol, textCol, k, w).groupBy("__id").agg(
+        count(lit(1)).cast("int").as("n_fp"),
+        min("__wm").as("min_fp"), max("__wm").as("max_fp"),
+        sum("__wm").as("fp_checksum"))
+      .withColumnRenamed("__id", idCol)
+
+  /** Per-doc distinct winnowing fingerprints as rows (`__id`, `__wm`) —
+    * the shared extraction behind [[winnowingFingerprints]] (per-doc
+    * stats) and [[winnowingPairs]] (the inverted index). One
+    * sort+shuffle on doc id plans both frames. */
+  private def winnowFps(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chars = docs.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol).as("__id"), posexplode(split(col(textCol), "")))
@@ -113,7 +125,7 @@ object TextAnalysisFunctions {
       .withColumn("__h", conv(md5(col("__g")).substr(lit(1), lit(10)), 16, 10).cast("long"))
     val winMin = min("__h").over(
       Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1))
-    val fps = hashed
+    hashed
       // frame minima over ALL gram rows first — filtering before the
       // window would amputate the tail hashes from end-of-doc frames
       .withColumn("__wm", winMin)
@@ -122,11 +134,43 @@ object TextAnalysisFunctions {
       // frames would re-select suffix minima the algorithm doesn't emit)
       .filter(col("__pos") <= col("__nh") - w)
       .select(col("__id"), col("__wm")).distinct()
-    fps.groupBy("__id").agg(
-        count(lit(1)).cast("int").as("n_fp"),
-        min("__wm").as("min_fp"), max("__wm").as("max_fp"),
-        sum("__wm").as("fp_checksum"))
-      .withColumnRenamed("__id", idCol)
+  }
+
+  /** MOSS-style candidate pairs: document pairs sharing at least
+    * `minShared` winnowing fingerprints (the pairwise use the MOSS
+    * system — Schleimer et al. 2003 §4 — puts the fingerprints to:
+    * any two docs sharing a passage of ≥ w+k−1 chars MUST appear,
+    * since winnowing's guarantee puts at least one common window
+    * minimum in both fingerprint sets).
+    *
+    * Plan: per-doc distinct fingerprints ([[winnowFps]], one doc-id
+    * sort) feed a (fingerprint → doc) inverted index; the self-join on
+    * the fingerprint key emits each posting list's id-ordered pairs
+    * and a count aggregation keeps pairs sharing ≥ minShared. Shuffle
+    * ∝ fingerprints (equi-join, no BNLJ); per-fingerprint fanout is
+    * df², so `maxDf` (0 = off) drops fingerprints on more than maxDf
+    * docs first — boilerplate passages shared by thousands of docs are
+    * exactly what MOSS discards, and at 100 TB the cap is what keeps
+    * the join linear. The hot list (df > maxDf) is by construction a
+    * tiny fraction of fingerprints — the anti-join broadcasts under
+    * AQE.
+    *
+    * Returns (`a`, `b`, `shared_fp`) with a < b. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int, minShared: Int = 1,
+                     maxDf: Int = 0): DataFrame = {
+    require(minShared >= 1, "need minShared >= 1")
+    val f = winnowFps(docs, idCol, textCol, k, w)
+    val kept = if (maxDf > 0) {
+      val hot = f.groupBy("__wm").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select("__wm")
+      f.join(hot, Seq("__wm"), "left_anti")
+    } else f
+    kept.as("x").join(kept.as("y"),
+        col("x.__wm") === col("y.__wm") && col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
+      .agg(count(lit(1)).cast("int").as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
   }
 
   /** Gopher-style repetition metrics per document (Rae et al. 2021 §A1

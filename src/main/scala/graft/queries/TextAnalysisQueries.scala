@@ -177,6 +177,15 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // MOSS candidate pairs over the same fingerprints: docs sharing
+    // >= 2 winnowing fingerprints, boilerplate capped at df <= 16 —
+    // the pairwise plagiarism/local-dedup primitive winnowing feeds.
+    "x18b_winnowing_pairs" -> ((s, d) => {
+      winnowingPairs(documents(s, d), "doc_id", "text", k = 8, w = 4,
+          minShared = 2, maxDf = 16)
+        .orderBy("a", "b")
+    }),
+
     // Bigram-LM perplexity scoring (the CCNet-style quality filter):
     // corpus-trained add-0.5 LM, per-doc mean logprob + perplexity.
     // Logprobs are fixed-pointed to integer micros and long-summed, so
@@ -486,6 +495,26 @@ object TextAnalysisQueries {
         |  list_aggregate(fps, 'max') AS max_fp,
         |  CAST(list_sum(fps) AS BIGINT) AS fp_checksum
         |FROM fp ORDER BY doc_id""".stripMargin,
+    // same fp CTE as x18, unnested into a (fingerprint, doc) inverted
+    // index; df cap 16 then id-ordered pair counts >= 2
+    "x18b_winnowing_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 7),
+        |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 10)) AS BIGINT)) AS hs
+        |  FROM documents WHERE length(text) >= 11),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(hs) - 3),
+        |    j -> list_aggregate(hs[CAST(j AS INT):CAST(j + 3 AS INT)], 'min')))) AS wm
+        |  FROM h),
+        |kept AS (
+        |  SELECT doc_id, wm FROM fp
+        |  WHERE wm IN (SELECT wm FROM fp GROUP BY wm HAVING COUNT(*) <= 16))
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS INT) AS shared_fp
+        |FROM kept x JOIN kept y ON x.wm = y.wm AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY a, b""".stripMargin,
     // payload = UTF-8 bytes of text (ASCII corpus: byte == char), so
     // the histogram is over characters; entropy terms fixed-pointed
     // to micros exactly as the Spark side

@@ -97,6 +97,58 @@ class DedupPropSpec extends AnyFunSuite {
     }
   }
 
+  test("property: winnowingPairs equals a driver replay; planted >= w+k-1 passages always pair") {
+    import graft.functions.TextAnalysisFunctions.winnowingPairs
+    val (k, w) = (8, 4)
+    def hash40(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def fps(t: String): Set[Long] =
+      if (t.length < k + w - 1) Set.empty
+      else {
+        val hs = t.sliding(k).map(hash40).toVector
+        (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      }
+    for (seed <- 31L to 33L) {
+      val rnd = new scala.util.Random(seed)
+      def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+      // exactly the guarantee length: one full shared window
+      val shared = randStr(k + w - 1)
+      def plant(t: String) = {
+        val p = rnd.nextInt(t.length); t.take(p) + shared + t.drop(p)
+      }
+      val docs = (0 until 30).map { i =>
+        val t = randStr(20 + rnd.nextInt(40))
+        (i.toLong, if (i == 3 || i == 17) plant(t) else t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val fpOf = docs.map { case (id, t) => id -> fps(t) }.toMap
+      def replay(keptOf: Map[Long, Set[Long]]) = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        n = (keptOf(a) intersect keptOf(b)).size if n >= 1
+      } yield (a, b) -> n).toMap
+      val got = winnowingPairs(df, "doc_id", "text", k, w, minShared = 1)
+        .select("a", "b", "shared_fp").as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == replay(fpOf), s"seed=$seed")
+      assert(got.contains((3L, 17L)),
+        s"seed=$seed planted pair missed — the MOSS guarantee is broken")
+      // df-capped variant = replay that drops hot fingerprints first
+      val cap = 2
+      val dfCount = fpOf.values.toSeq.flatten.groupBy(identity).map {
+        case (fp, xs) => fp -> xs.size }
+      val keptOf = fpOf.map { case (id, s) =>
+        id -> s.filter(dfCount(_) <= cap) }
+      val gotCap = winnowingPairs(df, "doc_id", "text", k, w,
+          minShared = 1, maxDf = cap)
+        .select("a", "b", "shared_fp").as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(gotCap == replay(keptOf), s"seed=$seed capped")
+    }
+  }
+
   test("property: spanDedup reassembly preserves every first-occurrence span verbatim") {
     for (seed <- 21L to 23L) {
       val docs = corpus(seed, n = 25, vocab = 4) // tiny vocab → real span collisions

@@ -86,6 +86,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("x18b winnowing pairs: inverted-index equi-join on the fingerprint key (no all-pairs scan)") {
+    val p = plan("x18b_winnowing_pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("d4b Jaccard candidates come from hash joins (no all-pairs scan anywhere)") {
     val df = SparkEntry.queries("d4b_ngram_jaccard_scale")(spark, d)
     df.collect()
