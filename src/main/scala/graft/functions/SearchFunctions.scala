@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the documents corpus: Okapi BM25 scoring
+  * with a bounded top-k rerank. Parity-plus (the reference has no
+  * search surface); the canonical quality-filter / RAG-retrieval
+  * primitive a training-data pipeline needs next to the dedup and ANN
+  * families.
+  */
+object SearchFunctions {
+
+  /** Okapi BM25 top-k retrieval (Robertson et al., "Okapi at TREC-3",
+    * 1994), idf in the non-negative ln(1 + (N−df+0.5)/(df+0.5)) form
+    * so scores stay positive at any document frequency.
+    *
+    * Plan shape — every exchange is postings-sized, never token-sized:
+    *  - ONE corpus scan → (doc, term, tf) hash aggregate (map-side
+    *    partials); per-doc lengths `dl` reduce from tf, i.e. from the
+    *    distinct-terms relation, not the raw token stream
+    *  - (N, avgdl) is a 1-row aggregate broadcast via crossJoin (same
+    *    judged-benign shape as the x19 vocab-size aggregate)
+    *  - the query set is a literal local relation (broadcast); tf is
+    *    semi-filtered down to QUERY-TERM POSTINGS before any further
+    *    join, so downstream shuffles carry Σ_t df(t) rows over the
+    *    query terms — at 100 TB that is the inverted-index read, not
+    *    a corpus pass
+    *  - df(t) reduces exactly from those postings (tf rows are
+    *    distinct per (doc, term)); the tiny (term → df) relation is
+    *    broadcast back
+    *  - the per-(query, doc) totals rerank through the bounded_topk
+    *    map-side heap ([[graft.expressions.BoundedTopK]]): the final
+    *    exchange is k×partitions per query, independent of how many
+    *    docs matched
+    *
+    * Determinism (cross-engine exactness): per-(query, doc, term)
+    * partial scores are rounded to integer MICROS (round(x·10⁶) as
+    * long) and summed in exact long arithmetic — the x19 fixed-point
+    * pattern — so tie-breaks and the final 6-digit score are
+    * bit-identical to the DuckDB oracle; the top-k order
+    * (micro desc, doc_id asc) is total. IEEE op order mirrors the
+    * oracle SQL term-for-term (left-assoc, same literals), so the
+    * doubles agree to the last bit before rounding.
+    *
+    * Duplicate terms within one query count once (standard bag-of-
+    * words BM25 over the distinct query vocabulary); terms absent
+    * from the corpus contribute nothing and a query with no matching
+    * term returns no rows.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1, "need k >= 1")
+
+    val toks = docs.select(col(idCol).cast("long").as("__id"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+    val tf = toks.groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
+    val dl = tf.groupBy("__id").agg(sum("__tf").as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum("__dl").cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+
+    val qt = queries.toDF("qid", "__qtext")
+      .select(col("qid"), explode(split(col("__qtext"), " ")).as("__w"))
+      .filter(col("__w") =!= "").distinct()
+    val postings = tf.join(broadcast(qt.select("__w").distinct()), "__w")
+    val dfq = postings.groupBy("__w")
+      .agg(count(lit(1)).cast("double").as("__df"))
+
+    // op order mirrors the oracle SQL exactly: (n − df + 0.5),
+    // tf·(k1 + 1.0), k1·((1.0 − b) + b·dl/avgdl), ((idf·tfn)·10⁶)
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfD = col("__tf").cast("double")
+    val tfn = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    val scored = postings
+      .join(broadcast(qt), "__w")
+      .join(broadcast(dfq), "__w")
+      .join(dl, "__id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__micro", round(idf * tfn * lit(1e6)).cast("long"))
+
+    val perDoc = scored.groupBy("qid", "__id")
+      .agg(sum("__micro").as("__micro"), count(lit(1)).as("terms_hit"))
+
+    perDoc.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__micro")).as("__o"), col("__id")),
+        struct(col("__id"), col("__micro"), col("terms_hit")), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.__id").as("doc_id"),
+        round(col("col.__micro").cast("double") / lit(1e6), 6).as("score"),
+        col("col.terms_hit").as("terms_hit"))
+  }
+}

@@ -236,8 +236,25 @@ object TextAnalysisQueries {
         .select(col("doc_id"), col("frame_no"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_no")
+    }),
+
+    // BM25 top-k retrieval: three fixed queries (one rare term, two
+    // all-common) over the corpus; postings-sized shuffles + the
+    // bounded_topk heap rerank; micro-fixed-point scoring for exact
+    // cross-engine parity.
+    "x23_bm25" -> ((s, d) => {
+      graft.functions.SearchFunctions.bm25TopK(documents(s, d),
+          "doc_id", "text", bm25Queries, k = 10)
+        .orderBy("qid", "rank")
     })
   )
+
+  /** Fixed retrieval workload for x23: `dup` is the one rare corpus
+    * term (df ≈ 5% of docs), the rest are near-ubiquitous — exercises
+    * both the discriminative-idf and the length-normalization-
+    * dominated regimes. */
+  private val bm25Queries: Seq[(Int, String)] =
+    Seq((0, "dup join"), (1, "hash agg scan"), (2, "vector query batch"))
 
   /** Hex-digit value at 1-based position i of md5(text) — DuckDB-side
     * helper fragment used by the multimodal oracle. */
@@ -540,6 +557,37 @@ object TextAnalysisQueries {
         |  md5(substr(text, CAST(f.g * 128 + 1 AS INT), 64)) AS frame_md5
         |FROM p, generate_series(0, 1000) f(g)
         |WHERE f.g <= p.maxf
-        |ORDER BY doc_id, frame_no""".stripMargin
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    // Okapi BM25, Lucene idf form; IEEE op order and literals mirror
+    // SearchFunctions.bm25TopK term-for-term; per-term scores fixed-
+    // pointed to micros and summed exactly, ties broken by doc_id —
+    // the row_number window here selects the identical total order
+    // the Spark side's bounded_topk heap does.
+    "x23_bm25" ->
+      """WITH q(qid, qtext) AS (VALUES
+        |    (0, 'dup join'), (1, 'hash agg scan'), (2, 'vector query batch')),
+        | qt AS (SELECT DISTINCT qid, w FROM
+        |   (SELECT qid, unnest(string_split(qtext, ' ')) AS w FROM q) WHERE w <> ''),
+        | tok AS (SELECT doc_id, w FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+        | tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        | post AS (SELECT * FROM tf WHERE w IN (SELECT w FROM qt)),
+        | dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        | sc AS (SELECT qt.qid, post.doc_id,
+        |   CAST(round((ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))))
+        |     * 1000000.0) AS BIGINT) AS micro
+        |   FROM post JOIN qt USING (w) JOIN dfq USING (w) JOIN dl USING (doc_id), st),
+        | agg AS (SELECT qid, doc_id, CAST(SUM(micro) AS BIGINT) AS micro,
+        |   COUNT(*) AS terms_hit FROM sc GROUP BY 1, 2),
+        | rk AS (SELECT qid, doc_id, micro, terms_hit,
+        |   row_number() OVER (PARTITION BY qid ORDER BY micro DESC, doc_id) AS rnk FROM agg)
+        |SELECT qid, CAST(rnk AS INT) AS rank, doc_id,
+        |  round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score, terms_hit
+        |FROM rk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
   )
 }

@@ -257,6 +257,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 unfiltered corpus scan, got $corpusScans:\n${p.take(2000)}")
   }
 
+  test("x23 BM25: query side broadcast, rerank is the bounded_topk heap (no window), no all-pairs scan") {
+    val p = plan("x23_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("bounded_topk"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(1500))
+    // the 1-row (N, avgdl) stats attach is the only nested-loop join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect

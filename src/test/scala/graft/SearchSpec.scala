@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SearchFunctions.bm25TopK
+
+/** Hand-computed BM25 fixtures (the sf0.01 oracle pins x23 at corpus
+  * scale; these pin the scoring semantics on a 4-doc corpus). */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // mirror of the production micro computation: one term's
+  // contribution for (tf, dl) given (n, avgdl, df), k1=1.2, b=0.75
+  private def micro(tf: Long, dl: Long, n: Double, avgdl: Double,
+                    df: Double): Long = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val tfn = (tf.toDouble * (1.2 + 1.0)) /
+      (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl.toDouble / avgdl))
+    math.round(idf * tfn * 1e6)
+  }
+
+  private val docs = Seq(
+    (1L, "a b a"), (2L, "a c"), (3L, "b b b c"), (4L, "c"))
+    .toDF("doc_id", "text")
+
+  test("bm25TopK matches hand-computed Okapi scores and total order") {
+    // N=4, dl = 3,2,4,1, avgdl = 2.5; df(a)=2, df(b)=2
+    val out = bm25TopK(docs, "doc_id", "text", Seq((0, "a b")), k = 4)
+      .orderBy("rank")
+      .as[(Int, Int, Long, Double, Long)].collect()
+    val m1 = micro(2, 3, 4.0, 2.5, 2.0) + micro(1, 3, 4.0, 2.5, 2.0) // doc1: a×2 + b×1
+    val m2 = micro(1, 2, 4.0, 2.5, 2.0)                              // doc2: a×1
+    val m3 = micro(3, 4, 4.0, 2.5, 2.0)                              // doc3: b×3
+    val exp = Seq((1L, m1, 2L), (2L, m2, 1L), (3L, m3, 1L))
+      .sortBy { case (id, m, _) => (-m, id) }
+      .zipWithIndex.map { case ((id, m, th), i) =>
+        (0, i + 1, id, BigDecimal(m.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, th)
+      }
+    assert(out.toSeq == exp)     // doc4 has no query term → absent
+  }
+
+  test("duplicate query terms count once; unknown terms drop; empty query → no rows") {
+    val dup = bm25TopK(docs, "doc_id", "text", Seq((0, "a a b")), k = 4)
+      .as[(Int, Int, Long, Double, Long)].collect()
+    val single = bm25TopK(docs, "doc_id", "text", Seq((0, "a b")), k = 4)
+      .as[(Int, Int, Long, Double, Long)].collect()
+    assert(dup.sortBy(_._2).toSeq == single.sortBy(_._2).toSeq)
+
+    // 'zzz' has no postings: scoring proceeds on 'a' alone, and the
+    // absent term neither errors nor perturbs df of the present one
+    val partial = bm25TopK(docs, "doc_id", "text", Seq((1, "zzz a")), k = 4)
+      .as[(Int, Int, Long, Double, Long)].collect().sortBy(_._2)
+    assert(partial.map(_._3).toSeq == Seq(1L, 2L)) // tf=2 beats the shorter doc
+    assert(partial.forall(_._5 == 1L))
+
+    assert(bm25TopK(docs, "doc_id", "text", Seq((2, "zzz")), k = 4).count() == 0)
+  }
+
+  test("k bounds the result per query independently") {
+    val out = bm25TopK(docs, "doc_id", "text",
+      Seq((0, "a b"), (1, "c")), k = 2)
+      .as[(Int, Int, Long, Double, Long)].collect()
+    assert(out.count(_._1 == 0) == 2 && out.count(_._1 == 1) == 2)
+    assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq == Seq(1, 2))
+  }
+}
