@@ -44,18 +44,26 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A query that throws must surface as an explicit "err", never as a
+    // plausible-looking number: round 8 booked 12 analysis failures as
+    // ~0.055 s timings and the artifact read as a clean 120-query run.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     def runPass(): Map[String, Double] = {
       val pass = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            false
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
       }
       SparkEntry.releaseCaches() // next pass pays its own materialization
       pass.toMap
     }
     (1 to warmup).foreach(_ => runPass()) // uncounted: absorbs cold-JVM cost
+    failures.clear() // warmup failures don't count; counted passes re-detect
     val passes = (1 to reps).map(_ => runPass())
     // Adaptive top-up for the high-spread tail: with 3 base reps, one
     // GC pause or page-cache miss leaves a query's spread above its
@@ -78,35 +86,48 @@ object Bench {
       (med, w.last - w.head)
     }
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
-    queries.foreach { case (name, _) =>
-      samples(name) = passes.map(_(name)).sorted.toVector }
-    queries.foreach { case (name, fn) =>
+    val okQueries = queries.filterNot { case (name, _) => failures.contains(name) }
+    okQueries.foreach { case (name, _) =>
+      samples(name) = passes.map(_(name)).filterNot(_.isNaN).sorted.toVector }
+    okQueries.foreach { case (name, fn) =>
       var (med, sp) = central3(samples(name))
-      while (sp >= med && samples(name).size < maxReps) {
+      while (sp >= med && samples(name).size < maxReps && !failures.contains(name)) {
         SparkEntry.releaseCaches()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val t = (System.nanoTime() - t0) / 1e9
-        samples(name) = (samples(name) :+ t).sorted
-        val ms = central3(samples(name)); med = ms._1; sp = ms._2
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            false
+        }
+        if (ok) {
+          val t = (System.nanoTime() - t0) / 1e9
+          samples(name) = (samples(name) :+ t).sorted
+          val ms = central3(samples(name)); med = ms._1; sp = ms._2
+        }
       }
     }
-    val results = queries.map { case (name, _) =>
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
+    val results = queries.collect { case (name, _) if !failures.contains(name) =>
       val ts = samples(name)
       val (med, sp) = central3(ts)
       (name, med, sp, ts.last - ts.head, ts.size)
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
-      .mkString("{", ",", "}")
+    // Failed queries appear in "queries" as the literal string "err" —
+    // never a number — and in "errors" with the message.
+    val qs = (results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" } ++
+      failures.keys.map(k => "\"" + k + "\":\"err\"")).mkString("{", ",", "}")
     val sp = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val spRaw = results.map { case (k, _, _, r, _) => "\"" + k + "\":" + f"$r%.3f" }
       .mkString("{", ",", "}")
     val nSamples = results.map { case (k, _, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val errJson = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
-    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples}"""
+    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_ok":${results.size},"n_err":${failures.size},"errors":$errJson,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples}"""
     // Full per-query JSON: printed first AND written to a fixed path —
     // the single ~4 KB line outruns the driver's stdout tail capture
     // (BENCH_r01–r03 all recorded "parsed": null), so the durable copy
@@ -120,8 +141,12 @@ object Bench {
     val top = results.sortBy(-_._2).take(5)
       .map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n":${results.size},"top":$top,"full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","reps":$reps,"warmup":$warmup,"n":${results.size},"n_err":${failures.size},"top":$top,"full":"$fullPath"}""")
     SparkEntry.releaseCaches()
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] FAILED: ${failures.size}/${queries.size} declared queries broke: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -24,15 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert to microsecond
-    * timestamps with integral division (a double division would lose
-    * precision above 2^53 ns).
+  /** events.parquet has shipped `ts` as both TIMESTAMP(NANOS) (older
+    * fixtures) and timestamp[us] (current fixtures), so dispatch on the
+    * LOADED schema instead of assuming either:
+    *   - `nanosAsLong` is set up-front (a no-op for non-NANOS files) so a
+    *     NANOS fixture loads as long instead of failing the vectorized
+    *     reader; LongType → rebuild micros with integral division (double
+    *     division would lose precision above 2^53 ns).
+    *   - timestamp[us] loads natively as TIMESTAMP_NTZ → cast to the
+    *     session-zoned TimestampType (identity under the UTC session
+    *     convention every entry point sets).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

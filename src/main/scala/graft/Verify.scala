@@ -15,11 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must NEVER vanish silently: round 8 shipped 12 broken
+    // queries as a shrunk-but-all-green artifact because failures only went
+    // to stderr. Record every failure, dump them as an artifact, and exit
+    // nonzero so the driver (and any human) sees red.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,7 +43,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-auditing summary: declared vs written counts plus the errors
+    // map, so "artifact rows == SparkEntry.queries.size" is checkable
+    // from the outDir alone.
+    val declared = SparkEntry.queries.size
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"),
+      s"""{"declared": $declared, "written": ${declared - errors.size}, "failed": ${errors.size}, "errors": $errJson}""")
     SparkEntry.releaseCaches()
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] FAILED: ${errors.size}/$declared declared queries broke: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
