@@ -43,7 +43,13 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run to a comma-separated
+    // subset — the focused re-measure loop for regression attribution
+    // (full-suite medians drown a 2 s fixed cost in 120 queries' noise).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // A query that throws must surface as an explicit "err", never as a
     // plausible-looking number: round 8 booked 12 analysis failures as
     // ~0.055 s timings and the artifact read as a clean 120-query run.

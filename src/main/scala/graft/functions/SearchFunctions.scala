@@ -69,6 +69,16 @@ object SearchFunctions {
     val postings = tf.join(broadcast(qt.select("__w").distinct()), "__w")
     val dfq = postings.groupBy("__w")
       .agg(count(lit(1)).cast("double").as("__df"))
+    // dl is corpus-sized (one row per doc); the scoring join only needs
+    // lengths for docs that matched a query term, so semi-reduce it to
+    // the postings' doc set first. The semi itself costs at most the dl
+    // shuffle the direct join already paid, and when queries are
+    // selective the scoring join then builds/ships a matched-sized
+    // relation instead of every document's length (at sf0.1 Spark
+    // broadcasts full dl either way; at the 100-TB regime this is the
+    // difference between a 16-bytes-×-corpus exchange and an
+    // index-read-sized one).
+    val dlMatched = dl.join(postings.select("__id"), Seq("__id"), "leftsemi")
 
     // op order mirrors the oracle SQL exactly: (n − df + 0.5),
     // tf·(k1 + 1.0), k1·((1.0 − b) + b·dl/avgdl), ((idf·tfn)·10⁶)
@@ -80,7 +90,7 @@ object SearchFunctions {
     val scored = postings
       .join(broadcast(qt), "__w")
       .join(broadcast(dfq), "__w")
-      .join(dl, "__id")
+      .join(dlMatched, "__id")
       .crossJoin(broadcast(stats))
       .withColumn("__micro", round(idf * tfn * lit(1e6)).cast("long"))
 

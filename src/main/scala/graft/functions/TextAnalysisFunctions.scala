@@ -148,17 +148,19 @@ object TextAnalysisFunctions {
     * the fingerprint key emits each posting list's id-ordered pairs
     * and a count aggregation keeps pairs sharing ≥ minShared. Shuffle
     * ∝ fingerprints (equi-join, no BNLJ); per-fingerprint fanout is
-    * df², so `maxDf` (0 = off) drops fingerprints on more than maxDf
-    * docs first — boilerplate passages shared by thousands of docs are
-    * exactly what MOSS discards, and at 100 TB the cap is what keeps
-    * the join linear. The hot list (df > maxDf) is by construction a
-    * tiny fraction of fingerprints — the anti-join broadcasts under
-    * AQE.
+    * df², so `maxDf` drops fingerprints on more than maxDf docs first —
+    * boilerplate passages shared by thousands of docs are exactly what
+    * MOSS discards, and at 100 TB the cap is what keeps the join
+    * linear. The DEFAULT is capped (64): one fingerprint shared by a
+    * million docs is a 10¹²-row join, so uncapped is the opt-IN
+    * (`maxDf = 0`) for small corpora where exhaustive pairs are wanted.
+    * The hot list (df > maxDf) is by construction a tiny fraction of
+    * fingerprints — the anti-join broadcasts under AQE.
     *
     * Returns (`a`, `b`, `shared_fp`) with a < b. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, w: Int, minShared: Int = 1,
-                     maxDf: Int = 0): DataFrame = {
+                     maxDf: Int = 64): DataFrame = {
     require(minShared >= 1, "need minShared >= 1")
     val f = winnowFps(docs, idCol, textCol, k, w)
     val kept = if (maxDf > 0) {

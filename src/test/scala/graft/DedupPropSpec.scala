@@ -129,7 +129,10 @@ class DedupPropSpec extends AnyFunSuite {
         a <- docs.map(_._1); b <- docs.map(_._1) if a < b
         n = (keptOf(a) intersect keptOf(b)).size if n >= 1
       } yield (a, b) -> n).toMap
-      val got = winnowingPairs(df, "doc_id", "text", k, w, minShared = 1)
+      // maxDf = 0 opts OUT of the capped default: this law replays the
+      // exhaustive (uncapped) algorithm; the capped law follows below
+      val got = winnowingPairs(df, "doc_id", "text", k, w, minShared = 1,
+          maxDf = 0)
         .select("a", "b", "shared_fp").as[(Long, Long, Int)].collect()
         .map(r => (r._1, r._2) -> r._3).toMap
       assert(got == replay(fpOf), s"seed=$seed")
