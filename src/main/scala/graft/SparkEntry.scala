@@ -67,5 +67,7 @@ object SparkEntry {
     qp.PipeQueries.releaseCaches()
     qp.DedupQueries.releaseCaches()
     qp.ModelQueries.releaseCaches()
+    qp.TextAnalysisQueries.releaseCaches()
+    graft.functions.SearchFunctions.releaseCaches()
   }
 }

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 object SearchFunctions {
 
+  /** Persisted postings relations handed out by [[bm25TopK]] plans —
+    * released by `SparkEntry.releaseCaches()` at the end of a
+    * Verify/Bench run (the plans are lazy, so the function itself has
+    * no safe unpersist point). */
+  private val liveCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  def releaseCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(blocking = false))
+    liveCaches.clear()
+  }
+
   /** Okapi BM25 top-k retrieval (Robertson et al., "Okapi at TREC-3",
     * 1994), idf in the non-negative ln(1 + (N−df+0.5)/(df+0.5)) form
     * so scores stay positive at any document frequency.
@@ -66,7 +77,17 @@ object SearchFunctions {
     val qt = queries.toDF("qid", "__qtext")
       .select(col("qid"), explode(split(col("__qtext"), " ")).as("__w"))
       .filter(col("__w") =!= "").distinct()
+    // The postings subtree (corpus scan → tf agg → query-term semi) is
+    // referenced three times downstream (df(t), the dl semi-join, the
+    // scoring join); persisted, it computes once — postings are
+    // index-read-sized (Σ_t df(t) over the query terms), so the cache
+    // is small at any corpus size. The whole plan then pays exactly
+    // TWO corpus passes: one for `dl`, one to build the postings
+    // (r9's uncached form paid four — ADVICE r9). Released by
+    // SparkEntry.releaseCaches via [[releaseCaches]].
     val postings = tf.join(broadcast(qt.select("__w").distinct()), "__w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.synchronized { liveCaches += postings }
     val dfq = postings.groupBy("__w")
       .agg(count(lit(1)).cast("double").as("__df"))
     // dl is corpus-sized (one row per doc); the scoring join only needs

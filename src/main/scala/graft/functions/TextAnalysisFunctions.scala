@@ -101,7 +101,15 @@ object TextAnalysisFunctions {
     * doc) inverted index. */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
                             k: Int, w: Int): DataFrame =
-    winnowFps(docs, idCol, textCol, k, w).groupBy("__id").agg(
+    winnowingFingerprintsFromFps(winnowFps(docs, idCol, textCol, k, w), idCol)
+
+  /** Per-doc fingerprint stats from a precomputed [[winnowFps]] frame —
+    * lets callers computing BOTH the per-doc stats and the pairwise
+    * index ([[winnowingPairsFromFps]]) share (persist) one fingerprint
+    * extraction instead of running the char-explode + window chain
+    * twice (measured, BENCH.md round 10). */
+  def winnowingFingerprintsFromFps(fps: DataFrame, idCol: String): DataFrame =
+    fps.groupBy("__id").agg(
         count(lit(1)).cast("int").as("n_fp"),
         min("__wm").as("min_fp"), max("__wm").as("max_fp"),
         sum("__wm").as("fp_checksum"))
@@ -110,9 +118,10 @@ object TextAnalysisFunctions {
   /** Per-doc distinct winnowing fingerprints as rows (`__id`, `__wm`) —
     * the shared extraction behind [[winnowingFingerprints]] (per-doc
     * stats) and [[winnowingPairs]] (the inverted index). One
-    * sort+shuffle on doc id plans both frames. */
-  private def winnowFps(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, w: Int): DataFrame = {
+    * sort+shuffle on doc id plans both frames. Public so pipelines
+    * computing several winnowing products can persist it once. */
+  def winnowFps(docs: DataFrame, idCol: String, textCol: String,
+                k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chars = docs.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol).as("__id"), posexplode(split(col(textCol), "")))
@@ -160,9 +169,16 @@ object TextAnalysisFunctions {
     * Returns (`a`, `b`, `shared_fp`) with a < b. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int, w: Int, minShared: Int = 1,
-                     maxDf: Int = 64): DataFrame = {
+                     maxDf: Int = 64): DataFrame =
+    winnowingPairsFromFps(winnowFps(docs, idCol, textCol, k, w),
+      minShared, maxDf)
+
+  /** [[winnowingPairs]] from a precomputed [[winnowFps]] frame — see
+    * [[winnowingFingerprintsFromFps]] for why callers share it. */
+  def winnowingPairsFromFps(fps: DataFrame, minShared: Int = 1,
+                            maxDf: Int = 64): DataFrame = {
     require(minShared >= 1, "need minShared >= 1")
-    val f = winnowFps(docs, idCol, textCol, k, w)
+    val f = fps
     val kept = if (maxDf > 0) {
       val hot = f.groupBy("__wm").agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select("__wm")

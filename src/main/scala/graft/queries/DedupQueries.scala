@@ -49,9 +49,15 @@ object DedupQueries {
       // word-count guard mirrors the oracle: wordShingles falls back to
       // the whole text on < 3 words, where the oracle's generate_series
       // yields an empty set (and a zero containment denominator)
+      // sketchBits = 512: word-3-gram sets are ~100 elements — small
+      // relative to the stripe width, exactly the regime where the
+      // sketch bound bites (unlike d4b's ~280-element char-5-gram
+      // sets, where it saturates and is OFF). Measured 0.3–0.5 s
+      // faster at sf0.1 (tools/ProfileX11b, round 10); loosening-only
+      // pre-filter, so the verified output is bit-identical.
       containmentPairs(
         documents(s, d).filter(size(split(col("text"), " ")) >= 3),
-        "doc_id", "text", shingleN = 3, threshold = 0.7))
+        "doc_id", "text", shingleN = 3, threshold = 0.7, sketchBits = 512))
   }
 
   /** Prefix-filtered (PPJoin) char-5-gram Jaccard pairs, memoized per

@@ -90,7 +90,11 @@ object StreamOps {
     * the TTL in hours, not seconds — every expired band costs a
     * state-function invocation at its expiry batch, so a TTL short
     * enough to expire most bands per batch turns each batch into a
-    * full-state eviction pass. In-batch
+    * full-state eviction pass. Rule (1) is enforced in code: a
+    * `stateTTL` without a `trigger` interval fails fast here, and the
+    * validated interval is what the caller MUST hand to the sink
+    * (`writer.trigger(Trigger.ProcessingTime(trigger.get))` — see
+    * tools/ProfileStream for the wiring). In-batch
     * arrival order is fixed by sorting each micro-batch's band group
     * by id, so emissions are deterministic given the same batch
     * boundaries. */
@@ -98,9 +102,19 @@ object StreamOps {
                     shingleN: Int, numHashes: Int, bands: Int,
                     threshold: Double,
                     stateTTL: Option[String] = None,
+                    trigger: Option[String] = None,
                     hashFamily: String = "md5",
                     telemetry: Option[NearDupTelemetry] = None)
   : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    require(stateTTL.isEmpty || trigger.isDefined,
+      "stateTTL without an explicit trigger interval: with the default " +
+        "as-fast-as-possible trigger, processing-time timeouts make an idle " +
+        "engine fire back-to-back EMPTY micro-batches, each a full state " +
+        "scan + commit (measured ~850% CPU of pure churn, " +
+        "tools/ProfileStream). Pass trigger = Some(\"<interval>\") and set " +
+        "it on the sink: writer.trigger(Trigger.ProcessingTime(interval)).")
+    // fail fast on an unparseable interval, not at stream start
+    trigger.foreach(org.apache.spark.sql.streaming.Trigger.ProcessingTime(_))
     val session = docs.sparkSession
     import session.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

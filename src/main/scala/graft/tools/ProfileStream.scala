@@ -70,7 +70,8 @@ object ProfileStream {
       val out = graft.streaming.StreamOps.streamNearDup(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
-        stateTTL = ttl, telemetry = Some(telem))
+        stateTTL = ttl,
+        trigger = ttl.map(_ => "500 milliseconds"), telemetry = Some(telem))
       val sink = s"stream_scale_${mode}_x$f"
       // a TTL'd stateful query MUST set a trigger interval: with the
       // default as-fast-as-possible trigger, processing-time timeouts

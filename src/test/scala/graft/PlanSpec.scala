@@ -86,6 +86,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("dedup verify attach builds the hashed-set relation once (ReusedExchange, non-AQE plan)") {
+    // Both verify attaches reference ONE hashed-set plan
+    // (DedupFunctions.attachVerifySets); with AQE off, Spark's
+    // ReuseExchange rule must dedup the broadcast build. (Under AQE,
+    // Spark 4.1.2 misses this reuse for every shape tried —
+    // tools/ReuseRepro + SCALE.md round 10 — so the pin runs non-AQE,
+    // where the shared-plan form is what MAKES reuse possible; the
+    // r9 per-side renamed projections broke it in both modes.)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.functions.DedupFunctions.containmentPairs(
+        docs, "doc_id", "text", 3, 0.7)
+      val planStr = p.queryExecution.executedPlan.toString
+      p.unpersist(blocking = false)
+      assert(planStr.contains("ReusedExchange"), planStr.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("x18b winnowing pairs: inverted-index equi-join on the fingerprint key (no all-pairs scan)") {
     val p = plan("x18b_winnowing_pairs")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||

@@ -131,6 +131,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamNearDup with stateTTL but no trigger fails fast (idle-churn guard)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamNearDup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
+        stateTTL = Some("1 hour"))
+    }
+    assert(e.getMessage.contains("trigger"))
+    // TTL + trigger is accepted; an unparseable trigger interval is not
+    graft.streaming.StreamOps.streamNearDup(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
+      stateTTL = Some("1 hour"), trigger = Some("30 seconds"))
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamNearDup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
+        stateTTL = Some("1 hour"), trigger = Some("not an interval"))
+    }
+  }
+
   test("streamNearDup finds cross-batch near-duplicates and agrees with the batch LSH family") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -43,6 +43,17 @@ class TestdataDriftSpec extends AnyFunSuite {
       "embedding" -> Some(ArrayType(FloatType, containsNull = true)), "label" -> None)
   )
 
+  // The tripwire must itself be tripwired: if the fixture root is
+  // missing or relocated, sfDirs is empty and every generated test
+  // above silently vanishes — the exact failure mode this spec was
+  // built to prevent (ADVICE r9).
+  test("fixture root present: /root/testdata has at least sf0.001") {
+    assert(sfDirs.nonEmpty,
+      "/root/testdata has no sf* fixture directories — drift tripwire is blind")
+    assert(sfDirs.exists(_.endsWith("sf0.001")),
+      s"sf0.001 fixture missing; present: ${sfDirs.mkString(",")}")
+  }
+
   for (dir <- sfDirs; (tbl, cols) <- pinned.toSeq.sortBy(_._1)) {
     test(s"$dir/$tbl.parquet carries the pinned columns/types") {
       val schema = spark.read.parquet(s"$dir/$tbl.parquet").schema
