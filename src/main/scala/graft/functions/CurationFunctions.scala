@@ -93,6 +93,80 @@ object CurationFunctions {
         col("n_docs"), col("n_tokens"), col("fill"))
   }
 
+  /** Gopher-style quality-rule flags (Rae et al. 2021, "Scaling
+    * Language Models", appendix A1 — the document-level subset that is
+    * well-defined on single-line docs; the line-based rules (bullet /
+    * ellipsis line fractions) need multi-line text and are documented
+    * out). Per document: word count, mean word length, distinct-
+    * stopword hits, alpha-word fraction, symbol('#')-word fraction,
+    * and one 0/1 flag per rule plus the conjunction `keep`:
+    *
+    *   - `wc_ok`:    minWords ≤ words ≤ maxWords      (Gopher: 50..100k)
+    *   - `mwl_ok`:   minMeanLen ≤ mean len ≤ maxMeanLen  (3..10 chars)
+    *   - `sym_ok`:   symbol-word fraction ≤ maxSymbolFrac      (0.1)
+    *   - `alpha_ok`: alpha-word fraction ≥ minAlphaFrac        (0.8)
+    *   - `stop_ok`:  distinct stopword hits ≥ minStopHits        (2)
+    *
+    * Mean word length over the single-space token split is
+    * (chars − (words − 1)) / words — exactly the x2 form, so both
+    * engines compute the identical IEEE quotient and the threshold
+    * comparisons cannot flap. One scan, no shuffle: at 100 TB this is
+    * a map-only stage that fuses into whatever consumes the flags.
+    * The stopword default is Gopher's canonical 8; callers pass a
+    * corpus-appropriate list (the flags are only as meaningful as the
+    * stopword set matches the corpus language).
+    */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] =
+                    Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolFrac: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val t = split(col(textCol), " ")
+    val nW = size(t)
+    val nWd = nW.cast("double")
+    val meanLen = (length(col(textCol)).cast("double") - (nWd - lit(1.0))) / nWd
+    val stopHits = size(array_intersect(array_distinct(t),
+      array(stopwords.map(lit): _*)))
+    val alphaFrac = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nWd
+    val symFrac = size(filter(t, x => x.contains("#"))).cast("double") / nWd
+    def flag(c: Column): Column = when(c, 1).otherwise(0)
+    val wcOk = flag(nW >= minWords && nW <= maxWords)
+    val mwlOk = flag(meanLen >= minMeanLen && meanLen <= maxMeanLen)
+    val symOk = flag(symFrac <= maxSymbolFrac)
+    val alphaOk = flag(alphaFrac >= minAlphaFrac)
+    val stopOk = flag(stopHits >= minStopHits)
+    docs.select(col(idCol),
+      nW.as("n_words"),
+      round(meanLen, 6).as("mean_wlen"),
+      stopHits.as("stop_distinct"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      round(symFrac, 6).as("sym_frac"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), symOk.as("sym_ok"),
+      alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wcOk * mwlOk * symOk * alphaOk * stopOk).as("keep"))
+  }
+
+  /** Normalized-text ("fuzzy-exact") dedup, the CCNet / C4 recipe:
+    * lowercase, strip every non-alphanumeric to a space, collapse
+    * whitespace runs, trim — then exact-group on the md5 of the
+    * normalized form. Catches the case/punctuation/spacing variants
+    * exact dedup (d1) misses, at exact-dedup cost: one map-only
+    * normalize + one hash groupBy on a 16-byte key, linear at any
+    * corpus size (no pairwise anything). Returns one row per
+    * duplicate GROUP (n_docs ≥ 2): the normalized-form md5, the
+    * canonical (minimum) id, and the group size.
+    */
+  def normalizedDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col(idCol).as("__id"), md5(norm).as("norm_md5"))
+      .groupBy("norm_md5")
+      .agg(min("__id").as("canonical_id"), count(lit(1)).cast("int").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Quality-band report: decile boundaries come from the cumulative
     * distribution over DISTINCT quality values (a value histogram whose
     * size is bounded by the score's 6-digit resolution, not by corpus

@@ -35,6 +35,34 @@ object CurationQueries {
     "x15_quality_deciles" -> ((s, d) => {
       qualityDeciles(documents(s, d), "doc_id", "text")
         .orderBy("decile")
+    }),
+
+    // Gopher-style rule flags per document (word-count / mean-word-
+    // length / symbol / alpha / stopword rules + keep conjunction).
+    // Stopword set adapted to the synthetic corpus vocabulary so the
+    // stop_ok flag actually varies ("the"/"a" are its only stopwords).
+    "x24_gopher_rules" -> ((s, d) => {
+      gopherFlags(documents(s, d), "doc_id", "text",
+        stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "that"))
+        .orderBy("doc_id")
+    }),
+
+    // Normalized-text (CCNet-style fuzzy-exact) dedup: duplicate
+    // groups under lowercase/punct-strip/whitespace-collapse. The
+    // fixture corpus has no such variants, so (like d1) the query
+    // plants them: an upper-cased and a punctuation-suffixed copy of
+    // the first 50 docs — exact dedup (d1's hash) misses both, the
+    // normalized hash groups all three.
+    "x25_norm_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val base = docs.filter(col("doc_id") < 50)
+      val upperVariant = base.select((col("doc_id") + 20000L).as("doc_id"),
+        upper(col("text")).as("text"))
+      val punctVariant = base.select((col("doc_id") + 40000L).as("doc_id"),
+        concat(col("text"), lit(" !!")).as("text"))
+      normalizedDedup(docs.unionByName(upperVariant).unionByName(punctVariant),
+        "doc_id", "text")
+        .orderBy("canonical_id")
     })
   )
 
@@ -101,6 +129,58 @@ object CurationQueries {
          |  FROM hist)
          |SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS INT) AS n,
          |  MIN(sc.q) AS min_q, MAX(sc.q) AS max_q
-         |FROM sc JOIN bands USING (q) GROUP BY decile ORDER BY decile""".stripMargin
+         |FROM sc JOIN bands USING (q) GROUP BY decile ORDER BY decile""".stripMargin,
+    "x24_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_words, CAST(len(toks) AS DOUBLE) AS nw,
+        |    nchar,
+        |    len(list_intersect(list_distinct(toks),
+        |      ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'])) AS stop_distinct,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+        |    CAST(len(list_filter(toks, x -> contains(x, '#'))) AS DOUBLE) AS sym_words
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_words, (nchar - (nw - 1.0)) / nw AS mean_wlen,
+        |    stop_distinct, alpha_words / nw AS alpha_frac, sym_words / nw AS sym_frac
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, n_words, mean_wlen, stop_distinct, alpha_frac, sym_frac,
+        |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS wc_ok,
+        |    CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS mwl_ok,
+        |    CASE WHEN sym_frac <= 0.1 THEN 1 ELSE 0 END AS sym_ok,
+        |    CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS alpha_ok,
+        |    CASE WHEN stop_distinct >= 2 THEN 1 ELSE 0 END AS stop_ok
+        |  FROM f)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  round(mean_wlen, 6) AS mean_wlen,
+        |  CAST(stop_distinct AS INT) AS stop_distinct,
+        |  round(alpha_frac, 6) AS alpha_frac, round(sym_frac, 6) AS sym_frac,
+        |  CAST(wc_ok AS INT) AS wc_ok, CAST(mwl_ok AS INT) AS mwl_ok,
+        |  CAST(sym_ok AS INT) AS sym_ok, CAST(alpha_ok AS INT) AS alpha_ok,
+        |  CAST(stop_ok AS INT) AS stop_ok,
+        |  CAST(wc_ok * mwl_ok * sym_ok * alpha_ok * stop_ok AS INT) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "x25_norm_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, upper(text) AS text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 40000 AS doc_id, text || ' !!' AS text
+        |  FROM documents WHERE doc_id < 50),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        |  FROM all_docs)
+        |SELECT norm_md5, MIN(doc_id) AS canonical_id,
+        |  CAST(COUNT(*) AS INT) AS n_docs
+        |FROM n GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY canonical_id""".stripMargin
   )
 }

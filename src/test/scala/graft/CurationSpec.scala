@@ -37,6 +37,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 2, 300L), (2, 1, 30L)))
   }
 
+  test("gopherFlags rules fire independently on crafted documents") {
+    val good = Seq.fill(10)("the of and data item code").mkString(" ") // 60 words
+    val short = "tiny doc"                                  // fails wc
+    val symbols = Seq.fill(60)("#").mkString(" ")           // fails sym/alpha/mwl/stop
+    val longWords = Seq.fill(60)("aaaaaaaaaaaaaaaa").mkString(" ") // fails mwl/stop
+    val docs = Seq((1L, good), (2L, short), (3L, symbols), (4L, longWords))
+      .toDF("doc_id", "text")
+    val out = gopherFlags(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "stop_distinct", "wc_ok", "mwl_ok",
+        "sym_ok", "alpha_ok", "stop_ok", "keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 60, 3, 1, 1, 1, 1, 1, 1)))     // keeps
+    assert(out(2L)._4 == 0 && out(2L)._9 == 0)             // word count
+    assert(out(3L)._6 == 0 && out(3L)._7 == 0 && out(3L)._9 == 0) // symbols
+    assert(out(4L)._5 == 0 && out(4L)._8 == 0 && out(4L)._9 == 0) // mean len
+  }
+
+  test("normalizedDedup groups case/punct/whitespace variants") {
+    val docs = Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "HELLO  world..."), (4L, "different text")).toDF("doc_id", "text")
+    val out = normalizedDedup(docs, "doc_id", "text")
+      .select("canonical_id", "n_docs").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 3)))
+  }
+
   test("lmPerplexity matches hand-computed add-0.5 bigram logprobs") {
     import graft.functions.TextAnalysisFunctions.lmPerplexity
     // corpus bigrams: doc1 "a b a b" -> (a,b),(b,a),(a,b); doc2 "a b"
