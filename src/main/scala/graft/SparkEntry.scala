@@ -59,6 +59,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     packs.map(_._2).reduce(_ ++ _)
 
+  /** Cross-query memoized-intermediate dependencies, for Bench's
+    * measurement consistency: query → earlier-SORTED queries whose run
+    * leaves a shared memoized intermediate warm (the query packs
+    * memoize per scale dir: d2's LSH pair set feeds d6's clustering,
+    * x18's winnowing fingerprints feed x18b, u11's linear fit feeds
+    * u12/u13/u1, and the Frame/Pipe packs share one indexed lineitem
+    * Frame each). In a full-suite pass the prereq always runs first
+    * (every pair here sorts prereq < query), so per-query timings
+    * measure the query with its inputs warm; a run that EXCLUDES the
+    * prereq (SPARK_GRAFT_ONLY subset, or a solo top-up rep after a
+    * cache release) would silently charge the query for its prereq's
+    * materialization — r10 measured d6 at 4.6 s solo vs 2.2 s in-pass
+    * from exactly this. Bench warms missing prereqs uncounted so every
+    * sample of a query measures the same thing. */
+  def benchPrereqs: Map[String, Seq[String]] = {
+    val fm = Seq("fm1_row_select", "fm2_mask", "fm3_cols", "fm4_update",
+      "fm6_delete", "fm7_append", "fm8_merge", "fm9_map")
+      .map(_ -> Seq("fm10_permute"))
+    val pipe = Seq("j3_roundrobin", "o1_shuffle_hash", "o2_batching",
+      "o3_repeat", "p2_title_label", "u15_split_mod")
+      .map(_ -> Seq("a1_normalize"))
+    val fit = Seq("u12_intgrad", "u13_occlusion", "u1_linear_fit")
+      .map(_ -> Seq("u11_gradx"))
+    (fm ++ pipe ++ fit).toMap ++ Map(
+      "d6_dedup_pipeline" -> Seq("d2_minhash_lsh"),
+      "x18b_winnowing_pairs" -> Seq("x18_winnowing"))
+  }
+
   /** Release every memoized/persisted intermediate the query packs hold
     * (call at the end of a Verify/Bench run — long-lived sessions would
     * otherwise accumulate cached blocks across scale dirs). */
