@@ -84,6 +84,9 @@ object SparkEntry {
       .map(_ -> Seq("u11_gradx"))
     (fm ++ pipe ++ fit).toMap ++ Map(
       "d6_dedup_pipeline" -> Seq("d2_minhash_lsh"),
+      // d6 warms both the pair and cluster caches x26 consumes (the
+      // packs' own memoization makes one level of warming transitive)
+      "x26_cluster_split" -> Seq("d6_dedup_pipeline"),
       "x18b_winnowing_pairs" -> Seq("x18_winnowing"))
   }
 

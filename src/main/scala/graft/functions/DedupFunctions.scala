@@ -683,6 +683,35 @@ object DedupFunctions {
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("keep", (col(idCol) === col("cluster")))
 
+  /** Leakage-safe train/test split: the split key is the near-dup
+    * CLUSTER, not the document — near-duplicates therefore never
+    * straddle the train/test boundary (the split is a pure function
+    * of the cluster id), which is the standard guard against
+    * train-test contamination when splitting a deduplicated-in-name-
+    * only corpus. Docs absent from `clusters` (no near-dup) form
+    * singleton clusters keyed by their own id. The per-cluster
+    * train/test decision is the md5-Bernoulli uniform used everywhere
+    * else (reproducible at any parallelism); returns per-split doc /
+    * cluster / token counts. Cost at scale: one broadcast-or-shuffle
+    * join against the (pair-sized) cluster map + one agg — the
+    * cluster map is the output of [[nearDupClusters]], tiny relative
+    * to the corpus.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, textCol: String,
+                   clusters: DataFrame, trainFrac: Double): DataFrame = {
+    val withC = docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__ntok"))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val u = conv(substring(md5(concat(col("cluster").cast("string"),
+      lit(":split"))), 1, 13), 16, 10).cast("double") / pow(lit(16.0), lit(13.0))
+    withC.withColumn("split", when(u < trainFrac, "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        countDistinct("cluster").cast("int").as("n_clusters"),
+        sum("__ntok").as("n_tokens"))
+  }
+
   /** Test-set decontamination (the n-gram overlap check run before
     * training on any scraped corpus): flag every corpus document that
     * contains a word n-gram also present in the benchmark set.

@@ -158,6 +158,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe split: train/test assignment keyed by near-dup
+    // CLUSTER (reuses d6's transitive clusters), so no near-duplicate
+    // pair ever straddles the boundary — the split is a pure function
+    // of the cluster id. Per-split doc/cluster/token counts.
+    "x26_cluster_split" -> ((s, d) => {
+      clusterSplit(documents(s, d), "doc_id", "text", lshClusters(s, d),
+        trainFrac = 0.8)
+        .orderBy("split")
+    }),
+
     // Shingle-containment near-dups: |A∩B| / |A| — the asymmetric
     // measure that catches a document embedded inside a longer one
     // (Jaccard misses subset duplication when sizes differ). Directed:
@@ -406,6 +416,33 @@ object DedupQueries {
         |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id)
         |SELECT id AS doc_id, cluster FROM reach WHERE id <> cluster
         |ORDER BY doc_id""".stripMargin),
+    "x26_cluster_split" -> (shingleSql +
+      """, p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        | e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+        | nodes AS (SELECT DISTINCT x AS id FROM e),
+        | reach AS (
+        |  WITH RECURSIVE rr(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.x, rr.r FROM rr JOIN e ON e.y = rr.id)
+        |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id),
+        | allc AS (
+        |  SELECT d.doc_id, COALESCE(r.cluster, d.doc_id) AS cluster,
+        |    len(string_split(d.text, ' ')) AS ntok
+        |  FROM documents d LEFT JOIN reach r ON r.id = d.doc_id),
+        | sp AS (
+        |  SELECT doc_id, ntok, cluster,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR) || ':split'), 1, 13)) AS BIGINT)
+        |           / pow(16.0, 13.0) < 0.8 THEN 'train' ELSE 'test' END AS split
+        |  FROM allc)
+        |SELECT split, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(COUNT(DISTINCT cluster) AS INT) AS n_clusters,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin),
     "x11_containment" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -97,6 +97,27 @@ class DedupSpec extends AnyFunSuite {
     labels.unpersist()
   }
 
+  test("clusterSplit never splits a cluster (leakage-safe by construction)") {
+    // 30 docs in ONE cluster + 10 singletons: a per-doc 80/20 split
+    // would straddle the big cluster with probability 1 − 2·0.8^30;
+    // the cluster-keyed split must land all 30 on one side.
+    val docs = ((0L until 30L).map(i => (i, "w x y z")) ++
+      (100L until 110L).map(i => (i, "p q r s"))).toDF("doc_id", "text")
+    val clusters = (0L until 30L).map(i => (i, 0L)).toDF("id", "cluster")
+    val out = clusterSplit(docs, "doc_id", "text", clusters, trainFrac = 0.8)
+      .select("split", "n_docs", "n_clusters", "n_tokens")
+      .as[(String, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    // the big cluster contributes 30 docs / 1 cluster to exactly one side
+    assert(out.values.count(_._2 >= 30) == 1)
+    assert(out.values.map(_._2).sum == 40 && out.values.map(_._3).sum == 11)
+    assert(out.values.map(_._4).sum == 160L) // 40 docs × 4 tokens
+    // no split holds a partial big cluster: doc counts are 30·k + singletons
+    out.values.foreach { case (_, nd, nc, _) =>
+      val hasBig = nd >= 30
+      assert(if (hasBig) nd - 30 == nc - 1 else nd == nc)
+    }
+  }
+
   test("spanDedup drops exactly the repeated spans and reassembles in order") {
     // doc 1: spans A B; doc 2: spans B C (B repeats -> dropped);
     // doc 3: A B (everything repeats -> doc vanishes)
