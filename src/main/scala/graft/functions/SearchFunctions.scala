@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the documents corpus: Okapi BM25 scoring
@@ -128,5 +128,81 @@ object SearchFunctions {
         col("col.__id").as("doc_id"),
         round(col("col.__micro").cast("double") / lit(1e6), 6).as("score"),
         col("col.terms_hit").as("terms_hit"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    * SIGIR 2009): each query is (keywords, anchor doc) — the
+    * "more like this plus keywords" shape — scored by fusing the BM25
+    * top-`fuseN` lexical ranks with the top-`fuseN` cosine-to-anchor
+    * dense ranks as score = Σ_lists 1/(rrfK + rank), a doc absent
+    * from a list contributing nothing. Rank fusion needs no score
+    * calibration between the two systems, which is why it is the
+    * default hybrid in production retrieval stacks.
+    *
+    * Determinism: each RRF term is computed in integer micros
+    * (round(10⁶/(rrfK + rank))) and summed in exact long arithmetic,
+    * and every rank comes from a totally-ordered sort (micro-score
+    * desc, id asc) — bit-identical across engines by construction.
+    *
+    * Plan shape at scale: the lexical side is [[bm25TopK]] (postings-
+    * sized exchanges); the dense side broadcasts the per-query anchor
+    * vectors, scores in ONE corpus pass, and reranks through the
+    * bounded_topk map-side heap — k×partitions exchange, never a
+    * corpus sort. The fusion full-outer join is over two
+    * (queries × fuseN)-row relations: driver-trivial at any corpus
+    * size. For corpora where one pass per query batch is too much,
+    * the dense side composes with the IVF/LSH bucketed ANN paths
+    * (SimilarityFunctions) — the fusion stage is unchanged.
+    */
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                    embeds: DataFrame, vecIdCol: String, embCol: String,
+                    queries: Seq[(Int, String, Long)], k: Int,
+                    rrfK: Int = 60, fuseN: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1 && fuseN >= k, "need 1 <= k <= fuseN")
+
+    // lexical ranks: BM25 top-fuseN per query
+    val lex = bm25TopK(docs, idCol, textCol, queries.map(q => (q._1, q._2)), fuseN)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+
+    // dense ranks: cosine to the query's anchor embedding, one corpus
+    // pass with the (tiny) anchor relation broadcast, bounded_topk heap
+    val anchors = queries.map(q => (q._1, q._3)).toDF("qid", "__aid")
+    val av = anchors.join(embeds, col("__aid") === col(vecIdCol))
+      .select(col("qid"), col(embCol).as("__av"))
+    val cmicro = embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"))
+      .crossJoin(broadcast(av))
+      .select(col("qid"), col("doc_id"),
+        round(graft.functions.SimilarityFunctions.cosine(col("__v"), col("__av"))
+          * lit(1e6)).cast("long").as("__cm"))
+    val dense = cmicro.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__cm")).as("__o"), col("doc_id")),
+        struct(col("doc_id"), col("__cm")), fuseN).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("dense_rank"))
+
+    // RRF in integer micros; absent list membership contributes 0
+    def term(rank: Column): Column =
+      coalesce(round(lit(1e6) / (lit(rrfK) + rank)).cast("long"), lit(0L))
+    val fused = lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (term(col("lex_rank")) + term(col("dense_rank"))).as("__micro"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+    fused.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__micro")).as("__o"), col("doc_id")),
+        struct(col("doc_id"), col("__micro"), col("lex_rank"), col("dense_rank")),
+        k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.doc_id").as("doc_id"),
+        round(col("col.__micro").cast("double") / lit(1e6), 6).as("rrf"),
+        col("col.lex_rank").as("lex_rank"),
+        col("col.dense_rank").as("dense_rank"))
   }
 }

@@ -268,8 +268,26 @@ object TextAnalysisQueries {
       graft.functions.SearchFunctions.bm25TopK(documents(s, d),
           "doc_id", "text", bm25Queries, k = 10)
         .orderBy("qid", "rank")
+    }),
+
+    // Hybrid retrieval: BM25 lexical ranks fused with cosine-to-anchor
+    // dense ranks by reciprocal-rank fusion (integer-micro RRF terms,
+    // exact long sums). "Keywords + more-like-this-doc" workload; the
+    // vec_id ↔ doc_id fixture alignment supplies the doc embeddings.
+    "x27_hybrid_rrf" -> ((s, d) => {
+      graft.functions.SearchFunctions.hybridRrfTopK(
+          documents(s, d), "doc_id", "text",
+          embeddings(s, d), "vec_id", "embedding",
+          hybridQueries, k = 10)
+        .orderBy("qid", "rank")
     })
   )
+
+  /** x27 workload: the x23 keyword sets, each with an anchor document
+    * for the dense "more like this" side. */
+  private val hybridQueries: Seq[(Int, String, Long)] =
+    Seq((0, "dup join", 7L), (1, "hash agg scan", 42L),
+      (2, "vector query batch", 123L))
 
   /** Fixed retrieval workload for x23: `dup` is the one rare corpus
     * term (df ≈ 5% of docs), the rest are near-ubiquitous — exercises
@@ -610,6 +628,52 @@ object TextAnalysisQueries {
         |   row_number() OVER (PARTITION BY qid ORDER BY micro DESC, doc_id) AS rnk FROM agg)
         |SELECT qid, CAST(rnk AS INT) AS rank, doc_id,
         |  round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score, terms_hit
-        |FROM rk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
+        |FROM rk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
+    "x27_hybrid_rrf" ->
+      """WITH q(qid, qtext, anchor) AS (VALUES
+        |    (0, 'dup join', 7), (1, 'hash agg scan', 42), (2, 'vector query batch', 123)),
+        | qt AS (SELECT DISTINCT qid, w FROM
+        |   (SELECT qid, unnest(string_split(qtext, ' ')) AS w FROM q) WHERE w <> ''),
+        | tok AS (SELECT doc_id, w FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+        | tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        | post AS (SELECT * FROM tf WHERE w IN (SELECT w FROM qt)),
+        | dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        | sc AS (SELECT qt.qid, post.doc_id,
+        |   CAST(round((ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))))
+        |     * 1000000.0) AS BIGINT) AS micro
+        |   FROM post JOIN qt USING (w) JOIN dfq USING (w) JOIN dl USING (doc_id), st),
+        | agg AS (SELECT qid, doc_id, CAST(SUM(micro) AS BIGINT) AS micro FROM sc GROUP BY 1, 2),
+        | lrk AS (SELECT qid, doc_id,
+        |   row_number() OVER (PARTITION BY qid ORDER BY micro DESC, doc_id) AS lr FROM agg),
+        | ltop AS (SELECT qid, doc_id, lr FROM lrk WHERE lr <= 50),
+        | emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | anch AS (SELECT q.qid, e.v AS av FROM q JOIN emb e ON e.vec_id = q.anchor),
+        | dcos AS (SELECT a.qid, e.vec_id AS doc_id,
+        |   CAST(round(1000000.0 *
+        |     (list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * a.av[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.av[i] * a.av[i])))))) AS BIGINT) AS cm
+        |   FROM anch a, emb e),
+        | drk AS (SELECT qid, doc_id,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) AS dr FROM dcos),
+        | dtop AS (SELECT qid, doc_id, dr FROM drk WHERE dr <= 50),
+        | fused AS (
+        |  SELECT COALESCE(l.qid, t.qid) AS qid, COALESCE(l.doc_id, t.doc_id) AS doc_id,
+        |    COALESCE(CAST(round(1000000.0 / (60 + l.lr)) AS BIGINT), 0)
+        |      + COALESCE(CAST(round(1000000.0 / (60 + t.dr)) AS BIGINT), 0) AS micro,
+        |    COALESCE(l.lr, 0) AS lex_rank, COALESCE(t.dr, 0) AS dense_rank
+        |  FROM ltop l FULL OUTER JOIN dtop t ON l.qid = t.qid AND l.doc_id = t.doc_id),
+        | frk AS (SELECT qid, doc_id, micro, lex_rank, dense_rank,
+        |   row_number() OVER (PARTITION BY qid ORDER BY micro DESC, doc_id) AS rnk FROM fused)
+        |SELECT qid, CAST(rnk AS INT) AS rank, doc_id,
+        |  round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS rrf,
+        |  CAST(lex_rank AS INT) AS lex_rank, CAST(dense_rank AS INT) AS dense_rank
+        |FROM frk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
   )
 }

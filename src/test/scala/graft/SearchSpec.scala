@@ -64,4 +64,31 @@ class SearchSpec extends AnyFunSuite {
     assert(out.count(_._1 == 0) == 2 && out.count(_._1 == 1) == 2)
     assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq == Seq(1, 2))
   }
+  test("hybridRrfTopK fuses lexical and dense ranks with exact RRF micros") {
+    import graft.functions.SearchFunctions.hybridRrfTopK
+    // 4 docs; embeddings chosen so cosine-to-anchor(1) ranks 1,2,3,4
+    // descending: anchor (1,0), then (0.9,0.1), (0.5,0.5), (0,1)
+    val embeds = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = hybridRrfTopK(docs, "doc_id", "text", embeds, "vec_id",
+        "embedding", Seq((0, "a b", 1L)), k = 4, rrfK = 60, fuseN = 4)
+      .orderBy("rank")
+      .select("rank", "doc_id", "rrf", "lex_rank", "dense_rank")
+      .as[(Int, Long, Double, Int, Int)].collect()
+    // dense order: 1, 2, 3, 4 (cosine 1 > .994 > .707 > 0)
+    assert(out.map(r => r._2 -> r._5).toMap == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+    // lexical ranks come from bm25TopK; doc 4 ("c") matches no term -> 0
+    assert(out.find(_._2 == 4L).get._4 == 0)
+    // rrf is exactly the micro-sum of its own rank columns
+    def t(r: Int): Long = if (r == 0) 0L else math.round(1e6 / (60.0 + r))
+    out.foreach { case (_, _, rrf, lr, dr) =>
+      assert(rrf == (t(lr) + t(dr)) / 1e6)
+    }
+    // fused order is total: micro desc, doc_id asc
+    val micros = out.map { case (_, _, _, lr, dr) => t(lr) + t(dr) }
+    assert(micros.sameElements(micros.sortBy(-_)))
+  }
+
 }
