@@ -87,6 +87,7 @@ object SparkEntry {
       // d6 warms both the pair and cluster caches x26 consumes (the
       // packs' own memoization makes one level of warming transitive)
       "x26_cluster_split" -> Seq("d6_dedup_pipeline"),
+      "x28_curation_pipeline" -> Seq("d6_dedup_pipeline"),
       "x18b_winnowing_pairs" -> Seq("x18_winnowing"))
   }
 

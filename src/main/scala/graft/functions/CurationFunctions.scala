@@ -33,10 +33,11 @@ object CurationFunctions {
     * Returns one row per source: token count, normalized weight, keep
     * rate, and how many docs the Bernoulli pass kept.
     */
-  def domainMixWeights(docs: DataFrame, idCol: String, textCol: String,
-                       sourceCol: String, targetFrac: Double): DataFrame = {
-    val tok = docs.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
-      ntok(textCol).as("__ntok"))
+  /** Per-source (__src, __toks, __raw, __totraw, __tottoks, __wgt,
+    * __rate) table for the α=0.5 temperature mix — shared by
+    * [[domainMixWeights]] (the report) and [[domainMixSample]] (the
+    * sampling pass of the x28 pipeline). */
+  private def mixRates(tok: DataFrame, targetFrac: Double): DataFrame = {
     val perSource = tok.groupBy("__src")
       .agg(sum(col("__ntok").cast("long")).as("__toks"))
       .withColumn("__raw", sqrt(col("__toks").cast("double")))
@@ -44,25 +45,50 @@ object CurationFunctions {
     // sums over the (tiny) per-source table
     val all = Window.orderBy("__src")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rated = perSource
+    perSource
       .withColumn("__totraw", sum("__raw").over(all))
       .withColumn("__tottoks", sum("__toks").over(all))
       .withColumn("__wgt", col("__raw") / col("__totraw"))
       .withColumn("__rate",
         lit(targetFrac) * col("__tottoks").cast("double") * col("__wgt")
           / col("__toks").cast("double"))
-    // md5-Bernoulli keep decision per doc at the source's rate (q27's
-    // uniform: 13 hex digits of md5 over 16^13)
-    val u = conv(substring(md5(concat(col("__id").cast("string"), lit(":mix"))), 1, 13), 16, 10)
+  }
+
+  /** md5-Bernoulli mix-keep uniform for a doc id column (q27's uniform:
+    * 13 hex digits of md5 over 16^13). */
+  private def mixUniform(id: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":mix"))), 1, 13), 16, 10)
       .cast("double") / pow(lit(16.0), lit(13.0))
+
+  def domainMixWeights(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, targetFrac: Double): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+      ntok(textCol).as("__ntok"))
+    val rated = mixRates(tok, targetFrac)
     val kept = tok.join(rated.select("__src", "__rate"), Seq("__src"))
-      .filter(u < col("__rate"))
+      .filter(mixUniform(col("__id")) < col("__rate"))
       .groupBy("__src").agg(count(lit(1)).as("__kept"))
     rated.join(kept, Seq("__src"), "left")
       .select(col("__src").as(sourceCol), col("__toks").as("toks"),
         round(col("__wgt"), 6).as("weight"),
         round(col("__rate"), 6).as("keep_rate"),
         coalesce(col("__kept"), lit(0L)).cast("int").as("kept_docs"))
+  }
+
+  /** The sampling pass of the temperature mix: returns the INPUT rows
+    * the md5-Bernoulli decision keeps at each source's x16 keep rate
+    * (same rates, same uniform — `domainMixWeights(...)` over the same
+    * docs reports exactly this sample's per-source counts). The rate
+    * table is per-source (tiny, broadcast); the decision is one
+    * map-side filter. */
+  def domainMixSample(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, targetFrac: Double): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+      ntok(textCol).as("__ntok"))
+    val rates = mixRates(tok, targetFrac).select("__src", "__rate")
+    docs.join(broadcast(rates), col(sourceCol) === col("__src"))
+      .filter(mixUniform(col(idCol)) < col("__rate"))
+      .drop("__src", "__rate")
   }
 
   /** Shard-local sequence packing: documents are packed greedily in

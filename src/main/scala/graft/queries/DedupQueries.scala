@@ -158,6 +158,36 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline — the four oracle-proven stages
+    // composed the way a pretraining data pipeline runs them:
+    // Gopher-rule filter → near-dup dedup (clusters from the full
+    // corpus, representative = MIN surviving doc per cluster, i.e.
+    // dedup-after-filter) → α=0.5 temperature mix-sample at 50% of
+    // surviving tokens → 256-token sequence packing. Output: per
+    // (source, bin) doc/token counts + fill. Every stage is a
+    // map-only filter or a per-source/cluster agg over the previous
+    // stage — the composition adds no new shuffle class.
+    "x28_curation_pipeline" -> ((s, d) => {
+      import graft.functions.CurationFunctions.{gopherFlags, domainMixSample, packSequences}
+      val docs = documents(s, d)
+      val kept = gopherFlags(docs, "doc_id", "text",
+        stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "that"))
+        .filter(col("keep") === 1).select("doc_id")
+      val filtered = docs.join(kept, Seq("doc_id"))
+        .select("doc_id", "text", "source")
+      val withCluster = filtered
+        .join(lshClusters(s, d).withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val reps = withCluster.groupBy("cluster")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val survivors = filtered.join(reps, Seq("doc_id"))
+      val sampled = domainMixSample(survivors, "doc_id", "text", "source",
+        targetFrac = 0.5)
+      packSequences(sampled, "doc_id", "text", "source", budget = 256)
+        .orderBy("source", "bin")
+    }),
+
     // Leakage-safe split: train/test assignment keyed by near-dup
     // CLUSTER (reuses d6's transitive clusters), so no near-duplicate
     // pair ever straddles the boundary — the split is a pure function
@@ -416,6 +446,67 @@ object DedupQueries {
         |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id)
         |SELECT id AS doc_id, cluster FROM reach WHERE id <> cluster
         |ORDER BY doc_id""".stripMargin),
+    "x28_curation_pipeline" -> (shingleSql +
+      """, t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(length(text) AS DOUBLE) AS nchar
+        |  FROM documents),
+        | gk AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(toks) AS n_words,
+        |      (nchar - (CAST(len(toks) AS DOUBLE) - 1.0)) / CAST(len(toks) AS DOUBLE) AS mwl,
+        |      len(list_intersect(list_distinct(toks),
+        |        ['the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'])) AS sd,
+        |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) AS af,
+        |      CAST(len(list_filter(toks, x -> contains(x, '#'))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) AS sf
+        |    FROM t0)
+        |  WHERE n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND sf <= 0.1 AND af >= 0.8 AND sd >= 2),
+        | filt AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN gk USING (doc_id)),
+        | p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        | e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+        | nodes AS (SELECT DISTINCT x AS id FROM e),
+        | reach AS (
+        |  WITH RECURSIVE rr(id, r) AS (
+        |    SELECT id, id FROM nodes
+        |    UNION
+        |    SELECT e.x, rr.r FROM rr JOIN e ON e.y = rr.id)
+        |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id),
+        | wc AS (
+        |  SELECT f.doc_id, f.text, f.source, COALESCE(r.cluster, f.doc_id) AS cluster
+        |  FROM filt f LEFT JOIN reach r ON r.id = f.doc_id),
+        | reps AS (SELECT MIN(doc_id) AS doc_id FROM wc GROUP BY cluster),
+        | surv AS (SELECT w.doc_id, w.text, w.source FROM wc w JOIN reps rp ON w.doc_id = rp.doc_id),
+        | tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS ntok FROM surv),
+        | s2 AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS toks FROM tok GROUP BY 1),
+        | w2 AS (SELECT source, toks, sqrt(CAST(toks AS DOUBLE)) AS raw FROM s2),
+        | n2 AS (
+        |  SELECT source, toks, raw,
+        |    SUM(raw) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS totraw,
+        |    SUM(toks) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tottoks
+        |  FROM w2),
+        | rate AS (
+        |  SELECT source, 0.5 * CAST(tottoks AS DOUBLE) * (raw / totraw) / CAST(toks AS DOUBLE) AS keep_rate
+        |  FROM n2),
+        | samp AS (
+        |  SELECT t.source, t.doc_id, t.ntok FROM tok t JOIN rate r USING (source)
+        |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':mix'), 1, 13)) AS BIGINT)
+        |          / pow(16.0, 13.0) < r.keep_rate),
+        | c AS (
+        |  SELECT source, doc_id, ntok,
+        |    SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM samp),
+        | b AS (SELECT source, CAST((cum - ntok) // 256 AS INT) AS bin, ntok FROM c)
+        |SELECT source, bin, CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(ntok) AS DOUBLE) / 256.0, 6) AS fill
+        |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin),
     "x26_cluster_split" -> (shingleSql +
       """, p AS (
         |  SELECT a.doc_id AS a, b.doc_id AS b

@@ -37,6 +37,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0, 2, 300L), (2, 1, 30L)))
   }
 
+  test("domainMixSample keeps exactly the docs domainMixWeights counts") {
+    val docs = ((1 to 40).map(i => (i.toLong, "a b c d e f g h", "big")) ++
+      (100 to 104).map(i => (i.toLong, "a b c d e f g h", "small")))
+      .toDF("doc_id", "text", "source")
+    val report = domainMixWeights(docs, "doc_id", "text", "source", targetFrac = 0.5)
+      .select("source", "kept_docs").as[(String, Int)].collect().toMap
+    val sample = domainMixSample(docs, "doc_id", "text", "source", targetFrac = 0.5)
+    assert(sample.columns.toSeq == Seq("doc_id", "text", "source")) // shape preserved
+    val bySource = sample.groupBy("source").count()
+      .as[(String, Long)].collect().toMap.view.mapValues(_.toInt).toMap
+    assert(report.filter(_._2 > 0) == bySource) // same decision, same counts
+  }
+
   test("gopherFlags rules fire independently on crafted documents") {
     val good = Seq.fill(10)("the of and data item code").mkString(" ") // 60 words
     val short = "tiny doc"                                  // fails wc
