@@ -191,6 +191,57 @@ object DedupFunctions {
     verified // pair-sized; caller releases with unpersist() when done
   }
 
+  /** Incremental MinHash-LSH near-dup — the daily-ingestion shape: a
+    * NEW batch probes the existing corpus's LSH band index (plus the
+    * batch's own bands) and returns verified pairs touching at least
+    * one new doc. Pair semantics are identical to running
+    * [[minhashNearDuplicates]] over old ∪ new and keeping pairs with
+    * a new side, but the band join's probe side is the BATCH: at
+    * 100 TB the per-ingest cost is ∝ batch × bands probing a
+    * hash-partitioned band index (which a real deployment keeps
+    * materialized — here it is built in-call and persisted for the
+    * call's lifetime), never a corpus × corpus self-join. Ids must be
+    * globally unique across old and new.
+    */
+  def incrementalNearDuplicates(oldDocs: DataFrame, newDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int, numHashes: Int, bands: Int,
+                                threshold: Double,
+                                hashFamily: String = "md5"): DataFrame = {
+    val r = numHashes / bands
+    def prep(d: DataFrame): DataFrame = d.select(col(idCol).as("__id"),
+        wordShingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(sh: DataFrame): DataFrame = sh
+      .withColumn("__band", explode(bandKeys(
+        graft.expressions.HashExpressions.minhash_signature(
+          col("__sh"), numHashes, hashFamily), bands, r)))
+      .select("__id", "__band")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldSh = prep(oldDocs); val newSh = prep(newDocs)
+    val oldBands = bandsOf(oldSh) // "the stored index"
+    val newBands = bandsOf(newSh)
+    // probe new × (old ∪ new): new-old pairs land once, new-new twice
+    // (both probe) — canonicalize and distinct
+    val cand = newBands.as("x")
+      .join(oldBands.unionByName(newBands).as("y"),
+        col("x.__band") === col("y.__band") && col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("a"),
+        greatest(col("x.__id"), col("y.__id")).as("b"))
+      .distinct()
+    val sh = oldSh.unionByName(newSh)
+    val verified = cand
+      .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "__sha"), Seq("a"))
+      .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "__shb"), Seq("b"))
+      .withColumn("jac", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize, then release the corpus-sized blocks
+    Seq(oldBands, newBands, oldSh, newSh).foreach(_.unpersist(blocking = false))
+    verified // pair-sized; caller releases with unpersist() when done
+  }
+
   /** Portable 32-bit SimHash over the word tokens of a text column.
     *
     * Bit k of a token's hash is bit (k % 4) of hex digit (k / 4) of

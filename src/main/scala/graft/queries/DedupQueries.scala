@@ -158,6 +158,22 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental near-dup (the daily-ingestion delta shape): two
+    // planted batches of copies probe the corpus's band index; result
+    // = verified pairs touching a new doc (old-old pairs excluded).
+    // The oracle brute-forces old ∪ new and applies the same side
+    // filter — equality proves the delta probe loses nothing.
+    "d13_incremental_neardup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val base = docs.filter(col("doc_id") < 30)
+      val batch = base.select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+        .unionByName(
+          base.select((col("doc_id") + 60000L).as("doc_id"), col("text")))
+      val pairs = incrementalNearDuplicates(docs, batch, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      pairs.orderBy("a", "b")
+    }),
+
     // End-to-end curation pipeline — the four oracle-proven stages
     // composed the way a pretraining data pipeline runs them:
     // Gopher-rule filter → near-dup dedup (clusters from the full
@@ -446,6 +462,26 @@ object DedupQueries {
         |  SELECT id, MIN(r) AS cluster FROM rr GROUP BY id)
         |SELECT id AS doc_id, cluster FROM reach WHERE id <> cluster
         |ORDER BY doc_id""".stripMargin),
+    "d13_incremental_neardup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 60000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        | t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+        |  FROM all_docs),
+        | p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p
+        |WHERE jac >= 0.8 AND (a >= 50000 OR b >= 50000)
+        |ORDER BY a, b""".stripMargin,
     "x28_curation_pipeline" -> (shingleSql +
       """, t0 AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -97,6 +97,22 @@ class DedupSpec extends AnyFunSuite {
     labels.unpersist()
   }
 
+  test("incrementalNearDuplicates finds new-old and new-new pairs, never old-old") {
+    import graft.functions.DedupFunctions.incrementalNearDuplicates
+    def doc(s: String) = (1 to 6).map(i => s"$s$i").mkString(" ")
+    // old: 1≈2 near-dup (old-old — must NOT appear), 3 unique
+    val t = doc("w")
+    val old = Seq((1L, t), (2L, t), (3L, doc("q"))).toDF("doc_id", "text")
+    // new: 10 copies t (pairs with 1 and 2), 11 copies q, 12 unique, 13 copies 12
+    val fresh = Seq((10L, t), (11L, doc("q")), (12L, doc("z")), (13L, doc("z")))
+      .toDF("doc_id", "text")
+    val out = incrementalNearDuplicates(old, fresh, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    val pairs = out.select("a", "b").as[(Long, Long)].collect().toSet
+    out.unpersist()
+    assert(pairs == Set((1L, 10L), (2L, 10L), (3L, 11L), (12L, 13L)))
+  }
+
   test("clusterSplit never splits a cluster (leakage-safe by construction)") {
     // 30 docs in ONE cluster + 10 singletons: a per-doc 80/20 split
     // would straddle the big cluster with probability 1 − 2·0.8^30;
