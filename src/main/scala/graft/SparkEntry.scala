@@ -88,6 +88,8 @@ object SparkEntry {
       // packs' own memoization makes one level of warming transitive)
       "x26_cluster_split" -> Seq("d6_dedup_pipeline"),
       "x28_curation_pipeline" -> Seq("d6_dedup_pipeline"),
+      // x23 and x27's lexical side share one memoized postings build
+      "x27_hybrid_rrf" -> Seq("x23_bm25"),
       "x18b_winnowing_pairs" -> Seq("x18_winnowing"))
   }
 

@@ -11,15 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object SearchFunctions {
 
-  /** Persisted postings relations handed out by [[bm25TopK]] plans —
-    * released by `SparkEntry.releaseCaches()` at the end of a
-    * Verify/Bench run (the plans are lazy, so the function itself has
-    * no safe unpersist point). */
-  private val liveCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  /** Persisted postings relations handed out by [[bm25TopK]] plans,
+    * MEMOIZED by (corpus plan, query vocabulary): callers scoring the
+    * same corpus with the same term set (x23's top-10 and x27's
+    * fuse-50 lexical side share one workload) reuse one postings
+    * build instead of each paying the corpus pass. Released by
+    * `SparkEntry.releaseCaches()` at the end of a Verify/Bench run
+    * (the plans are lazy, so the function itself has no safe
+    * unpersist point). */
+  private val postingsCache =
+    scala.collection.mutable.Map[(Int, Set[String]), DataFrame]()
 
-  def releaseCaches(): Unit = liveCaches.synchronized {
-    liveCaches.foreach(_.unpersist(blocking = false))
-    liveCaches.clear()
+  def releaseCaches(): Unit = postingsCache.synchronized {
+    postingsCache.values.foreach(_.unpersist(blocking = false))
+    postingsCache.clear()
   }
 
   /** Okapi BM25 top-k retrieval (Robertson et al., "Okapi at TREC-3",
@@ -85,9 +90,13 @@ object SearchFunctions {
     // TWO corpus passes: one for `dl`, one to build the postings
     // (r9's uncached form paid four — ADVICE r9). Released by
     // SparkEntry.releaseCaches via [[releaseCaches]].
-    val postings = tf.join(broadcast(qt.select("__w").distinct()), "__w")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    liveCaches.synchronized { liveCaches += postings }
+    val vocab = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).toSet
+    val postings = postingsCache.synchronized {
+      postingsCache.getOrElseUpdate(
+        (docs.queryExecution.analyzed.semanticHash(), vocab),
+        tf.join(broadcast(qt.select("__w").distinct()), "__w")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     val dfq = postings.groupBy("__w")
       .agg(count(lit(1)).cast("double").as("__df"))
     // dl is corpus-sized (one row per doc); the scoring join only needs
