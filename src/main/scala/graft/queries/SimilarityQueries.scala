@@ -28,6 +28,27 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN index-quality report: recall@5 of the LSH path against the
+    // brute-force truth, per query — the measurement a production ANN
+    // deployment runs on a sampled query set before trusting an index
+    // config. Both sides are deterministic, so recall itself is
+    // oracle-exact.
+    "s9_ann_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val brute = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val approx = lshTopK(e, q, "vec_id", "embedding",
+          k = 5, seed = 42L, planes = 4, dim = 64)
+        .select("query_id", "neighbor_id")
+      val hits = brute.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).cast("int").as("hits"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0)).as("hits"),
+          round(coalesce(col("hits"), lit(0)).cast("double") / lit(5.0), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Multi-probe LSH top-5: each query probes its own bucket PLUS the
     // bucket across its lowest-margin hyperplane (probes = 2) — the
     // recall-recovery dial with the corpus untouched. Margins are
@@ -158,6 +179,21 @@ object SimilarityQueries {
     * so DuckDB parses the identical plane. Sign-of-dot ties would need
     * the two engines to disagree within one ulp of 0 — not observed
     * (probed exact at sf0.01, tools/probe_s2s4.py). */
+  private val s1Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      | s AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.v[i])) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i]))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i])))), 6) AS score
+      |  FROM e, q WHERE e.vec_id <> q.qid),
+      | r AS (SELECT query_id, neighbor_id, score,
+      |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+      |   FROM s)
+      |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private def s2Sql: String = {
     val bucketTerms = (0 until 4).map { p =>
       val plane = graft.functions.SimilarityFunctions.hyperplane(42L, p, 64)
@@ -447,20 +483,21 @@ object SimilarityQueries {
     "s5_knn_join" -> s5Sql,
     "s6_ann_pq" -> s6Sql,
     "s4_ann_ivf" -> s4Sql,
-    "s1_ann_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-        | s AS (
-        |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.v[i])) /
-        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i]))) *
-        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i])))), 6) AS score
-        |  FROM e, q WHERE e.vec_id <> q.qid),
-        | r AS (SELECT query_id, neighbor_id, score,
-        |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
-        |   FROM s)
-        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "s1_ann_topk" -> s1Sql,
+    // recall@5 of the LSH path against the brute-force truth, per
+    // query: both pipelines' full oracle statements as subqueries
+    // (DuckDB allows WITH inside a derived table), matched on
+    // (query_id, neighbor_id)
+    "s9_ann_recall" ->
+      s"""SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS INT) AS hits,
+         |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+         |FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN (
+         |  SELECT b.query_id, COUNT(*) AS hits
+         |  FROM ($s1Sql) b JOIN ($s2Sql) a
+         |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |  GROUP BY 1) h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     "s3_l2_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings WHERE vec_id < 30)
