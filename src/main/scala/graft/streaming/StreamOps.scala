@@ -268,6 +268,56 @@ object StreamOps {
     *
     * `rightCols` must not collide with left columns.
     */
+  /** Streaming heavy hitters per group: the Space-Saving sketch
+    * (Metwally et al., ICDT 2005) with exactly `capacity` counters of
+    * state per group key, regardless of stream length — the
+    * bounded-state streaming analogue of `groupBy(item).count()`.
+    * After each micro-batch the group emits its current top-`k` as
+    * (group, item, estimate, error): any item whose true count
+    * exceeds N/capacity is guaranteed present, the estimate never
+    * undershoots the true count, and overshoots by at most the
+    * recorded per-item error (the evicted counter it inherited).
+    *
+    * Each micro-batch's arrivals are folded in (item asc) order and
+    * counter eviction breaks count ties on item asc, so emissions are
+    * deterministic given the same batch boundaries (the
+    * streamNearDup discipline; the sketch's guarantees are
+    * order-independent, the tie-breaks only pin WHICH near-tied
+    * estimate survives). OutputMode.Update sinks apply. */
+  def streamHeavyHitters(events: DataFrame, groupCol: String, itemCol: String,
+                         capacity: Int, k: Int)
+  : org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    require(capacity >= 1 && k >= 1 && k <= capacity,
+      "need 1 <= k <= capacity")
+    val session = events.sparkSession
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col(groupCol).cast("string").as("__g"),
+        col(itemCol).cast("string").as("__i"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], (String, String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (group, it, state: GroupState[Map[String, (Long, Long)]]) =>
+          var counters = state.getOption.getOrElse(Map.empty)
+          for (item <- it.map(_._2).toSeq.sorted) {
+            counters.get(item) match {
+              case Some((c, e)) => counters += item -> (c + 1, e)
+              case None if counters.size < capacity =>
+                counters += item -> (1L, 0L)
+              case None =>
+                val (evict, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+                counters = counters - evict + (item -> (minC + 1, minC))
+            }
+          }
+          state.update(counters)
+          counters.toSeq
+            .sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+            .map { case (i, (c, e)) => (group, i, c, e) }.iterator
+      }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq

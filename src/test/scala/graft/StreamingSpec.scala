@@ -394,4 +394,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq("c9"))
     }
   }
+  test("streamHeavyHitters: bounded counters, exact under capacity, bounds after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamOps.streamHeavyHitters(
+      mem.toDF().toDF("site", "url"), "site", "url", capacity = 3, k = 3)
+    val q = out.toDF("site", "item", "est", "err").writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName("hh_out").start()
+    try {
+      // batch 1: 3 distinct items (== capacity) -> exact counts, err 0
+      mem.addData(("s", "a"), ("s", "a"), ("s", "b"), ("s", "b"), ("s", "b"), ("s", "c"))
+      q.processAllAvailable()
+      val b1 = spark.table("hh_out").select("item", "est", "err")
+        .as[(String, Long, Long)].collect().toSet
+      assert(b1 == Set(("a", 2L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+      // batch 2: "d" x2 arrives at full capacity -> evicts min ("c", 1):
+      // d enters with est 2 (1+1), err 1; second d -> est 3. Space-Saving
+      // bounds: est >= true (3 >= 2), est - err == true here (3-1=2).
+      mem.addData(("s", "d"), ("s", "d"))
+      q.processAllAvailable()
+      // batch 2 re-emits a/b unchanged (identical tuples dedup away in
+      // the set difference); the only NEW tuple is d's estimate
+      val b2 = spark.table("hh_out").select("item", "est", "err")
+        .as[(String, Long, Long)].collect().toSet -- b1
+      assert(b2 == Set(("d", 3L, 1L)))
+    } finally q.stop()
+  }
+
 }
