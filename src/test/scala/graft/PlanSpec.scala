@@ -86,6 +86,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("x23/x27 share one memoized postings build (InMemoryRelation in x27's plan)") {
+    // bm25TopK memoizes its persisted postings by (corpus, vocab):
+    // after x23 runs, x27's lexical side must READ that cache, not
+    // rebuild the corpus-pass subtree (round-10 postings sharing).
+    graft.functions.SearchFunctions.releaseCaches()
+    SparkEntry.queries("x23_bm25")(spark, d).count()
+    val plan = SparkEntry.queries("x27_hybrid_rrf")(spark, d)
+      .queryExecution.executedPlan.toString
+    graft.functions.SearchFunctions.releaseCaches()
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      plan.take(2000))
+  }
+
   test("dedup verify attach builds the hashed-set relation once (ReusedExchange, non-AQE plan)") {
     // Both verify attaches reference ONE hashed-set plan
     // (DedupFunctions.attachVerifySets); with AQE off, Spark's
