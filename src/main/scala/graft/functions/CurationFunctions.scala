@@ -193,6 +193,108 @@ object CurationFunctions {
       .filter(col("n_docs") >= 2)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET distribution than under the RAW distribution —
+    * log w(x) = Σ_g [ln p̂_target(bucket(g)) − ln p̂_raw(bucket(g))] —
+    * then keep the upweighted tail. Features are unigram + bigram
+    * occurrences hashed into `buckets` buckets (the paper's hashed
+    * n-gram generative model); both distributions are add-½-smoothed
+    * bucket frequencies, the target estimated from the `targetCond`
+    * subset, the raw from the whole input.
+    *
+    * Determinism across engines (the x19 recipe): the per-bucket
+    * log-ratio is fixed-pointed to integer micro-nats
+    * (round(Δlp·10⁶) as long) and per-doc totals are EXACT long sums
+    * — fold-order-independent, and the keep decision compares the
+    * integer sum to 0 so it can never flap on a ulp. The bucket hash
+    * is the first 8 md5 hex digits mod `buckets`, reproduced
+    * bit-for-bit by the oracle.
+    *
+    * Scale shape (100 TB): one corpus scan explodes gram occurrences
+    * (map-side-combinable agg to the ≤`buckets`-row count tables — the
+    * model is FIXED-SIZE regardless of corpus, the paper's point vs a
+    * full LM); scoring joins each doc's gram stream to the broadcast
+    * bucket table — shuffle ∝ corpus tokens, no sort, no window.
+    *
+    * Returns one row per doc: n_feats, total and mean log-ratio (micro
+    * precision), keep = 1 iff the total is strictly positive. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetCond: Column, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2, "dsirWeights needs at least 2 hash buckets")
+    val toks = split(col(textCol), " ")
+    // unigram + bigram occurrence stream, bucketed: one row per feature
+    // occurrence (counts, not distinct — the multinomial model)
+    val grams = docs.select(col(idCol).as("__id"), targetCond.as("__t"),
+        posexplode(toks).as(Seq("__pos", "__w")))
+      .withColumn("__w2",
+        lead("__w", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__id").orderBy("__pos")))
+      .select(col("__id"), col("__t"),
+        explode(when(col("__w2").isNotNull,
+            array(col("__w"), concat_ws(" ", col("__w"), col("__w2"))))
+          .otherwise(array(col("__w")))).as("__g"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val cnt = grams.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    // totals folded over the bounded bucket table via an ordered window
+    // (deterministic, like domainMixWeights' normalizer)
+    val all = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratios = cnt
+      .withColumn("__nr", sum("__cr").over(all))
+      .withColumn("__nt", sum("__ct").over(all))
+      .withColumn("__micro", round(lit(1e6) *
+        (log((col("__ct").cast("double") + lit(0.5)) /
+             (col("__nt").cast("double") + lit(0.5) * buckets)) -
+         log((col("__cr").cast("double") + lit(0.5)) /
+             (col("__nr").cast("double") + lit(0.5) * buckets)))).cast("long"))
+      .select("__b", "__micro")
+    grams.join(broadcast(ratios), Seq("__b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("__n"), sum("__micro").as("__s"))
+      // exact half-away integer division of the micro sum (x19's trick:
+      // a double round of s/n can tie at a true half-micro; the integer
+      // quotient is engine-independent by construction)
+      .withColumn("__q",
+        expr("CAST(sign(__s) AS BIGINT) * ((2 * abs(__s) + __n) DIV (2 * __n))"))
+      .select(col("__id").as(idCol), col("__n").cast("int").as("n_feats"),
+        (col("__s").cast("double") / lit(1e6)).as("log_ratio"),
+        (col("__q").cast("double") / lit(1e6)).as("avg_log_ratio"),
+        when(col("__s") > 0, 1).otherwise(0).as("keep"))
+  }
+
+  /** Vocabulary-coverage report (tokenizer sizing / Zipf diagnostics):
+    * for each frequency floor f in `minCounts`, how many distinct
+    * words occur ≥ f times and what fraction of ALL token occurrences
+    * those words cover. Threshold-based on purpose — a top-k-by-rank
+    * variant needs a global vocab sort (single-partition window, the
+    * classic scale trap); frequency floors answer the same sizing
+    * question ("how big must the vocab be to cover X% of tokens")
+    * with one map-side-combined word count + one tiny re-agg, no sort
+    * anywhere. Returns one row per floor: (min_count, n_words,
+    * covered_tokens, coverage). */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    minCounts: Seq[Long] = Seq(10L, 100L, 1000L)): DataFrame = {
+    require(minCounts.nonEmpty, "vocabCoverage needs at least one floor")
+    val wc = docs.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val floors = minCounts.map(f => struct(lit(f).as("__f")))
+    wc.select(col("__c"), explode(array(floors: _*)).as("__fl"))
+      .select(col("__c"), col("__fl.__f").as("min_count"))
+      .groupBy("min_count")
+      .agg(sum(when(col("__c") >= col("min_count"), 1L).otherwise(0L))
+          .cast("int").as("n_words"),
+        sum(when(col("__c") >= col("min_count"), col("__c")).otherwise(0L))
+          .as("covered_tokens"),
+        round(sum(when(col("__c") >= col("min_count"), col("__c")).otherwise(0L))
+            .cast("double") / sum("__c").cast("double"), 6).as("coverage"))
+  }
+
   /** Quality-band report: decile boundaries come from the cumulative
     * distribution over DISTINCT quality values (a value histogram whose
     * size is bounded by the score's 6-digit resolution, not by corpus

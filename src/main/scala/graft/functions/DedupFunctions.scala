@@ -665,6 +665,28 @@ object DedupFunctions {
   def contentHash(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Soft dedup (the SoftDeDup alternative to dropping duplicates):
+    * instead of keeping one copy per duplicate group, every copy
+    * survives with sampling weight 1/|group| — the group's total
+    * training mass stays exactly one document, but which copy a given
+    * epoch sees can vary (reweighting preserves within-group textual
+    * variation that hard dedup destroys). Groups are the exact
+    * content-hash groups of [[contentHash]] (lowercase, collapsed
+    * whitespace); docs with a unique hash get weight 1.
+    *
+    * Scale shape: one map-only hash projection + one map-side-combined
+    * groupBy on the 16-byte hash + one broadcast-or-shuffle join of
+    * the (hash, size) table back to the stream — exact-dedup cost,
+    * linear at any corpus size. Returns (idCol, group_size, weight).
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol), contentHash(col(textCol)).as("__h"))
+    val sizes = hashed.groupBy("__h").agg(count(lit(1)).as("__n"))
+    hashed.join(sizes, Seq("__h"))
+      .select(col(idCol), col("__n").cast("int").as("group_size"),
+        round(lit(1.0) / col("__n").cast("double"), 6).as("weight"))
+  }
+
   /** Connected components over near-duplicate pairs by min-label
     * propagation with path halving: each round every node adopts the
     * smallest label reachable through an edge (relax), then the label

@@ -63,6 +63,24 @@ object CurationQueries {
       normalizedDedup(docs.unionByName(upperVariant).unionByName(punctVariant),
         "doc_id", "text")
         .orderBy("canonical_id")
+    }),
+
+    // DSIR importance weights: hashed-unigram+bigram likelihood ratio
+    // of every doc against the lang='en' target distribution, integer
+    // micro-nat totals (engine-exact), keep = ratio > 1.
+    "x29_dsir" -> ((s, d) => {
+      dsirWeights(documents(s, d), "doc_id", "text",
+        targetCond = col("lang") === "en", buckets = 8192)
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary-coverage report at three frequency floors (the
+    // no-global-sort tokenizer-sizing diagnostic); the 100000 floor is
+    // deliberately above every count — the empty band must report 0.
+    "x30_vocab_coverage" -> ((s, d) => {
+      vocabCoverage(documents(s, d), "text",
+        minCounts = Seq(30L, 900L, 100000L))
+        .orderBy("min_count")
     })
   )
 
@@ -181,6 +199,54 @@ object CurationQueries {
         |SELECT norm_md5, MIN(doc_id) AS canonical_id,
         |  CAST(COUNT(*) AS INT) AS n_docs
         |FROM n GROUP BY 1 HAVING COUNT(*) >= 2
-        |ORDER BY canonical_id""".stripMargin
+        |ORDER BY canonical_id""".stripMargin,
+    "x29_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS t, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t, unnest(list_concat(ws,
+        |    list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]))) AS g
+        |  FROM toks),
+        |bk AS (
+        |  SELECT doc_id, t,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 8192 AS b
+        |  FROM g),
+        |cnt AS (
+        |  SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |  FROM bk GROUP BY 1),
+        |tot AS (
+        |  SELECT b, cr, ct, SUM(cr) OVER () AS nr, SUM(ct) OVER () AS nt
+        |  FROM cnt),
+        |mic AS (
+        |  SELECT b, CAST(round(1000000.0 * (
+        |      ln((CAST(ct AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 0.5 * 8192)) -
+        |      ln((CAST(cr AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 0.5 * 8192))
+        |    )) AS BIGINT) AS micro
+        |  FROM tot),
+        |s AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(micro) AS s
+        |  FROM bk JOIN mic USING (b) GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INT) AS n_feats,
+        |  CAST(s AS DOUBLE) / 1000000.0 AS log_ratio,
+        |  CAST(CAST(sign(s) AS BIGINT) * ((2 * abs(s) + n) // (2 * n)) AS DOUBLE)
+        |    / 1000000.0 AS avg_log_ratio,
+        |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x30_vocab_coverage" ->
+      """WITH wc AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |f AS (SELECT unnest([30, 900, 100000]) AS min_count)
+        |SELECT CAST(f.min_count AS BIGINT) AS min_count,
+        |  CAST(SUM(CASE WHEN c >= min_count THEN 1 ELSE 0 END) AS INT) AS n_words,
+        |  CAST(SUM(CASE WHEN c >= min_count THEN c ELSE 0 END) AS BIGINT)
+        |    AS covered_tokens,
+        |  round(CAST(SUM(CASE WHEN c >= min_count THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE), 6) AS coverage
+        |FROM wc CROSS JOIN f GROUP BY 1 ORDER BY min_count""".stripMargin
   )
 }

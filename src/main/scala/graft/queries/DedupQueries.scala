@@ -333,6 +333,17 @@ object DedupQueries {
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_spans"), col("kept_spans"))
         .orderBy("doc_id")
+    }),
+
+    // Soft dedup (reweight, don't drop): every member of an exact
+    // content-hash group gets weight 1/|group| — group mass stays one
+    // doc. Planted duplicates (d1's union) make the weights vary.
+    "d14_soft_dedup" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      softDedupWeights(docs.unionByName(dups), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -345,6 +356,19 @@ object DedupQueries {
         |SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM all_docs GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "d14_soft_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        |  FROM all_docs),
+        |g AS (SELECT h, COUNT(*) AS n FROM h GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INT) AS group_size,
+        |  round(1.0 / CAST(n AS DOUBLE), 6) AS weight
+        |FROM h JOIN g USING (h) ORDER BY doc_id""".stripMargin,
     "d9_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
