@@ -97,6 +97,7 @@ object SparkEntry {
     * (call at the end of a Verify/Bench run — long-lived sessions would
     * otherwise accumulate cached blocks across scale dirs). */
   def releaseCaches(): Unit = {
+    qp.TextQueries.releaseCaches()
     qp.FrameQueries.releaseCaches()
     qp.PipeQueries.releaseCaches()
     qp.DedupQueries.releaseCaches()

@@ -10,7 +10,38 @@ import graft.functions.TextFunctions._
   */
 object TextQueries {
 
+  /** Learned BPE merge list, memoized per scale dir (training is a
+    * driver-side loop of vocab-sized jobs; one list serves every
+    * consumer in a Verify/Bench pass). Merge lists are tiny driver
+    * values — no Spark blocks to release, so releaseCaches just drops
+    * the map. */
+  private val bpeCache =
+    scala.collection.mutable.Map[String, Seq[(String, String)]]()
+  private def bpeMergesShared(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeCache.synchronized {
+      bpeCache.getOrElseUpdate(d,
+        graft.functions.BpeFunctions.bpeTrain(
+          documents(s, d), "text", numMerges = 40))
+    }
+
+  def releaseCaches(): Unit = bpeCache.synchronized { bpeCache.clear() }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T8/parity-plus: distributed BPE — merges learned on the corpus
+    // word-frequency table (vocab-sized iterations, one corpus scan),
+    // then native-kernel encoding. No SQL oracle (the trainer is an
+    // iterative driver loop, not a query); BpeSpec pins the merge
+    // semantics and the train/encode agreement, and the output here
+    // is deterministic (total-order argmax) so rows are stable.
+    "t8_bpe" -> ((s, d) => {
+      val merges = bpeMergesShared(s, d)
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeEncode(col("text"), merges).as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // T2: space tokenization + counts per document.
     "t2_token_count" -> ((s, d) => {
       documents(s, d)

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BpeFunctions._
+
+/** BPE trainer + encode kernel semantics, pinned on the classic
+  * Sennrich corpus (low×5, lower×2, newest×6, widest×3) whose merge
+  * sequence is hand-computable: pair counts are per adjacent position
+  * × word frequency, argmax ties break (count DESC, left ASC,
+  * right ASC), words end in a separate `</w>` symbol. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Seq(text).toDF("text")
+  }
+
+  private lazy val merges = bpeTrain(corpus, "text", numMerges = 10)
+
+  test("the classic corpus learns the hand-computed merge sequence") {
+    assert(merges == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"), ("low", "</w>"),
+      ("d", "est</w>")))
+  }
+
+  test("distributed and collected training paths agree exactly") {
+    val dist = bpeTrain(corpus, "text", numMerges = 10, collectVocabMax = 0L)
+    assert(dist == merges)
+  }
+
+  test("training stops early when no pair reaches minPairFreq") {
+    // every word unique, freq 1 → best pair count is 1 < default 2
+    val m = bpeTrain(Seq("ab cd ef").toDF("text"), "text", numMerges = 10)
+    assert(m == Seq.empty)
+  }
+
+  private def encodeOne(word: String): Seq[String] = {
+    Seq(word).toDF("t")
+      .select(bpeEncode(col("t"), merges).as("toks"))
+      .as[Seq[String]].head()
+  }
+
+  test("encoding training words applies the merges exactly") {
+    assert(encodeOne("low") == Seq("low</w>"))
+    assert(encodeOne("lower") == Seq("low", "e", "r", "</w>"))
+    assert(encodeOne("newest") == Seq("newest</w>"))
+    assert(encodeOne("widest") == Seq("w", "i", "dest</w>"))
+  }
+
+  test("an UNSEEN word composes from learned subwords") {
+    // lowest: never in the corpus; merges 1-5 + 3 produce low + est</w>
+    assert(encodeOne("lowest") == Seq("low", "est</w>"))
+  }
+
+  test("whole-text encoding concatenates per-word sequences") {
+    val got = Seq("newest low lower").toDF("t")
+      .select(bpeEncode(col("t"), merges).as("toks"))
+      .as[Seq[String]].head()
+    assert(got == Seq("newest</w>", "low</w>", "low", "e", "r", "</w>"))
+  }
+
+  test("round-trip: stripping </w> and joining reconstructs the text") {
+    val texts = Seq("low lower newest widest lowest",
+      "unrelated words entirely", "x", "")
+    val got = texts.toDF("t")
+      .select(col("t"), bpeEncode(col("t"), merges).as("toks"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (t, toks) =>
+      // reconstruct: </w> closes a word, other tokens accumulate
+      val words = scala.collection.mutable.ArrayBuffer[String]()
+      val sb = new StringBuilder
+      toks.foreach { tok =>
+        if (tok.endsWith("</w>")) {
+          sb.append(tok.dropRight(4)); words += sb.toString; sb.clear()
+        } else sb.append(tok)
+      }
+      if (sb.nonEmpty) words += sb.toString
+      assert(words.mkString(" ") == t, s"round-trip failed for '$t'")
+    }
+  }
+
+  test("empty word encodes to the bare end marker") {
+    assert(encodeOne("") == Seq("</w>"))
+  }
+}
