@@ -42,6 +42,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The encode KERNEL under a full SQL oracle: a fixed merge list
+    // (so the oracle is static SQL) applied by the native kernel on
+    // the Spark side and by an independent formulation in DuckDB — a
+    // chain of replace() calls over a -delimited symbol string,
+    // whose left-to-right non-overlapping replacement IS the greedy
+    // single-merge pass. Tokens ship comma-joined (the comparator
+    // can't hash arrays).
+    "t8b_bpe_fixed" -> ((s, d) => {
+      val merges = Seq("t" -> "a", "ta" -> "b", "e" -> "y", "ey" -> "</w>",
+        "a" -> "g", "ag" -> "g", "agg" -> "</w>", "s" -> "t", "st" -> "</w>")
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.BpeFunctions.bpeEncode(col("text"), merges).as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          array_join(col("__t"), ",").as("tokens"))
+        .orderBy("doc_id")
+    }),
+
     // T2: space tokenization + counts per document.
     "t2_token_count" -> ((s, d) => {
       documents(s, d)
@@ -120,6 +138,41 @@ object TextQueries {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "t8b_bpe_fixed" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ww AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ws)),
+        |    i -> struct_pack(idx := i, wd := ws[CAST(i AS INT)]))) AS t
+        |  FROM w),
+        |seq0 AS (
+        |  SELECT doc_id, t.idx AS idx,
+        |    CASE WHEN t.wd = '' THEN chr(1) || '</w>' || chr(1)
+        |    ELSE chr(1) || array_to_string(
+        |      list_append(string_split(t.wd, ''), '</w>'), chr(1)) || chr(1)
+        |    END AS sq
+        |  FROM ww),
+        |enc AS (
+        |  SELECT doc_id, idx,
+        |   replace(replace(replace(replace(replace(replace(replace(replace(replace(sq,
+        |     chr(1)||'t'||chr(1)||'a'||chr(1), chr(1)||'ta'||chr(1)),
+        |     chr(1)||'ta'||chr(1)||'b'||chr(1), chr(1)||'tab'||chr(1)),
+        |     chr(1)||'e'||chr(1)||'y'||chr(1), chr(1)||'ey'||chr(1)),
+        |     chr(1)||'ey'||chr(1)||'</w>'||chr(1), chr(1)||'ey</w>'||chr(1)),
+        |     chr(1)||'a'||chr(1)||'g'||chr(1), chr(1)||'ag'||chr(1)),
+        |     chr(1)||'ag'||chr(1)||'g'||chr(1), chr(1)||'agg'||chr(1)),
+        |     chr(1)||'agg'||chr(1)||'</w>'||chr(1), chr(1)||'agg</w>'||chr(1)),
+        |     chr(1)||'s'||chr(1)||'t'||chr(1), chr(1)||'st'||chr(1)),
+        |     chr(1)||'st'||chr(1)||'</w>'||chr(1), chr(1)||'st</w>'||chr(1)) AS sq
+        |  FROM seq0),
+        |tk AS (
+        |  SELECT doc_id, idx, string_split(trim(sq, chr(1)), chr(1)) AS toks
+        |  FROM enc)
+        |SELECT doc_id,
+        |  CAST(SUM(len(toks)) AS INT) AS n_tokens,
+        |  string_agg(array_to_string(toks, ','), ',' ORDER BY idx) AS tokens
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t2_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(length(text) AS INT) AS len_chars
