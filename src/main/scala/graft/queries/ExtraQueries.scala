@@ -395,6 +395,45 @@ object ExtraQueries {
         .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
         .agg(count(lit(1)).as("n_copies"))
         .orderBy("o_orderkey")
+    }),
+
+    // KMV distinct-count sketch vs count(DISTINCT): per-priority
+    // distinct ordering customers. k=16384 keeps every gate/bench
+    // scale (sf0.1 ≈ 10k distinct custkeys/priority) in the sketch's
+    // exact regime, so the DuckDB count(DISTINCT) oracle matches
+    // exactly; the estimating regime is pinned by SketchSpec instead.
+    // At 100 TB this replaces the distinct-expand shuffle (every
+    // distinct VALUE shipped per group) with one 128 KB map-side-
+    // combined sketch per group per task.
+    "x31_distinct_sketch" -> ((s, d) => {
+      import graft.expressions.SketchExpressions._
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(kmv_estimate(kmv_sketch(col("o_custkey"), 16384))
+          .as("n_customers"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Two-level sketch rollup: per-nation customer sketches merged up
+    // to per-region estimates WITHOUT re-touching the customer table —
+    // the materialized-summary pattern (persist one 128 KB sketch per
+    // shard/day, answer distinct-count rollups over any union of them
+    // by merging blobs). Merge = sketch-of-union (SketchSpec pins
+    // bit-identical binaries), so the rollup is exact here too.
+    "x31b_sketch_rollup" -> ((s, d) => {
+      import graft.expressions.SketchExpressions._
+      val perNation = customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(kmv_sketch(col("c_custkey"), 16384).as("sk"))
+      perNation
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(kmv_merge(col("sk")).as("sk"))
+        .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), kmv_estimate(col("sk")).as("n_customers"))
+        .orderBy("r_name")
     })
   )
 
@@ -579,6 +618,17 @@ object ExtraQueries {
       """SELECT l_partkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 200
-        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "x31_distinct_sketch" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x31b_sketch_rollup" ->
+      """SELECT r_name,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
   )
 }

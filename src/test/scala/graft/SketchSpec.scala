@@ -31,4 +31,54 @@ class SketchSpec extends AnyFunSuite {
     val frac = below.toDouble / n
     assert(frac > 0.45 && frac < 0.56, s"median=$approxMedian frac=$frac")
   }
+
+  // ---- KMV (bottom-k theta) sketch: graft.expressions.SketchExpressions
+
+  import graft.expressions.SketchExpressions._
+  import spark.implicits._
+
+  test("KMV is exact below k, across duplicates and nulls") {
+    // 500 distinct values, each twice, plus nulls — k=1024 never fills
+    val df = ((0L until 500L) ++ (0L until 500L)).toDF("v")
+      .unionByName(Seq[Option[Long]](None, None).toDF("v"))
+    val est = df.agg(kmv_estimate(kmv_sketch(col("v"), 1024)).as("e"))
+      .head().getLong(0)
+    assert(est == 500L)
+  }
+
+  test("KMV merge of part sketches is bit-identical to the whole-corpus sketch") {
+    val whole = (0L until 3000L).toDF("v").coalesce(1)
+    val parts = (0L until 3000L).map(v => (v % 7, v)).toDF("g", "v")
+    val wholeSk = whole.agg(kmv_sketch(col("v"), 256).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val merged = parts.groupBy("g").agg(kmv_sketch(col("v"), 256).as("sk"))
+      .agg(kmv_merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(wholeSk, merged))
+    // and partition/order-insensitive: a shuffled layout gives the same bytes
+    val shuffled = whole.repartition(13).agg(kmv_sketch(col("v"), 256).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(wholeSk, shuffled))
+  }
+
+  test("KMV estimating regime: 200k distinct at k=1024 within the ~3/sqrt(k) band") {
+    val n = 200000L
+    val est = (0L until n).toDF("v")
+      .agg(kmv_estimate(kmv_sketch(col("v"), 1024)).as("e")).head().getLong(0)
+    assert(est != n, "should be estimating, not exact, above k")
+    val relErr = math.abs(est - n).toDouble / n
+    assert(relErr < 0.10, s"est=$est relErr=$relErr")
+  }
+
+  test("KMV merge adopts the smaller width when sketches disagree on k") {
+    val a = (0L until 5000L).toDF("v").agg(kmv_sketch(col("v"), 256).as("sk"))
+    val b = (2500L until 7500L).toDF("v").agg(kmv_sketch(col("v"), 1024).as("sk"))
+    val merged = a.unionByName(b).agg(kmv_merge(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val k = java.nio.ByteBuffer.wrap(merged).getInt
+    assert(k == 256)
+    // union is 7500 distinct — estimate should land near it, not near 5000
+    val est = a.unionByName(b).agg(kmv_estimate(kmv_merge(col("sk"))).as("e"))
+      .head().getLong(0)
+    assert(math.abs(est - 7500L).toDouble / 7500.0 < 0.25, s"est=$est")
+  }
 }
