@@ -35,8 +35,9 @@ object FastaSource {
       case "fasta" => readFasta(spark, path)
       case "fastq" => readFastq(spark, path)
       case "tab" => readTab(spark, path)
+      case "genbank" | "gb" => readGenBank(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unsupported filetype '$other' (supported: fasta, fastq, tab)")
+        s"unsupported filetype '$other' (supported: fasta, fastq, tab, genbank)")
     }
 
   private def readFasta(spark: SparkSession, path: String): DataFrame = {
@@ -76,6 +77,54 @@ object FastaSource {
         col("__id").as("names"),
         col("__id").as("descriptions"),
         array().cast("array<string>").as("dbxrefs"))
+  }
+
+  /** GenBank flat files (SeqIO filetype "genbank"/"gb",
+    * pipes.py:33-47): records terminate with a `//` line, so the
+    * record boundary distributes with `lineSep = "\n//"` like FASTA's
+    * "\n>" — no whole-file reads. Field extraction follows Biopython's
+    * SeqRecord mapping: `ids` = VERSION's accession.version (falling
+    * back to ACCESSION, then LOCUS), `names` = the LOCUS name,
+    * `descriptions` = the DEFINITION block with continuation lines
+    * unwrapped, `dbxrefs` = the DBLINK entries as "Key:value", and
+    * `sequences` = the ORIGIN block with position numbers and
+    * whitespace stripped (original case kept, as SeqIO does). All
+    * parsing is native regexp expressions — per-record, codegen'd, no
+    * UDF. */
+  private def readGenBank(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", "\n//").text(path)
+    // a keyword block runs from its column-0 keyword to the next
+    // column-0 non-space (keywords are upper-case at column 0;
+    // continuations are indented)
+    def block(kw: String) =
+      regexp_extract(col("rec"), s"(?sm)^$kw\\s+(.*?)\\n(?=\\S)", 1)
+    raw
+      .filter(length(trim(col("value"))) > 0)
+      // drop a leading newline a "\n//"-split leaves on non-first
+      // records, then guarantee a trailing newline so the last block's
+      // (?=\S) lookahead has an anchor even when ORIGIN is absent
+      .select(concat(regexp_replace(col("value"), "^\\n", ""), lit("\n"))
+        .as("rec"))
+      .filter(col("rec").startsWith("LOCUS"))
+      .withColumn("__locus", regexp_extract(col("rec"), "^LOCUS\\s+(\\S+)", 1))
+      .withColumn("__acc",
+        regexp_extract(col("rec"), "(?m)^ACCESSION\\s+(\\S+)", 1))
+      .withColumn("__ver",
+        regexp_extract(col("rec"), "(?m)^VERSION\\s+(\\S+)", 1))
+      .withColumn("__def",
+        regexp_replace(block("DEFINITION"), "\\n\\s+", " "))
+      .withColumn("__dblink", block("DBLINK"))
+      .withColumn("__origin",
+        regexp_extract(col("rec"), "(?sm)^ORIGIN[^\\n]*\\n(.*)$", 1))
+      .select(
+        regexp_replace(col("__origin"), "[\\s0-9]+", "").as("sequences"),
+        coalesce(nullif(col("__ver"), lit("")),
+          nullif(col("__acc"), lit("")), col("__locus")).as("ids"),
+        col("__locus").as("names"),
+        col("__def").as("descriptions"),
+        transform(
+          regexp_extract_all(col("__dblink"), lit("(\\S+:\\s*\\S+)"), lit(1)),
+          x => regexp_replace(x, ":\\s+", ":")).as("dbxrefs"))
   }
 
   private def readFastq(spark: SparkSession, path: String): DataFrame = {

@@ -53,7 +53,7 @@ class FastaSpec extends AnyFunSuite {
       // unknown formats fail loudly (the reference defers to SeqIO's
       // format table; we carry the tested subset)
       intercept[IllegalArgumentException] {
-        FastaSource.read(spark, f.toString, filetype = "genbank")
+        FastaSource.read(spark, f.toString, filetype = "embl")
       }
     } finally {
       java.nio.file.Files.deleteIfExists(f)
@@ -86,6 +86,56 @@ class FastaSpec extends AnyFunSuite {
       try intercept[Exception] {
         FastaSource.read(spark, bad.toString, filetype = "tab").collect()
       } finally java.nio.file.Files.deleteIfExists(bad)
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  test("filetype=genbank parses a multi-record flat file with Biopython's field mapping") {
+    // Two records shaped like the canonical NCBI flat-file layout:
+    // multi-line DEFINITION (continuation unwrapped), VERSION preferred
+    // over ACCESSION for ids, DBLINK → dbxrefs, ORIGIN stripped of
+    // position numbers/whitespace with case kept. Record 2 has no
+    // VERSION (falls back to ACCESSION) and no DBLINK (empty dbxrefs).
+    val gb = Seq(
+      "LOCUS       SYN001                 24 bp    DNA     linear   SYN 01-JAN-2020",
+      "DEFINITION  Synthetic test plasmid alpha, complete",
+      "            sequence.",
+      "ACCESSION   SY000001",
+      "VERSION     SY000001.2",
+      "DBLINK      BioProject: PRJNA0001",
+      "            BioSample: SAMN0002",
+      "KEYWORDS    .",
+      "FEATURES             Location/Qualifiers",
+      "     source          1..24",
+      "                     /organism=\"synthetic construct\"",
+      "ORIGIN      ",
+      "        1 gatcctccat atacaacggt atctcc",
+      "//",
+      "LOCUS       SYN002                  8 bp    DNA     linear   SYN 01-JAN-2020",
+      "DEFINITION  Synthetic fragment beta.",
+      "ACCESSION   SY000002",
+      "ORIGIN",
+      "        1 ACGTacgt",
+      "//").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gb")
+    val f = dir.resolve("recs.gb")
+    java.nio.file.Files.writeString(f, gb + "\n")
+    try {
+      val df = FastaSource.read(spark, f.toString, filetype = "genbank")
+      assert(df.columns.toSet ==
+        Set("sequences", "ids", "names", "descriptions", "dbxrefs"))
+      val rows = df.orderBy("ids").collect().map(r =>
+        (r.getAs[String]("ids"), r.getAs[String]("names"),
+          r.getAs[String]("descriptions"), r.getAs[String]("sequences"),
+          r.getAs[Seq[String]]("dbxrefs")))
+      assert(rows.toSeq == Seq(
+        ("SY000001.2", "SYN001", "Synthetic test plasmid alpha, complete sequence.",
+          "gatcctccatatacaacggtatctcc",
+          Seq("BioProject:PRJNA0001", "BioSample:SAMN0002")),
+        ("SY000002", "SYN002", "Synthetic fragment beta.",
+          "ACGTacgt", Seq.empty)))
     } finally {
       java.nio.file.Files.deleteIfExists(f)
       java.nio.file.Files.deleteIfExists(dir)

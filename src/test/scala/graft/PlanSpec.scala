@@ -302,6 +302,23 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("x31 sketch aggregate partially aggregates map-side (no distinct-expand shuffle)") {
+    val p = plan("x31_distinct_sketch")
+    // the KMV aggregate combines before the exchange — the whole point
+    // vs count(DISTINCT), whose first exchange ships every distinct value
+    assert(p.contains("partial_kmv_sketch"), p.take(1500))
+    // one grouping exchange, not the distinct-expand double shuffle
+    assert("Exchange hashpartitioning\\(o_orderpriority".r.findAllIn(p).size == 1,
+      p.take(1500))
+  }
+
+  test("x31b sketch rollup broadcasts dims and merges sketches partially") {
+    val p = plan("x31b_sketch_rollup")
+    assert(p.contains("partial_kmv_merge"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
