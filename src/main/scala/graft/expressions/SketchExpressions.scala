@@ -202,6 +202,72 @@ object SketchExpressions {
       copy(child = c)
   }
 
+  private def parse(bytes: Array[Byte]): (Int, Array[Long]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val k = bb.getInt
+    val n = bb.getInt
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = bb.getLong; i += 1 }
+    (k, hs)
+  }
+
+  /** Scalar pairwise union: same result (bit-identical) as aggregating
+    * the two sketches through kmv_merge. */
+  case class KmvUnion(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def prettyName: String = "kmv_union"
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (ka, ha) = parse(a.asInstanceOf[Array[Byte]])
+      val (kb, hb) = parse(b.asInstanceOf[Array[Byte]])
+      val buf = new KmvBuffer(math.min(ka, kb))
+      var i = 0
+      while (i < ha.length) { buf.insert(ha(i)); i += 1 }
+      i = 0
+      while (i < hb.length) { buf.insert(hb(i)); i += 1 }
+      writeBuffer(buf)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvUnion =
+      copy(left = l, right = r)
+  }
+
+  /** Scalar theta-style intersection-size estimate of two sketches.
+    * Both sketches retain every hash below their threshold θ (= 1.0
+    * while not full, else the k-th minimum as a fraction of hash
+    * space), so hashes common to both below θ = min(θa, θb) are a
+    * uniform sample of the intersection at rate θ: estimate =
+    * |common < θ| / θ. When NEITHER sketch ever filled, θ = 1 and the
+    * count is the EXACT intersection cardinality — the regime the x32
+    * oracle runs in. The merge walk over the two sorted arrays is
+    * O(|a| + |b|), no allocation. */
+  case class KmvIntersect(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def prettyName: String = "kmv_intersect"
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (ka, ha) = parse(a.asInstanceOf[Array[Byte]])
+      val (kb, hb) = parse(b.asInstanceOf[Array[Byte]])
+      // θ as the k-th smallest (sorted ascending: last kept) when full
+      val thetaA = if (ha.length >= ka) toUnit(ha(ha.length - 1)) else 1.0
+      val thetaB = if (hb.length >= kb) toUnit(hb(hb.length - 1)) else 1.0
+      val theta = math.min(thetaA, thetaB)
+      var i = 0; var j = 0; var common = 0L
+      while (i < ha.length && j < hb.length) {
+        val c = java.lang.Long.compareUnsigned(ha(i), hb(j))
+        if (c == 0) {
+          if (toUnit(ha(i)) < theta || theta == 1.0) common += 1
+          i += 1; j += 1
+        } else if (c < 0) i += 1 else j += 1
+      }
+      if (theta == 1.0) common else math.rint(common / theta).toLong
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvIntersect =
+      copy(left = l, right = r)
+  }
+
   def kmv_sketch(col: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketchAgg(ColumnBridge.expression(col), k).toAggregateExpression())
@@ -212,4 +278,12 @@ object SketchExpressions {
 
   def kmv_estimate(sketch: Column): Column =
     ColumnBridge.column(KmvEstimate(ColumnBridge.expression(sketch)))
+
+  def kmv_union(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      KmvUnion(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def kmv_intersect(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      KmvIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

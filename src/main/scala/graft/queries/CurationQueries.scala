@@ -81,6 +81,30 @@ object CurationQueries {
       vocabCoverage(documents(s, d), "text",
         minCounts = Seq(30L, 900L, 100000L))
         .orderBy("min_count")
+    }),
+
+    // Cross-source vocabulary overlap from KMV sketches alone: one
+    // bounded sketch per source, then pairwise intersect/union
+    // estimates — at 100 TB this answers "how much do two shards/
+    // sources/crawls overlap" from S × 128 KB of persisted sketches
+    // with NO value shuffle and no token-level join. The per-source
+    // vocabularies sit far below k=16384 at every tested SF, so the
+    // theta-intersection runs in its exact regime and the DuckDB
+    // token-join oracle matches exactly (SketchSpec pins the
+    // estimating regime).
+    "x32_source_overlap" -> ((s, d) => {
+      import graft.expressions.SketchExpressions._
+      val sk = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source")
+        .agg(kmv_sketch(col("t"), 16384).as("sk"))
+      val a = sk.select(col("source").as("sa"), col("sk").as("ska"))
+      val b = sk.select(col("source").as("sb"), col("sk").as("skb"))
+      a.join(b, col("sa") < col("sb"))
+        .select(col("sa"), col("sb"),
+          kmv_intersect(col("ska"), col("skb")).as("n_common"),
+          kmv_estimate(kmv_union(col("ska"), col("skb"))).as("n_union"))
+        .orderBy("sa", "sb")
     })
   )
 
@@ -247,6 +271,27 @@ object CurationQueries {
         |    AS covered_tokens,
         |  round(CAST(SUM(CASE WHEN c >= min_count THEN c ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(c) AS DOUBLE), 6) AS coverage
-        |FROM wc CROSS JOIN f GROUP BY 1 ORDER BY min_count""".stripMargin
+        |FROM wc CROSS JOIN f GROUP BY 1 ORDER BY min_count""".stripMargin,
+    "x32_source_overlap" ->
+      """WITH src AS (SELECT DISTINCT source FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |card AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+        |common AS (
+        |  SELECT x.source AS sa, y.source AS sb, COUNT(*) AS c
+        |  FROM tok x JOIN tok y ON x.t = y.t AND x.source < y.source
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM src a JOIN src b ON a.source < b.source)
+        |SELECT p.sa, p.sb,
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common,
+        |  CAST(ca.n + cb.n - COALESCE(c.c, 0) AS BIGINT) AS n_union
+        |FROM pairs p
+        |LEFT JOIN common c ON p.sa = c.sa AND p.sb = c.sb
+        |JOIN card ca ON ca.source = p.sa
+        |JOIN card cb ON cb.source = p.sb
+        |ORDER BY p.sa, p.sb""".stripMargin
   )
 }

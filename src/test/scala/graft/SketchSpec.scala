@@ -69,6 +69,32 @@ class SketchSpec extends AnyFunSuite {
     assert(relErr < 0.10, s"est=$est relErr=$relErr")
   }
 
+  test("KMV intersect/union scalars: exact regime and merge equivalence") {
+    val a = (0L until 600L).toDF("v").agg(kmv_sketch(col("v"), 1024).as("ska"))
+    val b = (400L until 1000L).toDF("v").agg(kmv_sketch(col("v"), 1024).as("skb"))
+    val row = a.crossJoin(b).select(
+      kmv_intersect(col("ska"), col("skb")).as("common"),
+      kmv_estimate(kmv_union(col("ska"), col("skb"))).as("union"),
+      kmv_union(col("ska"), col("skb")).as("u_scalar")).head()
+    // neither sketch filled → θ = 1 → exact: |[400,600)| and |[0,1000)|
+    assert(row.getAs[Long]("common") == 200L)
+    assert(row.getAs[Long]("union") == 1000L)
+    // the scalar union is bit-identical to aggregating both through kmv_merge
+    val merged = a.select(col("ska").as("sk"))
+      .unionByName(b.select(col("skb").as("sk")))
+      .agg(kmv_merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("u_scalar"), merged))
+  }
+
+  test("KMV intersect estimating regime: 50k-overlap of two 100k sets at k=1024") {
+    val a = (0L until 100000L).toDF("v").agg(kmv_sketch(col("v"), 1024).as("ska"))
+    val b = (50000L until 150000L).toDF("v").agg(kmv_sketch(col("v"), 1024).as("skb"))
+    val est = a.crossJoin(b)
+      .select(kmv_intersect(col("ska"), col("skb")).as("c")).head().getAs[Long]("c")
+    val relErr = math.abs(est - 50000L).toDouble / 50000.0
+    assert(relErr < 0.20, s"est=$est relErr=$relErr")
+  }
+
   test("KMV merge adopts the smaller width when sketches disagree on k") {
     val a = (0L until 5000L).toDF("v").agg(kmv_sketch(col("v"), 256).as("sk"))
     val b = (2500L until 7500L).toDF("v").agg(kmv_sketch(col("v"), 1024).as("sk"))
