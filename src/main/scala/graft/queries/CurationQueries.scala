@@ -105,6 +105,40 @@ object CurationQueries {
           kmv_intersect(col("ska"), col("skb")).as("n_common"),
           kmv_estimate(kmv_union(col("ska"), col("skb"))).as("n_union"))
         .orderBy("sa", "sb")
+    }),
+
+    // Per-source frequent tokens from a Misra-Gries sketch: bounded
+    // counters per group instead of a full (source, token) count
+    // shuffle. capacity=4096 ≫ the corpus vocabulary, so no decrement
+    // ever fires and the counts are exact — the DuckDB oracle is a
+    // plain count + rank. Tie-break (count DESC, token ASC) is total
+    // on both sides.
+    "x33_frequent_tokens" -> ((s, d) => {
+      import graft.expressions.FreqSketchExpressions._
+      documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source")
+        .agg(mg_sketch(col("t"), 4096).as("sk"))
+        .select(col("source"), explode(mg_topk(col("sk"), 5)).as("e"))
+        .select(col("source"), col("e.item").as("token"),
+          col("e.count").as("n"))
+        .orderBy(col("source"), col("n").desc, col("token"))
+    }),
+
+    // Two-level frequency rollup: the per-source sketches merge to a
+    // global top-10 WITHOUT re-touching the corpus (same
+    // materialized-summary pattern as x31b) — per-shard frequent-item
+    // blobs are what a 1000-shard corpus report reads.
+    "x33b_frequent_rollup" -> ((s, d) => {
+      import graft.expressions.FreqSketchExpressions._
+      documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source")
+        .agg(mg_sketch(col("t"), 4096).as("sk"))
+        .agg(mg_merge(col("sk")).as("sk"))
+        .select(explode(mg_topk(col("sk"), 10)).as("e"))
+        .select(col("e.item").as("token"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("token"))
     })
   )
 
@@ -292,6 +326,28 @@ object CurationQueries {
         |LEFT JOIN common c ON p.sa = c.sa AND p.sb = c.sb
         |JOIN card ca ON ca.source = p.sa
         |JOIN card cb ON cb.source = p.sb
-        |ORDER BY p.sa, p.sb""".stripMargin
+        |ORDER BY p.sa, p.sb""".stripMargin,
+    "x33_frequent_tokens" ->
+      """WITH tc AS (
+        |  SELECT source, t, COUNT(*) AS n
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, t, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, t ASC) AS rk
+        |  FROM tc)
+        |SELECT source, t AS token, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rk <= 5 ORDER BY source, n DESC, token""".stripMargin,
+    "x33b_frequent_rollup" ->
+      """WITH tc AS (
+        |  SELECT t, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT t, n, row_number() OVER (ORDER BY n DESC, t ASC) AS rk
+        |  FROM tc)
+        |SELECT t AS token, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rk <= 10 ORDER BY n DESC, token""".stripMargin
   )
 }
