@@ -70,7 +70,7 @@ object SketchExpressions {
   /** Wire/eval format: int32 k, int32 n, then n int64 hashes in
     * ascending unsigned order. The aggregate's eval emits the same
     * bytes serialize does, so kmv_merge consumes either. */
-  private def writeBuffer(buf: KmvBuffer): Array[Byte] = {
+  private[graft] def writeBuffer(buf: KmvBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + 8 * buf.set.size)
     bb.putInt(buf.k)
     bb.putInt(buf.set.size)
@@ -79,7 +79,7 @@ object SketchExpressions {
     bb.array()
   }
 
-  private def readInto(bytes: Array[Byte], into: KmvBuffer): Unit = {
+  private[graft] def readInto(bytes: Array[Byte], into: KmvBuffer): Unit = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val n = bb.getInt
@@ -93,9 +93,16 @@ object SketchExpressions {
     (if (h < 0) d + TWO64 else d) / TWO64
   }
 
+  /** Hash a JVM string exactly as the aggregate hashes a StringType
+    * value — the streaming state op (StreamOps.streamDistinctCounts)
+    * must produce sketches interchangeable with batch ones. */
+  private[graft] def hashString(s: String): Long =
+    XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, SEED)
+
   /** (k-1)/u(k) when full, exact n below k; deterministic for a given
     * input multiset. */
-  private def estimate(bytes: Array[Byte]): Long = {
+  private[graft] def estimate(bytes: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val n = bb.getInt

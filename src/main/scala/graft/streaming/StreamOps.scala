@@ -318,6 +318,47 @@ object StreamOps {
       }
   }
 
+  /** Streaming distinct-count per group via the KMV sketch
+    * (SketchExpressions) — the streaming twin of the x31 batch
+    * aggregate, and the bounded-state analogue of
+    * `groupBy(g).agg(countDistinct(v))`, whose streaming form keeps
+    * every distinct VALUE in state. State per group is the serialized
+    * sketch: ≤ 8 + 8k bytes at ANY stream length. After each
+    * micro-batch the group emits (group, estimate): exact while its
+    * cumulative distinct count stays below k, (k-1)/u(k) beyond —
+    * and the state blob is byte-compatible with batch `kmv_sketch`
+    * output (same hash, same wire format), so a bootstrap from a
+    * batch-built sketch or a downstream `kmv_merge` over mixed
+    * batch/stream sketches is well-defined. Arrival order never
+    * matters (KMV insert is order-insensitive), so emissions are
+    * deterministic given the same batch boundaries with no in-batch
+    * sorting needed. OutputMode.Update sinks apply. */
+  def streamDistinctCounts(events: DataFrame, groupCol: String,
+                           valueCol: String, k: Int)
+  : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import graft.expressions.SketchExpressions
+    val session = events.sparkSession
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = events
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("string").as("__v"))
+      .as[(String, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (group, it, state: GroupState[Array[Byte]]) =>
+          val buf = new SketchExpressions.KmvBuffer(k)
+          state.getOption.foreach(SketchExpressions.readInto(_, buf))
+          it.foreach { case (_, v) =>
+            if (v != null) buf.insert(SketchExpressions.hashString(v))
+          }
+          val bytes = SketchExpressions.writeBuffer(buf)
+          state.update(bytes)
+          (group, SketchExpressions.estimate(bytes))
+      }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq

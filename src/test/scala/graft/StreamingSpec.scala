@@ -421,4 +421,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamDistinctCounts: cumulative across batches, exact below k, batch-compatible state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.StreamOps.streamDistinctCounts(
+      mem.toDF().toDF("site", "user"), "site", "user", k = 64)
+    val q = out.toDF("site", "n_distinct").writeStream
+      .outputMode(OutputMode.Update()).format("memory")
+      .queryName("dc_out").start()
+    try {
+      // batch 1: site s has users u0..u9 (with repeats), site t has u0..u4
+      mem.addData(
+        (0 until 10).map(i => ("s", s"u$i")) ++
+          (0 until 10).map(i => ("s", s"u${i % 10}")) ++
+          (0 until 5).map(i => ("t", s"u$i")): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("dc_out").as[(String, Long)].collect().toSet
+      assert(b1 == Set(("s", 10L), ("t", 5L)))
+      // batch 2: 5 repeats + 5 new for s -> cumulative 15, not 10 or 20
+      mem.addData((5 until 15).map(i => ("s", s"u$i")): _*)
+      q.processAllAvailable()
+      val all = spark.table("dc_out").as[(String, Long)].collect().toSet
+      assert(all.contains(("s", 15L)), s"got $all")
+      // the streaming sketch is byte-compatible with the batch aggregate:
+      // hashing the same 15 distinct values through the batch kmv_sketch
+      // gives the same estimate
+      import org.apache.spark.sql.functions.col
+      import graft.expressions.SketchExpressions._
+      val batchEst = (0 until 15).map(i => s"u$i").toDF("v")
+        .agg(kmv_estimate(kmv_sketch(col("v"), 64)).as("e"))
+        .head().getLong(0)
+      assert(batchEst == 15L)
+    } finally q.stop()
+  }
+
 }
