@@ -106,6 +106,42 @@ object GraftExtensions {
           s"got ${exprs.length} — e.g. bounded_topk(struct(-score, id), struct(id, score), 5)")
       BoundedTopK(exprs.head, exprs(1),
         intArg(exprs(2), "bounded_topk")).toAggregateExpression()
+    }),
+    // the mergeable-sketch family (SketchExpressions / FreqSketch-
+    // Expressions): distinct-count, set overlap, frequent items
+    "kmv_sketch" -> (exprs => {
+      arity(exprs, "kmv_sketch", 2, 2, "kmv_sketch(user_id, 16384)")
+      SketchExpressions.KmvSketchAgg(exprs.head,
+        intArg(exprs(1), "kmv_sketch")).toAggregateExpression()
+    }),
+    "kmv_merge" -> (exprs => {
+      arity(exprs, "kmv_merge", 1, 1, "kmv_merge(sketch)")
+      SketchExpressions.KmvMergeAgg(exprs.head).toAggregateExpression()
+    }),
+    "kmv_estimate" -> (exprs => {
+      arity(exprs, "kmv_estimate", 1, 1, "kmv_estimate(sketch)")
+      SketchExpressions.KmvEstimate(exprs.head)
+    }),
+    "kmv_union" -> (exprs => {
+      arity(exprs, "kmv_union", 2, 2, "kmv_union(sketch_a, sketch_b)")
+      SketchExpressions.KmvUnion(exprs.head, exprs(1))
+    }),
+    "kmv_intersect" -> (exprs => {
+      arity(exprs, "kmv_intersect", 2, 2, "kmv_intersect(sketch_a, sketch_b)")
+      SketchExpressions.KmvIntersect(exprs.head, exprs(1))
+    }),
+    "mg_sketch" -> (exprs => {
+      arity(exprs, "mg_sketch", 2, 2, "mg_sketch(token, 4096)")
+      FreqSketchExpressions.MgSketchAgg(exprs.head,
+        intArg(exprs(1), "mg_sketch")).toAggregateExpression()
+    }),
+    "mg_merge" -> (exprs => {
+      arity(exprs, "mg_merge", 1, 1, "mg_merge(sketch)")
+      FreqSketchExpressions.MgMergeAgg(exprs.head).toAggregateExpression()
+    }),
+    "mg_topk" -> (exprs => {
+      arity(exprs, "mg_topk", 2, 2, "mg_topk(sketch, 10)")
+      FreqSketchExpressions.MgTopK(exprs.head, intArg(exprs(1), "mg_topk"))
     })
   )
 

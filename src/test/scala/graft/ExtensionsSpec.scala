@@ -65,4 +65,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("bounded_topk expects exactly 3 arguments")),
       s"got: ${messages(e)}")
   }
+
+  test("sketch family is reachable from SQL (distinct counts, overlap, frequent items)") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    (0L until 300L).map(v => (v % 3, v)).toDF("g", "v")
+      .createOrReplaceTempView("__sk_sql")
+    // per-group sketches (100 distinct each), merged rollup = 300 —
+    // k=512 keeps every sketch and the merge in the exact regime
+    val row = spark.sql(
+      """WITH per AS (
+        |  SELECT g, kmv_sketch(v, 512) AS sk FROM __sk_sql GROUP BY g)
+        |SELECT kmv_estimate(kmv_merge(sk)) AS total FROM per""".stripMargin)
+      .head()
+    assert(row.getAs[Long]("total") == 300L)
+    val overlap = spark.sql(
+      """SELECT kmv_intersect(a.sk, b.sk) AS c,
+        |  kmv_estimate(kmv_union(a.sk, b.sk)) AS u
+        |FROM (SELECT kmv_sketch(v, 512) AS sk FROM __sk_sql WHERE v < 200) a
+        |CROSS JOIN (SELECT kmv_sketch(v, 512) AS sk FROM __sk_sql WHERE v >= 100) b
+        |""".stripMargin).head()
+    assert(overlap.getAs[Long]("c") == 100L && overlap.getAs[Long]("u") == 300L)
+    val freq = spark.sql(
+      """SELECT mg_topk(mg_merge(sk), 1)[0].item AS item,
+        |  mg_topk(mg_merge(sk), 1)[0].count AS n
+        |FROM (SELECT g, mg_sketch(CAST(v % 5 AS STRING), 16) AS sk
+        |      FROM __sk_sql GROUP BY g) t""".stripMargin).head()
+    assert(freq.getAs[String]("item") == "0" && freq.getAs[Long]("n") == 60L)
+  }
 }
