@@ -117,4 +117,92 @@ object MediaExpressions {
 
   def media_header(payload: Column): Column =
     ColumnBridge.column(MediaHeader(ColumnBridge.expression(payload)))
+
+  /** Average-hash (aHash) of an uncompressed 24-bpp BMP payload: the
+    * image is box-downsampled to an 8×8 luma grid and each cell
+    * contributes one bit — 1 iff its mean luma exceeds the whole-image
+    * mean. Perceptually similar images differ in few bits, so hamming
+    * distance over the 64-bit hash is the image near-dup measure (the
+    * SimHash discipline applied to pixels), and the byte-banding
+    * pigeonhole (8 bands ⇒ any pair at hamming ≤ 7 shares a band)
+    * gives the candidate-generation path at scale.
+    *
+    * All-integer and branch-exact: luma = r+g+b (no weights, no
+    * division), the cell/global mean comparison cross-multiplies
+    * (cellSum·totN > totSum·cellN), cells take floor boundaries
+    * (cx·w/8 … (cx+1)·w/8), bit p = (cellY·8+cellX) lands at hash bit
+    * (63−p). The x34 oracle replicates the arithmetic bit-for-bit in
+    * SQL on 8×8 inputs (where the downsample is the identity).
+    *
+    * Returns NULL for anything that is not a complete uncompressed
+    * 24-bpp BMP of at least 8×8 (or larger than 2²⁶ pixels — the
+    * cross-multiply overflow guard). Negative BMP heights (top-down
+    * row order) are handled. Work is O(pixels), one pass, no
+    * allocation beyond the 64-cell accumulators. */
+  def ahash64(b: Array[Byte]): Any = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = leInt(b, 10)
+    val w = leInt(b, 18)
+    val hRaw = leInt(b, 22)
+    val bpp = leShort(b, 28)
+    val comp = leInt(b, 30)
+    val h = math.abs(hRaw)
+    if (bpp != 24 || comp != 0 || w < 8 || h < 8) return null
+    if (w.toLong * h > (1L << 26)) return null
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length) return null
+    val topDown = hRaw < 0
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var totSum = 0L
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = dataOff + srcRow * rowSize
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val off = base + x * 3
+        val g = (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+        val cell = cy * 8 + (x.toLong * 8 / w).toInt
+        cellSum(cell) += g
+        cellN(cell) += 1
+        totSum += g
+        x += 1
+      }
+      y += 1
+    }
+    val totN = w.toLong * h
+    var hash = 0L
+    var p = 0
+    while (p < 64) {
+      if (cellSum(p) * totN > totSum * cellN(p)) hash |= 1L << (63 - p)
+      p += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  case class ImageAHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_ahash64"
+
+    override def nullSafeEval(input: Any): Any =
+      ahash64(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        Object r = graft.expressions.MediaExpressions.ahash64($b);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) r).longValue(); }""")
+
+    override protected def withNewChildInternal(c: Expression): ImageAHash64 =
+      copy(child = c)
+  }
+
+  def image_ahash64(payload: Column): Column =
+    ColumnBridge.column(ImageAHash64(ColumnBridge.expression(payload)))
 }

@@ -167,4 +167,37 @@ object MultimodalFunctions {
       .withColumn("frame",
         col(payloadCol).substr(col("frame_no") * lit(frameBytes * stride) + 1, lit(frameBytes)))
       .drop(payloadCol)
+
+  /** Image near-duplicate pairs by average-hash hamming distance: the
+    * SimHash dedup recipe applied to pixels. Each decodable BMP payload
+    * gets its 64-bit aHash (MediaExpressions.image_ahash64, real pixel
+    * decode); hashes band into 8 bytes; pairs sharing any band are
+    * candidates (pigeonhole: hamming ≤ 7 ⇒ at least one of 8 bytes
+    * equal, so recall is COMPLETE for `maxHamming` ≤ 7); candidates
+    * verify with a native `bit_count(xor)` popcount. Candidate volume
+    * ∝ band-bucket occupancy (near-dup groups), never corpus² —
+    * undecodable payloads drop out before banding. Returns
+    * (a, b, hamming) with a < b, one row per pair. */
+  def ahashNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
+                          maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"byte-banding covers hamming <= 7 completely, got $maxHamming " +
+        "(raise bands, not the threshold, for looser matches)")
+    val hashed = df.select(col(idCol).cast("long").as("__id"),
+        graft.expressions.MediaExpressions.image_ahash64(col(payloadCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+    val banded = hashed
+      .withColumn("__b", explode(sequence(lit(0), lit(7))))
+      .withColumn("__bv", expr("shiftright(__h, (7 - __b) * 8) & 255"))
+    val a = banded.select(col("__b"), col("__bv"),
+      col("__id").as("a"), col("__h").as("__ha"))
+    val bb = banded.select(col("__b"), col("__bv"),
+      col("__id").as("b"), col("__h").as("__hb"))
+    a.join(bb, Seq("__b", "__bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(__ha ^ __hb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -280,6 +280,27 @@ object TextAnalysisQueries {
           embeddings(s, d), "vec_id", "embedding",
           hybridQueries, k = 10)
         .orderBy("qid", "rank")
+    }),
+
+    // Image average-hash over REAL pixel decode: each doc gets a
+    // synthesized 8×8 24-bpp BMP whose 192 pixel bytes derive from
+    // doc_id ((doc_id·7 + idx·13) mod 256), the native kernel
+    // box-downsamples (identity at 8×8) and thresholds integer luma
+    // sums against the global mean — and the oracle replicates the
+    // bit arithmetic in SQL without parsing a byte, so equality proves
+    // the pixel walk (row order, BGR offsets, bit packing) exactly.
+    "x34_image_ahash" -> ((s, d) => {
+      val hdrHex = "424DF600000000000000360000002800000008000000" +
+        "080000000100180000000000C0000000" + "00" * 16
+      val pixels = concat_ws("", transform(sequence(lit(0), lit(191)),
+        i => lpad(hex((col("doc_id") * 7 + i * 13) % 256), 2, "0")))
+      documents(s, d)
+        .select(col("doc_id"),
+          unhex(concat(lit(hdrHex), pixels)).as("payload"))
+        .select(col("doc_id"),
+          lpad(hex(graft.expressions.MediaExpressions.image_ahash64(
+            col("payload"))), 16, "0").as("ahash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -674,6 +695,29 @@ object TextAnalysisQueries {
         |SELECT qid, CAST(rnk AS INT) AS rank, doc_id,
         |  round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS rrf,
         |  CAST(lex_rank AS INT) AS lex_rank, CAST(dense_rank AS INT) AS dense_rank
-        |FROM frk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin
+        |FROM frk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
+    // ahash bit p (p = cellY*8+cellX, top-down grid) reads BMP pixel
+    // bytes bottom-up: source row = 7 - p//8, byte idx = row*24 + x*3;
+    // luma = sum of 3 channel bytes; bit = 64*g > total (the kernel's
+    // cross-multiplied mean compare at cellN=1, totN=64); byte k packs
+    // bits 8k..8k+7 MSB-first — hex-concatenated to the kernel's
+    // lpad(hex(hash),16,'0').
+    "x34_image_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id, p,
+        |    ((doc_id*7 + ((7 - p//8)*24 + (p%8)*3    )*13) % 256)
+        |  + ((doc_id*7 + ((7 - p//8)*24 + (p%8)*3 + 1)*13) % 256)
+        |  + ((doc_id*7 + ((7 - p//8)*24 + (p%8)*3 + 2)*13) % 256) AS g
+        |  FROM documents CROSS JOIN unnest(generate_series(0, 63)) AS t(p)),
+        |s AS (SELECT doc_id, CAST(SUM(g) AS BIGINT) AS tot FROM px GROUP BY doc_id),
+        |b AS (SELECT px.doc_id, p, CASE WHEN 64*g > tot THEN 1 ELSE 0 END AS bit
+        |      FROM px JOIN s ON px.doc_id = s.doc_id),
+        |bytes AS (
+        |  SELECT doc_id, p // 8 AS k,
+        |    CAST(SUM(bit * (1 << (7 - (p % 8)))) AS BIGINT) AS byte
+        |  FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(lpad(upper(to_hex(byte)), 2, '0'), '' ORDER BY k) AS ahash
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

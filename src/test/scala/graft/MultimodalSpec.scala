@@ -132,4 +132,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 0.0)) && out(3L) == ((0L, 0L, 0.0)))
     assert(out(1L)._1 == 3L && out(1L)._2 == 3L)
   }
+
+  // ---- image average-hash (MediaExpressions.image_ahash64) ----
+
+  /** Grayscale uncompressed 24-bpp BMP from a (x, yTop) → luma byte
+    * function, bottom-up rows by default, top-down when `topDown`. */
+  private def bmp(w: Int, h: Int, topDown: Boolean = false)
+                 (lum: (Int, Int) => Int): Array[Byte] = {
+    def putLE(d: Array[Byte], off: Int, v: Int): Unit = {
+      d(off) = v.toByte; d(off + 1) = (v >> 8).toByte
+      d(off + 2) = (v >> 16).toByte; d(off + 3) = (v >> 24).toByte
+    }
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val d = new Array[Byte](54 + rowSize * h)
+    d(0) = 'B'; d(1) = 'M'
+    putLE(d, 2, d.length); putLE(d, 10, 54); putLE(d, 14, 40)
+    putLE(d, 18, w); putLE(d, 22, if (topDown) -h else h)
+    d(26) = 1; d(28) = 24
+    for (yTop <- 0 until h; x <- 0 until w) {
+      val v = lum(x, yTop).toByte
+      val srcRow = if (topDown) yTop else h - 1 - yTop
+      val off = 54 + srcRow * rowSize + x * 3
+      d(off) = v; d(off + 1) = v; d(off + 2) = v
+    }
+    d
+  }
+
+  test("image_ahash64: checkerboard bits, upscale invariance, row-order equivalence, null cases") {
+    import graft.expressions.MediaExpressions
+    val checker8 = bmp(8, 8)((x, y) => if ((x + y) % 2 == 0) 255 else 0)
+    // even rows 10101010 = 0xAA, odd rows 01010101 = 0x55, MSB-first
+    assert(MediaExpressions.ahash64(checker8) == 0xAA55AA55AA55AA55L)
+    // a 2x-upscaled checkerboard box-downsamples to the same grid
+    val checker16 = bmp(16, 16)((x, y) => if ((x / 2 + y / 2) % 2 == 0) 255 else 0)
+    assert(MediaExpressions.ahash64(checker16) == 0xAA55AA55AA55AA55L)
+    // identical logical image, bottom-up vs top-down storage
+    val grad = (x: Int, y: Int) => (x * 20 + y * 11) % 256
+    assert(MediaExpressions.ahash64(bmp(12, 9)(grad)) ==
+      MediaExpressions.ahash64(bmp(12, 9, topDown = true)(grad)))
+    // not a BMP / too small / wrong depth → null
+    assert(MediaExpressions.ahash64("not an image".getBytes) == null)
+    assert(MediaExpressions.ahash64(bmp(7, 8)((_, _) => 0)) == null)
+    val bad = bmp(8, 8)((_, _) => 0); bad(28) = 8 // 8-bpp
+    assert(MediaExpressions.ahash64(bad) == null)
+    // expression path (codegen) agrees with the driver-side call
+    val viaExpr = Seq(checker8).toDF("p")
+      .select(MediaExpressions.image_ahash64(col("p")).as("h")).head().getLong(0)
+    assert(viaExpr == 0xAA55AA55AA55AA55L)
+    val viaExprNull = Seq("nope".getBytes).toDF("p")
+      .select(MediaExpressions.image_ahash64(col("p")).as("h")).head()
+    assert(viaExprNull.isNullAt(0))
+  }
+
+  test("ahashNearDuplicates: perturbed copy found, inverted image rejected, raw payloads skipped") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(32, 32)(rnd.nextInt(256))
+    val img1 = bmp(32, 32)((x, y) => base(y)(x))
+    // tiny perturbation: a few pixels nudged — hamming stays small
+    val img2 = bmp(32, 32)((x, y) =>
+      if (x < 2 && y < 2) math.min(255, base(y)(x) + 3) else base(y)(x))
+    val img3 = bmp(32, 32)((x, y) => 255 - base(y)(x)) // complement: far
+    val df = Seq((1L, img1), (2L, img2), (3L, img3),
+      (4L, "just text".getBytes)).toDF("doc_id", "payload")
+    val pairs = graft.functions.MultimodalFunctions
+      .ahashNearDuplicates(df, "doc_id", "payload", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 7),
+      s"perturbed pair missing: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"complement image paired: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
