@@ -205,4 +205,91 @@ object MediaExpressions {
 
   def image_ahash64(payload: Column): Column =
     ColumnBridge.column(ImageAHash64(ColumnBridge.expression(payload)))
+
+  /** Energy-contour hash of a PCM WAV payload — the audio twin of
+    * [[ahash64]]: the 16-bit sample stream splits into 64 equal
+    * windows (floor boundaries) and each window contributes one bit,
+    * 1 iff its mean |sample| exceeds the whole-stream mean
+    * (cross-multiplied, all-integer — windowSum·N > totSum·windowN).
+    * Bit w lands at hash bit (63−w). Perceptually similar clips
+    * (same loudness envelope) differ in few bits, so the hash feeds
+    * the same hamming-banding near-dup path as images.
+    *
+    * Accepts RIFF/WAVE with a PCM (format 1) 16-bit fmt chunk,
+    * walking the chunk list to the `data` chunk (chunks are
+    * word-aligned per the RIFF spec). Channels are not unmixed —
+    * interleaved samples all feed the envelope, which is
+    * channel-count-invariant for the mean compare. NULL for
+    * non-WAV / non-PCM / non-16-bit / fewer than 64 samples (or more
+    * than 2²⁶ — overflow guard). */
+  def audioHash64(b: Array[Byte]): Any = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    // chunk walk: fmt must say PCM 16-bit; data carries the samples
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    var i = 12
+    while (i + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val len = leInt(b, i + 4)
+      if (len < 0) return null
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (i + 8 + 16 > b.length) return null
+        fmtOk = leShort(b, i + 8) == 1 && leShort(b, i + 8 + 14) == 16
+      } else if (b(i) == 'd' && b(i + 1) == 'a' &&
+        b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = len
+      }
+      i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return null
+    val n = math.min(dataLen, b.length - dataOff) / 2
+    if (n < 64 || n > (1 << 26)) return null
+    val winSum = new Array[Long](64)
+    val winN = new Array[Long](64)
+    var totSum = 0L
+    var s = 0
+    while (s < n) {
+      val off = dataOff + 2 * s
+      val v = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+      val a = math.abs(v).toLong // abs(-32768) = 32768, exact in Int→Long
+      val w = (s.toLong * 64 / n).toInt
+      winSum(w) += a
+      winN(w) += 1
+      totSum += a
+      s += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (winSum(w) * n > totSum * winN(w)) hash |= 1L << (63 - w)
+      w += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  case class AudioHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "audio_hash64"
+
+    override def nullSafeEval(input: Any): Any =
+      audioHash64(input.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        Object r = graft.expressions.MediaExpressions.audioHash64($b);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = ((java.lang.Long) r).longValue(); }""")
+
+    override protected def withNewChildInternal(c: Expression): AudioHash64 =
+      copy(child = c)
+  }
+
+  def audio_hash64(payload: Column): Column =
+    ColumnBridge.column(AudioHash64(ColumnBridge.expression(payload)))
 }

@@ -301,6 +301,29 @@ object TextAnalysisQueries {
           lpad(hex(graft.expressions.MediaExpressions.image_ahash64(
             col("payload"))), 16, "0").as("ahash"))
         .orderBy("doc_id")
+    }),
+
+    // Audio energy-contour hash over REAL PCM decode — the x34
+    // discipline on WAV: 64 signed-16-bit samples per doc from a
+    // doc_id formula, the kernel walks RIFF chunks, decodes LE
+    // samples, thresholds window |sample| means against the stream
+    // mean; the oracle predicts every bit from the formula (two's
+    // complement abs included) without parsing a byte.
+    "x35_audio_hash" -> ((s, d) => {
+      val hdrHex = "52494646A400000057415645" +
+        "666D742010000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+        "0200" + "1000" + "6461746180000000"
+      val pcm = concat_ws("", transform(sequence(lit(0), lit(63)), i => {
+        val v = (col("doc_id") * 31 + i * 97) % 65536
+        concat(lpad(hex(v % 256), 2, "0"),
+          lpad(hex(shiftright(v, 8)), 2, "0"))
+      }))
+      documents(s, d)
+        .select(col("doc_id"), unhex(concat(lit(hdrHex), pcm)).as("payload"))
+        .select(col("doc_id"),
+          lpad(hex(graft.expressions.MediaExpressions.audio_hash64(
+            col("payload"))), 16, "0").as("ehash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -718,6 +741,25 @@ object TextAnalysisQueries {
         |  FROM b GROUP BY 1, 2)
         |SELECT doc_id,
         |  string_agg(lpad(upper(to_hex(byte)), 2, '0'), '' ORDER BY k) AS ahash
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sample i: v = (doc_id·31 + i·97) mod 65536 as signed-16; abs via
+    // two's complement; window size 1 at 64 samples → bit = 64·|v| > Σ|v|
+    "x35_audio_hash" ->
+      """WITH sm AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN ((doc_id*31 + i*97) % 65536) < 32768
+        |      THEN ((doc_id*31 + i*97) % 65536)
+        |      ELSE 65536 - ((doc_id*31 + i*97) % 65536) END AS a
+        |  FROM documents CROSS JOIN unnest(generate_series(0, 63)) AS t(i)),
+        |s AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS tot FROM sm GROUP BY doc_id),
+        |b AS (SELECT sm.doc_id, i, CASE WHEN 64*a > tot THEN 1 ELSE 0 END AS bit
+        |      FROM sm JOIN s ON sm.doc_id = s.doc_id),
+        |bytes AS (
+        |  SELECT doc_id, i // 8 AS k,
+        |    CAST(SUM(bit * (1 << (7 - (i % 8)))) AS BIGINT) AS byte
+        |  FROM b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(lpad(upper(to_hex(byte)), 2, '0'), '' ORDER BY k) AS ehash
         |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -184,6 +184,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExprNull.isNullAt(0))
   }
 
+  /** PCM WAV from 16-bit samples, with an optional extra chunk ahead
+    * of `data` (to exercise the RIFF chunk walk + word alignment). */
+  private def wav(samples: Seq[Int], fmtCode: Int = 1, bits: Int = 16,
+                  extra: Option[Array[Byte]] = None): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le2(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le4(v: Int): Unit = { le2(v & 0xffff); le2((v >> 16) & 0xffff) }
+    def ascii(s: String): Unit = bos.write(s.getBytes("ASCII"))
+    val dataLen = samples.size * 2
+    val extraLen = extra.map(e => 8 + e.length + (e.length & 1)).getOrElse(0)
+    ascii("RIFF"); le4(4 + 24 + extraLen + 8 + dataLen); ascii("WAVE")
+    ascii("fmt "); le4(16); le2(fmtCode); le2(1); le4(8000); le4(16000)
+    le2(2); le2(bits)
+    extra.foreach { e =>
+      ascii("LIST"); le4(e.length); bos.write(e)
+      if ((e.length & 1) == 1) bos.write(0) // RIFF word alignment pad
+    }
+    ascii("data"); le4(dataLen)
+    samples.foreach(le2)
+    bos.toByteArray
+  }
+
+  test("audio_hash64: square-wave bits, chunk walk with odd-length LIST, null cases, -32768 abs") {
+    import graft.expressions.MediaExpressions
+    // 128 samples, 2 per window: even windows loud, odd silent →
+    // byte 10101010 = 0xAA repeated
+    val square = (0 until 128).map(i => if ((i / 2) % 2 == 0) 30000 else 0)
+    assert(MediaExpressions.audioHash64(wav(square)) == 0xAAAAAAAAAAAAAAAAL)
+    // an odd-length LIST chunk before data must not derail the walk
+    assert(MediaExpressions.audioHash64(
+      wav(square, extra = Some(Array[Byte](1, 2, 3)))) == 0xAAAAAAAAAAAAAAAAL)
+    // -32768 two's complement: |Short.MinValue| = 32768, louder than 30000
+    val withMin = (0 until 128).map(i => if ((i / 2) % 2 == 0) 0x8000 else 0)
+    assert(MediaExpressions.audioHash64(wav(withMin)) == 0xAAAAAAAAAAAAAAAAL)
+    // non-PCM, non-16-bit, too-short, non-WAV → null
+    assert(MediaExpressions.audioHash64(wav(square, fmtCode = 3)) == null)
+    assert(MediaExpressions.audioHash64(wav(square, bits = 8)) == null)
+    assert(MediaExpressions.audioHash64(wav(Seq.fill(63)(100))) == null)
+    assert(MediaExpressions.audioHash64("not audio".getBytes) == null)
+    // codegen path agrees with the driver-side call
+    val viaExpr = Seq(wav(square)).toDF("p")
+      .select(MediaExpressions.audio_hash64(col("p")).as("h")).head().getLong(0)
+    assert(viaExpr == 0xAAAAAAAAAAAAAAAAL)
+  }
+
   test("ahashNearDuplicates: perturbed copy found, inverted image rejected, raw payloads skipped") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(32, 32)(rnd.nextInt(256))
