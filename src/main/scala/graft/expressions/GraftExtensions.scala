@@ -142,6 +142,15 @@ object GraftExtensions {
     "mg_topk" -> (exprs => {
       arity(exprs, "mg_topk", 2, 2, "mg_topk(sketch, 10)")
       FreqSketchExpressions.MgTopK(exprs.head, intArg(exprs(1), "mg_topk"))
+    }),
+    // perceptual hashes (real BMP-pixel / WAV-PCM decode)
+    "image_ahash64" -> (exprs => {
+      arity(exprs, "image_ahash64", 1, 1, "image_ahash64(payload)")
+      MediaExpressions.ImageAHash64(exprs.head)
+    }),
+    "audio_hash64" -> (exprs => {
+      arity(exprs, "audio_hash64", 1, 1, "audio_hash64(payload)")
+      MediaExpressions.AudioHash64(exprs.head)
     })
   )
 
