@@ -324,6 +324,30 @@ object TextAnalysisQueries {
           lpad(hex(graft.expressions.MediaExpressions.audio_hash64(
             col("payload"))), 16, "0").as("ehash"))
         .orderBy("doc_id")
+    }),
+
+    // Video fingerprinting = the composition of the two real media
+    // paths: each doc's "video" payload is 4 concatenated 8×8 BMP
+    // frames (246 bytes each, frame f's pixels keyed by (doc_id, f)),
+    // sampleFrames cuts the payload into frames IN-PLAN (x6's
+    // keyframe plumbing), and image_ahash64 hashes each frame — one
+    // row per (doc, frame) with its perceptual hash, the per-frame
+    // near-dup input at scale. The oracle predicts all 4 hashes per
+    // doc from the byte formula, proving the frame slicing and the
+    // pixel walk together.
+    "x36_video_fingerprint" -> ((s, d) => {
+      val hdrHex = "424DF600000000000000360000002800000008000000" +
+        "080000000100180000000000C0000000" + "00" * 16
+      val video = concat_ws("", transform(sequence(lit(0), lit(3)), f =>
+        concat(lit(hdrHex), concat_ws("", transform(sequence(lit(0), lit(191)),
+          i => lpad(hex((col("doc_id") * 7 + f * 41 + i * 13) % 256), 2, "0"))))))
+      val payloads = documents(s, d)
+        .select(col("doc_id"), unhex(video).as("payload"))
+      sampleFrames(payloads, "doc_id", "payload", frameBytes = 246, stride = 1)
+        .select(col("doc_id"), col("frame_no"),
+          lpad(hex(graft.expressions.MediaExpressions.image_ahash64(
+            col("frame"))), 16, "0").as("ahash"))
+        .orderBy("doc_id", "frame_no")
     })
   )
 
@@ -760,6 +784,29 @@ object TextAnalysisQueries {
         |  FROM b GROUP BY 1, 2)
         |SELECT doc_id,
         |  string_agg(lpad(upper(to_hex(byte)), 2, '0'), '' ORDER BY k) AS ehash
-        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frame f's pixel byte idx: (doc_id·7 + f·41 + idx·13) mod 256 —
+    // otherwise identical to the x34 bit arithmetic, per (doc, frame)
+    "x36_video_fingerprint" ->
+      """WITH px AS (
+        |  SELECT doc_id, f, p,
+        |    ((doc_id*7 + f*41 + ((7 - p//8)*24 + (p%8)*3    )*13) % 256)
+        |  + ((doc_id*7 + f*41 + ((7 - p//8)*24 + (p%8)*3 + 1)*13) % 256)
+        |  + ((doc_id*7 + f*41 + ((7 - p//8)*24 + (p%8)*3 + 2)*13) % 256) AS g
+        |  FROM documents
+        |  CROSS JOIN unnest(generate_series(0, 3)) AS tf(f)
+        |  CROSS JOIN unnest(generate_series(0, 63)) AS tp(p)),
+        |s AS (SELECT doc_id, f, CAST(SUM(g) AS BIGINT) AS tot
+        |      FROM px GROUP BY doc_id, f),
+        |b AS (SELECT px.doc_id, px.f, p,
+        |        CASE WHEN 64*g > tot THEN 1 ELSE 0 END AS bit
+        |      FROM px JOIN s ON px.doc_id = s.doc_id AND px.f = s.f),
+        |bytes AS (
+        |  SELECT doc_id, f, p // 8 AS k,
+        |    CAST(SUM(bit * (1 << (7 - (p % 8)))) AS BIGINT) AS byte
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(f AS INT) AS frame_no,
+        |  string_agg(lpad(upper(to_hex(byte)), 2, '0'), '' ORDER BY k) AS ahash
+        |FROM bytes GROUP BY doc_id, f ORDER BY doc_id, frame_no""".stripMargin
   )
 }
