@@ -958,4 +958,37 @@ object DedupFunctions {
       .select(col("__id").as(idCol), col("clean_text"),
         col("n_spans"), col("kept_spans").cast("int").as("kept_spans"))
   }
+
+  /** [[spanDedup]]'s skew-safe scale twin, same result: the keep-first
+    * selection is `min(struct(doc, idx))` per span — a map-side-
+    * combinable aggregate whose output IS the kept row (struct min is
+    * lexicographic, exactly the window's (doc, idx) order), so the
+    * skewed-group hazard spanDedup's scaladoc flags (one boilerplate
+    * span repeated a billion times makes one giant window group that
+    * a single task must sort) becomes a partial-agg reduction: each
+    * task pre-reduces its occurrences of the hot span to ONE candidate
+    * before the exchange, shuffle ∝ distinct spans × tasks. No window,
+    * no join-back — the aggregate's value already carries (doc, idx,
+    * span). d8b pins result equality against d8's oracle. */
+  def spanDedupScale(docs: DataFrame, idCol: String, textCol: String,
+                     spanWords: Int): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val nSpans = ceil(size(ts).cast("double") / spanWords).cast("int")
+    val spans = docs.select(col(idCol).as("__id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          i => concat_ws(" ", slice(ts, i * spanWords + 1, lit(spanWords))))))
+      .toDF("__id", "__idx", "__sp")
+    val kept = spans
+      .groupBy("__sp")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__f"))
+      .select(col("__f.__id").as("__id"), col("__f.__idx").as("__idx"),
+        col("__sp"))
+    kept.groupBy("__id").agg(
+        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__sp")))),
+          s => s.getField("__sp")), " ").as("clean_text"),
+        count(lit(1)).as("kept_spans"))
+      .join(docs.select(col(idCol).as("__id"), nSpans.as("n_spans")), Seq("__id"))
+      .select(col("__id").as(idCol), col("clean_text"),
+        col("n_spans"), col("kept_spans").cast("int").as("kept_spans"))
+  }
 }

@@ -335,6 +335,18 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // d8's skew-safe scale twin: keep-first via min(struct(doc, idx))
+    // partial aggregation instead of a per-span row_number window —
+    // a boilerplate span repeated a billion times reduces map-side to
+    // one candidate per task instead of sorting one giant window
+    // group. Same oracle as d8 proves result equality.
+    "d8b_span_dedup_scale" -> ((s, d) => {
+      spanDedupScale(documents(s, d), "doc_id", "text", spanWords = 10)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_spans"), col("kept_spans"))
+        .orderBy("doc_id")
+    }),
+
     // Soft dedup (reweight, don't drop): every member of an exact
     // content-hash group gets weight 1/|group| — group mass stays one
     // doc. Planted duplicates (d1's union) make the weights vary.
@@ -400,6 +412,24 @@ object DedupQueries {
         |FROM batch b JOIN ref ON md5(regexp_replace(lower(b.text), '\s+', ' ', 'g')) = ref.h
         |ORDER BY b.doc_id""".stripMargin,
     "d8_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1),
+        |    i -> struct_pack(idx := i,
+        |      sp := array_to_string(ws[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ')))) AS s
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, s.idx AS idx, s.sp AS sp,
+        |    ROW_NUMBER() OVER (PARTITION BY s.sp ORDER BY doc_id, s.idx) AS rn
+        |  FROM sp),
+        |k AS (SELECT doc_id, idx, sp FROM r WHERE rn = 1),
+        |ns AS (SELECT doc_id, CAST(ceil(len(ws) / 10.0) AS INT) AS n_spans FROM w)
+        |SELECT doc_id, md5(string_agg(sp, ' ' ORDER BY idx)) AS clean_md5,
+        |  n_spans, CAST(COUNT(*) AS INT) AS kept_spans
+        |FROM k JOIN ns USING (doc_id) GROUP BY doc_id, n_spans
+        |ORDER BY doc_id""".stripMargin,
+    "d8b_span_dedup_scale" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sp AS (
         |  SELECT doc_id, unnest(list_transform(

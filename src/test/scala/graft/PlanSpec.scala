@@ -319,6 +319,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("d8b span-dedup scale twin keeps-first via partial min aggregate, no window") {
+    val p = plan("d8b_span_dedup_scale")
+    // the whole point vs d8: no per-span window (whose hot-span group
+    // a single task must sort) anywhere in the plan
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_min"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
