@@ -149,6 +149,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, s"$A $B", 2, 2), (2L, C, 2, 1)))
   }
 
+  test("spanDedupScale agrees with spanDedup, including on a hot boilerplate span") {
+    // 60 docs ALL opening with the same boilerplate span (d8b's design
+    // case: the window twin sorts this whole group in one task; the
+    // scale twin pre-reduces it map-side) + per-doc unique tails, plus
+    // a seeded random corpus over a tiny vocab for cross-doc repeats
+    val rnd = new scala.util.Random(11)
+    val boiler = "cookie policy applies"
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, s"$boiler tail$i a$i b$i")
+    } ++ (100 until 140).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(9))(s"w${rnd.nextInt(6)}").mkString(" "))
+    }).toDF("doc_id", "text").repartition(7)
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", "text", 3)
+        .select("doc_id", "clean_text", "n_spans", "kept_spans")
+        .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(run(spanDedup) == run(spanDedupScale))
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),        // benchmark (id % 2 == 0 plays the slice)
