@@ -959,6 +959,27 @@ object DedupFunctions {
         col("n_spans"), col("kept_spans").cast("int").as("kept_spans"))
   }
 
+  /** Corpus snapshot diff — the bookkeeping primitive of incremental
+    * pipelines (what must re-enter dedup/indexing between two corpus
+    * versions): full outer join on id, content compared by hash, each
+    * doc classified `added` / `removed` / `changed` / `unchanged`.
+    * One shuffle on the id; the content hash is computed per side
+    * before the join so the join carries (id, 32-byte hash), not
+    * documents. Returns (idCol, status). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      contentHash(col(textCol)).as("__ho"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      contentHash(col(textCol)).as("__hn"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** [[spanDedup]]'s skew-safe scale twin, same result: the keep-first
     * selection is `min(struct(doc, idx))` per span — a map-side-
     * combinable aggregate whose output IS the kept row (struct min is

@@ -356,6 +356,23 @@ object DedupQueries {
         .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       softDedupWeights(docs.unionByName(dups), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Corpus snapshot diff (incremental-pipeline bookkeeping): the
+    // "new" corpus drops every doc_id ≡ 1 (mod 40) [removed], appends
+    // " v2" to docs < 50 [changed], and adds 10 re-keyed docs [added];
+    // everything else is unchanged. The join carries (id, hash), not
+    // documents.
+    "d15_corpus_diff" -> ((s, d) => {
+      val old = documents(s, d).select("doc_id", "text")
+      val newDocs = old.filter(col("doc_id") % 40 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") < 50, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      corpusDiff(old, newDocs, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -707,6 +724,27 @@ object DedupQueries {
         |  SELECT a.vec_id AS a, b.vec_id AS b,
         |    round(list_sum(list_transform(generate_series(1, 64), i -> a.nv[i] * b.nv[i])), 6) AS cos
         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
-        |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+        |SELECT a, b, cos FROM p WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    "d15_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |new AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(
+        |      CASE WHEN doc_id < 50 THEN text || ' v2' ELSE text END),
+        |    '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id % 40 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+        |  CASE WHEN old.h IS NULL THEN 'added'
+        |       WHEN new.h IS NULL THEN 'removed'
+        |       WHEN old.h = new.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }
