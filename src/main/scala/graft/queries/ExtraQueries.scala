@@ -414,6 +414,29 @@ object ExtraQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Exact interpolated percentiles (Spark's percentile ≡ DuckDB's
+    // quantile_cont: rank (n−1)·p, linear interpolation — l_quantity's
+    // integral values keep the arithmetic float-exact).
+    "q36_percentiles" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Explicit GROUPING SETS (A6 beyond cube/rollup): two independent
+    // one-dimension rollups + grand total in one pass.
+    "q37_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("__q37_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              |FROM __q37_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin)
+    }),
+
     // Two-level sketch rollup: per-nation customer sketches merged up
     // to per-region estimates WITHOUT re-touching the customer table —
     // the materialized-summary pattern (persist one 128 KB sketch per
@@ -619,6 +642,18 @@ object ExtraQueries {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_orderkey <= 1000 AND l_partkey <= 200
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q37_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "x31_distinct_sketch" ->
       """SELECT o_orderpriority,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers

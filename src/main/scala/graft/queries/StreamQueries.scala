@@ -91,6 +91,23 @@ object StreamQueries {
           unix_micros(col("ts")).as("purchase_us"),
           col("click_id"), (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
         .orderBy("purchase_id")
+    }),
+
+    // Event-time windowed distinct counts via the KMV sketch — the
+    // "distinct users per hour per event type" report without a
+    // distinct-expand shuffle inside every window group; the same
+    // expression runs under readStream (sketch state is
+    // watermark-bounded like any windowed agg). k=4096 keeps every
+    // window group exact at tested SFs, so the count(DISTINCT) oracle
+    // matches.
+    "st7_windowed_distinct" -> ((s, d) => {
+      import graft.expressions.SketchExpressions._
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(kmv_estimate(kmv_sketch(col("user_id"), 4096)).as("n_users"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("n_users"))
+        .orderBy("w_start", "event_type")
     })
   )
 
@@ -168,6 +185,10 @@ object StreamQueries {
         |FROM w LEFT JOIN cd c
         |  ON c.user_id = w.user_id AND epoch_us(c.ts) = w.click_us
         |WHERE w.isl = 1
-        |ORDER BY purchase_id""".stripMargin
+        |ORDER BY purchase_id""".stripMargin,
+    "st7_windowed_distinct" ->
+      """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS w_start,
+        |  event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
   )
 }
