@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregates inside a streaming window (st7's expression under readStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.expressions.SketchExpressions._
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(kmv_estimate(kmv_sketch($"user_id", 64)).as("n_users"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("kmv_win_out").start()
+    try {
+      mem.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 1L), (ts(7), 3L))
+      q.processAllAvailable()
+      // batch 2 adds a repeat and a new user to the FIRST window —
+      // sketch state must accumulate across batches
+      mem.addData((ts(3), 2L), (ts(4), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("kmv_win_out")
+        .select($"window.start".cast("long"), $"n_users")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val base = ts(0).getTime / 1000
+      assert(rows == Set((base, 3L), (base + 300, 1L)))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in Append mode (bounded state at scale)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double)]
