@@ -338,6 +338,49 @@ object CurationFunctions {
     * `Window.orderBy` without partitionBy is domainMixWeights' ordered
     * fold over the per-source table (tens of rows, documented there).
     */
+  /** Token-budget selection — "take the best N tokens from the
+    * corpus" (how a 10T-token crawl becomes a 1T-token training set):
+    * every doc is scored (the x2 quality measure), and a doc is kept
+    * iff the cumulative token count of all docs at its quality level
+    * or better fits the budget — whole-quality-group granularity, so
+    * the decision is a pure function of the score (no per-doc
+    * tie-breaking inside a group; the budget is a floor, not an exact
+    * hit, documented).
+    *
+    * Scale shape is [[qualityDeciles]]'s two-level histogram: the
+    * cumulative sum runs over the DISTINCT-SCORE token histogram
+    * (bounded by score resolution — ≤ 10⁶ rows at 6-decimal rounding,
+    * independent of corpus size), coarse-bucket prefix via a tiny
+    * non-equi join + within-bucket partitioned window; the corpus
+    * itself is touched by one scoring scan and one broadcast-joinable
+    * keep-flag attach. No global sort, no data-sized window.
+    *
+    * Returns (idCol, q, n_tokens, keep). */
+  def selectByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                          budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val scored = docs.select(col(idCol).as("__id"),
+      round(TextAnalysisFunctions.qualityScore(col(textCol)), 6).as("__q"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val hist = scored.groupBy("__q").agg(sum("n_tokens").as("__t"))
+      .withColumn("__bk", floor(col("__q") * lit(1000.0)).cast("long"))
+    val bcnt = hist.groupBy("__bk").agg(sum("__t").as("__bt"))
+    // exclusive prefix of BETTER buckets (descending quality)
+    val bpre = bcnt
+      .join(bcnt.select(col("__bk").as("__bk2"), col("__bt").as("__bt2")),
+        col("__bk2") > col("__bk"), "left")
+      .groupBy("__bk")
+      .agg(coalesce(sum("__bt2"), lit(0L)).as("__pre"))
+    val inBucket = Window.partitionBy("__bk").orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keepByScore = hist.join(bpre, Seq("__bk"))
+      .withColumn("__cum", col("__pre") + sum("__t").over(inBucket))
+      .select(col("__q"), (col("__cum") <= budgetTokens).as("__keep"))
+    scored.join(broadcast(keepByScore), Seq("__q"))
+      .select(col("__id").as(idCol), col("__q").as("q"), col("n_tokens"),
+        col("__keep").cast("int").as("keep"))
+  }
+
   def qualityDeciles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val scored = docs.select(col(idCol).as("__id"),
       round(TextAnalysisFunctions.qualityScore(col(textCol)), 6).as("__q"))

@@ -107,6 +107,16 @@ object CurationQueries {
         .orderBy("sa", "sb")
     }),
 
+    // Token-budget selection: keep the best-quality docs whose
+    // cumulative tokens fit a 20k budget (whole-quality-group
+    // granularity; the cumulative sum runs over the bounded
+    // distinct-score histogram, never the corpus).
+    "x38_budget_select" -> ((s, d) => {
+      selectByTokenBudget(documents(s, d), "doc_id", "text",
+        budgetTokens = 20000L)
+        .orderBy("doc_id")
+    }),
+
     // Per-source frequent tokens from a Misra-Gries sketch: bounded
     // counters per group instead of a full (source, token) count
     // shuffle. capacity=4096 ≫ the corpus vocabulary, so no decrement
@@ -206,6 +216,17 @@ object CurationQueries {
          |SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS INT) AS n,
          |  MIN(sc.q) AS min_q, MAX(sc.q) AS max_q
          |FROM sc JOIN bands USING (q) GROUP BY decile ORDER BY decile""".stripMargin,
+    "x38_budget_select" ->
+      s"""WITH sc AS ($qualitySql),
+         |j AS (
+         |  SELECT sc.doc_id, sc.q,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |h AS (SELECT q, SUM(n_tokens) AS t FROM j GROUP BY q),
+         |c AS (SELECT q, SUM(t) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         |SELECT j.doc_id, j.q, j.n_tokens,
+         |  CASE WHEN c.cum <= 20000 THEN 1 ELSE 0 END AS keep
+         |FROM j JOIN c USING (q) ORDER BY doc_id""".stripMargin,
     "x24_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
