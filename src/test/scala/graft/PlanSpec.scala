@@ -327,6 +327,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p.take(1500))
   }
 
+  test("x38 budget selection: windows only over the bucketed histogram, broadcast keep attach") {
+    val p = plan("x38_budget_select")
+    // every Window in the plan is partitioned by the coarse bucket —
+    // the cumulative sum never sees corpus-sized, unpartitioned data
+    val windows = "Window \\[".r.findAllIn(p).size
+    val partitioned = "Window \\[[^\\]]*\\], \\[__bk".r.findAllIn(p).size
+    assert(windows >= 1 && windows == partitioned, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline") {
     // under AQE the codegen stage markers ("*(n)") appear once the
     // final plan has materialized — execute, then inspect
