@@ -234,7 +234,10 @@ object MediaExpressions {
       val len = leInt(b, i + 4)
       if (len < 0) return null
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-        if (i + 8 + 16 > b.length) return null
+        // the chunk's own declared length must cover the 16 format
+        // bytes — otherwise the reads below would spill into the next
+        // chunk's bytes (a malformed file, not a decodable one)
+        if (len < 16 || i + 8 + 16 > b.length) return null
         fmtOk = leShort(b, i + 8) == 1 && leShort(b, i + 8 + 14) == 16
       } else if (b(i) == 'd' && b(i + 1) == 'a' &&
         b(i + 2) == 't' && b(i + 3) == 'a') {

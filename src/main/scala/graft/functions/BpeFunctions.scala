@@ -132,9 +132,17 @@ object BpeFunctions {
       }
       var best: (String, String) = null
       var bestC = 0L
+      // tie-break in UTF8String (UTF-8 byte = code-point) order — the
+      // SAME order the distributed path's `orderBy(col("l"), col("r"))`
+      // uses; Java String compareTo (UTF-16 code units) disagrees for
+      // supplementary-plane symbols vs U+E000..U+FFFF
+      def binLt(a: String, b: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
       counts.forEach { (p, c) =>
         if (c > bestC || (c == bestC && best != null &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            (binLt(p._1, best._1) ||
+              (p._1 == best._1 && binLt(p._2, best._2))))) {
           best = p; bestC = c
         }
       }

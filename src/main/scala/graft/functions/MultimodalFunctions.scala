@@ -183,7 +183,9 @@ object MultimodalFunctions {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"byte-banding covers hamming <= 7 completely, got $maxHamming " +
         "(raise bands, not the threshold, for looser matches)")
-    val hashed = df.select(col(idCol).cast("long").as("__id"),
+    // no cast on the id: `<` orders strings as well as numerics, and a
+    // cast would NULL non-numeric ids and silently drop every pair
+    val hashed = df.select(col(idCol).as("__id"),
         graft.expressions.MediaExpressions.image_ahash64(col(payloadCol)).as("__h"))
       .filter(col("__h").isNotNull)
     val banded = hashed

@@ -26,6 +26,29 @@ object TextQueries {
 
   def releaseCaches(): Unit = bpeCache.synchronized { bpeCache.clear() }
 
+  /** Fixed merge list for the t8b kernel-oracle query — shared by the
+    * Spark side and the generated DuckDB replace-chain so the two can
+    * never drift. */
+  private val t8bMerges: Seq[(String, String)] =
+    Seq("t" -> "a", "ta" -> "b", "e" -> "y", "ey" -> "</w>",
+      "a" -> "g", "ag" -> "g", "agg" -> "</w>", "s" -> "t", "st" -> "</w>")
+
+  /** DuckDB expression applying the merge list to a DOUBLE-delimited
+    * symbol string (boundaries are chr(1)chr(1)). Each replace's
+    * pattern consumes only the INNER delimiter of each boundary
+    * (`\1 l \1\1 r \1`) and its replacement restores it (`\1 lr \1`),
+    * so back-to-back occurrences of a pair stay independently
+    * matchable and one non-overlapping left-to-right replace IS the
+    * kernel's greedy single-merge pass — including odd runs of a
+    * self-adjacent pair like `aaaaa` under (a,a), where the
+    * single-delimiter encoding provably diverges. */
+  private def t8bReplaceChainSql(base: String): String =
+    t8bMerges.foldLeft(base) { case (acc, (l, r)) =>
+      val pat = s"chr(1)||'$l'||chr(1)||chr(1)||'$r'||chr(1)"
+      val rep = s"chr(1)||'${l + r}'||chr(1)"
+      s"replace($acc, $pat, $rep)"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T8/parity-plus: distributed BPE — merges learned on the corpus
     // word-frequency table (vocab-sized iterations, one corpus scan),
@@ -45,13 +68,14 @@ object TextQueries {
     // The encode KERNEL under a full SQL oracle: a fixed merge list
     // (so the oracle is static SQL) applied by the native kernel on
     // the Spark side and by an independent formulation in DuckDB — a
-    // chain of replace() calls over a -delimited symbol string,
-    // whose left-to-right non-overlapping replacement IS the greedy
-    // single-merge pass. Tokens ship comma-joined (the comparator
-    // can't hash arrays).
+    // chain of replace() calls over a DOUBLE--delimited symbol
+    // string (t8bReplaceChainSql), whose left-to-right non-overlapping
+    // replacement IS the greedy single-merge pass — including
+    // back-to-back pair occurrences the single-delimiter encoding
+    // misses. Tokens ship comma-joined (the comparator can't hash
+    // arrays).
     "t8b_bpe_fixed" -> ((s, d) => {
-      val merges = Seq("t" -> "a", "ta" -> "b", "e" -> "y", "ey" -> "</w>",
-        "a" -> "g", "ag" -> "g", "agg" -> "</w>", "s" -> "t", "st" -> "</w>")
+      val merges = t8bMerges
       documents(s, d)
         .select(col("doc_id"),
           graft.functions.BpeFunctions.bpeEncode(col("text"), merges).as("__t"))
@@ -139,7 +163,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "t8b_bpe_fixed" ->
-      """WITH w AS (
+      (s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |ww AS (
         |  SELECT doc_id, unnest(list_transform(
@@ -148,31 +172,24 @@ object TextQueries {
         |  FROM w),
         |seq0 AS (
         |  SELECT doc_id, t.idx AS idx,
-        |    CASE WHEN t.wd = '' THEN chr(1) || '</w>' || chr(1)
-        |    ELSE chr(1) || array_to_string(
-        |      list_append(string_split(t.wd, ''), '</w>'), chr(1)) || chr(1)
+        |    CASE WHEN t.wd = '' THEN chr(1)||chr(1) || '</w>' || chr(1)||chr(1)
+        |    ELSE chr(1)||chr(1) || array_to_string(
+        |      list_append(string_split(t.wd, ''), '</w>'),
+        |      chr(1)||chr(1)) || chr(1)||chr(1)
         |    END AS sq
         |  FROM ww),
         |enc AS (
         |  SELECT doc_id, idx,
-        |   replace(replace(replace(replace(replace(replace(replace(replace(replace(sq,
-        |     chr(1)||'t'||chr(1)||'a'||chr(1), chr(1)||'ta'||chr(1)),
-        |     chr(1)||'ta'||chr(1)||'b'||chr(1), chr(1)||'tab'||chr(1)),
-        |     chr(1)||'e'||chr(1)||'y'||chr(1), chr(1)||'ey'||chr(1)),
-        |     chr(1)||'ey'||chr(1)||'</w>'||chr(1), chr(1)||'ey</w>'||chr(1)),
-        |     chr(1)||'a'||chr(1)||'g'||chr(1), chr(1)||'ag'||chr(1)),
-        |     chr(1)||'ag'||chr(1)||'g'||chr(1), chr(1)||'agg'||chr(1)),
-        |     chr(1)||'agg'||chr(1)||'</w>'||chr(1), chr(1)||'agg</w>'||chr(1)),
-        |     chr(1)||'s'||chr(1)||'t'||chr(1), chr(1)||'st'||chr(1)),
-        |     chr(1)||'st'||chr(1)||'</w>'||chr(1), chr(1)||'st</w>'||chr(1)) AS sq
+        |   ${t8bReplaceChainSql("sq")} AS sq
         |  FROM seq0),
         |tk AS (
-        |  SELECT doc_id, idx, string_split(trim(sq, chr(1)), chr(1)) AS toks
+        |  SELECT doc_id, idx,
+        |    string_split(trim(sq, chr(1)), chr(1)||chr(1)) AS toks
         |  FROM enc)
         |SELECT doc_id,
         |  CAST(SUM(len(toks)) AS INT) AS n_tokens,
         |  string_agg(array_to_string(toks, ','), ',' ORDER BY idx) AS tokens
-        |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM tk GROUP BY doc_id ORDER BY doc_id""").stripMargin,
     "t2_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
         |  CAST(length(text) AS INT) AS len_chars

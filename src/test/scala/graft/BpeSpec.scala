@@ -87,4 +87,34 @@ class BpeSpec extends AnyFunSuite {
   test("empty word encodes to the bare end marker") {
     assert(encodeOne("") == Seq("</w>"))
   }
+
+  test("back-to-back pair occurrences merge greedily left-to-right") {
+    // the kernel's single pass skips past each merge, so runs of a
+    // pair collapse pairwise from the left — the case the t8b oracle's
+    // doubled-delimiter replace chain must also reproduce exactly
+    def enc(word: String, ms: Seq[(String, String)]): Seq[String] =
+      Seq(word).toDF("t").select(bpeEncode(col("t"), ms).as("toks"))
+        .as[Seq[String]].head()
+    val ta = Seq("t" -> "a")
+    assert(enc("tata", ta) == Seq("ta", "ta", "</w>"))
+    assert(enc("tatata", ta) == Seq("ta", "ta", "ta", "</w>"))
+    val aa = Seq("a" -> "a")
+    assert(enc("aaa", aa) == Seq("aa", "a", "</w>"))
+    assert(enc("aaaa", aa) == Seq("aa", "aa", "</w>"))
+    assert(enc("aaaaa", aa) == Seq("aa", "aa", "a", "</w>"))
+  }
+
+  test("local trainer tie-breaks in UTF8String (code-point) order like the distributed argmax") {
+    // one word of two symbols: U+10000 (a surrogate pair, which Java
+    // String order ranks BELOW U+E000 because its first UTF-16 unit is
+    // 0xD800) followed by U+E000. Both adjacent pairs tie at count 1,
+    // so the tie-break decides: code-point order picks left = U+E000
+    // (0xE000 < 0x10000); UTF-16 code-unit order would pick U+10000.
+    val sup = new String(Character.toChars(0x10000))
+    val pri = "\uE000"
+    val docs = Seq(sup + pri).toDF("text")
+    val ms = bpeTrain(docs, "text", numMerges = 1, minPairFreq = 1L)
+    assert(ms == Seq(pri -> "</w>"),
+      s"expected U+E000 to win the tie under code-point order, got $ms")
+  }
 }

@@ -248,4 +248,31 @@ class MultimodalSpec extends AnyFunSuite {
       s"complement image paired: ${pairs.toSeq}")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("ahashNearDuplicates works with STRING ids (no silent cast-to-NULL drop)") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(32, 32)(rnd.nextInt(256))
+    val img1 = bmp(32, 32)((x, y) => base(y)(x))
+    val img2 = bmp(32, 32)((x, y) =>
+      if (x < 2 && y < 2) math.min(255, base(y)(x) + 3) else base(y)(x))
+    val df = Seq(("doc-a", img1), ("doc-b", img2)).toDF("doc_id", "payload")
+    val pairs = graft.functions.MultimodalFunctions
+      .ahashNearDuplicates(df, "doc_id", "payload", maxHamming = 7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == "doc-a" && p._2 == "doc-b" && p._3 <= 7),
+      s"string-id pair missing: ${pairs.toSeq}")
+  }
+
+  test("audioHash64 rejects a fmt chunk whose declared length is under 16 bytes") {
+    import graft.expressions.MediaExpressions
+    // RIFF/WAVE with a truncated fmt chunk (len=4) whose BYTES would
+    // otherwise be read from the following data chunk's header
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { bos.write(v); bos.write(v >> 8); bos.write(v >> 16); bos.write(v >> 24) }
+    bos.write("RIFF".getBytes); le32(400); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); le32(4); le32(0x00010001) // PCM,mono — but only 4 declared bytes
+    bos.write("data".getBytes); le32(256)
+    (0 until 128).foreach { i => bos.write(i & 0xff); bos.write(0) }
+    assert(MediaExpressions.audioHash64(bos.toByteArray) == null)
+  }
 }

@@ -19,6 +19,13 @@ class TestdataDriftSpec extends AnyFunSuite {
     .map(sf => s"/root/testdata/$sf")
     .filter(d => new java.io.File(d).exists())
 
+  // If the testdata mount vanishes entirely, every per-table test below
+  // would vacuously pass — fail loudly instead of going silently green.
+  test("at least one testdata scale dir is present") {
+    assert(sfDirs.nonEmpty,
+      "no /root/testdata/sf* directory found — fixture mount missing, drift checks are vacuous")
+  }
+
   // Column name → required Spark type (post-raw-load, pre-adapter) for the
   // columns queries actually touch. Types we don't depend on pin name only.
   private val pinned: Map[String, Seq[(String, Option[DataType])]] = Map(
