@@ -49,13 +49,87 @@ object TextQueries {
       s"replace($acc, $pat, $rep)"
     }
 
+  /** The TRAINER replayed in DuckDB — the t8b replace-chain trick one
+    * level up. The iterative merge loop unrolls into `numMerges`
+    * generated CTE triples over the (tiny, Heaps'-law) word-frequency
+    * table: `m_i` picks the argmax pair of iteration i under the same
+    * total order as the kernel (count DESC, then DuckDB's byte order =
+    * UTF8String code-point order on left/right), `w_i` applies it with
+    * ONE data-dependent replace over the double-delimited symbol
+    * string (greedy-pass-exact, see [[t8bReplaceChainSql]]). Early
+    * stop matches minPairFreq: an empty `m_i` leaves the state
+    * untouched, so every later `m_j` is empty too and the UNION's
+    * merge_idx sequence never skips. Every CTE is MATERIALIZED —
+    * `w_i` is referenced twice, and inlining would double the
+    * expression tree per iteration. */
+  private def bpeTrainReplaySql(numMerges: Int, minPairFreq: Long): String = {
+    val d = "chr(1)"; val dd = "chr(1)||chr(1)"
+    val b = new StringBuilder
+    b ++= s"""WITH w0 AS MATERIALIZED (
+      |  SELECT token,
+      |    $dd || array_to_string(list_append(string_split(token, ''), '</w>'),
+      |      $dd) || $dd AS sq,
+      |    COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY token)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val p = i - 1
+      b ++= s""",
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r FROM (
+        |    SELECT s.syms[k] AS l, s.syms[k + 1] AS r, SUM(s.f) AS cnt
+        |    FROM (SELECT string_split(trim(sq, chr(1)), $dd) AS syms, f
+        |          FROM w$p) s,
+        |         unnest(generate_series(1, len(s.syms) - 1)) AS g(k)
+        |    GROUP BY 1, 2)
+        |  WHERE cnt >= $minPairFreq
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT w.token, CASE WHEN m.l IS NULL THEN w.sq
+        |    ELSE replace(w.sq, $d||m.l||$dd||m.r||$d, $d||m.l||m.r||$d)
+        |    END AS sq, w.f
+        |  FROM w$p w LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }
+    b.toString
+  }
+
+  /** Oracle for t8c: the learned merge list itself. */
+  private def t8cOracleSql(numMerges: Int, minPairFreq: Long): String = {
+    val sel = (1 to numMerges)
+      .map(i => s"SELECT ${i - 1} AS merge_idx, l AS lft, r AS rgt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    bpeTrainReplaySql(numMerges, minPairFreq) +
+      s"\nSELECT * FROM (\n$sel\n) ORDER BY merge_idx"
+  }
+
+  /** Oracle for t8: after the replay, the final state w_N carries each
+    * trained word's fully-merged symbol sequence — and for words of
+    * the training corpus, encode ≡ trainer final state (BpeSpec pins
+    * it), so per-doc token counts are a per-word-length join away.
+    * Empty words (split artifacts) encode to the bare end marker. */
+  private def t8OracleSql(numMerges: Int, minPairFreq: Long): String =
+    bpeTrainReplaySql(numMerges, minPairFreq) +
+      s""",
+      |tokcnt AS (
+      |  SELECT token,
+      |    len(string_split(trim(sq, chr(1)), chr(1)||chr(1))) AS ntok
+      |  FROM w$numMerges),
+      |docw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CAST(SUM(CASE WHEN d.token = '' THEN 1 ELSE t.ntok END) AS INT)
+      |    AS n_bpe_tokens
+      |FROM docw d LEFT JOIN tokcnt t ON d.token = t.token
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T8/parity-plus: distributed BPE — merges learned on the corpus
     // word-frequency table (vocab-sized iterations, one corpus scan),
-    // then native-kernel encoding. No SQL oracle (the trainer is an
-    // iterative driver loop, not a query); BpeSpec pins the merge
-    // semantics and the train/encode agreement, and the output here
-    // is deterministic (total-order argmax) so rows are stable.
+    // then native-kernel encoding. Fully oracle-checked: the DuckDB
+    // twin REPLAYS the whole training loop (unrolled CTE chain, see
+    // bpeTrainReplaySql) and re-derives per-doc token counts from the
+    // replay's final state; t8c gates the merge sequence itself.
     "t8_bpe" -> ((s, d) => {
       val merges = bpeMergesShared(s, d)
       documents(s, d)
@@ -63,6 +137,18 @@ object TextQueries {
           graft.functions.BpeFunctions.bpeEncode(col("text"), merges).as("__t"))
         .select(col("doc_id"), size(col("__t")).as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // The trainer's learned merge SEQUENCE under a full SQL oracle:
+    // the merge list is deterministic driver state (total-order
+    // argmax), emitted as rows and replayed move-for-move in DuckDB
+    // by the generated unrolled CTE chain (bpeTrainReplaySql).
+    "t8c_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      bpeMergesShared(s, d).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_idx", "lft", "rgt")
+        .orderBy("merge_idx")
     }),
 
     // The encode KERNEL under a full SQL oracle: a fixed merge list
@@ -162,6 +248,9 @@ object TextQueries {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // numMerges/minPairFreq MUST mirror bpeMergesShared's bpeTrain call
+    "t8_bpe" -> t8OracleSql(40, 2L),
+    "t8c_bpe_merges" -> t8cOracleSql(40, 2L),
     "t8b_bpe_fixed" ->
       (s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
