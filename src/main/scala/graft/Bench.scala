@@ -190,8 +190,17 @@ object Bench {
     val focusOn = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_FOCUS", "1") != "0"
     if (focusOn && failures.isEmpty) {
       val focusQueries = queries.filter { case (n, _) => topDecile.contains(n) }
+      // same adaptive top-up as the main loop (strict 0.5×median
+      // trigger — these ARE the top-cost decile): one GC/page-cache
+      // outlier among 3 flat reps left x18 with a 10 s spread on a
+      // 3.4 s median in r10; extra reps shrink the central-3 window to
+      // the query's intrinsic cost instead of the worst rep.
       val focusSamples = focusQueries.map { case (name, fn) =>
-        name -> (1 to 3).flatMap(_ => solo(name, fn)).sorted.toVector
+        var ts = (1 to 3).flatMap(_ => solo(name, fn)).sorted.toVector
+        while (ts.nonEmpty && central3(ts)._2 >= 0.5 * central3(ts)._1 &&
+            ts.size < maxReps && !failures.contains(name))
+          solo(name, fn).foreach(t => ts = (ts :+ t).sorted)
+        name -> ts
       }.filter(_._2.nonEmpty)
       val fq = jmap(focusSamples.map { case (k, ts) => k -> f"${central3(ts)._1}%.3f" })
       val fsp = jmap(focusSamples.map { case (k, ts) => k -> f"${central3(ts)._2}%.3f" })

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: the production 100-TB retrieval shape, where
+  * the index is built ONCE, saved, and probed (and grown) by later
+  * sessions — the reference has no vector surface at all; this
+  * extends the parity-plus ANN family (SimilarityFunctions) the same
+  * way dedup already has incremental paths (d10 bloom, d13 band-index
+  * probe).
+  *
+  * Layout under `dir` (all parquet):
+  *   meta/      one row: kind ("ivf_flat" | "ivf_pq"), cells, m,
+  *              codebook, dim, residual
+  *   centroids/ (cid, vec)           — coarse cell centroids, KB-sized
+  *   codebook/  (cid, vec)           — PQ seeds (residualized when
+  *              residual = true), ivf_pq only, KB-sized
+  *   codes/     the DATA-sized inverted file, partitioned BY CELL:
+  *              ivf_flat: (id, vec) under cell=…/
+  *              ivf_pq:   (id, b, code) under cell=…/
+  *
+  * Scale design: centroids/codebook are the KB driver readback every
+  * ANN path already does (SimilarityFunctions.collectCentroids); the
+  * codes table is corpus-sized and NEVER collected — `partitionBy
+  * (cell)` means a probe reads only the nprobe/cells fraction of it
+  * (the probed-cell list is a queries×nprobe KB readback that prunes
+  * the scan statically), and [[addBatch]] appends new cell
+  * directories without touching existing ones. Probing reuses the
+  * EXACT in-session kernels (ivfProbeAssigned / ivfpqProbeCodes), so
+  * a saved-then-loaded index returns bit-identical rows to
+  * ivfTopK/ivfpqTopK on the same corpus — the s10 queries pin that
+  * against the s4/s8 oracles, and vectors are stored in their
+  * original element type so scoring survives the round-trip exactly.
+  */
+object AnnIndex {
+
+  import SimilarityFunctions._
+
+  private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
+
+  /** Build an IVF-flat index from `corpus` (centroids = the first
+    * `cells` corpus vectors, the deterministic convention shared with
+    * ivfTopK) and save it under `dir`, replacing any prior index. */
+  def ivfIndexSave(corpus: DataFrame, idCol: String, vecCol: String,
+                   cells: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val cent = collectCentroids(corpus, idCol, vecCol, cells)
+      .map { case (cid, v) => (cid, v.toArray) }
+    wipe(dir)
+    writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false)
+    writeCentroids(spark, s"$dir/centroids", cent.map { case (c, v) => (c, v.toSeq) })
+    ivfAssign(corpus, idCol, vecCol, cent)
+      .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
+        col("__cid").as("cell"))
+      .write.partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Build an IVF-PQ index (optionally residual-quantized) and save it
+    * under `dir`, replacing any prior index. Conventions match
+    * ivfpqTopK: cells/codebook seeds are the first-C corpus vectors. */
+  def ivfpqIndexSave(corpus: DataFrame, idCol: String, vecCol: String,
+                     cells: Int, m: Int, codebook: Int, dim: Int,
+                     residual: Boolean, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val cellCent = collectCentroids(corpus, idCol, vecCol, cells)
+      .map { case (cid, v) => (cid, v.toArray) }
+    val codeSeeds = ivfpqCodeSeeds(
+      collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
+    wipe(dir)
+    writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual)
+    writeCentroids(spark, s"$dir/centroids", cellCent.map { case (c, v) => (c, v.toSeq) })
+    writeCentroids(spark, s"$dir/codebook", codeSeeds)
+    ivfpqEncode(corpus, idCol, vecCol, cellCent, codeSeeds, m, dim, residual)
+      .select(col("neighbor_id").as("id"), col("__b").as("b"),
+        col("__cid").as("code"), col("__cell").as("cell"))
+      .write.partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Encode a delta batch against the SAVED centroids/codebook (no
+    * rebuild, no re-read of existing codes) and append it to the
+    * inverted file — the incremental-ingest path. The batch must not
+    * repeat ids already indexed (same contract as any append-only
+    * store; dedup upstream with d10/d13 if ingest can replay). */
+  def addBatch(spark: SparkSession, dir: String, batch: DataFrame,
+               idCol: String, vecCol: String): Unit = {
+    val meta = readMeta(spark, dir)
+    val cellCent = readCentroids(spark, s"$dir/centroids")
+    meta.kind match {
+      case "ivf_flat" =>
+        ivfAssign(batch, idCol, vecCol, cellCent)
+          .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
+            col("__cid").as("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      case "ivf_pq" =>
+        val codeSeeds = readCentroids(spark, s"$dir/codebook")
+          .map { case (c, v) => (c, v.toSeq) }
+        ivfpqEncode(batch, idCol, vecCol, cellCent, codeSeeds,
+          meta.m, meta.dim, meta.residual)
+          .select(col("neighbor_id").as("id"), col("__b").as("b"),
+            col("__cid").as("code"), col("__cell").as("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    }
+  }
+
+  /** Probe a saved index: top-k per query row, bit-identical to the
+    * in-session ivfTopK/ivfpqTopK on the indexed corpus. Only the
+    * probed cells' partitions of the inverted file are read: the
+    * probe-cell list (queries × nprobe ids, KB) prunes the scan. */
+  def probe(spark: SparkSession, dir: String, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val meta = readMeta(spark, dir)
+    val cellCent = readCentroids(spark, s"$dir/centroids")
+    val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
+    meta.kind match {
+      case "ivf_flat" =>
+        val assigned = spark.read.parquet(s"$dir/codes")
+          .filter(col("cell").isin(probedCells: _*))
+          .select(col("id").as("neighbor_id"), col("vec").as("__cv"),
+            col("cell").cast("long").as("__cid"))
+        ivfProbeAssigned(assigned, queries, idCol, vecCol, cellCent, k, nprobe)
+      case "ivf_pq" =>
+        val codeSeeds = readCentroids(spark, s"$dir/codebook")
+          .map { case (c, v) => (c, v.toSeq) }
+        val codes = spark.read.parquet(s"$dir/codes")
+          .filter(col("cell").isin(probedCells: _*))
+          .select(col("id").as("neighbor_id"), col("cell").cast("long").as("__cell"),
+            col("b").as("__b"), col("code").as("__cid"))
+        ivfpqProbeCodes(codes, queries, idCol, vecCol, cellCent, codeSeeds,
+          k, nprobe, meta.m, meta.dim, meta.residual)
+    }
+  }
+
+  /** The distinct cells the query set will probe — a queries×nprobe
+    * KB readback (same boundary class as the centroid pull) used to
+    * prune the partitioned codes scan before the join. */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                         cellCent: Seq[(Long, Array[Double])],
+                         nprobe: Int): Seq[Any] =
+    queries
+      .select(explode(graft.expressions.VectorExpressions.nearest_centroids(
+        asDouble(col(vecCol)), cellCent, nprobe,
+        graft.expressions.VectorKernels.MetricCosine)).as("__pc"))
+      .select(col("__pc").getField("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  private[graft] case class Meta(kind: String, cells: Int, m: Int,
+                                 codebook: Int, dim: Int, residual: Boolean)
+
+  private def writeMeta(spark: SparkSession, dir: String, kind: String,
+                        cells: Int, m: Int, codebook: Int, dim: Int,
+                        residual: Boolean): Unit = {
+    import spark.implicits._
+    Seq(Meta(kind, cells, m, codebook, dim, residual)).toDF()
+      .coalesce(1).write.parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/meta").as[Meta].head()
+  }
+
+  private def writeCentroids(spark: SparkSession, path: String,
+                             cent: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    cent.toDF("cid", "vec").coalesce(1).write.parquet(path)
+  }
+
+  private def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(path).select("cid", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  private def wipe(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val f = new java.io.File(dir)
+    if (f.exists()) rm(f)
+  }
+}

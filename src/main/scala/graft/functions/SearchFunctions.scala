@@ -22,9 +22,40 @@ object SearchFunctions {
   private val postingsCache =
     scala.collection.mutable.Map[(Int, Set[String]), DataFrame]()
 
-  def releaseCaches(): Unit = postingsCache.synchronized {
-    postingsCache.values.foreach(_.unpersist(blocking = false))
-    postingsCache.clear()
+  /** The ONE tokenize pass the whole lexical family shares: per-(doc,
+    * term) frequencies, memoized by (corpus plan, id col, text col)
+    * and persisted. bm25TopK (x23, x27's lexical side) derives dl /
+    * postings / df from it and TfIdf derives its tf — so a pass that
+    * runs several text queries tokenizes the corpus ONCE, and a cold
+    * bm25 pays one corpus scan instead of two (dl and postings each
+    * re-derived it before). The relation is (doc, distinct-term)-
+    * sized — the inverted-index payload itself, the thing a 100-TB
+    * search tier materializes by design; MEMORY_AND_DISK spills it
+    * rather than re-scanning the raw corpus. Released by
+    * `SparkEntry.releaseCaches()`. */
+  private val tfCache =
+    scala.collection.mutable.Map[(Int, String, String), DataFrame]()
+
+  def termFreqShared(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfCache.synchronized {
+      tfCache.getOrElseUpdate(
+        (docs.queryExecution.analyzed.semanticHash(), idCol, textCol),
+        docs.select(col(idCol).cast("long").as("__id"),
+            explode(split(col(textCol), " ")).as("__w"))
+          .filter(col("__w") =!= "")
+          .groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  def releaseCaches(): Unit = {
+    postingsCache.synchronized {
+      postingsCache.values.foreach(_.unpersist(blocking = false))
+      postingsCache.clear()
+    }
+    tfCache.synchronized {
+      tfCache.values.foreach(_.unpersist(blocking = false))
+      tfCache.clear()
+    }
   }
 
   /** Okapi BM25 top-k retrieval (Robertson et al., "Okapi at TREC-3",
@@ -71,10 +102,7 @@ object SearchFunctions {
     import spark.implicits._
     require(k >= 1, "need k >= 1")
 
-    val toks = docs.select(col(idCol).cast("long").as("__id"),
-        explode(split(col(textCol), " ")).as("__w"))
-      .filter(col("__w") =!= "")
-    val tf = toks.groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
+    val tf = termFreqShared(docs, idCol, textCol)
     val dl = tf.groupBy("__id").agg(sum("__tf").as("__dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
       (sum("__dl").cast("double") / count(lit(1)).cast("double")).as("__avgdl"))

@@ -178,7 +178,7 @@ object SimilarityFunctions {
     * would otherwise throw on the driver, and a pre-filtered corpus
     * with no ids below C would silently assign nothing — both
     * round-5 advice items). */
-  private def collectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def collectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                                centroids: Int): Seq[(Long, Seq[Double])] = {
     require(centroids >= 1, "need centroids >= 1")
     val rows = corpus.filter(col(idCol) < centroids)
@@ -202,13 +202,32 @@ object SimilarityFunctions {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               centroids: Int, nprobe: Int): DataFrame = {
-    require(nprobe >= 1, "need nprobe >= 1")
     val cent = collectCentroids(corpus, idCol, vecCol, centroids)
       .map { case (cid, v) => (cid, v.toArray) }
-    val assigned = corpus
+    ivfProbeAssigned(ivfAssign(corpus, idCol, vecCol, cent),
+      queries, idCol, vecCol, cent, k, nprobe)
+  }
+
+  /** The build half of [[ivfTopK]]: one per-row kernel assignment of
+    * each corpus vector to its nearest centroid — the exact rows
+    * [[graft.functions.AnnIndex]] persists as the IVF-flat inverted
+    * file. Vectors keep their ORIGINAL element type so a parquet
+    * round-trip re-scores bit-identically. */
+  private[graft] def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                               cent: Seq[(Long, Array[Double])]): DataFrame =
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cid", element_at(VectorExpressions.nearest_centroids(
         asDouble(col("__cv")), cent, 1, VectorKernels.MetricCosine), 1).getField("cid"))
+
+  /** The probe half of [[ivfTopK]], over a prebuilt (neighbor_id,
+    * __cv, __cid) inverted file — in-session or loaded from a
+    * persisted index. */
+  private[graft] def ivfProbeAssigned(assigned: DataFrame, queries: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      cent: Seq[(Long, Array[Double])],
+                                      k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "need nprobe >= 1")
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__pc", explode(VectorExpressions.nearest_centroids(
@@ -317,16 +336,23 @@ object SimilarityFunctions {
                 cells: Int, nprobe: Int,
                 m: Int, codebook: Int, dim: Int,
                 residual: Boolean = false): DataFrame = {
-    require(nprobe >= 1, "need nprobe >= 1")
-    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got $dim / $m")
-    val sub = dim / m
     val cellCent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
-    val full = collectCentroids(corpus, idCol, vecCol, codebook)
-    // residual mode: codebook seeds live in residual space — each
-    // seed minus ITS nearest cell centroid (cosine argmax, rounded,
-    // lowest-cid ties: the kernel's own ordering, replicated here in
-    // driver-side KB math)
+    val codeSeeds = ivfpqCodeSeeds(
+      collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
+    val codes = ivfpqEncode(corpus, idCol, vecCol, cellCent, codeSeeds,
+      m, dim, residual)
+    ivfpqProbeCodes(codes, queries, idCol, vecCol, cellCent, codeSeeds,
+      k, nprobe, m, dim, residual)
+  }
+
+  /** Codebook seeds for [[ivfpqTopK]]/[[AnnIndex]]. In residual mode
+    * seeds live in residual space — each seed minus ITS nearest cell
+    * centroid (cosine argmax, rounded, lowest-cid ties: the kernel's
+    * own ordering, replicated here in driver-side KB math). */
+  private[graft] def ivfpqCodeSeeds(full: Seq[(Long, Seq[Double])],
+                                    cellCent: Seq[(Long, Array[Double])],
+                                    residual: Boolean): Seq[(Long, Seq[Double])] = {
     def nearestCell(v: Seq[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       cellCent.map { case (cid, cv) =>
@@ -335,20 +361,33 @@ object SimilarityFunctions {
         (-VectorKernels.round6(cos), cid, cv)
       }.minBy { case (negCos, cid, _) => (negCos, cid) }._3
     }
-    val codeSeeds: Seq[(Long, Seq[Double])] =
-      if (!residual) full
-      else full.map { case (cid, v) =>
-        (cid, v.zip(nearestCell(v)).map { case (x, c) => x - c })
-      }
-    def blockCent(b: Int): Seq[(Long, Array[Double])] =
-      codeSeeds.map { case (cid, v) => (cid, v.slice(b * sub, (b + 1) * sub).toArray) }
+    if (!residual) full
+    else full.map { case (cid, v) =>
+      (cid, v.zip(nearestCell(v)).map { case (x, c) => x - c })
+    }
+  }
+
+  private def blockCentOf(codeSeeds: Seq[(Long, Seq[Double])], sub: Int)(b: Int)
+      : Seq[(Long, Array[Double])] =
+    codeSeeds.map { case (cid, v) => (cid, v.slice(b * sub, (b + 1) * sub).toArray) }
+
+  /** The build half of [[ivfpqTopK]]: ONE corpus scan producing cell
+    * assignment + m block codes as (neighbor_id, __cell, __b, __cid)
+    * rows — the exact rows [[AnnIndex]] persists as the IVF-PQ code
+    * table. In residual mode the encoded vector is __dv −
+    * centroid(cell) — the centroid table broadcast-joins into the
+    * scan (no exchange). */
+  private[graft] def ivfpqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                                 cellCent: Seq[(Long, Array[Double])],
+                                 codeSeeds: Seq[(Long, Seq[Double])],
+                                 m: Int, dim: Int, residual: Boolean): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"need dim divisible by m, got $dim / $m")
+    val sub = dim / m
+    val blockCent = blockCentOf(codeSeeds, sub) _
     val session = corpus.sparkSession
     import session.implicits._
     val centDf = broadcast(
       cellCent.map { case (cid, v) => (cid, v.toSeq) }.toDF("__cell", "__centv"))
-    // one corpus scan: cell assignment + m block codes, all kernels.
-    // In residual mode the encoded vector is __dv − centroid(cell) —
-    // the centroid table broadcast-joins into the scan (no exchange).
     val base = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__dv"))
       .withColumn("__cell", element_at(VectorExpressions.nearest_centroids(
@@ -357,7 +396,7 @@ object SimilarityFunctions {
       if (!residual) base.withColumn("__ev", col("__dv"))
       else base.join(centDf, Seq("__cell"))
         .withColumn("__ev", zip_with(col("__dv"), col("__centv"), (x, c) => x - c))
-    val codes = withEnc
+    withEnc
       .select(col("neighbor_id"), col("__cell"),
         posexplode(array((0 until m).map { b =>
           element_at(VectorExpressions.nearest_centroids(
@@ -365,6 +404,24 @@ object SimilarityFunctions {
             VectorKernels.MetricL2), 1).getField("cid")
         }: _*)))
       .toDF("neighbor_id", "__cell", "__b", "__cid")
+  }
+
+  /** The probe half of [[ivfpqTopK]], over a prebuilt code table —
+    * in-session or loaded from a persisted index. */
+  private[graft] def ivfpqProbeCodes(codes: DataFrame, queries: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     cellCent: Seq[(Long, Array[Double])],
+                                     codeSeeds: Seq[(Long, Seq[Double])],
+                                     k: Int, nprobe: Int, m: Int, dim: Int,
+                                     residual: Boolean): DataFrame = {
+    require(nprobe >= 1, "need nprobe >= 1")
+    val sub = dim / m
+    val codebook = codeSeeds.size
+    val blockCent = blockCentOf(codeSeeds, sub) _
+    val session = codes.sparkSession
+    import session.implicits._
+    val centDf = broadcast(
+      cellCent.map { case (cid, v) => (cid, v.toSeq) }.toDF("__cell", "__centv"))
     // query-side tables (tiny, broadcast): probed cells, and the ADC
     // distance table — the same kernel with n = codebook returns ALL
     // codewords with their rounded distances in one evaluation. In

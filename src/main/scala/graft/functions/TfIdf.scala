@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * never corpus². */
 object TfIdf {
 
-  /** Per-(doc, token) term frequency. */
+  /** Per-(doc, token) term frequency — the shared memoized tokenize
+    * pass (SearchFunctions.termFreqShared), renamed to this module's
+    * public column contract. The id column comes back as long (the
+    * shared relation's key type). */
   def termFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    SearchFunctions.termFreqShared(docs, idCol, textCol)
+      .select(col("__id").as(idCol), col("__w").as("token"),
+        col("__tf").as("tf"))
 
   /** Smooth-free idf: ln(N / df). N passed in so the caller controls
     * the (single, tiny) count job. */

@@ -72,6 +72,46 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Persisted IVF index + incremental add (AnnIndex): build & SAVE
+    // the inverted file from the first half of the corpus, APPEND the
+    // second half against the saved centroids (no rebuild), then
+    // probe the LOADED index. Same oracle as s4 — save/load/addBatch
+    // must be invisible to results. Probing reads only the probed
+    // cells' parquet partitions.
+    "s10_ann_index_persisted" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_flat_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.functions.AnnIndex.ivfIndexSave(
+        e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        cells = 16, dir = dir)
+      graft.functions.AnnIndex.addBatch(s, dir,
+        e.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      graft.functions.AnnIndex.probe(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Persisted IVF-PQ index + incremental add: same round-trip for
+    // the code-table layout (cells + per-block codes partitioned by
+    // cell), probed via the loaded codebook. Same oracle as s8.
+    "s10b_ann_ivfpq_persisted" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_pq_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.functions.AnnIndex.ivfpqIndexSave(
+        e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        cells = 16, m = 4, codebook = 16, dim = 64, residual = false,
+        dir = dir)
+      graft.functions.AnnIndex.addBatch(s, dir,
+        e.filter(col("vec_id") >= 250), "vec_id", "embedding")
+      graft.functions.AnnIndex.probe(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Full k-NN self-join: top-3 neighbors for EVERY vector via the
     // LSH bucket join (the neighbor-graph builder behind semantic
     // dedup / cluster-then-sample). Nothing broadcast — both join
@@ -483,6 +523,10 @@ object SimilarityQueries {
     "s5_knn_join" -> s5Sql,
     "s6_ann_pq" -> s6Sql,
     "s4_ann_ivf" -> s4Sql,
+    // the persisted-index round-trips must be result-invisible: the
+    // oracles ARE the in-session s4/s8 oracles
+    "s10_ann_index_persisted" -> s4Sql,
+    "s10b_ann_ivfpq_persisted" -> s8Sql,
     "s1_ann_topk" -> s1Sql,
     // recall@5 of the LSH path against the brute-force truth, per
     // query: both pipelines' full oracle statements as subqueries

@@ -283,6 +283,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == ivf2)
   }
 
+  test("AnnIndex round-trip: save/load/probe is bit-identical to in-session IVF and IVF-PQ (incl. residual)") {
+    import graft.functions.AnnIndex
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val base = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // flat: build-whole vs build-half-plus-addBatch vs in-session
+    val inSession = rows(ivfTopK(e, q, "vec_id", "embedding",
+      k = 5, centroids = 16, nprobe = 4))
+    AnnIndex.ivfIndexSave(e, "vec_id", "embedding", 16, s"$base/flat")
+    assert(rows(AnnIndex.probe(spark, s"$base/flat", q, "vec_id", "embedding",
+      5, 4)) == inSession)
+    AnnIndex.ivfIndexSave(e.filter(col("vec_id") < 100), "vec_id", "embedding",
+      16, s"$base/flat2")
+    AnnIndex.addBatch(spark, s"$base/flat2", e.filter(col("vec_id") >= 100),
+      "vec_id", "embedding")
+    assert(rows(AnnIndex.probe(spark, s"$base/flat2", q, "vec_id", "embedding",
+      5, 4)) == inSession)
+
+    // residual IVF-PQ (no gated query covers residual persistence)
+    val pqSession = rows(ivfpqTopK(e, q, "vec_id", "embedding", k = 5,
+      cells = 8, nprobe = 2, m = 4, codebook = 32, dim = 64, residual = true))
+    AnnIndex.ivfpqIndexSave(e.filter(col("vec_id") < 100), "vec_id", "embedding",
+      8, 4, 32, 64, residual = true, s"$base/pq")
+    AnnIndex.addBatch(spark, s"$base/pq", e.filter(col("vec_id") >= 100),
+      "vec_id", "embedding")
+    assert(rows(AnnIndex.probe(spark, s"$base/pq", q, "vec_id", "embedding",
+      5, 2)) == pqSession)
+  }
+
+  test("AnnIndex probe reads only the probed cells' partitions") {
+    import graft.functions.AnnIndex
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annprune").toString + "/idx"
+    AnnIndex.ivfIndexSave(e, "vec_id", "embedding", 16, dir)
+    val plan = AnnIndex.probe(spark, dir, q, "vec_id", "embedding", 5, 2)
+      .queryExecution.executedPlan.toString
+    // the partitioned scan must carry the probed-cell partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition filter on the codes scan:\n$plan")
+    val scanned = "cell#\\d+L? IN ".r.findFirstIn(plan)
+      .orElse("cell.* IN \\(".r.findFirstIn(plan))
+    assert(scanned.nonEmpty || plan.contains("isin") || plan.contains(" IN "),
+      s"probed-cell IN-filter missing from plan:\n$plan")
+  }
+
   test("MinHash LSH candidates lose no pair at Jaccard >= 0.8 (complete recall on fixture)") {
     val docs = graft.Tables.documents(spark, sf)
     val lsh = minhashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.8)
