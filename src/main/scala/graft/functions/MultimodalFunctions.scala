@@ -171,26 +171,40 @@ object MultimodalFunctions {
   /** Image near-duplicate pairs by average-hash hamming distance: the
     * SimHash dedup recipe applied to pixels. Each decodable BMP payload
     * gets its 64-bit aHash (MediaExpressions.image_ahash64, real pixel
-    * decode); hashes band into 8 bytes; pairs sharing any band are
-    * candidates (pigeonhole: hamming ≤ 7 ⇒ at least one of 8 bytes
-    * equal, so recall is COMPLETE for `maxHamming` ≤ 7); candidates
-    * verify with a native `bit_count(xor)` popcount. Candidate volume
-    * ∝ band-bucket occupancy (near-dup groups), never corpus² —
-    * undecodable payloads drop out before banding. Returns
+    * decode); hashes band into `bands` equal slices; pairs sharing any
+    * band are candidates (pigeonhole: hamming ≤ bands−1 ⇒ at least
+    * one band equal, so recall is COMPLETE for `maxHamming` ≤
+    * bands−1); candidates verify with a native `bit_count(xor)`
+    * popcount. Candidate volume ∝ band-bucket occupancy over
+    * 2^(64/bands) buckets per band — the `bands` dial trades radius
+    * for an exponential candidate cut (SCALE.md, measured).
+    * Undecodable payloads drop out before banding. Returns
     * (a, b, hamming) with a < b, one row per pair. */
   def ahashNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
-                          maxHamming: Int = 7): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"byte-banding covers hamming <= 7 completely, got $maxHamming " +
-        "(raise bands, not the threshold, for looser matches)")
+                          maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 (2/4/8/16/32), got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"$bands bands cover hamming <= ${bands - 1} completely, got " +
+        s"$maxHamming (raise bands, not the threshold, for looser matches)")
+    // `bands` is the cost/radius dial (the SimHash convention — like
+    // s5's planes ~ log2(corpus)): candidate volume per band is
+    // Σ_bucket c², buckets = 2^(64/bands), so FEWER, WIDER bands cut
+    // candidates exponentially while shrinking the pigeonhole-complete
+    // radius to bands−1. At 100-TB corpus sizes run bands = 4
+    // (hamming ≤ 3, 2^16 buckets) or 2 (≤ 1, 2^32) — the default 8
+    // keeps the fixture-friendly ≤ 7 radius.
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     // no cast on the id: `<` orders strings as well as numerics, and a
     // cast would NULL non-numeric ids and silently drop every pair
     val hashed = df.select(col(idCol).as("__id"),
         graft.expressions.MediaExpressions.image_ahash64(col(payloadCol)).as("__h"))
       .filter(col("__h").isNotNull)
     val banded = hashed
-      .withColumn("__b", explode(sequence(lit(0), lit(7))))
-      .withColumn("__bv", expr("shiftright(__h, (7 - __b) * 8) & 255"))
+      .withColumn("__b", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__bv",
+        expr(s"shiftright(__h, ($bands - 1 - __b) * $width) & $mask"))
     val a = banded.select(col("__b"), col("__bv"),
       col("__id").as("a"), col("__h").as("__ha"))
     val bb = banded.select(col("__b"), col("__bv"),

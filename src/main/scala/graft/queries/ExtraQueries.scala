@@ -457,6 +457,33 @@ object ExtraQueries {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("r_name"), kmv_estimate(col("sk")).as("n_customers"))
         .orderBy("r_name")
+    }),
+
+    // Two-level QUANTILE rollup — the summary family's third leg
+    // (KMV = distinct, MG = frequency, KLL = quantiles): per-nation
+    // account-balance sketches merge up to regions without re-touching
+    // the customer table, then interpolated quantiles read straight
+    // off the merged sketches. Group sizes stay under the 16384
+    // capacity at every tested SF, so the sketch is in its EXACT
+    // regime and the oracle is plain quantile_cont.
+    "x40_quantile_rollup" -> ((s, d) => {
+      import graft.expressions.QuantileSketchExpressions._
+      val perNation = customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(kll_sketch(col("c_acctbal"), 16384).as("sk"))
+      perNation
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(kll_merge(col("sk")).as("sk"))
+        .join(broadcast(region(s, d).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"),
+          round(kll_quantile(col("sk"), 0.25), 6).as("p25"),
+          round(kll_quantile(col("sk"), 0.5), 6).as("p50"),
+          round(kll_quantile(col("sk"), 0.95), 6).as("p95"),
+          kll_n(col("sk")).as("n"))
+        .orderBy("r_name")
     })
   )
 
@@ -661,6 +688,16 @@ object ExtraQueries {
     "x31b_sketch_rollup" ->
       """SELECT r_name,
         |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "x40_quantile_rollup" ->
+      """SELECT r_name,
+        |  round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.95), 6) AS p95,
+        |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

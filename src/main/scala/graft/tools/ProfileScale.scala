@@ -55,7 +55,8 @@ object ProfileScale {
           .forEach(f => Files.deleteIfExists(f))
     }
 
-    val base = documents(spark, d).select("doc_id", "text")
+    val famOnly = args.contains("--families-only")
+    val base = documents(spark, d).select("doc_id", "text", "source")
     val baseN = base.count()
     println(s"base corpus: $baseN docs ($d)")
 
@@ -71,7 +72,8 @@ object ProfileScale {
           (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
           // shift step 7 is coprime to 26: distinct rotations per replica
           translate(col("text"), lower + upper + digits,
-            rot(lower, c * 7) + rot(upper, c * 7) + rot(digits, c * 3)).as("text"))
+            rot(lower, c * 7) + rot(upper, c * 7) + rot(digits, c * 3)).as("text"),
+          col("source"))
       }
       replicas.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
       p
@@ -102,6 +104,7 @@ object ProfileScale {
       val n = docs.count()
       println(s"\n== factor $f: $n docs ==")
 
+      if (!famOnly) {
       // x11b — containment, prefix filter + PPJoin bound (threshold 0.7)
       {
         val input = docs.filter(size(split(col("text"), " ")) >= 3)
@@ -265,9 +268,131 @@ object ProfileScale {
         println(f"d9    ${t}%7.1f s  grams $grams%9d  flagged $flagged%7d")
         cells += Cell("d9_decontaminate", f, n, t, grams, flagged)
       }
+      } // !famOnly
+
+      // x31b — KMV distinct rollup, both halves of the claim:
+      // (build) ONE corpus scan → per-source sketches → global
+      // estimate, time ∝ corpus; (rollup) per-(source, shard)
+      // sketches persisted to parquet — shards grow with the corpus
+      // like daily ingest partitions — and the re-rollup reads ONLY
+      // sketch rows, so its time follows sketch count, never corpus
+      // bytes. "candidates" = sketch rows read.
+      {
+        import graft.expressions.SketchExpressions._
+        val toks = docs
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("__t"))
+          .filter(col("__t") =!= "")
+        val (est, t) = time {
+          toks.groupBy("source").agg(kmv_sketch(col("__t"), 16384).as("sk"))
+            .agg(kmv_estimate(kmv_merge(col("sk"))).as("d"))
+            .collect()(0).getLong(0)
+        }
+        val skPath = s"$tmp/kmv_x$f"
+        toks.withColumn("__shard", pmod(xxhash64(col("doc_id")), lit(16L * f)))
+          .groupBy("source", "__shard")
+          .agg(kmv_sketch(col("__t"), 16384).as("sk"))
+          .write.mode("overwrite").parquet(skPath)
+        val skRows = spark.read.parquet(skPath).count()
+        val (est2, t2) = time {
+          spark.read.parquet(skPath)
+            .agg(kmv_estimate(kmv_merge(col("sk"))).as("d"))
+            .collect()(0).getLong(0)
+        }
+        assert(est == est2, s"rollup estimate drifted: $est vs $est2")
+        println(f"x31b  build ${t}%6.1f s  rollup ${t2}%6.2f s  sketches $skRows%6d  distinct $est%9d")
+        cells += Cell("x31b_sketch_build", f, n, t, skRows, est)
+        cells += Cell("x31b_sketch_rollup", f, n, t2, skRows, est2)
+      }
+
+      // x33b — the same two-level claim for Misra-Gries frequency
+      // sketches: global top-1 token count from merged per-shard
+      // sketches, rollup reading sketch rows only.
+      {
+        import graft.expressions.FreqSketchExpressions._
+        val toks = docs
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("__t"))
+          .filter(col("__t") =!= "")
+        val mgPath = s"$tmp/mg_x$f"
+        toks.withColumn("__shard", pmod(xxhash64(col("doc_id")), lit(16L * f)))
+          .groupBy("source", "__shard")
+          .agg(mg_sketch(col("__t"), 4096).as("sk"))
+          .write.mode("overwrite").parquet(mgPath)
+        val mgRows = spark.read.parquet(mgPath).count()
+        val (top, t2) = time {
+          spark.read.parquet(mgPath)
+            .agg(mg_merge(col("sk")).as("sk"))
+            .select(explode(mg_topk(col("sk"), 1)).as("e"))
+            .select(col("e.count")).collect()(0).getLong(0)
+        }
+        println(f"x33b  rollup ${t2}%6.2f s  sketches $mgRows%6d  top-count $top%9d")
+        cells += Cell("x33b_mg_rollup", f, n, t2, mgRows, top)
+      }
+
+      // x38 — token-budget selection with the budget scaled ∝ corpus
+      // (constant keep fraction): one scoring scan + the bounded
+      // distinct-score histogram (candidates = its row count — must
+      // stay ~flat while the corpus grows) + broadcast keep attach.
+      {
+        import graft.functions.CurationFunctions.selectByTokenBudget
+        val (kept, t) = time {
+          selectByTokenBudget(docs, "doc_id", "text", budgetTokens = 20000L * f)
+            .filter(col("keep") === 1).count()
+        }
+        val histRows = docs.select(
+          round(graft.functions.TextAnalysisFunctions.qualityScore(col("text")), 6).as("q"))
+          .distinct().count()
+        println(f"x38   ${t}%7.1f s  hist rows $histRows%9d  kept $kept%7d")
+        cells += Cell("x38_budget_select", f, n, t, histRows, kept)
+      }
+
+      // x39 kernel — image near-dup over REAL decoded aHashes, with
+      // the payload synthesis OUT of the timed region (8×8 BMPs whose
+      // 192 pixel bytes are sha256-derived per doc — uniformly spread
+      // hashes, the adversarial no-dup-structure case for banding).
+      // Measured at bands = 8 (the fixture default, hamming ≤ 7,
+      // 2⁸ buckets/band) AND bands = 4 (the at-scale dial, hamming
+      // ≤ 3, 2¹⁶ buckets/band): candidates = Σ_band Σ_bucket c(c−1)/2
+      // — the 8-band law is ~n²/2⁸ by construction and the 4-band law
+      // cuts it by ~2⁸ more, which is the point of the dial.
+      {
+        import graft.functions.MultimodalFunctions.ahashNearDuplicates
+        val hdrHex = "424DF600000000000000360000002800000008000000" +
+          "080000000100180000000000C0000000" + "00" * 16
+        val pixels = concat_ws("", transform(sequence(lit(0), lit(5)),
+          c => sha2(concat(col("doc_id").cast("string"), lit(":"),
+            c.cast("string")), 256)))
+        val pp = s"$tmp/img_x$f"
+        docs.select(col("doc_id"),
+            unhex(concat(lit(hdrHex), pixels)).as("payload"))
+          .write.mode("overwrite").parquet(pp)
+        val imgs = spark.read.parquet(pp)
+        for (bands <- Seq(8, 4)) {
+          val (pairs, t) = time {
+            ahashNearDuplicates(imgs, "doc_id", "payload",
+              maxHamming = bands - 1, bands = bands).count()
+          }
+          val width = 64 / bands
+          val cand = {
+            val h = imgs.select(graft.expressions.MediaExpressions
+              .image_ahash64(col("payload")).as("__h"))
+              .filter(col("__h").isNotNull)
+              .withColumn("__b", explode(sequence(lit(0), lit(bands - 1))))
+              .withColumn("__bv",
+                expr(s"shiftright(__h, ($bands - 1 - __b) * $width) & ${(1L << width) - 1}"))
+            h.groupBy("__b", "__bv").agg(count(lit(1)).as("c"))
+              .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")))
+              .collect()(0).getLong(0)
+          }
+          println(f"x39 bands=$bands ${t}%7.1f s  candidates $cand%9d  pairs $pairs%7d")
+          cells += Cell(s"x39_neardup_b$bands", f, n, t, cand, pairs)
+        }
+      }
       spark.sharedState.cacheManager.clearCache()
     }
 
+    if (!famOnly)
     // s5 — kNN join: candidates ∝ corpus²/2^planes, so the documented
     // dial is planes ~ log₂(corpus): grow the corpus F× AND add
     // ⌈log₂F⌉ planes, and candidate counts must stay ~linear (with

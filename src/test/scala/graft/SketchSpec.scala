@@ -107,4 +107,64 @@ class SketchSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(math.abs(est - 7500L).toDouble / 7500.0 < 0.25, s"est=$est")
   }
+
+  // ---- KLL quantile sketch: graft.expressions.QuantileSketchExpressions
+
+  import graft.expressions.QuantileSketchExpressions._
+
+  test("KLL exact regime equals percentile, across partitions, with nulls skipped") {
+    val vals = new scala.util.Random(11).shuffle((1 to 5000).toVector)
+      .map(_.toDouble * 0.25)
+    val df = vals.map(Option(_)).:+(Option.empty[Double]).toDF("v")
+      .repartition(13)
+    val row = df.agg(
+      kll_sketch(col("v"), 16384).as("sk"),
+      expr("percentile(v, 0.5)").as("p50e"),
+      expr("percentile(v, 0.95)").as("p95e"),
+      expr("percentile(v, 0.031)").as("podd")).head()
+    val sk = row.getAs[Array[Byte]]("sk")
+    assert(quantileOf(sk, 0.5) == row.getDouble(1))
+    assert(quantileOf(sk, 0.95) == row.getDouble(2))
+    assert(quantileOf(sk, 0.031) == row.getDouble(3))
+    assert(graft.expressions.QuantileSketchExpressions
+      .readBuffer(sk).totalWeight == 5000L)
+  }
+
+  test("KLL exact-regime binary is canonical under input reordering and sharded merge") {
+    val vals = (1 to 4000).map(i => ((i * 37) % 4000).toDouble)
+    val whole = vals.toDF("v").repartition(7)
+      .agg(kll_sketch(col("v"), 8192).as("sk")).head().getAs[Array[Byte]](0)
+    val reord = scala.util.Random.shuffle(vals).toDF("v").repartition(3)
+      .agg(kll_sketch(col("v"), 8192).as("sk")).head().getAs[Array[Byte]](0)
+    val sharded = vals.zipWithIndex.map { case (v, i) => (i % 5, v) }
+      .toDF("shard", "v")
+      .groupBy("shard").agg(kll_sketch(col("v"), 8192).as("sk"))
+      .agg(kll_merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, reord),
+      "reordered input changed the exact-regime binary")
+    assert(java.util.Arrays.equals(whole, sharded),
+      "two-level merge changed the exact-regime binary")
+  }
+
+  test("KLL estimating regime: rank error within 2% at n=200k, k=1024; n stays exact") {
+    val n = 200000
+    val df = spark.range(n).select(
+      (pmod(col("id") * 48271 % 200003, lit(200003))).cast("double").as("v"))
+    val sk = df.agg(kll_sketch(col("v"), 1024).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(graft.expressions.QuantileSketchExpressions
+      .readBuffer(sk).totalWeight == n.toLong)
+    val exact = df.select("v").as[Double].collect().sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = quantileOf(sk, q).asInstanceOf[Double]
+      // rank of the estimate in the true sorted order vs target rank
+      val rank = java.util.Arrays.binarySearch(exact, est) match {
+        case i if i >= 0 => i
+        case i => -i - 1
+      }
+      val target = q * (n - 1)
+      assert(math.abs(rank - target) <= 0.02 * n,
+        s"q=$q est=$est rank=$rank target=$target")
+    }
+  }
 }
