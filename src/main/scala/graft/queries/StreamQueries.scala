@@ -108,6 +108,26 @@ object StreamQueries {
         .select(col("window.start").cast("long").as("w_start"),
           col("event_type"), col("n_users"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // Event-time windowed VALUE QUANTILES via the KLL sketch — the
+    // "p50/p95 latency per hour per event type" report with bounded
+    // per-window state instead of percentile's per-group value
+    // buffer; the same expression runs under readStream. Window
+    // groups stay far below the 4096 capacity at tested SFs (max 51
+    // rows), so the sketch is exact and the quantile_cont oracle
+    // matches bit-for-bit.
+    "st8_windowed_quantiles" -> ((s, d) => {
+      import graft.expressions.QuantileSketchExpressions._
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(kll_sketch(col("value"), 4096).as("sk"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"),
+          round(kll_quantile(col("sk"), 0.5), 6).as("p50"),
+          round(kll_quantile(col("sk"), 0.95), 6).as("p95"),
+          kll_n(col("sk")).as("n"))
+        .orderBy("w_start", "event_type")
     })
   )
 
@@ -189,6 +209,13 @@ object StreamQueries {
     "st7_windowed_distinct" ->
       """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS w_start,
         |  event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "st8_windowed_quantiles" ->
+      """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS w_start,
+        |  event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
   )
 }

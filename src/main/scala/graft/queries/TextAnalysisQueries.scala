@@ -363,38 +363,60 @@ object TextAnalysisQueries {
     // any coincidental pair is deterministic on both sides, so
     // equality is exact.
     "x39_image_neardup" -> ((s, d) => {
-      val hdrHex = "424DF600000000000000360000002800000008000000" +
-        "080000000100180000000000C0000000" + "00" * 16
-      // 12 md5 blocks of 16 pixel bytes each (192 bytes = 384 hex
-      // chars) — a per-BYTE md5 formulation costs 16× the lambda
-      // evaluations and measured 6.6 s at sf0.1 on synthesis alone
-      def pixels(base: org.apache.spark.sql.Column, nudge: Boolean) = {
-        val blocks = concat_ws("", transform(sequence(lit(0), lit(11)),
-          b => md5(concat_ws("_", base, b))))
-        if (!nudge) blocks
-        else concat( // nudge pixel byte 0: first hex pair + 2 mod 256
-          lpad(hex((conv(substring(blocks, 1, 2), 16, 10).cast("long") + 2)
-            % 256), 2, "0"),
-          substring(blocks, 3, 382))
-      }
-      val base = documents(s, d).select(col("doc_id"),
-        unhex(concat(lit(hdrHex), pixels(col("doc_id"), nudge = false)))
-          .as("payload"))
-      // payload from the ORIGINAL doc_id in its own select — aliasing
-      // doc_id+100000 as "doc_id" in the same select would shadow the
-      // input column via lateral column alias resolution, silently
-      // building every clone from the wrong base (caught by the
-      // oracle: 110-pair drift at the gate)
-      val clones = documents(s, d)
-        .select(col("doc_id"),
-          unhex(concat(lit(hdrHex), pixels(col("doc_id"), nudge = true)))
-            .as("payload"))
-        .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
       graft.functions.MultimodalFunctions.ahashNearDuplicates(
-          base.unionByName(clones), "doc_id", "payload", maxHamming = 7)
+          x39Images(s, d), "doc_id", "payload", maxHamming = 7)
+        .orderBy("a", "b")
+    }),
+
+    // The same fixture through the at-scale band dial: 4 bands of 16
+    // bits (2¹⁶ buckets per band vs 2⁸ — the SCALE.md-measured ~500×
+    // candidate cut) with the matching pigeonhole-complete radius
+    // hamming ≤ 3. The planted clones sit at hamming ≤ 1, so the
+    // brute-force oracle at threshold 3 must match exactly — equality
+    // proves completeness of the wider banding, not just the default.
+    "x39b_image_neardup_wideband" -> ((s, d) => {
+      graft.functions.MultimodalFunctions.ahashNearDuplicates(
+          x39Images(s, d), "doc_id", "payload", maxHamming = 3, bands = 4)
         .orderBy("a", "b")
     })
   )
+
+  /** x39's image fixture: each doc an 8×8 BMP with md5-derived pixel
+    * bytes (decorrelated — unrelated docs sit ~32 bits apart, so
+    * near-dups are sparse, like real images; a linear-in-doc_id
+    * formula made EVERYTHING a near-dup — 57k pairs); docs re-keyed
+    * +100000 get a CLONE of their base image with pixel byte 0 nudged
+    * (+2 mod 256) — hamming 0 or 1 from the base. */
+  private def x39Images(s: SparkSession, d: String): DataFrame = {
+    val hdrHex = "424DF600000000000000360000002800000008000000" +
+      "080000000100180000000000C0000000" + "00" * 16
+    // 12 md5 blocks of 16 pixel bytes each (192 bytes = 384 hex
+    // chars) — a per-BYTE md5 formulation costs 16× the lambda
+    // evaluations and measured 6.6 s at sf0.1 on synthesis alone
+    def pixels(base: org.apache.spark.sql.Column, nudge: Boolean) = {
+      val blocks = concat_ws("", transform(sequence(lit(0), lit(11)),
+        b => md5(concat_ws("_", base, b))))
+      if (!nudge) blocks
+      else concat( // nudge pixel byte 0: first hex pair + 2 mod 256
+        lpad(hex((conv(substring(blocks, 1, 2), 16, 10).cast("long") + 2)
+          % 256), 2, "0"),
+        substring(blocks, 3, 382))
+    }
+    val base = documents(s, d).select(col("doc_id"),
+      unhex(concat(lit(hdrHex), pixels(col("doc_id"), nudge = false)))
+        .as("payload"))
+    // payload from the ORIGINAL doc_id in its own select — aliasing
+    // doc_id+100000 as "doc_id" in the same select would shadow the
+    // input column via lateral column alias resolution, silently
+    // building every clone from the wrong base (caught by the
+    // oracle: 110-pair drift at the gate)
+    val clones = documents(s, d)
+      .select(col("doc_id"),
+        unhex(concat(lit(hdrHex), pixels(col("doc_id"), nudge = true)))
+          .as("payload"))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("payload"))
+    base.unionByName(clones)
+  }
 
   /** x27 workload: the x23 keyword sets, each with an anchor document
     * for the dense "more like this" side. */
@@ -857,39 +879,47 @@ object TextAnalysisQueries {
     // popcount of xor — no 64-bit assembly, so no BIGINT shift
     // overflow); pixel byte idx = hex pair (idx%16) of
     // md5("<base>_<idx//16>"), clone byte idx 0 carries the +2 nudge
-    "x39_image_neardup" -> {
-      def chan(c: Int): String = {
-        val idx = s"((7 - p//8)*24 + (p%8)*3 + $c)"
-        val h = s"md5(CAST(base AS VARCHAR) || '_' || CAST($idx // 16 AS VARCHAR))"
-        val byte = s"((strpos('0123456789abcdef', substr($h, 2*($idx % 16) + 1, 1)) - 1) * 16" +
-          s" + strpos('0123456789abcdef', substr($h, 2*($idx % 16) + 2, 1)) - 1)"
-        if (c == 0)
-          s"($byte + CASE WHEN nudge = 1 AND $idx = 0 THEN 2 ELSE 0 END) % 256"
-        else byte
-      }
-      s"""WITH ids AS (
-        |  SELECT doc_id, doc_id AS base, 0 AS nudge FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, doc_id, 1 FROM documents),
-        |px AS (
-        |  SELECT doc_id, p,
-        |    ${chan(0)}
-        |  + ${chan(1)}
-        |  + ${chan(2)} AS g
-        |  FROM ids CROSS JOIN unnest(generate_series(0, 63)) AS t(p)),
-        |s AS (SELECT doc_id, CAST(SUM(g) AS BIGINT) AS tot FROM px GROUP BY doc_id),
-        |b AS (SELECT px.doc_id, p, CASE WHEN 64*g > tot THEN 1 ELSE 0 END AS bit
-        |      FROM px JOIN s ON px.doc_id = s.doc_id),
-        |bytes AS (
-        |  SELECT doc_id, p // 8 AS k,
-        |    CAST(SUM(bit * (1 << (7 - (p % 8)))) AS BIGINT) AS byte
-        |  FROM b GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    CAST(SUM(bit_count(CAST(xor(x.byte, y.byte) AS BIGINT))) AS INT) AS hamming
-        |  FROM bytes x JOIN bytes y ON x.k = y.k AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a, b, hamming FROM pairs WHERE hamming <= 7 ORDER BY a, b""".stripMargin
-    }
+    "x39_image_neardup" -> x39OracleSql(7),
+    "x39b_image_neardup_wideband" -> x39OracleSql(3)
   )
+
+  /** x39/x39b oracle: brute-force hamming over independently-computed
+    * aHashes (no byte parsing — the pixel math is replayed from the
+    * synthesis formula), filtered at `maxHamming`. Being banding-free,
+    * equality against the banded Spark path proves the banding's
+    * completeness at the claimed radius. */
+  private def x39OracleSql(maxHamming: Int): String = {
+    def chan(c: Int): String = {
+      val idx = s"((7 - p//8)*24 + (p%8)*3 + $c)"
+      val h = s"md5(CAST(base AS VARCHAR) || '_' || CAST($idx // 16 AS VARCHAR))"
+      val byte = s"((strpos('0123456789abcdef', substr($h, 2*($idx % 16) + 1, 1)) - 1) * 16" +
+        s" + strpos('0123456789abcdef', substr($h, 2*($idx % 16) + 2, 1)) - 1)"
+      if (c == 0)
+        s"($byte + CASE WHEN nudge = 1 AND $idx = 0 THEN 2 ELSE 0 END) % 256"
+      else byte
+    }
+    s"""WITH ids AS (
+      |  SELECT doc_id, doc_id AS base, 0 AS nudge FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, 1 FROM documents),
+      |px AS (
+      |  SELECT doc_id, p,
+      |    ${chan(0)}
+      |  + ${chan(1)}
+      |  + ${chan(2)} AS g
+      |  FROM ids CROSS JOIN unnest(generate_series(0, 63)) AS t(p)),
+      |s AS (SELECT doc_id, CAST(SUM(g) AS BIGINT) AS tot FROM px GROUP BY doc_id),
+      |b AS (SELECT px.doc_id, p, CASE WHEN 64*g > tot THEN 1 ELSE 0 END AS bit
+      |      FROM px JOIN s ON px.doc_id = s.doc_id),
+      |bytes AS (
+      |  SELECT doc_id, p // 8 AS k,
+      |    CAST(SUM(bit * (1 << (7 - (p % 8)))) AS BIGINT) AS byte
+      |  FROM b GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    CAST(SUM(bit_count(CAST(xor(x.byte, y.byte) AS BIGINT))) AS INT) AS hamming
+      |  FROM bytes x JOIN bytes y ON x.k = y.k AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, hamming FROM pairs WHERE hamming <= $maxHamming ORDER BY a, b""".stripMargin
+  }
 }

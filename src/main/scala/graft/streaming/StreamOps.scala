@@ -359,6 +359,45 @@ object StreamOps {
       }
   }
 
+  /** Streaming running quantiles per group: the KLL ladder as
+    * mapGroupsWithState state, mirroring [[streamDistinctCounts]].
+    * Each batch folds its values into the group's sketch and emits
+    * the requested quantiles over everything seen so far. The state
+    * blob is the SAME wire format as the batch kll_sketch aggregate,
+    * so bootstrap-from-batch and downstream kll_merge over mixed
+    * batch/stream sketches are well-defined; while a group stays
+    * under `k` values the emissions are exact and arrival-order-
+    * insensitive (the exact-regime contract). OutputMode.Update
+    * sinks apply. */
+  def streamQuantiles(events: DataFrame, groupCol: String, valueCol: String,
+                      k: Int, qs: Seq[Double])
+  : org.apache.spark.sql.Dataset[(String, Long, Seq[Double])] = {
+    import graft.expressions.QuantileSketchExpressions
+    val session = events.sparkSession
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val typed = events
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .as[(String, Option[Double])]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long, Seq[Double])](
+        GroupStateTimeout.NoTimeout) {
+        (group, it, state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption
+            .map(QuantileSketchExpressions.readBuffer)
+            .getOrElse(new QuantileSketchExpressions.KllBuffer(k))
+          it.foreach { case (_, v) => v.foreach(buf.insert) }
+          val bytes = QuantileSketchExpressions.writeBuffer(buf)
+          state.update(bytes)
+          val quants = // all-null group so far: no quantiles yet
+            if (buf.totalWeight == 0L) Seq.empty[Double]
+            else qs.map(q => QuantileSketchExpressions.quantileOf(bytes, q)
+              .asInstanceOf[Double])
+          (group, buf.totalWeight, quants)
+      }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq

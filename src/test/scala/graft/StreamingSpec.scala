@@ -480,4 +480,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamQuantiles: cumulative across batches, exact below k, batch-compatible state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val out = graft.streaming.StreamOps.streamQuantiles(
+      mem.toDF().toDF("site", "latency"), "site", "latency",
+      k = 128, qs = Seq(0.5, 0.95))
+    val q = out.toDF("site", "n", "quants").writeStream
+      .outputMode(OutputMode.Update()).format("memory")
+      .queryName("qt_out").start()
+    try {
+      // batch 1: site s sees 1..10 — exact p50 of 1..10 is 5.5
+      mem.addData((1 to 10).map(i => ("s", i.toDouble)): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("qt_out").as[(String, Long, Seq[Double])]
+        .collect().map { case (s, n, qs2) => s -> ((n, qs2)) }.toMap
+      assert(b1("s")._1 == 10L)
+      assert(b1("s")._2.head == 5.5)
+      // batch 2: 11..20 fold in — cumulative p50 over 1..20 is 10.5
+      mem.addData((11 to 20).map(i => ("s", i.toDouble)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("qt_out").as[(String, Long, Seq[Double])]
+        .collect().filter(_._1 == "s").maxBy(_._2)
+      assert(rows._2 == 20L)
+      assert(rows._3.head == 10.5)
+      // the streamed state matches the batch aggregate's interpolation
+      import org.apache.spark.sql.functions.{col, expr}
+      val exactRow = (1 to 20).map(_.toDouble).toDF("v")
+        .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.95)")).head()
+      assert(rows._3 == Seq(exactRow.getDouble(0), exactRow.getDouble(1)))
+    } finally q.stop()
+  }
+
 }
