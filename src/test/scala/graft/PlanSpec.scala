@@ -319,6 +319,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("x40 quantile rollup: partial kll map-side, broadcast dims, no sort-merge join") {
+    val p = plan("x40_quantile_rollup")
+    // the KLL aggregate combines before the exchange — the whole point
+    // vs percentile, whose per-group state is every VALUE
+    assert(p.contains("partial_kll_sketch"), p.take(2000))
+    assert(p.contains("partial_kll_merge"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("d8b span-dedup scale twin keeps-first via partial min aggregate, no window") {
     val p = plan("d8b_span_dedup_scale")
     // the whole point vs d8: no per-span window (whose hot-span group
