@@ -225,12 +225,17 @@ object MediaExpressions {
   def audioHash64(b: Array[Byte]): Any = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
-    // chunk walk: fmt must say PCM 16-bit; data carries the samples
+    // chunk walk: fmt must say PCM 16-bit; data carries the samples.
+    // The cursor is a LONG: a declared chunk length near Int.MaxValue
+    // would wrap an int cursor negative and index out of bounds — the
+    // walk must fall off the end (and tolerate a truncated final data
+    // chunk) instead of throwing on a malformed file
     var fmtOk = false
     var dataOff = -1
     var dataLen = 0
-    var i = 12
-    while (i + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+    var iL = 12L
+    while (iL + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val i = iL.toInt
       val len = leInt(b, i + 4)
       if (len < 0) return null
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
@@ -244,7 +249,7 @@ object MediaExpressions {
         dataOff = i + 8
         dataLen = len
       }
-      i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      iL += 8L + len + (len & 1) // RIFF chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return null
     val n = math.min(dataLen, b.length - dataOff) / 2

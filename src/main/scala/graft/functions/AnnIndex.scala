@@ -47,13 +47,12 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val cent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
-    wipe(dir)
     writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false)
     writeCentroids(spark, s"$dir/centroids", cent.map { case (c, v) => (c, v.toSeq) })
     ivfAssign(corpus, idCol, vecCol, cent)
       .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
         col("__cid").as("cell"))
-      .write.partitionBy("cell").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Build an IVF-PQ index (optionally residual-quantized) and save it
@@ -67,14 +66,13 @@ object AnnIndex {
       .map { case (cid, v) => (cid, v.toArray) }
     val codeSeeds = ivfpqCodeSeeds(
       collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
-    wipe(dir)
     writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual)
-    writeCentroids(spark, s"$dir/centroids", cellCent.map { case (c, v) => (c, v.toSeq) })
-    writeCentroids(spark, s"$dir/codebook", codeSeeds)
+    writeCentroids(spark, dir + "/centroids", cellCent.map { case (c, v) => (c, v.toSeq) })
+    writeCentroids(spark, dir + "/codebook", codeSeeds)
     ivfpqEncode(corpus, idCol, vecCol, cellCent, codeSeeds, m, dim, residual)
       .select(col("neighbor_id").as("id"), col("__b").as("b"),
         col("__cid").as("code"), col("__cell").as("cell"))
-      .write.partitionBy("cell").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Encode a delta batch against the SAVED centroids/codebook (no
@@ -152,7 +150,7 @@ object AnnIndex {
                         residual: Boolean): Unit = {
     import spark.implicits._
     Seq(Meta(kind, cells, m, codebook, dim, residual)).toDF()
-      .coalesce(1).write.parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
@@ -163,7 +161,7 @@ object AnnIndex {
   private def writeCentroids(spark: SparkSession, path: String,
                              cent: Seq[(Long, Seq[Double])]): Unit = {
     import spark.implicits._
-    cent.toDF("cid", "vec").coalesce(1).write.parquet(path)
+    cent.toDF("cid", "vec").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   private def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
@@ -171,12 +169,4 @@ object AnnIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
 
-  private def wipe(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    val f = new java.io.File(dir)
-    if (f.exists()) rm(f)
-  }
 }

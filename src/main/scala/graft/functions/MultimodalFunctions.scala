@@ -182,7 +182,7 @@ object MultimodalFunctions {
     * (a, b, hamming) with a < b, one row per pair. */
   def ahashNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
                           maxHamming: Int = 7, bands: Int = 8): DataFrame = {
-    require(bands >= 2 && 64 % bands == 0,
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 (2/4/8/16/32), got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"$bands bands cover hamming <= ${bands - 1} completely, got " +
@@ -194,8 +194,8 @@ object MultimodalFunctions {
     // radius to bands−1. At 100-TB corpus sizes run bands = 4
     // (hamming ≤ 3, 2^16 buckets) or 2 (≤ 1, 2^32) — the default 8
     // keeps the fixture-friendly ≤ 7 radius.
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
+    val width = 64 / bands // bands in [2, 32] => width in [2, 32]
+    val mask = (1L << width) - 1
     // no cast on the id: `<` orders strings as well as numerics, and a
     // cast would NULL non-numeric ids and silently drop every pair
     val hashed = df.select(col(idCol).as("__id"),

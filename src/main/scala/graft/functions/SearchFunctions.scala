@@ -40,7 +40,10 @@ object SearchFunctions {
     tfCache.synchronized {
       tfCache.getOrElseUpdate(
         (docs.queryExecution.analyzed.semanticHash(), idCol, textCol),
-        docs.select(col(idCol).cast("long").as("__id"),
+        // the id keeps its ORIGINAL type: a cast here would NULL
+        // non-numeric ids for every consumer (the ahashNearDuplicates
+        // bug class); bm25 applies its own long cast downstream
+        docs.select(col(idCol).as("__id"),
             explode(split(col(textCol), " ")).as("__w"))
           .filter(col("__w") =!= "")
           .groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
@@ -103,6 +106,7 @@ object SearchFunctions {
     require(k >= 1, "need k >= 1")
 
     val tf = termFreqShared(docs, idCol, textCol)
+      .withColumn("__id", col("__id").cast("long"))
     val dl = tf.groupBy("__id").agg(sum("__tf").as("__dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
       (sum("__dl").cast("double") / count(lit(1)).cast("double")).as("__avgdl"))

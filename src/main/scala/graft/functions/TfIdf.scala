@@ -11,8 +11,7 @@ object TfIdf {
 
   /** Per-(doc, token) term frequency — the shared memoized tokenize
     * pass (SearchFunctions.termFreqShared), renamed to this module's
-    * public column contract. The id column comes back as long (the
-    * shared relation's key type). */
+    * public column contract. The id column keeps its original type. */
   def termFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     SearchFunctions.termFreqShared(docs, idCol, textCol)
       .select(col("__id").as(idCol), col("__w").as("token"),

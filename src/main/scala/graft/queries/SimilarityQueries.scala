@@ -77,7 +77,10 @@ object SimilarityQueries {
     // second half against the saved centroids (no rebuild), then
     // probe the LOADED index. Same oracle as s4 — save/load/addBatch
     // must be invisible to results. Probing reads only the probed
-    // cells' parquet partitions.
+    // cells' parquet partitions. The scratch dir is deterministic per
+    // scale dir (bounded leftovers, one per sf) and every save runs
+    // in overwrite mode, so sequential re-invocations are idempotent;
+    // Verify/Bench run queries one at a time (single-writer).
     "s10_ann_index_persisted" -> ((s, d) => {
       val e = embeddings(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_flat_" +

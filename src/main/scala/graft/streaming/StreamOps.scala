@@ -373,6 +373,11 @@ object StreamOps {
                       k: Int, qs: Seq[Double])
   : org.apache.spark.sql.Dataset[(String, Long, Seq[Double])] = {
     import graft.expressions.QuantileSketchExpressions
+    // same floors the batch kll_sketch/kll_quantile enforce — a tiny k
+    // would silently compact on nearly every insert instead of failing
+    require(k >= 16, s"sketch capacity must be >= 16, got $k")
+    qs.foreach(q => require(q >= 0.0 && q <= 1.0,
+      s"quantile must be in [0, 1], got $q"))
     val session = events.sparkSession
     import session.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}

@@ -263,6 +263,18 @@ class MultimodalSpec extends AnyFunSuite {
       s"string-id pair missing: ${pairs.toSeq}")
   }
 
+  test("audioHash64 returns null (not AIOOBE) for a chunk length near Int.MaxValue") {
+    import graft.expressions.MediaExpressions
+    // a positive declared length that would wrap an int cursor
+    // negative — the walk must fall off the end and return null
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = { bos.write(v); bos.write(v >> 8); bos.write(v >> 16); bos.write(v >> 24) }
+    bos.write("RIFF".getBytes); le32(400); bos.write("WAVE".getBytes)
+    bos.write("JUNK".getBytes); le32(0x7FFFFFE0)
+    (0 until 64).foreach(_ => bos.write(0))
+    assert(MediaExpressions.audioHash64(bos.toByteArray) == null)
+  }
+
   test("audioHash64 rejects a fmt chunk whose declared length is under 16 bytes") {
     import graft.expressions.MediaExpressions
     // RIFF/WAVE with a truncated fmt chunk (len=4) whose BYTES would
