@@ -41,6 +41,15 @@ object GraftExtensions {
       s"$fn expects a literal int argument, got: $other")
   }
 
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal numeric argument, got: $other")
+  }
+
   private def stringArg(e: Expression, fn: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
     case other => throw new IllegalArgumentException(
@@ -142,6 +151,26 @@ object GraftExtensions {
     "mg_topk" -> (exprs => {
       arity(exprs, "mg_topk", 2, 2, "mg_topk(sketch, 10)")
       FreqSketchExpressions.MgTopK(exprs.head, intArg(exprs(1), "mg_topk"))
+    }),
+    "kll_sketch" -> (exprs => {
+      arity(exprs, "kll_sketch", 2, 2, "kll_sketch(latency, 16384)")
+      QuantileSketchExpressions.KllSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.DoubleType),
+        intArg(exprs(1), "kll_sketch")).toAggregateExpression()
+    }),
+    "kll_merge" -> (exprs => {
+      arity(exprs, "kll_merge", 1, 1, "kll_merge(sketch)")
+      QuantileSketchExpressions.KllMergeAgg(exprs.head).toAggregateExpression()
+    }),
+    "kll_quantile" -> (exprs => {
+      arity(exprs, "kll_quantile", 2, 2, "kll_quantile(sketch, 0.95)")
+      QuantileSketchExpressions.KllQuantile(exprs.head,
+        doubleArg(exprs(1), "kll_quantile"))
+    }),
+    "kll_n" -> (exprs => {
+      arity(exprs, "kll_n", 1, 1, "kll_n(sketch)")
+      QuantileSketchExpressions.KllCount(exprs.head)
     }),
     // perceptual hashes (real BMP-pixel / WAV-PCM decode)
     "image_ahash64" -> (exprs => {

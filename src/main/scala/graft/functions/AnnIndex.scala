@@ -52,6 +52,10 @@ object AnnIndex {
     ivfAssign(corpus, idCol, vecCol, cent)
       .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
         col("__cid").as("cell"))
+      // cluster by cell before the partitioned write: one writer (and
+      // one file) per cell instead of tasks × cells small files; at
+      // real scale spark.sql.files.maxRecordsPerFile bounds file size
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
@@ -72,6 +76,7 @@ object AnnIndex {
     ivfpqEncode(corpus, idCol, vecCol, cellCent, codeSeeds, m, dim, residual)
       .select(col("neighbor_id").as("id"), col("__b").as("b"),
         col("__cid").as("code"), col("__cell").as("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
@@ -89,6 +94,7 @@ object AnnIndex {
         ivfAssign(batch, idCol, vecCol, cellCent)
           .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
             col("__cid").as("cell"))
+          .repartition(col("cell"))
           .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
       case "ivf_pq" =>
         val codeSeeds = readCentroids(spark, s"$dir/codebook")
@@ -97,6 +103,7 @@ object AnnIndex {
           meta.m, meta.dim, meta.residual)
           .select(col("neighbor_id").as("id"), col("__b").as("b"),
             col("__cid").as("code"), col("__cell").as("cell"))
+          .repartition(col("cell"))
           .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
     }
   }

@@ -92,5 +92,13 @@ class ExtensionsSpec extends AnyFunSuite {
         |FROM (SELECT g, mg_sketch(CAST(v % 5 AS STRING), 16) AS sk
         |      FROM __sk_sql GROUP BY g) t""".stripMargin).head()
     assert(freq.getAs[String]("item") == "0" && freq.getAs[Long]("n") == 60L)
+    // KLL quantiles: per-group sketches merged, exact regime — the
+    // median of 0..299 under continuous interpolation is 149.5
+    val q = spark.sql(
+      """SELECT kll_quantile(kll_merge(sk), 0.5) AS p50,
+        |  kll_n(kll_merge(sk)) AS n
+        |FROM (SELECT g, kll_sketch(v, 512) AS sk FROM __sk_sql GROUP BY g) t
+        |""".stripMargin).head()
+    assert(q.getAs[Double]("p50") == 149.5 && q.getAs[Long]("n") == 300L)
   }
 }
