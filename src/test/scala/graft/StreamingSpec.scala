@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KLL sketch aggregates inside a streaming window (st8's expression under readStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.expressions.QuantileSketchExpressions._
+    val mem = MemoryStream[(Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "latency")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(kll_quantile(kll_sketch($"latency", 64), 0.5).as("p50"),
+        kll_n(kll_sketch($"latency", 64)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("kll_win_out").start()
+    try {
+      mem.addData((ts(0), 1.0), (ts(1), 3.0), (ts(7), 100.0))
+      q.processAllAvailable()
+      // batch 2 folds into the FIRST window: values {1,3,5,7} -> p50 4.0
+      mem.addData((ts(3), 5.0), (ts(4), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("kll_win_out")
+        .select($"window.start".cast("long"), $"p50", $"n")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val base = ts(0).getTime / 1000
+      assert(rows == Set((base, 4.0, 4L), (base + 300, 100.0, 1L)))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in Append mode (bounded state at scale)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Double)]
