@@ -133,8 +133,15 @@ object FreqSketchExpressions {
   case class MgSketchAgg(child: Expression, capacity: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    // analysis-time type contract (wrong-typed SQL fails legibly, and
+    // numeric items coerce to their string form instead of crashing
+    // executors with a ClassCastException)
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType)
 
     override def prettyName: String = "mg_sketch"
     override def dataType: DataType = BinaryType
@@ -169,7 +176,11 @@ object FreqSketchExpressions {
   case class MgMergeAgg(child: Expression,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
 
     override def prettyName: String = "mg_merge"
     override def dataType: DataType = BinaryType
@@ -204,8 +215,11 @@ object FreqSketchExpressions {
     * array<struct<item string, count bigint>>, ordered (count DESC,
     * item ASC) — a total order, so results are deterministic. */
   case class MgTopK(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     require(k >= 1, s"k must be >= 1, got $k")
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     override def prettyName: String = "mg_topk"
     override def dataType: DataType = ArrayType(
       StructType(Seq(StructField("item", StringType, nullable = false),

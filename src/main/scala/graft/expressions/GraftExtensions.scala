@@ -110,9 +110,8 @@ object GraftExtensions {
     // aggregate: k smallest `ord` values' payloads, ascending —
     // SELECT bounded_topk(struct(-score, id), struct(id, score), 5)
     "bounded_topk" -> (exprs => {
-      if (exprs.length != 3) throw new IllegalArgumentException(
-        "bounded_topk expects exactly 3 arguments (ord, payload, k), " +
-          s"got ${exprs.length} — e.g. bounded_topk(struct(-score, id), struct(id, score), 5)")
+      arity(exprs, "bounded_topk", 3, 3,
+        "bounded_topk(struct(-score, id), struct(id, score), 5)")
       BoundedTopK(exprs.head, exprs(1),
         intArg(exprs(2), "bounded_topk")).toAggregateExpression()
     }),

@@ -98,15 +98,25 @@ object HashExpressions {
     * DedupFunctions.minhashSignature; "xxh64" takes the low 40 bits of
     * XXH64(shingle, seed=0 / seed=1). */
   case class MinHashSignature(child: Expression, k: Int, family: String = "md5")
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     require(Families.contains(family), s"unknown hash family: $family")
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
     override def prettyName: String = "minhash_signature"
 
     @transient private lazy val (ca, cb) = minhashCoef(k)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
+      // an empty shingle set has NO signature: return null so the row
+      // drops out of banding/joins, instead of a Long.MaxValue-filled
+      // array that would band every empty doc into one bucket. (The
+      // HOF reference form yields an array of per-member NULLs with
+      // the same drops-out-of-LSH effect; the shinglers always emit
+      // >= 1 element, so only direct SQL callers can reach this.)
+      if (arr.numElements() == 0) return null
       val isMd5 = family == "md5"
       val md = if (isMd5) md5Local.get() else null
       val mins = Array.fill(k)(Long.MaxValue)
@@ -147,8 +157,10 @@ object HashExpressions {
     * DedupFunctions.simhash32 and the DuckDB oracles; "xxh64" reads
     * bit k of the low 32 bits of XXH64(token, seed=0). */
   case class SimHash32(child: Expression, family: String = "md5")
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     require(Families.contains(family), s"unknown hash family: $family")
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash32"
 
@@ -525,8 +537,10 @@ object HashExpressions {
     * interpreted lambda with hex-string round-trips (profiled 1.5 s →
     * ~0.2 s on the d4b verify sets at sf0.1). */
   case class HashedSet40(child: Expression, family: String = "md5")
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
     require(Families.contains(family), s"unknown hash family: $family")
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "hashed_set40"
 
@@ -567,7 +581,9 @@ object HashExpressions {
     * once per document (corpus-sized evals, not candidate-sized), so
     * interpreted eval is fine. */
   case class StripeSketch(child: Expression, bits: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType))
     require(bits >= 64 && (bits & (bits - 1)) == 0,
       s"sketch bits must be a power of two >= 64, got $bits")
     override def dataType: DataType = BinaryType
@@ -609,7 +625,10 @@ object HashExpressions {
     * millions of evals), hence codegen'd: ~bits/8 byte ANDs +
     * popcounts, far cheaper than the merge walk it gates. */
   case class StripeOverlapUpper(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType, BinaryType)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "stripe_overlap_upper"
 
@@ -623,34 +642,21 @@ object HashExpressions {
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
     : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-        val sh = ctx.freshName("sh"); val pa = ctx.freshName("pa")
-        val pb = ctx.freshName("pb"); val i = ctx.freshName("i")
-        val x = ctx.freshName("x"); val y = ctx.freshName("y")
-        s"""
-           |int $na = (($a[0] & 0xff) << 24) | (($a[1] & 0xff) << 16) |
-           |  (($a[2] & 0xff) << 8) | ($a[3] & 0xff);
-           |int $nb = (($b[0] & 0xff) << 24) | (($b[1] & 0xff) << 16) |
-           |  (($b[2] & 0xff) << 8) | ($b[3] & 0xff);
-           |if ($a.length != $b.length) {
-           |  ${ev.value} = java.lang.Math.min($na, $nb);
-           |} else {
-           |  int $sh = 0; int $pa = 0; int $pb = 0;
-           |  for (int $i = 4; $i < $a.length; $i++) {
-           |    int $x = $a[$i] & 0xff; int $y = $b[$i] & 0xff;
-           |    $sh += java.lang.Integer.bitCount($x & $y);
-           |    $pa += java.lang.Integer.bitCount($x);
-           |    $pb += java.lang.Integer.bitCount($y);
-           |  }
-           |  ${ev.value} = $sh + java.lang.Math.min($na - $pa, $nb - $pb);
-           |}
-         """.stripMargin
-      })
+      // one static call to the shared kernel (top-level object methods
+      // get static forwarders; the nested object does not, hence the
+      // stripeOverlapBound forwarder) — same JIT'd loop as an inline
+      // expansion, and the interpreted/codegen paths can never drift
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expressions.HashExpressions.stripeOverlapBound($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StripeOverlapUpper =
       copy(left = l, right = r)
   }
+
+  /** Static forwarder target for [[StripeOverlapUpper]]'s generated
+    * code (nested objects get no static forwarders). */
+  def stripeOverlapBound(a: Array[Byte], b: Array[Byte]): Int =
+    StripeOverlapUpper.bound(a, b)
 
   object StripeOverlapUpper {
     /** Shared kernel for eval and codegen. */

@@ -61,10 +61,28 @@ object MediaExpressions {
     // BMP: "BM", BITMAPINFOHEADER — width @18, height @22, bpp @28 (LE)
     if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
       return row("bmp", leInt(b, 18), leInt(b, 22), null, null, leShort(b, 28))
-    // WAV: RIFF….WAVE, fmt chunk — channels @22, rate @24, bits @34 (LE)
+    // WAV: RIFF….WAVE — walk the chunk list to `fmt ` (canonically at
+    // offset 12, but spec-valid files may lead with JUNK/LIST chunks;
+    // fixed offsets would read those chunks' bytes as rate/channels).
+    // Long cursor for the same overflow reason as audioHash64's walk.
     if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
-      return row("wav", null, null, leInt(b, 24), leShort(b, 22), leShort(b, 34))
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var iL = 12L
+      while (iL + 8 <= b.length) {
+        val i = iL.toInt
+        val len = leInt(b, i + 4)
+        if (len < 0) return row("wav", null, null, null, null, null)
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+          if (len < 16 || i + 8 + 16 > b.length)
+            return row("wav", null, null, null, null, null)
+          // chunk data: channels @+2, rate @+4, bits @+14
+          return row("wav", null, null, leInt(b, i + 12), leShort(b, i + 10),
+            leShort(b, i + 22))
+        }
+        iL += 8L + len + (len & 1)
+      }
+      return row("wav", null, null, null, null, null)
+    }
     // PNG: 8-byte magic, IHDR must be the first chunk (spec-mandated) —
     // width @16, height @20 (BE), bit depth @24
     if (b.length >= 25 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
@@ -84,8 +102,11 @@ object MediaExpressions {
               null, b(i + 9).toInt, b(i + 4).toInt)
           return row("jpeg", null, null, null, null, null)
         }
+        // 0xFF fill bytes may pad between segments (ISO 10918): skip
+        // one byte at a time until the real marker byte
+        if (marker == 0xff) i += 1
         // standalone markers (RSTn, EOI, TEM) carry no length field
-        if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i += 2
+        else if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) i += 2
         else i += 2 + beShort(b, i + 2)
       }
       return row("jpeg", null, null, null, null, null)
@@ -97,7 +118,10 @@ object MediaExpressions {
     * static call per row, so payload scans with a header projection
     * stay inside a WholeStageCodegen span (no RDD boundary, no
     * Tungsten exit). */
-  case class MediaHeader(child: Expression) extends UnaryExpression {
+  case class MediaHeader(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     override def dataType: DataType = headerSchema
     override def prettyName: String = "media_header"
 
@@ -182,7 +206,10 @@ object MediaExpressions {
     java.lang.Long.valueOf(hash)
   }
 
-  case class ImageAHash64(child: Expression) extends UnaryExpression {
+  case class ImageAHash64(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "image_ahash64"
@@ -277,7 +304,10 @@ object MediaExpressions {
     java.lang.Long.valueOf(hash)
   }
 
-  case class AudioHash64(child: Expression) extends UnaryExpression {
+  case class AudioHash64(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def prettyName: String = "audio_hash64"

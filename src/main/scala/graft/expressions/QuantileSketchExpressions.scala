@@ -174,8 +174,14 @@ object QuantileSketchExpressions {
   case class KllSketchAgg(child: Expression, k: Int,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(k >= 16, s"sketch capacity must be >= 16, got $k")
+
+    // numeric inputs coerce to double at analysis time; wrong-typed
+    // SQL fails legibly instead of a mid-job ClassCastException
+    override def inputTypes: Seq[DataType] =
+      Seq(DoubleType)
 
     override def prettyName: String = "kll_sketch"
     override def dataType: DataType = BinaryType
@@ -211,7 +217,10 @@ object QuantileSketchExpressions {
   case class KllMergeAgg(child: Expression,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
 
     override def prettyName: String = "kll_merge"
     override def dataType: DataType = BinaryType
@@ -244,7 +253,10 @@ object QuantileSketchExpressions {
 
   /** Scalar: interpolated quantile of a sketch binary. */
   case class KllQuantile(child: Expression, q: Double)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
     override def prettyName: String = "kll_quantile"
     override def dataType: DataType = DoubleType
@@ -258,7 +270,10 @@ object QuantileSketchExpressions {
   /** Scalar: the sketch's exact total input count (weight is preserved
     * by every compaction). */
   case class KllCount(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     override def prettyName: String = "kll_n"
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =

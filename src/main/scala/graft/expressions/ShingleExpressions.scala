@@ -35,7 +35,9 @@ object ShingleExpressions {
     * start of token i to the end of token i+n-1, and the fallback is
     * the text itself. First-occurrence order, like array_distinct. */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType)
     require(n >= 1, s"shingle width must be >= 1, got $n")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles"
@@ -85,7 +87,9 @@ object ShingleExpressions {
     * precomputed char→byte offset table makes the pass linear for
     * multi-byte text). First-occurrence order, like array_distinct. */
   case class CharShingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType)
     require(k >= 1, s"shingle width must be >= 1, got $k")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "char_shingles"

@@ -159,7 +159,10 @@ object SketchExpressions {
   case class KmvMergeAgg(child: Expression,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression]
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
 
     override def prettyName: String = "kmv_merge"
     override def dataType: DataType = BinaryType
@@ -200,7 +203,10 @@ object SketchExpressions {
   /** Scalar: distinct-count estimate of a sketch binary (exact when
     * the sketch never filled). */
   case class KmvEstimate(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType)
     override def prettyName: String = "kmv_estimate"
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
@@ -223,7 +229,9 @@ object SketchExpressions {
     * the two sketches through kmv_merge. */
   case class KmvUnion(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType, BinaryType)
     override def prettyName: String = "kmv_union"
     override def dataType: DataType = BinaryType
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -251,7 +259,9 @@ object SketchExpressions {
     * O(|a| + |b|), no allocation. */
   case class KmvIntersect(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(BinaryType, BinaryType)
     override def prettyName: String = "kmv_intersect"
     override def dataType: DataType = LongType
     override def nullSafeEval(a: Any, b: Any): Any = {

@@ -39,7 +39,11 @@ case class BoundedTopK(ord: Expression, payload: Expression, k: Int,
   override def left: Expression = ord
   override def right: Expression = payload
   override def prettyName: String = "bounded_topk"
-  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+  // containsNull tracks the payload: a nullable payload column CAN put
+  // nulls in the result array, and claiming otherwise lets the
+  // optimizer elide null checks downstream
+  override def dataType: DataType =
+    ArrayType(payload.dataType, containsNull = payload.nullable)
   override def nullable: Boolean = false
 
   @transient private lazy val ordering: Ordering[Any] =
@@ -52,7 +56,10 @@ case class BoundedTopK(ord: Expression, payload: Expression, k: Int,
   }
 
   override def createAggregationBuffer(): java.util.PriorityQueue[Array[Any]] =
-    new java.util.PriorityQueue[Array[Any]](k + 1, cmp)
+    // small initial capacity: with millions of groups, eagerly sizing
+    // every buffer to k+1 slots wastes O(k) pointers per 1-row group;
+    // the queue grows to k only for groups that actually fill it
+    new java.util.PriorityQueue[Array[Any]](math.min(k + 1, 16), cmp)
 
   private def insert(buf: java.util.PriorityQueue[Array[Any]],
                      o: Any, p: Any): Unit = {

@@ -101,4 +101,24 @@ class ExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(q.getAs[Double]("p50") == 149.5 && q.getAs[Long]("n") == 300L)
   }
+
+  test("wrong-typed SQL fails at analysis, and numeric mg/kll inputs coerce") {
+    GraftExtensions.registerAll(spark)
+    import spark.implicits._
+    (0L until 10L).map(v => (v % 3, v)).toDF("g", "v")
+      .createOrReplaceTempView("__ty_sql")
+    // scalar string where array<string> is required: a legible
+    // analysis-time type error, not a mid-job ClassCastException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash32('not an array') FROM __ty_sql").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    // numeric items coerce: mg_sketch counts longs via their string
+    // form, kll_sketch takes any numeric
+    val r = spark.sql(
+      """SELECT mg_topk(mg_sketch(v % 2, 8), 1)[0].count AS top,
+        |  kll_quantile(kll_sketch(v, 16), 1.0) AS mx
+        |FROM __ty_sql""".stripMargin).head()
+    assert(r.getAs[Long]("top") == 5L && r.getAs[Double]("mx") == 9.0)
+  }
 }
