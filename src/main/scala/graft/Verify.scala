@@ -24,6 +24,10 @@ object Verify {
     // Bench); the driver never sets it, so the gate always runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // releaseCaches/stop run in the finally: an exception between the
+    // query loop and the artifact writes must not strand persisted
+    // blocks or a live context for a follow-on session in this JVM
+    try {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -57,10 +61,12 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"),
       s"""{"declared": $declared, "written": ${declared - errors.size}, "failed": ${errors.size}, "errors": $errJson}""")
-    SparkEntry.releaseCaches()
-    spark.stop()
+    } finally {
+      SparkEntry.releaseCaches()
+      spark.stop()
+    }
     if (errors.nonEmpty) {
-      System.err.println(s"[verify] FAILED: ${errors.size}/$declared declared queries broke: ${errors.keys.mkString(", ")}")
+      System.err.println(s"[verify] FAILED: ${errors.size}/${SparkEntry.queries.size} declared queries broke: ${errors.keys.mkString(", ")}")
       sys.exit(1)
     }
   }

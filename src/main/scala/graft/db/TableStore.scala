@@ -38,6 +38,17 @@ final class JdbcTable(spark: SparkSession, url: String, table: String) {
     withConn(_.createStatement().execute(s"""CREATE TABLE "$table" ($cols)"""))
   }
 
+  /** Drop the table if it exists (Derby has no IF EXISTS — the
+    * does-not-exist SQLState 42Y55 is swallowed, anything else
+    * propagates). Lets repeated round-trips reuse ONE database
+    * instead of booting a fresh Derby per invocation. */
+  def drop(): Unit = withConn { c =>
+    try c.createStatement().execute(s"""DROP TABLE "$table"""")
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "42Y55" => ()
+    }
+  }
+
   /** S3 insert (database.py:53-82): bulk append. */
   def insert(df: DataFrame): Unit =
     df.write.mode("append").jdbc(url, s""""$table"""", new java.util.Properties)

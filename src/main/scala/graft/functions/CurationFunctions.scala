@@ -258,8 +258,9 @@ object CurationFunctions {
         pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
     val grams = gramsCache.synchronized {
-      gramsCache.getOrElseUpdate(
+      graft.DfMemo.getOrBuild(gramsCache,
         gramsPlan.queryExecution.analyzed.semanticHash(),
+        gramsPlan.sparkSession)(
         gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     val cnt = grams.groupBy("__b").agg(

@@ -38,8 +38,9 @@ object SearchFunctions {
 
   def termFreqShared(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tfCache.synchronized {
-      tfCache.getOrElseUpdate(
+      graft.DfMemo.getOrBuild(tfCache,
         (docs.queryExecution.analyzed.semanticHash(), idCol, textCol),
+        docs.sparkSession)(
         // the id keeps its ORIGINAL type: a cast here would NULL
         // non-numeric ids for every consumer (the ahashNearDuplicates
         // bug class); bm25 applies its own long cast downstream
@@ -124,8 +125,9 @@ object SearchFunctions {
     // SparkEntry.releaseCaches via [[releaseCaches]].
     val vocab = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).toSet
     val postings = postingsCache.synchronized {
-      postingsCache.getOrElseUpdate(
+      graft.DfMemo.getOrBuild(postingsCache,
         (docs.queryExecution.analyzed.semanticHash(), vocab),
+        docs.sparkSession)(
         tf.join(broadcast(qt.select("__w").distinct()), "__w")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }

@@ -13,10 +13,27 @@ import graft.db.JdbcTable
   */
 object DbQueries {
 
+  /** One embedded Derby database per JVM, deleted at exit: bench
+    * passes re-invoke the builder many times, and a fresh
+    * createTempDirectory + Derby boot per invocation leaked disk AND
+    * driver heap (embedded Derby keeps every booted database's page
+    * cache live until a shutdown that never came). The round-trip
+    * drops and recreates its table instead. */
+  private lazy val dbDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dbq")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    p.toString + "/db"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_table_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dbq").toString + "/db"
-      val t = new JdbcTable(s, JdbcTable.derbyUrl(dir), "cust")
+      val t = new JdbcTable(s, JdbcTable.derbyUrl(dbDir), "cust")
+      t.drop()
       t.create(StructType(Seq(
         StructField("c_custkey", LongType), StructField("c_name", StringType),
         StructField("c_acctbal", DoubleType))))

@@ -25,8 +25,14 @@ object DedupQueries {
     * `releaseCaches()` at the end of a Verify/Bench run. */
   private val pairCache = scala.collection.mutable.Map[String, DataFrame]()
   private def lshPairs(s: SparkSession, d: String): DataFrame = pairCache.synchronized {
-    pairCache.getOrElseUpdate(d,
-      minhashNearDuplicates(documents(s, d), "doc_id", "text",
+    graft.DfMemo.getOrBuild(pairCache, d, s)(
+      // word-count guard mirrors the oracle (same as containPairs):
+      // wordShingles falls back to the whole text on < 3 words, where
+      // the oracle's shingle CTE yields an empty set — latent on the
+      // fixtures, divergent on corpora with one/two-word docs
+      minhashNearDuplicates(
+        documents(s, d).filter(size(split(col("text"), " ")) >= 3),
+        "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
   }
 
@@ -37,7 +43,8 @@ object DedupQueries {
     * `releaseCaches()` honour the release contract. */
   private val clusterCache = scala.collection.mutable.Map[String, DataFrame]()
   private def lshClusters(s: SparkSession, d: String): DataFrame = clusterCache.synchronized {
-    clusterCache.getOrElseUpdate(d, nearDupClusters(lshPairs(s, d).select("a", "b")))
+    graft.DfMemo.getOrBuild(clusterCache, d, s)(
+      nearDupClusters(lshPairs(s, d).select("a", "b")))
   }
 
   /** Prefix-filtered containment pairs, memoized per scale dir
@@ -45,7 +52,7 @@ object DedupQueries {
     * "caller releases"). */
   private val containCache = scala.collection.mutable.Map[String, DataFrame]()
   private def containPairs(s: SparkSession, d: String): DataFrame = containCache.synchronized {
-    containCache.getOrElseUpdate(d,
+    graft.DfMemo.getOrBuild(containCache, d, s)(
       // word-count guard mirrors the oracle: wordShingles falls back to
       // the whole text on < 3 words, where the oracle's generate_series
       // yields an empty set (and a zero containment denominator)
@@ -65,7 +72,7 @@ object DedupQueries {
     * "caller releases"). */
   private val jacCache = scala.collection.mutable.Map[String, DataFrame]()
   private def jacPairs(s: SparkSession, d: String): DataFrame = jacCache.synchronized {
-    jacCache.getOrElseUpdate(d,
+    graft.DfMemo.getOrBuild(jacCache, d, s)(
       // length >= 5 keeps Spark and oracle shingle sets aligned (the
       // charShingles short-text fallback vs the oracle's empty list)
       jaccardPairs(documents(s, d).filter(length(col("text")) >= 5),
@@ -127,8 +134,12 @@ object DedupQueries {
     "d4_ngram_jaccard" -> ((s, d) => {
       // shingle sets computed+sorted once per doc (the projection sits
       // below the nested-loop join); pair similarity is then a native
-      // merge walk (same value as array_intersect/array_union)
-      val sh = documents(s, d).filter(col("doc_id") < 300)
+      // merge walk (same value as array_intersect/array_union).
+      // length >= 5 mirrors jacPairs: charShingles' whole-text
+      // fallback on shorter texts diverges from the oracle's empty
+      // shingle list (latent — the fixtures hold no such docs)
+      val sh = documents(s, d)
+        .filter(col("doc_id") < 300 && length(col("text")) >= 5)
         .select(col("doc_id"), array_sort(charShingles(col("text"), 5)).as("sh"))
       sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

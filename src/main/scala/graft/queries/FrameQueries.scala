@@ -22,7 +22,7 @@ object FrameQueries {
     * `releaseCaches()` at the end of a Verify/Bench run. */
   private val cache = scala.collection.mutable.Map[String, Frame]()
   private def liFrame(s: SparkSession, d: String): Frame = cache.synchronized {
-    cache.getOrElseUpdate(d, Frame.fromDF(
+    graft.DfMemo.getOrBuildVia(cache, d, s)(_.df.sparkSession)(Frame.fromDF(
       lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")).cache())
   }

@@ -96,7 +96,7 @@ object ModelQueries {
   }
   private[queries] def fittedAll(s: SparkSession, d: String)
   : (LinearModel, Double, Long, org.apache.spark.sql.DataFrame) = fitCache.synchronized {
-    fitCache.getOrElseUpdate(d, {
+    graft.DfMemo.getOrBuildVia(fitCache, d, s)(_._4.sparkSession) {
       val li = lineitem(s, d)
       val (slope, intercept) = LinearModel.fitSimple(li, "l_quantity", "l_extendedprice")
       val agg = li.agg(
@@ -112,7 +112,7 @@ object ModelQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity")).slice(0L, 200L)
         .df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (model, mu, n, slice)
-    })
+    }
   }
 
   /** Unpersist and drop the memoized fit scaffolding. */

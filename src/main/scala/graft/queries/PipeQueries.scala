@@ -14,7 +14,7 @@ object PipeQueries {
 
   private val cache = scala.collection.mutable.Map[String, Frame]()
   private def liFrame(s: SparkSession, d: String): Frame = cache.synchronized {
-    cache.getOrElseUpdate(d, Frame.fromDF(
+    graft.DfMemo.getOrBuildVia(cache, d, s)(_.df.sparkSession)(Frame.fromDF(
       lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
       Seq("l_orderkey", "l_linenumber", "l_quantity")).cache())
   }

@@ -19,7 +19,7 @@ object TextAnalysisQueries {
   private val fpsCache = scala.collection.mutable.Map[String, DataFrame]()
   private def winnowFpsShared(s: SparkSession, d: String): DataFrame =
     fpsCache.synchronized {
-      fpsCache.getOrElseUpdate(d,
+      graft.DfMemo.getOrBuild(fpsCache, d, s)(
         winnowFps(documents(s, d), "doc_id", "text", k = 8, w = 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }

@@ -17,11 +17,17 @@ object TextQueries {
     * the map. */
   private val bpeCache =
     scala.collection.mutable.Map[String, Seq[(String, String)]]()
+  // ONE pair of constants shared by the trainer call and the generated
+  // DuckDB replay oracles — a default-parameter change in BpeFunctions
+  // can then never desynchronize them silently
+  private val BpeNumMerges = 40
+  private val BpeMinPairFreq = 2L
   private def bpeMergesShared(s: SparkSession, d: String): Seq[(String, String)] =
     bpeCache.synchronized {
       bpeCache.getOrElseUpdate(d,
         graft.functions.BpeFunctions.bpeTrain(
-          documents(s, d), "text", numMerges = 40))
+          documents(s, d), "text",
+          numMerges = BpeNumMerges, minPairFreq = BpeMinPairFreq))
     }
 
   def releaseCaches(): Unit = bpeCache.synchronized { bpeCache.clear() }
@@ -248,9 +254,8 @@ object TextQueries {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
-    // numMerges/minPairFreq MUST mirror bpeMergesShared's bpeTrain call
-    "t8_bpe" -> t8OracleSql(40, 2L),
-    "t8c_bpe_merges" -> t8cOracleSql(40, 2L),
+    "t8_bpe" -> t8OracleSql(BpeNumMerges, BpeMinPairFreq),
+    "t8c_bpe_merges" -> t8cOracleSql(BpeNumMerges, BpeMinPairFreq),
     "t8b_bpe_fixed" ->
       (s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

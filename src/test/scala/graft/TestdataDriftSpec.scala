@@ -26,6 +26,20 @@ class TestdataDriftSpec extends AnyFunSuite {
       "no /root/testdata/sf* directory found — fixture mount missing, drift checks are vacuous")
   }
 
+  // Several queries plant synthetic docs by re-keying doc_id + OFFSET
+  // (d1/d14: +10000, d13: +50000, x39: +100000) and their oracles
+  // classify by the same literal thresholds. That is only sound while
+  // real ids stay BELOW the smallest offset — pin it so a regenerated
+  // bigger fixture fails here instead of as a baffling oracle drift.
+  test("doc_id space stays below the smallest re-key offset (10000)") {
+    sfDirs.foreach { d =>
+      val mx = spark.read.parquet(s"$d/documents.parquet")
+        .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+      assert(mx < 10000L,
+        s"$d: max doc_id $mx >= 10000 — the d1/d13/d14/x39 re-key offsets collide")
+    }
+  }
+
   // Column name → required Spark type (post-raw-load, pre-adapter) for the
   // columns queries actually touch. Types we don't depend on pin name only.
   private val pinned: Map[String, Seq[(String, Option[DataType])]] = Map(
