@@ -484,6 +484,49 @@ object ExtraQueries {
           round(kll_quantile(col("sk"), 0.95), 6).as("p95"),
           kll_n(col("sk")).as("n"))
         .orderBy("r_name")
+    }),
+
+    // KLL in its ESTIMATION regime, with the error bound itself under
+    // the hash gate (the s9-recall trick): k = 256 on the ~20k-row
+    // (sf0.01) / ~200k-row (sf0.1) per-flag lineitem groups, so the
+    // compaction ladder fires ~log2(n/k) deep and the estimate is no
+    // longer exact. The query re-scans the group to measure each
+    // estimate's TRUE rank and emits within_bound =
+    // ∀q |rank(est_q) − q·n| ≤ ε·n with ε = 0.02 — the KLL guarantee
+    // is a RANK-space bound (value-space error is unbounded for
+    // arbitrary distributions), and 0.02 is the SketchSpec pin with
+    // ~5× margin over the worst measured error at this k (0.0041 at
+    // n = 200k, ProbeKllError). The oracle hard-codes
+    // within_bound = TRUE next to DuckDB's exact quantile_cont, so a
+    // bound violation is a hash mismatch, not a silent estimate drift.
+    "x40b_quantile_bound" -> ((s, d) => {
+      import graft.expressions.QuantileSketchExpressions._
+      val li = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"))
+      val sk = li.groupBy("flag")
+        .agg(kll_sketch(col("price"), 256).as("sk"), count(lit(1)).as("n"))
+        .select(col("flag"), col("n"),
+          kll_quantile(col("sk"), 0.25).as("e25"),
+          kll_quantile(col("sk"), 0.5).as("e50"),
+          kll_quantile(col("sk"), 0.95).as("e95"))
+      // second scan: true ranks of the three estimates + the exact
+      // quantiles the oracle reproduces (3-row broadcast, no shuffle
+      // beyond the groupBy)
+      val checked = li.join(broadcast(sk), Seq("flag"))
+        .groupBy("flag", "n", "e25", "e50", "e95")
+        .agg(
+          sum(when(col("price") <= col("e25"), 1L).otherwise(0L)).as("r25"),
+          sum(when(col("price") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("price") <= col("e95"), 1L).otherwise(0L)).as("r95"),
+          round(expr("percentile(price, 0.25)"), 6).as("p25"),
+          round(expr("percentile(price, 0.5)"), 6).as("p50"),
+          round(expr("percentile(price, 0.95)"), 6).as("p95"))
+      def ok(r: org.apache.spark.sql.Column, q: Double): org.apache.spark.sql.Column =
+        abs(r.cast("double") - lit(q) * col("n")) <= lit(0.02) * col("n")
+      checked.select(col("flag"), col("n"), col("p25"), col("p50"), col("p95"),
+        (ok(col("r25"), 0.25) && ok(col("r50"), 0.5) &&
+          ok(col("r95"), 0.95)).as("within_bound"))
+        .orderBy("flag")
     })
   )
 
@@ -701,6 +744,13 @@ object ExtraQueries {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "x40b_quantile_bound" ->
+      """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
