@@ -136,10 +136,95 @@ object AnnIndex {
     }
   }
 
+  /** Per-cell footprint of a saved index WITHOUT scanning data pages:
+    * row counts come from a partition-column-only parquet scan (the
+    * reader satisfies a zero-data-column projection from footer row
+    * counts alone), byte/file counts from the filesystem listing of
+    * the `cell=…` partition directories (driver-side metadata plane,
+    * the same class as Hive partition listing — KB per cell, never
+    * corpus-sized). This is the skew report that tells an operator
+    * which cells [[addBatch]] has grown past their neighbors and
+    * [[resplitCell]] should split. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = spark.read.parquet(s"$dir/codes")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fsRows = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val cid = st.getPath.getName.stripPrefix("cell=").toLong
+        val files = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (cid, files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq
+    counts
+      .join(broadcast(fsRows.toDF("cell", "n_files", "bytes")), Seq("cell"), "left")
+      .select("cell", "n_vectors", "n_files", "bytes")
+      .orderBy("cell")
+  }
+
+  /** Split one over-grown cell of an ivf_flat index into `k` sub-cells
+    * — the maintenance path for [[addBatch]] skew: hot cells otherwise
+    * grow without bound and probe cost follows the hottest cell, not
+    * the corpus. Sub-centroid seeds are the cell's first `k` members
+    * by id (the same deterministic first-C convention as
+    * collectCentroids); the new cells take ids max(cid)+1 … +k in seed
+    * order, the old cell id retires. Only the split cell's vectors are
+    * read (partition-pruned) and rewritten; every other partition of
+    * the inverted file — and therefore every probe that does not rank
+    * the split/new centroids into its nprobe set — is untouched
+    * (SimilaritySpec pins bit-identical probes for unchanged probe
+    * sets). ivf_pq is rejected: PQ codes are lossy, so re-splitting a
+    * PQ cell needs its source vectors re-ingested, not a code rewrite.
+    *
+    * Single-writer maintenance op (same contract as addBatch): the new
+    * partitions land before the centroid swap and the old directory is
+    * removed last, so a crash mid-op leaves a probe-able index whose
+    * worst case is the split cell present twice. */
+  def resplitCell(spark: SparkSession, dir: String, cid: Long, k: Int): Unit = {
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "ivf_flat",
+      s"resplitCell needs the raw-vector (ivf_flat) layout, not ${meta.kind}: " +
+        "PQ codes are lossy — re-split a PQ cell by re-ingesting its vectors")
+    require(k >= 2, "need k >= 2 sub-cells")
+    val cellCent = readCentroids(spark, s"$dir/centroids")
+    require(cellCent.exists(_._1 == cid), s"no cell $cid in $dir")
+    val cellVecs = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell") === cid).select(col("id"), col("vec"))
+      // materialize before appending to (and later deleting from) the
+      // directory the plan reads
+      .persist()
+    try {
+      val seedRows = cellVecs.orderBy("id").limit(k)
+        .select(col("id"), asDouble(col("vec"))).collect()
+      require(seedRows.length == k,
+        s"cell $cid has only ${seedRows.length} vectors; need >= $k to split")
+      val base = cellCent.map(_._1).max + 1
+      val subCent = seedRows.zipWithIndex.map { case (r, i) =>
+        (base + i, r.getSeq[Double](1).toArray) }.toSeq
+      ivfAssign(cellVecs, "id", "vec", subCent)
+        .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
+          col("__cid").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      writeCentroids(spark, s"$dir/centroids",
+        (cellCent.filterNot(_._1 == cid).map { case (c, v) => (c, v.toSeq) } ++
+          subCent.map { case (c, v) => (c, v.toSeq) }).sortBy(_._1))
+      writeMeta(spark, dir, meta.kind, meta.cells + k - 1, meta.m,
+        meta.codebook, meta.dim, meta.residual)
+      val old = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$cid")
+      old.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(old, true)
+    } finally cellVecs.unpersist()
+  }
+
   /** The distinct cells the query set will probe — a queries×nprobe
     * KB readback (same boundary class as the centroid pull) used to
     * prune the partitioned codes scan before the join. */
-  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+  private[graft] def probeCells(queries: DataFrame, idCol: String, vecCol: String,
                          cellCent: Seq[(Long, Array[Double])],
                          nprobe: Int): Seq[Any] =
     queries
@@ -171,7 +256,7 @@ object AnnIndex {
     cent.toDF("cid", "vec").coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  private def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
+  private[graft] def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
     spark.read.parquet(path).select("cid", "vec").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq

@@ -115,6 +115,41 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Index MAINTENANCE round-trip: per-cell stats of a saved ivf_flat
+    // index (footer-only counts, no data scan), a deliberately SKEWED
+    // addBatch — 50 clones of vector 3's embedding, all landing in
+    // cell 3 — and a resplitCell(3, k=4) that re-centroids the hot
+    // cell into sub-cells 16…19 (seeds = its first-4 members by id,
+    // the collectCentroids convention). Output = the (phase, cell, n)
+    // stats table across the three states; the oracle re-derives every
+    // assignment (including the tie-break that sends every clone to
+    // the first v3-seeded sub-cell) from the same first-C conventions.
+    // Bytes/file columns of indexStats are NOT emitted — parquet
+    // physical sizes are encoder-dependent, not oracle-reproducible.
+    "s11_ann_index_maintain" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_maint_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.functions.AnnIndex.ivfIndexSave(
+        e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        cells = 16, dir = dir)
+      def snap(phase: String): Seq[(String, Long, Long)] =
+        graft.functions.AnnIndex.indexStats(s, dir)
+          .select(col("cell"), col("n_vectors")).collect()
+          .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq
+      val base = snap("1_base")
+      val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("__bv"))
+      val batch = s.range(50).select((col("id") + 10000).as("vec_id"))
+        .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
+      graft.functions.AnnIndex.addBatch(s, dir, batch, "vec_id", "embedding")
+      val added = snap("2_added")
+      graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4)
+      val resplit = snap("3_resplit")
+      (base ++ added ++ resplit).toDF("phase", "cell", "n")
+        .orderBy("phase", "cell")
+    }),
+
     // Full k-NN self-join: top-3 neighbors for EVERY vector via the
     // LSH bucket join (the neighbor-graph builder behind semantic
     // dedup / cluster-then-sample). Nothing broadcast — both join
@@ -316,6 +351,44 @@ object SimilarityQueries {
        |   FROM s)
        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** s11 oracle: replays the whole maintenance life-cycle from the
+    * first-C conventions — assignment of the 250-vector corpus and the
+    * 50 v3-clone batch to the first-16 centroids (cell counts per
+    * phase), then the resplit of cell 3: sub-seeds = its first 4
+    * members by id mapped to cells 16…19, members re-assigned with the
+    * same cos-desc / cid-asc tie-break (which routes every clone to
+    * the first v3-valued seed). */
+  private def s11Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | corpus AS (SELECT vec_id, v FROM e WHERE vec_id < 250),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < 16),
+       | batch AS (SELECT 10000 + g.generate_series AS vec_id,
+       |           (SELECT v FROM e WHERE vec_id = 3) AS v
+       |           FROM generate_series(0, 49) g),
+       | allv AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+       | ca AS (SELECT a.vec_id, a.v, cent.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${cosSql("a.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |   FROM allv a, cent),
+       | assigned AS (SELECT vec_id, v, cid FROM ca WHERE crank = 1),
+       | c3 AS (SELECT vec_id, v FROM assigned WHERE cid = 3),
+       | seeds AS (SELECT vec_id, v, 15 + rn AS scid FROM
+       |   (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM c3)
+       |   WHERE rn <= 4),
+       | sa AS (SELECT c3.vec_id, seeds.scid,
+       |   ROW_NUMBER() OVER (PARTITION BY c3.vec_id ORDER BY ${cosSql("c3.v", "seeds.v")} DESC, seeds.scid ASC) AS srank
+       |   FROM c3, seeds),
+       | phases AS (
+       |   SELECT '1_base' AS phase, cid AS cell, COUNT(*) AS n
+       |     FROM assigned WHERE vec_id < 250 GROUP BY cid
+       |   UNION ALL
+       |   SELECT '2_added', cid, COUNT(*) FROM assigned GROUP BY cid
+       |   UNION ALL
+       |   SELECT '3_resplit', cid, COUNT(*) FROM assigned WHERE cid <> 3 GROUP BY cid
+       |   UNION ALL
+       |   SELECT '3_resplit', scid, COUNT(*) FROM sa WHERE srank = 1 GROUP BY scid)
+       |SELECT phase, CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n
+       |FROM phases ORDER BY phase, cell""".stripMargin
 
   /** s5 oracle: the s2 machinery without the query-set filter — every
     * vector ranks its own bucket's candidates; 6 planes, k=3. */
@@ -530,6 +603,7 @@ object SimilarityQueries {
     // oracles ARE the in-session s4/s8 oracles
     "s10_ann_index_persisted" -> s4Sql,
     "s10b_ann_ivfpq_persisted" -> s8Sql,
+    "s11_ann_index_maintain" -> s11Sql,
     "s1_ann_topk" -> s1Sql,
     // recall@5 of the LSH path against the brute-force truth, per
     // query: both pipelines' full oracle statements as subqueries

@@ -403,6 +403,39 @@ object StreamOps {
       }
   }
 
+  /** Streaming vector ingest into a persisted ANN index — the bridge
+    * between the two incremental families (streaming near-dup keeps
+    * state in the query; the ANN index keeps it ON DISK): each
+    * micro-batch is encoded against the SAVED centroids/codebook
+    * ([[graft.functions.AnnIndex.addBatch]] — no rebuild, no re-read
+    * of existing codes) and appended as new cell-partition files, so
+    * probes between batches see exactly the vectors ingested so far.
+    *
+    * foreachBatch is the right sink shape: the encode+append is a bulk
+    * columnar write, not a row sink. Structured Streaming re-runs a
+    * failed batch with the SAME batchId and data, so the sink keeps a
+    * marker file per committed batchId under `dir/ingest_log/` and
+    * skips replays — exactly-once ingest as long as `dir` has a single
+    * writer (the addBatch contract). Start with `.start()` /
+    * `.trigger(...)` as usual; pair with a checkpointLocation for
+    * cross-restart replay safety. */
+  def vectorIngest(stream: DataFrame, dir: String,
+                   idCol: String, vecCol: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          if (!batch.isEmpty)
+            graft.functions.AnnIndex.addBatch(spark, dir, batch.toDF(), idCol, vecCol)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
+      }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq

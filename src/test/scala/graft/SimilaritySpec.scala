@@ -582,4 +582,58 @@ class SimilaritySpec extends AnyFunSuite {
       assert(!witness, s"non-dup $id in cluster $c has a witness")
     }
   }
+
+  test("resplitCell: unchanged probe sets stay bit-identical; indexStats tracks the split") {
+    import graft.functions.AnnIndex
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_resplit_spec").toString
+    AnnIndex.ivfIndexSave(e.filter(col("vec_id") < 250), "vec_id", "embedding",
+      cells = 16, dir = dir)
+    // skew cell 3 with 40 clones of vector 3, then split it 4 ways
+    val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("bv"))
+    val batch = spark.range(40).select((col("id") + 5000).as("vec_id"))
+      .crossJoin(broadcast(v3)).select(col("vec_id"), col("bv").as("embedding"))
+    AnnIndex.addBatch(spark, dir, batch, "vec_id", "embedding")
+
+    val statsBefore = AnnIndex.indexStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(statsBefore(3L) >= 41L, s"skewed cell expected >= 41, got ${statsBefore.get(3L)}")
+
+    val queries = e.filter(col("vec_id") < 20)
+    def probeAll(): Map[Long, Seq[(Long, Any, Int)]] =
+      AnnIndex.probe(spark, dir, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.get(2), r.getInt(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    def probeSets(): Map[Long, Set[Long]] = {
+      val cent = AnnIndex.readCentroids(spark, s"$dir/centroids")
+      queries.select(col("vec_id"), col("embedding")).collect().map { r =>
+        val q = spark.createDataFrame(java.util.List.of(r), r.schema)
+        r.getLong(0) -> AnnIndex.probeCells(q, "vec_id", "embedding", cent, 4)
+          .map(_.asInstanceOf[Long]).toSet
+      }.toMap
+    }
+
+    val before = probeAll(); val setsBefore = probeSets()
+    AnnIndex.resplitCell(spark, dir, cid = 3L, k = 4)
+    val after = probeAll(); val setsAfter = probeSets()
+
+    val statsAfter = AnnIndex.indexStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!statsAfter.contains(3L), "split cell directory must retire")
+    val subCells = statsAfter.keySet.filter(_ >= 16L)
+    assert(subCells.nonEmpty && subCells.forall(c => c >= 16L && c <= 19L))
+    assert(subCells.map(statsAfter).sum == statsBefore(3L),
+      "resplit must conserve the cell's vectors")
+    (statsBefore - 3L).foreach { case (c, n) =>
+      assert(statsAfter(c) == n, s"untouched cell $c changed size") }
+
+    // the pinned invariant: any query whose nprobe probe set is the
+    // same before and after the split returns bit-identical rows
+    val unchanged = setsBefore.keySet.filter(q => setsBefore(q) == setsAfter(q))
+    assert(unchanged.nonEmpty, "fixture regression: every probe set shifted")
+    unchanged.foreach { q =>
+      assert(before(q) == after(q), s"probe of untouched cells changed for query $q") }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

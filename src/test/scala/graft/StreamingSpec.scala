@@ -537,4 +537,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vectorIngest: streamed batches land in the persisted ANN index; probe equals in-session IVF") {
+    import graft.functions.{AnnIndex, SimilarityFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(8)(j => math.rint(1e6 * (math.sin(i * 31.0 + j) + 1.5)) / 1e6)
+    val corpus = (0L until 100L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_ingest").toString
+    AnnIndex.ivfIndexSave(corpus, "vec_id", "embedding", cells = 4, dir = dir)
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamOps.vectorIngest(
+        mem.toDF().toDF("vec_id", "embedding"), dir, "vec_id", "embedding")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData((100L until 120L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      mem.addData((120L until 140L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // two committed batch markers, 140 indexed vectors
+    assert(AnnIndex.indexStats(spark, dir).agg(sum("n_vectors")).head().getLong(0) == 140L)
+    val full = (0L until 140L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = full.filter(col("vec_id") < 5 || col("vec_id") >= 135)
+    val probed = AnnIndex.probe(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), "" + r.get(2), r.getInt(3))).toSet
+    val inSession = SimilarityFunctions.ivfTopK(full, queries, "vec_id", "embedding",
+        k = 3, centroids = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), "" + r.get(2), r.getInt(3))).toSet
+    assert(probed == inSession,
+      "probe after streaming ingest must be bit-identical to in-session IVF on the union corpus")
+    // streamed vectors are retrievable: a late query's neighbors include streamed ids
+    assert(probed.exists { case (qid, nid, _, _) => qid >= 135L && nid >= 100L })
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
