@@ -55,18 +55,26 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Self-auditing summary: declared vs written counts plus the errors
     // map, so "artifact rows == SparkEntry.queries.size" is checkable
-    // from the outDir alone.
-    val declared = SparkEntry.queries.size
+    // from the outDir alone. Under a SPARK_GRAFT_ONLY subset the counts
+    // reflect the FILTERED list (a subset run must not claim every
+    // query was written) and the active filter is recorded.
+    val selected = SparkEntry.queries.keys
+      .filter(n => only.forall(_.contains(n))).toSeq
+    val declared = selected.size
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
+    val filterJson = only
+      .map(f => s""", "only_filter": ${f.toSeq.sorted.map(q).mkString("[", ",", "]")}""")
+      .getOrElse("")
     Files.writeString(Paths.get(s"$outDir/verify_summary.json"),
-      s"""{"declared": $declared, "written": ${declared - errors.size}, "failed": ${errors.size}, "errors": $errJson}""")
+      s"""{"declared": $declared, "written": ${declared - errors.size}, "failed": ${errors.size}, "errors": $errJson$filterJson}""")
     } finally {
       SparkEntry.releaseCaches()
       spark.stop()
     }
     if (errors.nonEmpty) {
-      System.err.println(s"[verify] FAILED: ${errors.size}/${SparkEntry.queries.size} declared queries broke: ${errors.keys.mkString(", ")}")
+      val ran = SparkEntry.queries.keys.count(n => only.forall(_.contains(n)))
+      System.err.println(s"[verify] FAILED: ${errors.size}/$ran selected queries broke: ${errors.keys.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -22,6 +22,13 @@ object DbQueries {
   private lazy val dbDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_dbq")
     sys.addShutdownHook {
+      // shut the engine down BEFORE walking the directory: embedded
+      // Derby writes lock/log files at exit and shutdown-hook ordering
+      // is unspecified, so deleting a live database races its own
+      // exit-time writes. Engine shutdown always "fails" with XJ015 —
+      // that SQLException IS the success signal.
+      try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
       import java.nio.file.{Files, Path}
       if (Files.exists(p))
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

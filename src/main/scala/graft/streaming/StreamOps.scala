@@ -368,7 +368,15 @@ object StreamOps {
     * batch/stream sketches are well-defined; while a group stays
     * under `k` values the emissions are exact and arrival-order-
     * insensitive (the exact-regime contract). OutputMode.Update
-    * sinks apply. */
+    * sinks apply.
+    *
+    * Restart semantics: a group's capacity is a property of its
+    * SKETCH, not of the query — a restored state blob keeps the `k`
+    * it was serialized with (re-capping an existing ladder would
+    * corrupt its error guarantee). Restarting with a different `k`
+    * therefore only affects groups first seen after the restart; the
+    * mismatch is logged once per group instead of silently mixing
+    * capacities with no signal. */
   def streamQuantiles(events: DataFrame, groupCol: String, valueCol: String,
                       k: Int, qs: Seq[Double])
   : org.apache.spark.sql.Dataset[(String, Long, Seq[Double])] = {
@@ -392,6 +400,12 @@ object StreamOps {
           val buf = state.getOption
             .map(QuantileSketchExpressions.readBuffer)
             .getOrElse(new QuantileSketchExpressions.KllBuffer(k))
+          // restored state keeps its serialized capacity (see scaladoc);
+          // surface a cross-restart k change instead of silently mixing
+          if (buf.k != k && state.exists)
+            System.err.println(s"[streamQuantiles] group '$group': restored " +
+              s"sketch capacity ${buf.k} differs from requested k=$k; " +
+              "the restored capacity wins (capacity is a sketch property)")
           it.foreach { case (_, v) => v.foreach(buf.insert) }
           val bytes = QuantileSketchExpressions.writeBuffer(buf)
           state.update(bytes)

@@ -40,6 +40,34 @@ class TestdataDriftSpec extends AnyFunSuite {
     }
   }
 
+  // x40's bit-for-bit quantile_cont oracle match relies on every
+  // per-nation customer group staying under the 16384 sketch capacity
+  // (the KLL EXACT regime). A regenerated bigger fixture (sf10 has
+  // ~60k customers/nation) would otherwise surface as baffling oracle
+  // drift — pin the invariant so it fails HERE with a name instead.
+  // (x40b is immune: it gates the estimation regime by design, and
+  // s11's vec_id+10000 batch offset is pinned the same way below.)
+  test("per-nation customer counts stay under the x40 sketch capacity (16384)") {
+    sfDirs.foreach { d =>
+      val mx = spark.read.parquet(s"$d/customer.parquet")
+        .groupBy("c_nationkey").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(mx < 16384L,
+        s"$d: largest per-nation customer group $mx >= 16384 — x40 leaves the exact regime; raise its k or re-gate")
+    }
+  }
+
+  // s11 plants a clone batch at vec_id + 10000; its oracle classifies
+  // by the same literal. Sound only while real vec_ids stay below it.
+  test("vec_id space stays below the s11 re-key offset (10000)") {
+    sfDirs.foreach { d =>
+      val mx = spark.read.parquet(s"$d/embeddings.parquet")
+        .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+      assert(mx < 10000L,
+        s"$d: max vec_id $mx >= 10000 — the s11 clone-batch offset collides")
+    }
+  }
+
   // Column name → required Spark type (post-raw-load, pre-adapter) for the
   // columns queries actually touch. Types we don't depend on pin name only.
   private val pinned: Map[String, Seq[(String, Option[DataType])]] = Map(
