@@ -221,6 +221,43 @@ object AnnIndex {
     } finally cellVecs.unpersist()
   }
 
+  /** Compact every cell whose file count reached `minFiles` back to
+    * one file per cell — the other maintenance valve next to
+    * [[resplitCell]]: every [[addBatch]] / streaming-ingest
+    * micro-batch appends at least one file to each touched cell, so
+    * after thousands of batches a probe pays thousands of tiny-file
+    * opens per probed cell (the classic small-files failure mode).
+    * Only the flagged cells are read and rewritten (partition-pruned
+    * scan per cell, write staged to `codes/.compact-<cell>` then
+    * swapped in), centroids/codebook/meta untouched, results
+    * bit-identical (SimilaritySpec pins probe equality). Works for
+    * both layouts — compaction moves rows, never re-encodes.
+    * Single-writer maintenance op, same contract as addBatch.
+    * Returns the compacted cell ids. */
+  def compactCells(spark: SparkSession, dir: String, minFiles: Int = 8): Seq[Long] = {
+    require(minFiles >= 2, "need minFiles >= 2")
+    val flagged = indexStats(spark, dir)
+      .filter(col("n_files") >= minFiles)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    flagged.foreach { cid =>
+      val cellPath = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$cid")
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/codes/.compact-$cid")
+      val fs = cellPath.getFileSystem(conf)
+      // read the one cell (pruned), rewrite as a single file into a
+      // dot-prefixed staging dir (invisible to parquet listings), swap
+      spark.read.parquet(s"$dir/codes").filter(col("cell") === cid)
+        .drop("cell").coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      // drop the _SUCCESS marker so the swapped dir holds data files only
+      fs.delete(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), false)
+      fs.delete(cellPath, true)
+      require(fs.rename(staged, cellPath),
+        s"compactCells: rename $staged -> $cellPath failed")
+    }
+    flagged
+  }
+
   /** The distinct cells the query set will probe — a queries×nprobe
     * KB readback (same boundary class as the centroid pull) used to
     * prune the partitioned codes scan before the join. */

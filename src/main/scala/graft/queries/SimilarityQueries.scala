@@ -117,11 +117,13 @@ object SimilarityQueries {
 
     // Index MAINTENANCE round-trip: per-cell stats of a saved ivf_flat
     // index (footer-only counts, no data scan), a deliberately SKEWED
-    // addBatch — 50 clones of vector 3's embedding, all landing in
-    // cell 3 — and a resplitCell(3, k=4) that re-centroids the hot
-    // cell into sub-cells 16…19 (seeds = its first-4 members by id,
-    // the collectCentroids convention). Output = the (phase, cell, n)
-    // stats table across the three states; the oracle re-derives every
+    // ingest — two addBatch micro-batches of 25 clones of vector 3's
+    // embedding, all landing in cell 3 — a compactCells pass (the
+    // small-files valve; its phase must reproduce the pre-compact
+    // counts bit-for-bit), and a resplitCell(3, k=4) that re-centroids
+    // the hot cell into sub-cells 16…19 (seeds = its first-4 members
+    // by id, the collectCentroids convention). Output = the (phase,
+    // cell, n) stats table across the four states; the oracle re-derives every
     // assignment (including the tie-break that sends every clone to
     // the first v3-seeded sub-cell) from the same first-C conventions.
     // Bytes/file columns of indexStats are NOT emitted — parquet
@@ -140,13 +142,21 @@ object SimilarityQueries {
           .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq
       val base = snap("1_base")
       val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("__bv"))
-      val batch = s.range(50).select((col("id") + 10000).as("vec_id"))
-        .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
-      graft.functions.AnnIndex.addBatch(s, dir, batch, "vec_id", "embedding")
+      def batch(lo: Int, hi: Int) =
+        s.range(lo, hi).select((col("id") + 10000).as("vec_id"))
+          .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
+      // two micro-batches so cell 3 really holds multiple files…
+      graft.functions.AnnIndex.addBatch(s, dir, batch(0, 25), "vec_id", "embedding")
+      graft.functions.AnnIndex.addBatch(s, dir, batch(25, 50), "vec_id", "embedding")
       val added = snap("2_added")
+      // …and the compaction pass has real work; the hash gate then
+      // proves compaction conserves every cell's rows (3_compact must
+      // equal 2_added bit-for-bit)
+      graft.functions.AnnIndex.compactCells(s, dir, minFiles = 2)
+      val compacted = snap("3_compact")
       graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4)
-      val resplit = snap("3_resplit")
-      (base ++ added ++ resplit).toDF("phase", "cell", "n")
+      val resplit = snap("4_resplit")
+      (base ++ added ++ compacted ++ resplit).toDF("phase", "cell", "n")
         .orderBy("phase", "cell")
     }),
 
@@ -384,9 +394,11 @@ object SimilarityQueries {
        |   UNION ALL
        |   SELECT '2_added', cid, COUNT(*) FROM assigned GROUP BY cid
        |   UNION ALL
-       |   SELECT '3_resplit', cid, COUNT(*) FROM assigned WHERE cid <> 3 GROUP BY cid
+       |   SELECT '3_compact', cid, COUNT(*) FROM assigned GROUP BY cid
        |   UNION ALL
-       |   SELECT '3_resplit', scid, COUNT(*) FROM sa WHERE srank = 1 GROUP BY scid)
+       |   SELECT '4_resplit', cid, COUNT(*) FROM assigned WHERE cid <> 3 GROUP BY cid
+       |   UNION ALL
+       |   SELECT '4_resplit', scid, COUNT(*) FROM sa WHERE srank = 1 GROUP BY scid)
        |SELECT phase, CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n
        |FROM phases ORDER BY phase, cell""".stripMargin
 

@@ -636,4 +636,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(before(q) == after(q), s"probe of untouched cells changed for query $q") }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("compactCells: many-file cells collapse to one file; probes bit-identical") {
+    import graft.functions.AnnIndex
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    AnnIndex.ivfIndexSave(e.filter(col("vec_id") < 100), "vec_id", "embedding",
+      cells = 8, dir = dir)
+    // 5 micro-batches of 20 vectors: each append adds files per touched cell
+    (0 until 5).foreach { b =>
+      AnnIndex.addBatch(spark, dir,
+        e.filter(col("vec_id") >= 100 + b * 20 && col("vec_id") < 120 + b * 20),
+        "vec_id", "embedding")
+    }
+    def stats() = AnnIndex.indexStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = stats()
+    assert(before.exists(_._3 >= 3), s"fixture regression: no cell grew files: $before")
+    val queries = e.filter(col("vec_id") < 15)
+    def probeAll() = AnnIndex.probe(spark, dir, queries, "vec_id", "embedding", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), "" + r.get(2), r.getInt(3))).toSet
+    val pBefore = probeAll()
+    val compacted = AnnIndex.compactCells(spark, dir, minFiles = 3)
+    assert(compacted.nonEmpty)
+    val after = stats()
+    compacted.foreach { c =>
+      assert(after.find(_._1 == c).get._3 == 1L, s"cell $c not single-file after compact") }
+    // row counts conserved per cell, results unchanged
+    assert(after.map(s => s._1 -> s._2).toMap == before.map(s => s._1 -> s._2).toMap)
+    assert(probeAll() == pBefore, "compaction changed probe results")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
