@@ -355,4 +355,29 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p.take(800))
   }
+
+  test("persisted-ANN probe scan carries a static cell INSET partition filter (prunes unprobed cells)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_plan").toString
+    graft.functions.AnnIndex.ivfIndexSave(
+      e.filter(col("vec_id") < 250), "vec_id", "embedding", cells = 16, dir = dir)
+    val probe = graft.functions.AnnIndex.probe(spark, dir,
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 2)
+    val p = probe.queryExecution.executedPlan.toString
+    // pruning must be STATIC (foldable isin -> PartitionFilters INSET);
+    // if this pin breaks, a 100 TB probe reads the whole inverted file
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(scanLine.contains("INSET") || scanLine.contains(" IN ("),
+      s"probe codes scan lost its static partition filter:\n${p.take(2000)}")
+    // 3 queries x nprobe 2 -> at most 6 distinct probed cells in the set
+    // (Spark prints small sets as "IN (…)", larger ones as "INSET …")
+    val inset = "(?:INSET ([0-9, ]+))|(?:IN \\(([0-9,]+)\\))".r
+      .findFirstMatchIn(scanLine)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)).split(",").length)
+      .getOrElse(99)
+    assert(inset <= 6, s"probe set wider than queries x nprobe: $scanLine")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
