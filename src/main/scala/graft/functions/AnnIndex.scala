@@ -80,13 +80,12 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
-  /** Encode a delta batch against the SAVED centroids/codebook (no
-    * rebuild, no re-read of existing codes) and append it to the
-    * inverted file — the incremental-ingest path. The batch must not
-    * repeat ids already indexed (same contract as any append-only
-    * store; dedup upstream with d10/d13 if ingest can replay). */
-  def addBatch(spark: SparkSession, dir: String, batch: DataFrame,
-               idCol: String, vecCol: String): Unit = {
+  /** The shared encode half of the ingest paths: the batch encoded
+    * against the SAVED centroids/codebook (no rebuild, no re-read of
+    * existing codes), as (id, …, cell) rows ready for a partitioned
+    * write. */
+  private def encodeBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
     val meta = readMeta(spark, dir)
     val cellCent = readCentroids(spark, s"$dir/centroids")
     meta.kind match {
@@ -94,8 +93,6 @@ object AnnIndex {
         ivfAssign(batch, idCol, vecCol, cellCent)
           .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
             col("__cid").as("cell"))
-          .repartition(col("cell"))
-          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
       case "ivf_pq" =>
         val codeSeeds = readCentroids(spark, s"$dir/codebook")
           .map { case (c, v) => (c, v.toSeq) }
@@ -103,9 +100,65 @@ object AnnIndex {
           meta.m, meta.dim, meta.residual)
           .select(col("neighbor_id").as("id"), col("__b").as("b"),
             col("__cid").as("code"), col("__cell").as("cell"))
-          .repartition(col("cell"))
-          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
     }
+  }
+
+  /** Encode a delta batch against the SAVED centroids/codebook (no
+    * rebuild, no re-read of existing codes) and append it to the
+    * inverted file — the incremental-ingest path. The batch must not
+    * repeat ids already indexed (same contract as any append-only
+    * store; dedup upstream with d10/d13 if ingest can replay). For a
+    * source that RETRIES batches (Structured Streaming foreachBatch),
+    * use [[addBatchTagged]], whose replay converges to exactly one
+    * copy. */
+  def addBatch(spark: SparkSession, dir: String, batch: DataFrame,
+               idCol: String, vecCol: String): Unit =
+    encodeBatch(spark, dir, batch, idCol, vecCol)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+
+  /** Replay-idempotent addBatch: the encoded batch is staged under
+    * `dir/.staging-<tag>`, then each file is MOVED into its cell
+    * directory under the deterministic name `<tag>-<i>.parquet`
+    * (rename is atomic per file). Re-running with the same tag first
+    * scrubs every `<tag>-*` file from the cell dirs — the leftovers of
+    * a crashed prior attempt — so any number of replays converges to
+    * exactly one copy of the batch, no matter where the previous
+    * attempt died. This is what makes [[graft.streaming.StreamOps
+    * .vectorIngest]]'s exactly-once claim true across crashes in the
+    * append-to-marker window, not just across clean replays. */
+  def addBatchTagged(spark: SparkSession, dir: String, batch: DataFrame,
+                     idCol: String, vecCol: String, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a safe file prefix: $tag")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$tag")
+    val fs = codes.getFileSystem(conf)
+    if (fs.exists(codes))
+      fs.listStatus(codes)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          fs.listStatus(cd.getPath)
+            .filter(f => f.isFile && f.getPath.getName.startsWith(s"$tag-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+    encodeBatch(spark, dir, batch, idCol, vecCol)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    fs.listStatus(staging)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { cd =>
+        val dest = new org.apache.hadoop.fs.Path(codes, cd.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(cd.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            val to = new org.apache.hadoop.fs.Path(dest, s"$tag-$i.parquet")
+            require(fs.rename(f.getPath, to),
+              s"addBatchTagged: rename ${f.getPath} -> $to failed")
+          }
+      }
+    fs.delete(staging, true)
   }
 
   /** Probe a saved index: top-k per query row, bit-identical to the
@@ -205,6 +258,14 @@ object AnnIndex {
       val base = cellCent.map(_._1).max + 1
       val subCent = seedRows.zipWithIndex.map { case (r, i) =>
         (base + i, r.getSeq[Double](1).toArray) }.toSeq
+      // scrub orphan sub-cell dirs from a crashed prior attempt (it
+      // died before the centroid swap, so base is recomputed the same
+      // and a plain append would double every row)
+      val conf = spark.sparkContext.hadoopConfiguration
+      subCent.foreach { case (c, _) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$c")
+        p.getFileSystem(conf).delete(p, true)
+      }
       ivfAssign(cellVecs, "id", "vec", subCent)
         .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
           col("__cid").as("cell"))
@@ -236,24 +297,47 @@ object AnnIndex {
     * Returns the compacted cell ids. */
   def compactCells(spark: SparkSession, dir: String, minFiles: Int = 8): Seq[Long] = {
     require(minFiles >= 2, "need minFiles >= 2")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // recover any cell a crashed prior pass left mid-swap: the backup
+    // dir exists iff the swap didn't complete — restore it if the live
+    // dir is missing, drop it if the swap actually finished
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val rootFs = codesRoot.getFileSystem(conf)
+    if (rootFs.exists(codesRoot))
+      rootFs.listStatus(codesRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(".old-"))
+        .foreach { st =>
+          val cid = st.getPath.getName.stripPrefix(".old-")
+          val live = new org.apache.hadoop.fs.Path(codesRoot, s"cell=$cid")
+          if (!rootFs.exists(live)) require(rootFs.rename(st.getPath, live),
+            s"compactCells: crash recovery rename ${st.getPath} -> $live failed")
+          else rootFs.delete(st.getPath, true)
+        }
     val flagged = indexStats(spark, dir)
       .filter(col("n_files") >= minFiles)
       .select("cell").collect().map(_.getLong(0)).toSeq
-    val conf = spark.sparkContext.hadoopConfiguration
     flagged.foreach { cid =>
       val cellPath = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$cid")
+      val backup = new org.apache.hadoop.fs.Path(s"$dir/codes/.old-$cid")
       val staged = new org.apache.hadoop.fs.Path(s"$dir/codes/.compact-$cid")
       val fs = cellPath.getFileSystem(conf)
-      // read the one cell (pruned), rewrite as a single file into a
-      // dot-prefixed staging dir (invisible to parquet listings), swap
-      spark.read.parquet(s"$dir/codes").filter(col("cell") === cid)
-        .drop("cell").coalesce(1)
+      // read ONLY this cell's directory (no discovery of the whole
+      // codes tree — after heavy ingest most cells are flagged and a
+      // full listing per cell is O(flagged × total files)), rewrite as
+      // one file into a dot-prefixed staging dir (invisible to parquet
+      // listings)
+      spark.read.parquet(cellPath.toString).coalesce(1)
         .write.mode("overwrite").parquet(staged.toString)
       // drop the _SUCCESS marker so the swapped dir holds data files only
       fs.delete(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), false)
-      fs.delete(cellPath, true)
+      // crash-safe swap: live -> backup, staged -> live, drop backup.
+      // A crash at any point leaves the rows reachable (live or backup)
+      // and the recovery pass above restores the invariant.
+      require(fs.rename(cellPath, backup),
+        s"compactCells: rename $cellPath -> $backup failed")
       require(fs.rename(staged, cellPath),
         s"compactCells: rename $staged -> $cellPath failed")
+      fs.delete(backup, true)
     }
     flagged
   }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object StreamOps {
 
+  /** Groups already warned about a cross-restart capacity mismatch in
+    * [[streamQuantiles]] — per executor JVM, bounded at 10k entries so
+    * the warning path can never become a memory or stderr flood. */
+  private[streaming] val capacityWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Tumbling event-time window aggregation. */
   def tumbling(df: DataFrame, tsCol: String, duration: String,
                keys: Seq[String], aggs: Seq[Column]): DataFrame =
@@ -375,7 +381,9 @@ object StreamOps {
     * it was serialized with (re-capping an existing ladder would
     * corrupt its error guarantee). Restarting with a different `k`
     * therefore only affects groups first seen after the restart; the
-    * mismatch is logged once per group instead of silently mixing
+    * mismatch is logged once per group per executor JVM (a bounded
+    * in-memory set, NOT once per micro-batch — that would flood
+    * stderr on a high-rate stream) instead of silently mixing
     * capacities with no signal. */
   def streamQuantiles(events: DataFrame, groupCol: String, valueCol: String,
                       k: Int, qs: Seq[Double])
@@ -401,8 +409,11 @@ object StreamOps {
             .map(QuantileSketchExpressions.readBuffer)
             .getOrElse(new QuantileSketchExpressions.KllBuffer(k))
           // restored state keeps its serialized capacity (see scaladoc);
-          // surface a cross-restart k change instead of silently mixing
-          if (buf.k != k && state.exists)
+          // surface a cross-restart k change instead of silently mixing —
+          // once per group per JVM, not once per micro-batch
+          if (buf.k != k && state.exists &&
+              StreamOps.capacityWarned.size < 10000 &&
+              StreamOps.capacityWarned.add(group))
             System.err.println(s"[streamQuantiles] group '$group': restored " +
               s"sketch capacity ${buf.k} differs from requested k=$k; " +
               "the restored capacity wins (capacity is a sketch property)")
@@ -427,12 +438,17 @@ object StreamOps {
     *
     * foreachBatch is the right sink shape: the encode+append is a bulk
     * columnar write, not a row sink. Structured Streaming re-runs a
-    * failed batch with the SAME batchId and data, so the sink keeps a
-    * marker file per committed batchId under `dir/ingest_log/` and
-    * skips replays — exactly-once ingest as long as `dir` has a single
-    * writer (the addBatch contract). Start with `.start()` /
-    * `.trigger(...)` as usual; pair with a checkpointLocation for
-    * cross-restart replay safety. */
+    * failed batch with the SAME batchId and data; the sink keeps a
+    * marker file per committed batchId under `dir/ingest_log/` to skip
+    * clean replays, and the append itself goes through
+    * [[graft.functions.AnnIndex.addBatchTagged]] with the batchId as
+    * the tag — a replay of a batch that crashed AFTER its append
+    * committed but BEFORE its marker landed first scrubs that tag's
+    * files, so any number of retries converges to exactly one copy
+    * (true exactly-once, not marker-window at-least-once), as long as
+    * `dir` has a single writer (the addBatch contract). Start with
+    * `.start()` / `.trigger(...)` as usual; pair with a
+    * checkpointLocation for cross-restart replay safety. */
   def vectorIngest(stream: DataFrame, dir: String,
                    idCol: String, vecCol: String)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -444,7 +460,8 @@ object StreamOps {
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           if (!batch.isEmpty)
-            graft.functions.AnnIndex.addBatch(spark, dir, batch.toDF(), idCol, vecCol)
+            graft.functions.AnnIndex.addBatchTagged(spark, dir, batch.toDF(),
+              idCol, vecCol, tag = s"b$batchId")
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
         }

@@ -30,11 +30,18 @@ object ProbeKllError {
           .collect().sorted
         for (q <- Seq(0.25, 0.5, 0.95)) {
           val est = QuantileSketchExpressions.quantileOf(sk, q).asInstanceOf[Double]
+          // EXACTLY the quantity the x40b gate checks: count(v <= est)
+          // vs q·n (binarySearch picks an arbitrary index inside a
+          // duplicate run and would understate the gated error)
           val rank = {
-            val i = java.util.Arrays.binarySearch(exact, est)
-            if (i >= 0) i else -i - 1
+            var lo = 0; var hi = exact.length
+            while (lo < hi) { // upper bound: first index with value > est
+              val mid = (lo + hi) >>> 1
+              if (exact(mid) <= est) lo = mid + 1 else hi = mid
+            }
+            lo
           }
-          val relErr = math.abs(rank - q * (n - 1)) / n
+          val relErr = math.abs(rank - q * n) / n
           println(f"$dir flag=$flag n=$n q=$q relRankErr=$relErr%.5f")
         }
       }
