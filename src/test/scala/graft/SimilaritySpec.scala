@@ -667,4 +667,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probeAll() == pBefore, "compaction changed probe results")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("crash recovery: compact mid-swap restores, resplit retry does not double, tagged replay converges") {
+    import graft.functions.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_spec").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    AnnIndex.ivfIndexSave(e.filter(col("vec_id") < 200), "vec_id", "embedding",
+      cells = 8, dir = dir)
+    def counts() = AnnIndex.indexStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = counts()
+
+    // (a) simulate a compact crash BETWEEN the two renames: live dir
+    // moved to backup, staged never swapped in -> the cell vanishes
+    val victim = base.keys.min
+    fs.rename(new Path(s"$dir/codes/cell=$victim"), new Path(s"$dir/codes/.old-$victim"))
+    assert(!counts().contains(victim), "precondition: cell invisible mid-swap")
+    AnnIndex.compactCells(spark, dir, minFiles = 99) // no-op pass, but recovery runs
+    assert(counts() == base, "recovery pass must restore the mid-swap cell")
+
+    // (b) resplit retry: pre-plant an orphan sub-cell dir as if a prior
+    // attempt crashed after its append; the retry must scrub it, not double
+    val splitCell = base.keys.max
+    val orphan = new Path(s"$dir/codes/cell=8") // max cid 7 -> base = 8
+    fs.mkdirs(orphan)
+    e.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/.orphan_stage")
+    fs.listStatus(new Path(s"$dir/.orphan_stage"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(orphan, f.getPath.getName)))
+    AnnIndex.resplitCell(spark, dir, cid = splitCell, k = 2)
+    val afterSplit = counts()
+    assert(afterSplit.filter(_._1 >= 8L).values.sum == base(splitCell),
+      s"retry after planted orphan must conserve rows exactly: $afterSplit vs $base")
+
+    // (c) tagged replay: run addBatchTagged twice with the same tag ->
+    // exactly one copy (second run scrubs the first's files)
+    val batch = e.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+    AnnIndex.addBatchTagged(spark, dir, batch, "vec_id", "embedding", tag = "b7")
+    val once = counts()
+    AnnIndex.addBatchTagged(spark, dir, batch, "vec_id", "embedding", tag = "b7")
+    assert(counts() == once, "tagged replay must converge to exactly one copy")
+    assert(once.values.sum == afterSplit.values.sum + 30)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
