@@ -72,6 +72,51 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The ANN TUNING loop: the recall/cost curve a deployment measures
+    // before trusting an nprobe setting — mean recall@5 vs brute-force
+    // truth and the candidate count (the probe join's row count, the
+    // cost that scales) for nprobe = 1, 2, 4, 8 over one corpus and
+    // one query set. A bounded PARAMETER sweep, not a data loop: four
+    // plans union'd, everything deterministic, so the whole curve is
+    // oracle-exact (the operational twin of s9's single-point report).
+    "s12_ann_nprobe_curve" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      // re-planned per branch rather than persisted: 4× a corpus×10
+      // broadcast scan is trivial at any SF (queries stay bounded) and
+      // keeps the query pack stateless across bench passes
+      val brute = bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val cent = collectCentroids(e, "vec_id", "embedding", 16)
+        .map { case (cid, v) => (cid, v.toArray) }
+      val sizes = ivfAssign(e, "vec_id", "embedding", cent)
+        .groupBy(col("__cid")).agg(count(lit(1)).as("__csz"))
+      val curves = Seq(1, 2, 4, 8).map { np =>
+        val approx = ivfTopK(e, q, "vec_id", "embedding",
+          k = 5, centroids = 16, nprobe = np)
+          .select("query_id", "neighbor_id")
+        val hits = brute.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        val recall = q.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .agg(round(avg(coalesce(col("hits"), lit(0)).cast("double") / 5.0), 6)
+            .as("mean_recall"))
+        // candidate cost = Σ over (query, probed cell) of cell size,
+        // minus the self-match each query's own (always-probed) cell
+        // contributes — exactly the rerank join's input row count
+        val probes = q
+          .select(explode(graft.expressions.VectorExpressions.nearest_centroids(
+            col("embedding").cast("array<double>"), cent, np,
+            graft.expressions.VectorKernels.MetricCosine)).as("__pc"))
+          .select(col("__pc").getField("cid").as("__cid"))
+        val cand = probes.join(broadcast(sizes), Seq("__cid"))
+          .agg((sum(col("__csz")) - lit(10)).as("candidates"))
+        recall.crossJoin(cand)
+          .select(lit(np).as("nprobe"), col("mean_recall"), col("candidates"))
+      }
+      curves.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
     // Persisted IVF index + incremental add (AnnIndex): build & SAVE
     // the inverted file from the first half of the corpus, APPEND the
     // second half against the saved centroids (no rebuild), then
@@ -362,6 +407,46 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** s12 oracle: the full tuning curve re-derived — shared first-16
+    * assignment machinery (one `ca` ranking), then per-nprobe branches
+    * computing mean recall@5 vs the s1 brute-force truth and the
+    * candidate count Σ probed-cell sizes − |queries| (each query's
+    * always-probed own cell contributes exactly its one self-match). */
+  private def s12Sql: String = {
+    def branch(np: Int): String =
+      s"""SELECT $np AS nprobe,
+         |  (SELECT round(avg(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0), 6)
+         |   FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < 10) qq
+         |   LEFT JOIN (
+         |     SELECT a.query_id, COUNT(*) AS hits
+         |     FROM brute b JOIN (
+         |       SELECT query_id, neighbor_id FROM (
+         |         SELECT s.query_id, s.neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.neighbor_id ASC) AS rank
+         |         FROM (
+         |           SELECT qa.query_id, bb.neighbor_id, ${cosSql("qa.qv", "bb.v")} AS score
+         |           FROM assigned bb JOIN (
+         |             SELECT vec_id AS query_id, v AS qv, cid FROM ca
+         |             WHERE crank <= $np AND vec_id < 10) qa
+         |             ON bb.cid = qa.cid AND bb.neighbor_id <> qa.query_id) s)
+         |       WHERE rank <= 5) a
+         |       ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |     GROUP BY 1) h ON h.query_id = qq.query_id) AS mean_recall,
+         |  (SELECT CAST(SUM(sizes.n) - 10 AS BIGINT)
+         |   FROM (SELECT vec_id, cid FROM ca WHERE crank <= $np AND vec_id < 10) p
+         |   JOIN sizes ON p.cid = sizes.cid) AS candidates""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (SELECT e.vec_id, e.v, cent.cid,
+       |   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |   FROM e, cent),
+       | assigned AS (SELECT vec_id AS neighbor_id, v, cid FROM ca WHERE crank = 1),
+       | sizes AS (SELECT cid, COUNT(*) AS n FROM assigned GROUP BY cid),
+       | brute AS (SELECT query_id, neighbor_id FROM ($s1Sql) bq)
+       |${Seq(1, 2, 4, 8).map(branch).mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** s11 oracle: replays the whole maintenance life-cycle from the
     * first-C conventions — assignment of the 250-vector corpus and the
     * 50 v3-clone batch to the first-16 centroids (cell counts per
@@ -616,6 +701,7 @@ object SimilarityQueries {
     "s10_ann_index_persisted" -> s4Sql,
     "s10b_ann_ivfpq_persisted" -> s8Sql,
     "s11_ann_index_maintain" -> s11Sql,
+    "s12_ann_nprobe_curve" -> s12Sql,
     "s1_ann_topk" -> s1Sql,
     // recall@5 of the LSH path against the brute-force truth, per
     // query: both pipelines' full oracle statements as subqueries
