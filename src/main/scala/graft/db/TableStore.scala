@@ -63,33 +63,47 @@ final class JdbcTable(spark: SparkSession, url: String, table: String) {
     rs.next(); rs.getLong(1)
   }
 
-  /** S3 delete(col, values) (database.py:114-116). */
-  def delete(column: String, values: Seq[Any]): Int = withConn { c =>
-    val ph = values.map(_ => "?").mkString(", ")
-    val st = c.prepareStatement(s"""DELETE FROM "$table" WHERE "$column" IN ($ph)""")
-    values.zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
-    st.executeUpdate()
-  }
+  /** S3 delete(col, values) (database.py:114-116). An empty values
+    * list deletes nothing (the reference's semantics) instead of
+    * issuing the malformed SQL `IN ()`. */
+  def delete(column: String, values: Seq[Any]): Int =
+    if (values.isEmpty) 0
+    else withConn { c =>
+      val ph = values.map(_ => "?").mkString(", ")
+      val st = c.prepareStatement(s"""DELETE FROM "$table" WHERE "$column" IN ($ph)""")
+      try {
+        values.zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
+        st.executeUpdate()
+      } finally st.close()
+    }
 
   /** S3 update(filter_col, batch) (database.py:118-120): for each batch
-    * row, set the listed columns where filterCol matches. */
+    * row, set the listed columns where filterCol matches. Rows are
+    * grouped by column shape and each shape compiles ONE prepared
+    * statement driven with executeBatch — not a new (never-closed)
+    * statement per row, which grows Derby's open-statement set and
+    * recompiles the same SQL O(batch) times. */
   def update(filterCol: String, batch: Seq[Map[String, Any]]): Unit = withConn { c =>
-    batch.foreach { row =>
-      val sets = row.keys.filterNot(_ == filterCol).toSeq.sorted
-      val st = c.prepareStatement(
-        s"""UPDATE "$table" SET ${sets.map(k => s""""$k" = ?""").mkString(", ")}
-           | WHERE "$filterCol" = ?""".stripMargin)
-      sets.zipWithIndex.foreach { case (k, i) => st.setObject(i + 1, row(k)) }
-      st.setObject(sets.size + 1, row(filterCol))
-      st.executeUpdate()
+    batch.groupBy(_.keys.filterNot(_ == filterCol).toSeq.sorted).foreach {
+      case (sets, rows) =>
+        val st = c.prepareStatement(
+          s"""UPDATE "$table" SET ${sets.map(k => s""""$k" = ?""").mkString(", ")}
+             | WHERE "$filterCol" = ?""".stripMargin)
+        try {
+          rows.foreach { row =>
+            sets.zipWithIndex.foreach { case (k, i) => st.setObject(i + 1, row(k)) }
+            st.setObject(sets.size + 1, row(filterCol))
+            st.addBatch()
+          }
+          st.executeBatch()
+        } finally st.close()
     }
   }
 
   /** S3 upsert (database.py:122-130 — a stub in the reference; real
     * here): MERGE on a key column. */
   def upsert(keyCol: String, batch: Seq[Map[String, Any]]): Unit = withConn { c =>
-    batch.foreach { row =>
-      val cols = row.keys.toSeq.sorted
+    batch.groupBy(_.keys.toSeq.sorted).foreach { case (cols, rows) =>
       val nonKey = cols.filterNot(_ == keyCol)
       val st = c.prepareStatement(
         s"""MERGE INTO "$table" t
@@ -98,11 +112,16 @@ final class JdbcTable(spark: SparkSession, url: String, table: String) {
            | WHEN MATCHED THEN UPDATE SET ${nonKey.map(k => s""""$k" = ?""").mkString(", ")}
            | WHEN NOT MATCHED THEN INSERT (${cols.map(k => s""""$k"""").mkString(", ")})
            |   VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
-      var i = 1
-      st.setObject(i, row(keyCol)); i += 1
-      nonKey.foreach { k => st.setObject(i, row(k)); i += 1 }
-      cols.foreach { k => st.setObject(i, row(k)); i += 1 }
-      st.executeUpdate()
+      try {
+        rows.foreach { row =>
+          var i = 1
+          st.setObject(i, row(keyCol)); i += 1
+          nonKey.foreach { k => st.setObject(i, row(k)); i += 1 }
+          cols.foreach { k => st.setObject(i, row(k)); i += 1 }
+          st.addBatch()
+        }
+        st.executeBatch()
+      } finally st.close()
     }
   }
 

@@ -73,6 +73,11 @@ final class ComponentMap {
   def getState: (Map[String, Array[Double]], Map[String, String]) =
     (internalM.toMap, externalM.map { case (k, r) => k -> r.key }.toMap)
 
+  /** The live external links — Scaffold needs the refs themselves to
+    * persist/restore SHARED parameter values (linking removes a key
+    * from the internal map, so no single model's state carries it). */
+  def externalRefs: Map[String, ComponentRef] = externalM.toMap
+
   def setState(internal: Map[String, Array[Double]]): Unit =
     internal.foreach { case (k, v) => update(k, v) }
 }

@@ -88,12 +88,16 @@ object LinearModel {
     * the textbook closed form — bit-reproducible (the oracle mirrors
     * the same double ops); exact for <= `scale`-decimal-digit data (see
     * class note). */
-  def fitSimple(df: DataFrame, xCol: String, yCol: String,
+  def fitSimple(df0: DataFrame, xCol: String, yCol: String,
                 precision: Int = 18, scale: Int = 2): (Double, Double) = {
     require(2 * precision <= 38,
       s"fitSimple: 2*precision must be <= 38 so product terms stay in decimal range, got $precision")
     val decType = s"decimal($precision,$scale)"
     def dec(c: Column) = c.cast(decType)
+    // complete-case rows only: a null in EITHER column must remove the
+    // whole row from every moment, or count(lit(1)) disagrees with the
+    // null-skipping sums and the closed form silently mixes populations
+    val df = df0.na.drop(Seq(xCol, yCol).distinct)
     val aggs = Seq(
       sum(dec(col(xCol))).cast("double").as("sx"),
       sum(dec(col(yCol))).cast("double").as("sy"),
@@ -111,12 +115,16 @@ object LinearModel {
 
   /** One-pass decimal moment matrix: (XᵀX, Xᵀy) over the features plus
     * a trailing intercept column; the only cluster work in a fit. */
-  private def moments(df: DataFrame, xCols: Seq[String], yCol: String,
+  private def moments(df0: DataFrame, xCols: Seq[String], yCol: String,
                       precision: Int, scale: Int): (Array[Array[Double]], Array[Double]) = {
     require(2 * precision <= 38,
       s"fit: 2*precision must be <= 38 so product terms stay in decimal range, got $precision")
     val decType = s"decimal($precision,$scale)"
     def dec(c: Column) = c.cast(decType)
+    // complete-case rows only (see fitSimple): the intercept moment
+    // (lit(1)) counts every row, so a null feature/label row would
+    // otherwise enter XᵀX's intercept cell but none of the sums
+    val df = df0.na.drop((xCols :+ yCol).distinct)
     val feats = xCols.map(c => dec(col(c))) :+ lit(java.math.BigDecimal.ONE).cast(decType)
     val p = feats.size
     val aggs = (for {
@@ -177,12 +185,19 @@ object LinearModel {
     model
   }
 
-  /** In-place Gaussian elimination with partial pivoting. */
+  /** In-place Gaussian elimination with partial pivoting. Throws on a
+    * singular system (collinear / duplicated / constant features)
+    * instead of letting 0/0 propagate NaN weights silently. */
   private[graft] def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = a.map(_.clone()); val y = b.clone()
+    val tol = 1e-12 * math.max(1.0, a.map(_.map(math.abs).max).max)
     for (k <- 0 until n) {
       val piv = (k until n).maxBy(i => math.abs(m(i)(k)))
+      if (math.abs(m(piv)(k)) <= tol)
+        throw new IllegalArgumentException(
+          "LinearModel: singular normal equations (collinear, duplicated or " +
+            s"constant feature at column $k) — weights would be NaN")
       val (tm, ty) = (m(piv), y(piv)); m(piv) = m(k); m(k) = tm
       val t = y(piv); y(piv) = y(k); y(k) = t
       for (i <- k + 1 until n) {

@@ -21,11 +21,26 @@ final class Scaffold {
       val json = Scaffold.toJson(internal, external)
       Files.writeString(Paths.get(dir, s"$name.json"), json)
     }
+    // SHARED values live in the ParamStore, not in any model's internal
+    // map (link() removes the key), so per-model files alone would lose
+    // every shared parameter across a restart. Persist each distinct
+    // store key once, from whichever attached model links it.
+    val shared = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+    attached.values.foreach(_.components.externalRefs.foreach { case (_, r) =>
+      if (!shared.contains(r.key) && r.store.contains(r.key))
+        shared(r.key) = r.store.get(r.key)
+    })
+    if (shared.nonEmpty)
+      Files.writeString(Paths.get(dir, Scaffold.SharedFile),
+        Scaffold.toJson(shared.toMap, Map.empty))
   }
 
   /** Restore parameters into the already-attached models (structure is
-    * code; state is data — mirrors scaffold.load's re-attach pattern). */
-  def load(dir: String): Unit =
+    * code; state is data — mirrors scaffold.load's re-attach pattern:
+    * the caller re-creates models AND re-links shared components, then
+    * load refills internal values per model and shared values through
+    * the live links into their ParamStore). */
+  def load(dir: String): Unit = {
     attached.foreach { case (name, model) =>
       val path = Paths.get(dir, s"$name.json")
       if (Files.exists(path)) {
@@ -33,9 +48,21 @@ final class Scaffold {
         model.components.setState(internal)
       }
     }
+    val sharedPath = Paths.get(dir, Scaffold.SharedFile)
+    if (Files.exists(sharedPath)) {
+      val shared = Scaffold.parseInternal(Files.readString(sharedPath))
+      attached.values.foreach(_.components.externalRefs.foreach { case (_, r) =>
+        shared.get(r.key).foreach(v => r.store.set(r.key, v))
+      })
+    }
+  }
 }
 
 object Scaffold {
+
+  /** Reserved file for shared ParamStore values; "__" prefix keeps it
+    * out of the model-name namespace. */
+  private[model] val SharedFile = "__shared__.json"
 
   private[model] def toJson(internal: Map[String, Array[Double]],
                             external: Map[String, String]): String = {

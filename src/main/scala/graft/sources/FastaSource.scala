@@ -41,7 +41,11 @@ object FastaSource {
     }
 
   private def readFasta(spark: SparkSession, path: String): DataFrame = {
+    // explicit lineSep disables the text source's CRLF normalization,
+    // so strip \r in-plan or Windows files silently embed it in
+    // sequences and leave it trailing on ids (downstream joins miss)
     val raw = spark.read.option("lineSep", "\n>").text(path)
+      .withColumn("value", regexp_replace(col("value"), "\r", ""))
     raw
       .filter(length(trim(col("value"))) > 0)
       // the first record keeps its leading '>'
@@ -92,7 +96,9 @@ object FastaSource {
     * parsing is native regexp expressions — per-record, codegen'd, no
     * UDF. */
   private def readGenBank(spark: SparkSession, path: String): DataFrame = {
+    // same CRLF normalization as readFasta (explicit lineSep)
     val raw = spark.read.option("lineSep", "\n//").text(path)
+      .withColumn("value", regexp_replace(col("value"), "\r", ""))
     // a keyword block runs from its column-0 keyword to the next
     // column-0 non-space (keywords are upper-case at column 0;
     // continuations are indented)

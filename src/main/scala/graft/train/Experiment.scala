@@ -13,12 +13,20 @@ final class Experiment(val name: String, baseDir: String, spark: SparkSession) {
   import spark.implicits._
 
   val dir: String = {
-    // reference uniquifies as name_0, name_1, ... (experiment.py:55-61)
+    // reference uniquifies as name_0, name_1, ... (experiment.py:55-61).
+    // createDirectory (singular) makes claiming a suffix ATOMIC: two
+    // concurrent drivers racing the same name get distinct dirs instead
+    // of both "creating" one via the idempotent createDirectories and
+    // silently clobbering each other's tables.
+    Files.createDirectories(Paths.get(baseDir))
     var i = 0
-    while (Files.exists(Paths.get(baseDir, s"${name}_$i"))) i += 1
-    val d = Paths.get(baseDir, s"${name}_$i")
-    Files.createDirectories(d)
-    d.toString
+    var claimed: Option[java.nio.file.Path] = None
+    while (claimed.isEmpty) {
+      val d = Paths.get(baseDir, s"${name}_$i")
+      try { Files.createDirectory(d); claimed = Some(d) }
+      catch { case _: java.nio.file.FileAlreadyExistsException => i += 1 }
+    }
+    claimed.get.toString
   }
 
   private def metaPath = s"$dir/_metadata"

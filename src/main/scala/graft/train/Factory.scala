@@ -34,14 +34,24 @@ object Factory {
       Seq((t.params.toSeq.sortBy(_._1), t.metrics.toSeq.sortBy(_._1)))
         .toDF("params", "metrics")
         .write.mode("append").parquet(dir)
-    def read(): Seq[Trial] =
-      try spark.read.parquet(dir).collect().toSeq.map { r =>
+    def read(): Seq[Trial] = {
+      // "no trials yet" is ONLY a missing/empty directory; any other
+      // AnalysisException (corrupt footer, changed schema) must
+      // propagate — swallowing it would restart the search from trial
+      // 0 and append duplicates next to the existing data
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasData = fs.exists(p) &&
+        fs.listStatus(p).exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (!hasData) Seq.empty
+      else spark.read.parquet(dir).collect().toSeq.map { r =>
         Trial(
           r.getAs[Seq[org.apache.spark.sql.Row]]("params")
             .map(p => p.getString(0) -> p.getDouble(1)).toMap,
           r.getAs[Seq[org.apache.spark.sql.Row]]("metrics")
             .map(p => p.getString(0) -> p.getDouble(1)).toMap)
-      } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+      }
+    }
     def asDataFrame: DataFrame = spark.read.parquet(dir)
   }
 

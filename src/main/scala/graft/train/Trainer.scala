@@ -53,12 +53,15 @@ object Trainer {
     override def mult(epoch: Int): Double = math.pow(gamma, epoch)
   }
   /** Cosine annealing from 1 down to `etaMinFrac` over `tMax` epochs
-    * (torch CosineAnnealingLR). */
+    * (torch CosineAnnealingLR). Epochs beyond `tMax` HOLD the floor —
+    * the `% tMax` form would warm-restart to full rate at epoch tMax
+    * (a discontinuous jump late in training) and never actually reach
+    * the advertised minimum. */
   final case class CosineAnneal(tMax: Int, etaMinFrac: Double = 0.0) extends Schedule {
     require(tMax >= 1, "need tMax >= 1")
     override def mult(epoch: Int): Double =
       etaMinFrac + (1 - etaMinFrac) *
-        (1 + math.cos(math.Pi * (epoch % tMax) / tMax)) / 2
+        (1 + math.cos(math.Pi * math.min(epoch, tMax).toDouble / tMax)) / 2
   }
 
   final case class SgdConfig(lr: Double, epochs: Int, batchSize: Int, seed: Long,
@@ -114,7 +117,12 @@ object Trainer {
       val lr = cfg.lr * cfg.schedule.mult(epoch)
       val shuffled = Pipes.shuffle(f, cfg.seed + epoch)
         .cols(xCols :+ yCol: _*)
-      for (batch <- Pipes.batchIterator(shuffled, cfg.batchSize)) {
+      // grouped, NOT Pipes.batchIterator: the O2 pipe's drop-ragged-tail
+      // semantic would make a dataset smaller than batchSize train ZERO
+      // batches and return the initial weights as if fitted. The tail
+      // batch's gradient is normalized by its own size, so it is a
+      // well-scaled step, not noise.
+      for (batch <- shuffled.iterator.grouped(cfg.batchSize)) {
         var gb = 0.0
         val gw = Array.fill(p)(0.0)
         batch.foreach { r =>

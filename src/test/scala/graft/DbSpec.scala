@@ -44,4 +44,12 @@ class DbSpec extends AnyFunSuite {
     // reflect (reference reflect_table)
     assert(t.reflectSchema().fieldNames.map(_.toLowerCase).toSet == Set("id", "name", "vals"))
   }
+
+  test("delete with an empty values list is a no-op, not malformed SQL") {
+    val t = new JdbcTable(spark, url, "emptydel")
+    t.create(StructType(Seq(StructField("id", LongType))))
+    t.insert(Seq(1L, 2L, 3L).toDF("id"))
+    assert(t.delete("id", Seq.empty) == 0)
+    assert(t.count() == 3)
+  }
 }

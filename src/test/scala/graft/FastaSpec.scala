@@ -164,4 +164,19 @@ class FastaSpec extends AnyFunSuite {
     }
     java.nio.file.Files.deleteIfExists(dir)
   }
+
+  test("CRLF FASTA parses identically to LF (explicit lineSep must not leak \\r)") {
+    import org.apache.spark.sql.functions.col
+    val lf = ">id1 desc one\nACGT\nTTAA\n>id2\nGGCC\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft_crlf")
+    java.nio.file.Files.writeString(dir.resolve("lf.fa"), lf)
+    java.nio.file.Files.writeString(dir.resolve("crlf.fa"), lf.replace("\n", "\r\n"))
+    def rows(f: String) = FastaSource.read(spark, dir.resolve(f).toString)
+      .select("ids", "sequences", "descriptions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val a = rows("lf.fa"); val b = rows("crlf.fa")
+    assert(a == b, s"CRLF drifted: $b vs $a")
+    assert(a.exists(_._2 == "ACGTTTAA"), "multi-line sequence must concatenate cleanly")
+    assert(a.forall { case (i, sq, d) => !(i + sq + d).contains("\r") })
+  }
 }

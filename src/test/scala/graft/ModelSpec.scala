@@ -311,4 +311,68 @@ class ModelSpec extends AnyFunSuite {
       Map("x" -> mu), "y_pred", steps = 4)
     assert(ig.filter(abs(col("ig_x") - lit(2.0) * (col("x") - lit(mu))) > 1e-6).count() == 0)
   }
+
+  test("null rows are excluded as complete cases, not mixed into the intercept moment") {
+    import spark.implicits._
+    val clean = syntheticLinear(200, 2.0, 1.0, 0.0)
+    val dirty = clean.unionByName(
+      Seq((9001L, 5.0, Option.empty[Double]), (9002L, 6.0, Option.empty[Double]))
+        .toDF("id", "x", "y"))
+    val (s1v, i1) = LinearModel.fitSimple(clean, "x", "y")
+    val (s2v, i2) = LinearModel.fitSimple(dirty, "x", "y")
+    assert(s1v == s2v && i1 == i2, "null-y rows must not skew the closed form")
+    val m1 = LinearModel.fit(clean, Seq("x"), "y")
+    val m2 = LinearModel.fit(dirty, Seq("x"), "y")
+    assert(m1.m.sameElements(m2.m) && m1.b == m2.b,
+      "null-y rows must not enter the intercept moment of XtX")
+  }
+
+  test("singular normal equations fail loudly instead of emitting NaN weights") {
+    val df = syntheticLinear(100, 2.0, 1.0, 0.0)
+      .withColumn("x2", org.apache.spark.sql.functions.col("x"))
+    val e = intercept[IllegalArgumentException] {
+      LinearModel.fit(df, Seq("x", "x2"), "y")
+    }
+    assert(e.getMessage.contains("singular"))
+  }
+
+  test("sgdLinear trains on a dataset smaller than batchSize (no silent zero-batch no-op)") {
+    val df = syntheticLinear(50, 2.0, 1.0, 0.0)
+    val f = graft.frame.Frame.fromDF(df, Seq("id"))
+    val m = Trainer.sgdLinear(f, Seq("x"), "y",
+      Trainer.SgdConfig(lr = 0.0003, epochs = 40, batchSize = 64, seed = 3L))
+    assert(m.m(0) != 0.0, "model returned untrained: zero batches ran")
+    assert(math.abs(m.m(0) - 2.0) < 0.6, s"slope=${m.m(0)}")
+  }
+
+  test("CosineAnneal holds the floor beyond tMax (no warm-restart jump)") {
+    val sch = Trainer.CosineAnneal(tMax = 10, etaMinFrac = 0.125)
+    assert(math.abs(sch.mult(10) - 0.125) < 1e-12, "floor must be reached AT tMax")
+    assert(math.abs(sch.mult(17) - 0.125) < 1e-12, "beyond tMax must hold, not restart")
+    assert(sch.mult(0) == 1.0)
+  }
+
+  test("Scaffold save/load round-trips SHARED parameter values into a fresh store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scaffold_shared").toString
+    val store = new ParamStore
+    store.set("shared_m", Array(3.25))
+    val a = LinearModel("a", Seq("x"), "y")
+    val b = LinearModel("b", Seq("x"), "y")
+    a.components.link("m", ComponentRef(store, "shared_m"))
+    b.components.link("m", ComponentRef(store, "shared_m"))
+    a.components("b") = Array(7.5)
+    new Scaffold().attach(a).attach(b).save(dir)
+
+    // fresh process: models re-created, links re-wired to a FRESH store
+    val store2 = new ParamStore
+    store2.set("shared_m", Array(0.0))
+    val a2 = LinearModel("a", Seq("x"), "y")
+    val b2 = LinearModel("b", Seq("x"), "y")
+    a2.components.link("m", ComponentRef(store2, "shared_m"))
+    b2.components.link("m", ComponentRef(store2, "shared_m"))
+    new Scaffold().attach(a2).attach(b2).load(dir)
+    assert(a2.m.sameElements(Array(3.25)), s"shared value lost: ${a2.m.toSeq}")
+    assert(b2.m.sameElements(Array(3.25)), "sharing must survive the round-trip")
+    assert(a2.b == 7.5, "internal values restore as before")
+  }
 }
