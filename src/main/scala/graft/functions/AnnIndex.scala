@@ -167,6 +167,7 @@ object AnnIndex {
     * probe-cell list (queries × nprobe ids, KB) prunes the scan. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    recoverMaintenance(spark, dir)
     val meta = readMeta(spark, dir)
     val cellCent = readCentroids(spark, s"$dir/centroids")
     val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
@@ -199,6 +200,7 @@ object AnnIndex {
     * which cells [[addBatch]] has grown past their neighbors and
     * [[resplitCell]] should split. */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    recoverMaintenance(spark, dir)
     import spark.implicits._
     val counts = spark.read.parquet(s"$dir/codes")
       .groupBy(col("cell").cast("long").as("cell"))
@@ -298,21 +300,7 @@ object AnnIndex {
   def compactCells(spark: SparkSession, dir: String, minFiles: Int = 8): Seq[Long] = {
     require(minFiles >= 2, "need minFiles >= 2")
     val conf = spark.sparkContext.hadoopConfiguration
-    // recover any cell a crashed prior pass left mid-swap: the backup
-    // dir exists iff the swap didn't complete — restore it if the live
-    // dir is missing, drop it if the swap actually finished
-    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val rootFs = codesRoot.getFileSystem(conf)
-    if (rootFs.exists(codesRoot))
-      rootFs.listStatus(codesRoot)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(".old-"))
-        .foreach { st =>
-          val cid = st.getPath.getName.stripPrefix(".old-")
-          val live = new org.apache.hadoop.fs.Path(codesRoot, s"cell=$cid")
-          if (!rootFs.exists(live)) require(rootFs.rename(st.getPath, live),
-            s"compactCells: crash recovery rename ${st.getPath} -> $live failed")
-          else rootFs.delete(st.getPath, true)
-        }
+    recoverMaintenance(spark, dir)
     val flagged = indexStats(spark, dir)
       .filter(col("n_files") >= minFiles)
       .select("cell").collect().map(_.getLong(0)).toSeq
@@ -340,6 +328,32 @@ object AnnIndex {
       fs.delete(backup, true)
     }
     flagged
+  }
+
+  /** Repair any cell a crashed [[compactCells]] pass left mid-swap —
+    * called from every entry point that reads the inverted file (probe,
+    * indexStats, compactCells), NOT just the next compaction: a backup
+    * dir whose live `cell=` twin is missing means the crash landed
+    * between the two renames, and until it is restored every probe
+    * would silently return results missing that entire cell. Also
+    * drops stale `.compact-*` staging dirs (a leaked cell copy from a
+    * crash before the swap; the next compaction rewrites them anyway).
+    * Listing-only when there is nothing to repair (the common case). */
+  private def recoverMaintenance(spark: SparkSession, dir: String): Unit = {
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(codesRoot))
+      fs.listStatus(codesRoot).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith(".old-")) {
+          val live = new org.apache.hadoop.fs.Path(codesRoot,
+            s"cell=${nm.stripPrefix(".old-")}")
+          if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+            s"AnnIndex: crash recovery rename ${st.getPath} -> $live failed")
+          else fs.delete(st.getPath, true)
+        } else if (st.isDirectory && nm.startsWith(".compact-"))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** The distinct cells the query set will probe — a queries×nprobe

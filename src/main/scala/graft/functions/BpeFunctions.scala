@@ -49,10 +49,15 @@ object BpeFunctions {
     require(numMerges >= 1, "numMerges must be positive")
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // persisted before count(): the word-frequency table is the one
+    // full-corpus aggregation of the algorithm — without the persist,
+    // count() and then collect()/the first ckpt re-ran that scan twice
     val words = docs
       .select(explode(split(col(textCol), " ")).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     if (words.count() <= collectVocabMax) {
       val wf = words.collect().map(r => (r.getString(0), r.getLong(1)))
       return bpeTrainLocal(wf, numMerges, minPairFreq)
@@ -95,6 +100,7 @@ object BpeFunctions {
       }
     }
     merges.toSeq
+    } finally words.unpersist(blocking = false)
   }
 
   /** In-memory merge loop over a collected (word, freq) table —

@@ -154,6 +154,11 @@ object DedupFunctions {
                             shingleN: Int, numHashes: Int, bands: Int,
                             threshold: Double,
                             hashFamily: String = "md5"): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands): " +
+        "bands > numHashes makes every band key constant (corpus-squared " +
+        "candidates) and a non-divisible split silently discards the " +
+        "trailing hashes the caller asked for")
     val r = numHashes / bands
     // Persisted: the self-join and the verify stage would otherwise
     // recompute shingles/signatures once per join side (4× scans).
@@ -208,6 +213,11 @@ object DedupFunctions {
                                 shingleN: Int, numHashes: Int, bands: Int,
                                 threshold: Double,
                                 hashFamily: String = "md5"): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands): " +
+        "bands > numHashes makes every band key constant (corpus-squared " +
+        "candidates) and a non-divisible split silently discards the " +
+        "trailing hashes the caller asked for")
     val r = numHashes / bands
     def prep(d: DataFrame): DataFrame = d.select(col(idCol).as("__id"),
         wordShingles(col(textCol), shingleN).as("__sh"))
@@ -276,6 +286,10 @@ object DedupFunctions {
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int,
                             hashFamily: String = "md5"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be <= 3 (got $maxHamming): 4 byte-bands only " +
+        "pigeonhole-guarantee a shared band up to hamming 3 - a larger " +
+        "radius would silently miss pairs (same guard as ahashNearDuplicates)")
     val withH = docs.select(col(idCol).as("__id"),
       graft.expressions.HashExpressions.simhash32_native(
         split(col(textCol), " "), hashFamily).as("__h"))
@@ -801,25 +815,17 @@ object DedupFunctions {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     benchCond: Column, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // >= n words on both sides mirrors the oracle's len(ws) >= n guard.
-    // n-grams come from lead() over the (doc, position) window — fully
-    // codegen'd (the wordShingles HOF form cost ~1 s of interpreted
-    // lambda evals at sf0.1); distinct-per-doc afterwards mirrors the
-    // shingle-SET semantics of the HOF form
-    val words = docs.filter(size(split(col(textCol), " ")) >= n)
+    // n-grams come from the native word_shingles kernel (codegen'd
+    // static call, pinned bit-identical to the HOF reference by
+    // ShingleKernelSpec) + map-side array_distinct for the
+    // shingle-SET semantics — no per-token posexplode, no (doc, pos)
+    // window sort shuffle of the full token stream (the round-12
+    // review found the lead()-window form rebuilt what the kernel
+    // already produces at one extra exchange)
+    val sh = docs.filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("__id"), benchCond.as("__bench"),
-        posexplode(split(col(textCol), " ")))
-      .toDF("__id", "__bench", "__pos", "__w")
-    val w = Window.partitionBy("__id").orderBy("__pos")
-    val gram = (1 until n).foldLeft(col("__w")) { (acc, j) =>
-      concat(acc, lit(" "), lead("__w", j).over(w))
-    }
-    val sh = words
-      .withColumn("__s", gram)
-      .filter(col("__s").isNotNull) // lead past the end → null gram
-      .select("__id", "__bench", "__s")
-      .distinct()
+        explode(array_distinct(wordShingles(col(textCol), n))).as("__s"))
     val bench = broadcast(sh.filter(col("__bench")).select("__s").distinct())
     val corpus = sh.filter(!col("__bench"))
     val grams = corpus.groupBy("__id").agg(count(lit(1)).as("__ngrams"))

@@ -156,7 +156,12 @@ object MultimodalFunctions {
 
   /** Frame sampling plumbing for "video" payloads: emit every `stride`-th
     * fixed-size window of the payload as one frame row (explode of a
-    * computed offset sequence — the real kernel would seek keyframes). */
+    * computed offset sequence — the real kernel would seek keyframes).
+    * A payload shorter than `frameBytes` (including empty) still emits
+    * its one frame_no-0 row, TRUNCATED to the payload — every input row
+    * stays represented (x6's oracle replays exactly this); consumers
+    * that need strictly full windows filter `octet_length(frame) =
+    * frameBytes` downstream. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    frameBytes: Int, stride: Int): DataFrame =
     df.select(col(idCol), col(payloadCol))

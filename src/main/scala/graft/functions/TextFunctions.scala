@@ -19,7 +19,11 @@ object TextFunctions {
     * global max length with `padToken`. The max is a tiny aggregate
     * broadcast back into the plan (no global window). */
   def padToMax(df: DataFrame, tokenCol: String, padToken: String): DataFrame = {
-    val maxLen = df.agg(max(size(col(tokenCol)))).head().getInt(0)
+    // max over zero rows is NULL — an upstream stage that filtered
+    // everything away must get the empty frame back, not an NPE
+    val maxRow = df.agg(max(size(col(tokenCol)))).head()
+    if (maxRow.isNullAt(0)) return df
+    val maxLen = maxRow.getInt(0)
     df.withColumn(tokenCol,
       concat(col(tokenCol),
         array_repeat(lit(padToken), lit(maxLen) - size(col(tokenCol)))))

@@ -17,12 +17,15 @@ object TfIdf {
       .select(col("__id").as(idCol), col("__w").as("token"),
         col("__tf").as("tf"))
 
-  /** Smooth-free idf: ln(N / df). N passed in so the caller controls
-    * the (single, tiny) count job. */
+  /** Smooth-free idf: ln(N / df), with N = one count job over `docs`.
+    * Document frequency is count(*) per token, not countDistinct: the
+    * shared termFreq relation is already unique per (doc, token), so a
+    * distinct aggregate would maintain per-group distinct state for a
+    * guarantee that holds by construction. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
     val tf = termFrequency(docs, idCol, textCol)
-    val df = tf.groupBy("token").agg(countDistinct(col(idCol)).as("df"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("token"))
       .withColumn("tfidf",
         col("tf").cast("double") * log(lit(n.toDouble) / col("df").cast("double")))

@@ -121,6 +121,10 @@ object StreamOps {
         "it on the sink: writer.trigger(Trigger.ProcessingTime(interval)).")
     // fail fast on an unparseable interval, not at stream start
     trigger.foreach(org.apache.spark.sql.streaming.Trigger.ProcessingTime(_))
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got numHashes=$numHashes, bands=$bands) " +
+        "- same banding contract as minhashNearDuplicates (r = 0 would key " +
+        "every doc into one state group per band)")
     val session = docs.sparkSession
     import session.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -238,13 +242,17 @@ object StreamOps {
     * Scale shape: one shuffle on the key for the bucket aggregation,
     * the grid explode is proportional to output rows, and the fill is
     * a single window pass — no self-join, no range join. Bucket
-    * arithmetic is integral (`div`), so results are engine-exact.
-    * Output: (key, bts, <valueCol> filled, was_gap).
+    * arithmetic is integral and FLOORING (pmod-based, not `div`'s
+    * truncate-toward-zero, which would round pre-epoch timestamps up
+    * into the wrong grid cell), so results are engine-exact on any
+    * time range. Output: (key, bts, <valueCol> filled, was_gap).
     */
   def resampleForwardFill(df: DataFrame, tsCol: String, keyCol: String,
                           valueCol: String, stepSec: Long): DataFrame = {
+    val stepUs = s"(${stepSec}L * 1000000L)"
     val b = df
-      .withColumn("bts", expr(s"unix_micros($tsCol) div 1000000 div $stepSec * $stepSec"))
+      .withColumn("bts", expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"$stepUs)) div $stepUs * ${stepSec}L"))
       .groupBy(col(keyCol), col("bts"))
       .agg(max(col(valueCol)).as("__v"))
     val r = b.groupBy(keyCol).agg(min("bts").as("__lo"), max("bts").as("__hi"))
@@ -339,6 +347,14 @@ object StreamOps {
     * matters (KMV insert is order-insensitive), so emissions are
     * deterministic given the same batch boundaries with no in-batch
     * sorting needed. OutputMode.Update sinks apply. */
+  /** Restart semantics (differs from [[streamQuantiles]] BY DESIGN):
+    * KMV capacities merge soundly as min(old, new) — trimming a KMV
+    * sketch to a smaller k keeps the k smallest hashes and is still an
+    * exact KMV sketch at that k (the same rule kmv_merge applies), so
+    * a restored group runs at min(serialized k, requested k). A KLL
+    * ladder CANNOT be re-capped, hence streamQuantiles keeps the
+    * restored capacity instead. Either way a cross-restart mismatch is
+    * logged once per group per JVM, not silently absorbed. */
   def streamDistinctCounts(events: DataFrame, groupCol: String,
                            valueCol: String, k: Int)
   : org.apache.spark.sql.Dataset[(String, Long)] = {
@@ -356,6 +372,12 @@ object StreamOps {
         (group, it, state: GroupState[Array[Byte]]) =>
           val buf = new SketchExpressions.KmvBuffer(k)
           state.getOption.foreach(SketchExpressions.readInto(_, buf))
+          if (buf.k != k && state.exists &&
+              StreamOps.capacityWarned.size < 10000 &&
+              StreamOps.capacityWarned.add(s"kmv:$group"))
+            System.err.println(s"[streamDistinctCounts] group '$group': " +
+              s"restored sketch capacity ${buf.k} != requested k=$k; " +
+              "running at min(old, new) (the sound KMV merge rule)")
           it.foreach { case (_, v) =>
             if (v != null) buf.insert(SketchExpressions.hashString(v))
           }
@@ -413,7 +435,7 @@ object StreamOps {
           // once per group per JVM, not once per micro-batch
           if (buf.k != k && state.exists &&
               StreamOps.capacityWarned.size < 10000 &&
-              StreamOps.capacityWarned.add(group))
+              StreamOps.capacityWarned.add(s"kll:$group"))
             System.err.println(s"[streamQuantiles] group '$group': restored " +
               s"sketch capacity ${buf.k} differs from requested k=$k; " +
               "the restored capacity wins (capacity is a sketch property)")

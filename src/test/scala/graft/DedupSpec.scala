@@ -322,4 +322,24 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", "text").as[(Long, Double, Double, Double)].collect().head
     assert(r2._4 == 0.5)
   }
+
+  test("banding parameter guards fail fast (r=0 or non-divisible splits, oversized simhash radius)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    // bands > numHashes: r = 0 would band every doc identically
+    intercept[IllegalArgumentException] {
+      graft.functions.DedupFunctions.minhashNearDuplicates(
+        docs, "doc_id", "text", 3, numHashes = 8, bands = 16, threshold = 0.5)
+    }
+    // non-divisible: trailing hashes would be silently discarded
+    intercept[IllegalArgumentException] {
+      graft.functions.DedupFunctions.minhashNearDuplicates(
+        docs, "doc_id", "text", 3, numHashes = 100, bands = 8, threshold = 0.5)
+    }
+    // 4 byte-bands only pigeonhole up to hamming 3
+    intercept[IllegalArgumentException] {
+      graft.functions.DedupFunctions.simhashNearDuplicates(
+        docs, "doc_id", "text", maxHamming = 5)
+    }
+  }
 }

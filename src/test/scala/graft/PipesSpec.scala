@@ -133,4 +133,26 @@ class PipesSpec extends AnyFunSuite {
     assert(a.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       b.select("k").collect().map(_.getLong(0)).sorted.toSeq) // same rows chosen
   }
+
+  test("padToMax on an empty frame returns it unchanged (max over zero rows is null)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[String])].toDF("id", "toks")
+    val out = graft.functions.TextFunctions.padToMax(empty, "toks", "<pad>")
+    assert(out.count() == 0)
+  }
+
+  test("resampleForwardFill floors pre-epoch timestamps into the correct grid cell") {
+    import spark.implicits._
+    // -30 s with a 60 s grid belongs to bucket -60, not 0 (div would
+    // truncate toward zero and merge it into the epoch bucket)
+    val df = Seq(
+      (new java.sql.Timestamp(-30000L), "k", 1.0),
+      (new java.sql.Timestamp(65000L), "k", 2.0)
+    ).toDF("ts", "key", "v")
+    val out = graft.streaming.StreamOps.resampleForwardFill(df, "ts", "key", "v", 60L)
+      .select("bts", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(-60L, 0L, 60L), s"grid: ${out.keySet}")
+    assert(out(-60L) == 1.0 && out(0L) == 1.0 && out(60L) == 2.0,
+      "pre-epoch event anchors its own bucket; epoch bucket forward-fills")
+  }
 }

@@ -682,12 +682,18 @@ class SimilaritySpec extends AnyFunSuite {
     val base = counts()
 
     // (a) simulate a compact crash BETWEEN the two renames: live dir
-    // moved to backup, staged never swapped in -> the cell vanishes
+    // moved to backup, staged never swapped in -> the cell vanishes from
+    // the parquet listing, plus a leaked staging dir from before the swap
     val victim = base.keys.min
     fs.rename(new Path(s"$dir/codes/cell=$victim"), new Path(s"$dir/codes/.old-$victim"))
-    assert(!counts().contains(victim), "precondition: cell invisible mid-swap")
-    AnnIndex.compactCells(spark, dir, minFiles = 99) // no-op pass, but recovery runs
-    assert(counts() == base, "recovery pass must restore the mid-swap cell")
+    fs.mkdirs(new Path(s"$dir/codes/.compact-$victim")) // stale staging leak
+    assert(!fs.exists(new Path(s"$dir/codes/cell=$victim")),
+      "precondition: live cell dir gone mid-swap")
+    // EVERY read entry point heals, not just the next compactCells pass
+    assert(counts() == base, "indexStats must restore the mid-swap cell")
+    assert(!fs.exists(new Path(s"$dir/codes/.old-$victim")) &&
+      !fs.exists(new Path(s"$dir/codes/.compact-$victim")),
+      "recovery must consume the backup and drop the stale staging dir")
 
     // (b) resplit retry: pre-plant an orphan sub-cell dir as if a prior
     // attempt crashed after its append; the retry must scrub it, not double
