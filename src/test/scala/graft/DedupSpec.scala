@@ -323,6 +323,68 @@ class DedupSpec extends AnyFunSuite {
     assert(r2._4 == 0.5)
   }
 
+  test("decontaminate (kernel form) equals the lead-window formulation on adversarial corpora") {
+    // The round-12 rewrite replaced posexplode + lead() over a
+    // (doc, pos) window with the native word_shingles kernel +
+    // array_distinct. The fixture oracle pins the fixture; this pins
+    // the EQUIVALENCE on the cases a crawl actually contains and the
+    // fixture doesn't: double spaces (empty tokens are legal shingle
+    // members under split-on-space), exactly-n-word docs, intra-doc
+    // repeated shingles (set semantics), fully-contaminated docs, and
+    // docs sharing no grams with the benchmark (inner join drops them).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.Column
+    def reference(docs: DataFrame, benchCond: Column, n: Int): DataFrame = {
+      val words = docs.filter(size(split(col("text"), " ")) >= n)
+        .select(col("doc_id").as("__id"), benchCond.as("__bench"),
+          posexplode(split(col("text"), " ")))
+        .toDF("__id", "__bench", "__pos", "__w")
+      val w = Window.partitionBy("__id").orderBy("__pos")
+      val gram = (1 until n).foldLeft(col("__w")) { (acc, j) =>
+        concat(acc, lit(" "), lead("__w", j).over(w))
+      }
+      val sh = words.withColumn("__s", gram)
+        .filter(col("__s").isNotNull)
+        .select("__id", "__bench", "__s").distinct()
+      val bench = broadcast(sh.filter(col("__bench")).select("__s").distinct())
+      val corpus = sh.filter(!col("__bench"))
+      val grams = corpus.groupBy("__id").agg(count(lit(1)).as("__ngrams"))
+      val hits = corpus.join(bench, Seq("__s"))
+        .groupBy("__id").agg(count(lit(1)).as("__nhits"))
+      grams.join(hits, Seq("__id"))
+        .select(col("__id").as("doc_id"), col("__nhits").cast("int").as("n_hits"),
+          round(col("__nhits").cast("double") / col("__ngrams").cast("double"), 6)
+            .as("contam_frac"))
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def sentence(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val adversarial = Seq(
+      (100L, "alpha  beta gamma alpha  beta"),    // double spaces -> empty tokens
+      (101L, "alpha beta gamma"),                 // exactly n words (n=3)
+      (102L, "alpha beta"),                       // below n -> filtered out entirely
+      (103L, "alpha beta gamma alpha beta gamma alpha beta gamma"), // repeated shingles
+      (104L, "zeta zeta zeta zeta"),              // no overlap with benchmark
+      (105L, sentence(40)), (106L, sentence(40))
+    )
+    val benchDocs = Seq(
+      (1L, "alpha  beta gamma delta"),            // double space INSIDE the benchmark too
+      (2L, sentence(30))
+    )
+    val docs = spark.createDataFrame(adversarial ++ benchDocs).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val cond = col("doc_id") < 100L
+      val got = graft.functions.DedupFunctions
+        .decontaminate(docs, "doc_id", "text", cond, n)
+        .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+      val want = reference(docs, cond, n)
+        .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"n=$n kernel form diverged:\ngot  $got\nwant $want")
+      assert(got.nonEmpty, s"n=$n: degenerate comparison (no contaminated docs)")
+    }
+  }
+
   test("banding parameter guards fail fast (r=0 or non-divisible splits, oversized simhash radius)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
