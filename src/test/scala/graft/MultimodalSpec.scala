@@ -97,6 +97,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 64))
   }
 
+  test("sampleFrames: payloads shorter than frameBytes (incl. empty) keep their frame_no-0 row, truncated") {
+    val df = Seq((1L, "short"), (2L, "")).toDF("doc_id", "txt")
+      .withColumn("payload", asPayload(col("txt")))
+    val rows = sampleFrames(df, "doc_id", "payload", frameBytes = 64, stride = 2)
+      .orderBy("doc_id").collect()
+    // every input row stays represented - consumers needing strictly
+    // full windows filter octet_length(frame) = frameBytes downstream
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_no"))).toSeq ==
+      Seq((1L, 0), (2L, 0)))
+    assert(rows.map(_.getAs[Array[Byte]]("frame").length).toSeq == Seq(5, 0))
+  }
+
   test("payloadEntropy: constant payload is 0, uniform alphabet is ln(k)") {
     val df = Seq(
       (1L, "aaaaaaaa"),          // one symbol: entropy 0
