@@ -141,6 +141,37 @@ class PipesSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("resampleForwardFill equals a driver-side model on random timestamps spanning the epoch (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1312)
+    val stepSec = 90L // non-round step: exercises div/pmod interplay
+    val rows = Seq.tabulate(300) { i =>
+      // millis in [-6e6, 6e6): both signs, sub-bucket offsets included
+      val ms = (rnd.nextLong() % 6000000L)
+      (new java.sql.Timestamp(ms), s"k${i % 3}", rnd.nextInt(1000).toDouble)
+    }
+    val out = graft.streaming.StreamOps
+      .resampleForwardFill(rows.toDF("ts", "key", "v"), "ts", "key", "v", stepSec)
+      .select("key", "bts", "v", "was_gap")
+      .as[(String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // driver-side model: floored bucket -> per-bucket max -> dense
+    // per-key grid -> forward fill, gap where the bucket was absent
+    val want = rows.groupBy(_._2).flatMap { case (key, rs) =>
+      val byB = rs.groupBy { case (ts, _, _) =>
+        Math.floorDiv(ts.getTime * 1000L, stepSec * 1000000L) * stepSec
+      }.map { case (b, grp) => b -> grp.map(_._3).max }
+      var carry = 0.0
+      (byB.keys.min to byB.keys.max by stepSec).map { b =>
+        val present = byB.contains(b)
+        if (present) carry = byB(b)
+        (key, b) -> (carry, if (present) 0 else 1)
+      }
+    }
+    assert(out.size == want.size, s"grid sizes: got ${out.size}, want ${want.size}")
+    for ((k, v) <- want) assert(out(k) == v, s"cell $k: got ${out.get(k)}, want $v")
+  }
+
   test("resampleForwardFill floors pre-epoch timestamps into the correct grid cell") {
     import spark.implicits._
     // -30 s with a 60 s grid belongs to bucket -60, not 0 (div would
