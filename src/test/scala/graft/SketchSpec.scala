@@ -108,6 +108,29 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 7500L).toDouble / 7500.0 < 0.25, s"est=$est")
   }
 
+  test("KMV streaming restore runs at min(restored, requested) capacity, both directions") {
+    // the documented streamDistinctCounts restart rule: changing k
+    // across restarts is the sound KMV trim, never a mixed-capacity
+    // sketch. Pin it at the readInto level the state op actually uses.
+    import graft.expressions.SketchExpressions
+    val big = new SketchExpressions.KmvBuffer(64)
+    (0 until 200).foreach(i => big.insert(SketchExpressions.hashString(s"v$i")))
+    val blob = SketchExpressions.writeBuffer(big)
+    // restart with SMALLER requested k: trims to 16 smallest hashes
+    val shrunk = new SketchExpressions.KmvBuffer(16)
+    SketchExpressions.readInto(blob, shrunk)
+    assert(shrunk.k == 16 && shrunk.set.size == 16)
+    val direct16 = new SketchExpressions.KmvBuffer(16)
+    (0 until 200).foreach(i => direct16.insert(SketchExpressions.hashString(s"v$i")))
+    assert(shrunk.set == direct16.set,
+      "trimmed restore must equal the sketch built at k=16 from scratch")
+    // restart with LARGER requested k: the serialized capacity wins
+    // (the blob only kept 64 smallest - claiming k=256 would understate)
+    val grown = new SketchExpressions.KmvBuffer(256)
+    SketchExpressions.readInto(blob, grown)
+    assert(grown.k == 64 && grown.set.size == 64)
+  }
+
   // ---- KLL quantile sketch: graft.expressions.QuantileSketchExpressions
 
   import graft.expressions.QuantileSketchExpressions._
