@@ -17,7 +17,7 @@ object DedupFunctions {
 
   /** Distinct word n-gram shingles of a text column (native one-pass
     * kernel; [[wordShinglesHof]] is the semantic reference it must
-    * match bit-for-bit — pinned by ShingleKernelSpec). */
+    * match bit-for-bit — pinned by HashExpressionsSpec). */
   def wordShingles(text: Column, n: Int): Column =
     graft.expressions.ShingleExpressions.word_shingles(text, n)
 
@@ -33,7 +33,7 @@ object DedupFunctions {
 
   /** Distinct character k-gram shingles (native one-pass kernel;
     * [[charShinglesHof]] is the semantic reference — pinned by
-    * ShingleKernelSpec). */
+    * HashExpressionsSpec + DedupPropSpec). */
   def charShingles(text: Column, k: Int): Column =
     graft.expressions.ShingleExpressions.char_shingles(text, k)
 
@@ -818,7 +818,7 @@ object DedupFunctions {
     // >= n words on both sides mirrors the oracle's len(ws) >= n guard.
     // n-grams come from the native word_shingles kernel (codegen'd
     // static call, pinned bit-identical to the HOF reference by
-    // ShingleKernelSpec) + map-side array_distinct for the
+    // HashExpressionsSpec/DedupPropSpec) + map-side array_distinct for the
     // shingle-SET semantics — no per-token posexplode, no (doc, pos)
     // window sort shuffle of the full token stream (the round-12
     // review found the lead()-window form rebuilt what the kernel
