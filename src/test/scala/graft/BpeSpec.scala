@@ -33,6 +33,28 @@ class BpeSpec extends AnyFunSuite {
     assert(dist == merges)
   }
 
+  test("distributed and collected paths agree on random tie-heavy corpora with supplementary-plane symbols (property)") {
+    // the r12 bug class: the local trainer's JVM-String pair ordering
+    // disagreed with the distributed argmax's UTF8String (byte) order
+    // on supplementary-plane symbols. A 3-letter alphabet forces
+    // frequent count ties so the tie-break actually decides merges;
+    // 𝕏 (U+1D54F, surrogate pair in JVM Strings, 4 UTF-8 bytes) and
+    // é (2 bytes) sit in the alphabet to keep the orders distinct.
+    val rnd = new scala.util.Random(777)
+    val alphabet = Vector("a", "b", "𝕏", "é")
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(60) {
+        (1 to (1 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      }
+      val text = words.mkString(" ")
+      val docs = Seq(text).toDF("text")
+      val local = bpeTrain(docs, "text", numMerges = 8, minPairFreq = 1L)
+      val dist = bpeTrain(docs, "text", numMerges = 8, minPairFreq = 1L,
+        collectVocabMax = 0L)
+      assert(local == dist, s"trial $trial diverged:\nlocal $local\ndist  $dist")
+    }
+  }
+
   test("training stops early when no pair reaches minPairFreq") {
     // every word unique, freq 1 → best pair count is 1 < default 2
     val m = bpeTrain(Seq("ab cd ef").toDF("text"), "text", numMerges = 10)
