@@ -56,6 +56,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).getInt(2) == raw.length)
   }
 
+  test("decodeMedia accepts spec-valid extended fmt chunks (len 18 and 40) and odd-length chunk padding") {
+    // WAVE_FORMAT_EXTENSIBLE writes fmt len 40; many encoders write 18.
+    // The r12 fix relaxed the walk from len == 16 to len >= 16 — pin
+    // both extended sizes, plus a preceding ODD-length chunk so the
+    // RIFF word-alignment (len & 1 pad) in the walk is exercised too.
+    def le4(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le2(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def fmtChunk(len: Int) = "fmt ".getBytes ++ le4(len) ++ le2(0xFFFE) ++
+      le2(6) ++ le4(48000) ++ le4(1152000) ++ le2(24) ++ le2(24) ++
+      Array.fill[Byte](len - 16)(0)
+    def wavWith(pre: Array[Byte], fmtLen: Int) = {
+      val body = pre ++ fmtChunk(fmtLen) ++ "data".getBytes ++ le4(4) ++ Array.fill[Byte](4)(0)
+      "RIFF".getBytes ++ le4(4 + body.length) ++ "WAVE".getBytes ++ body
+    }
+    val oddChunk = "LIST".getBytes ++ le4(3) ++ Array[Byte](1, 2, 3, 0) // 3 data + 1 pad
+    val df = Seq(
+      (18L, wavWith(Array.emptyByteArray, 18)),
+      (40L, wavWith(Array.emptyByteArray, 40)),
+      (41L, wavWith(oddChunk, 40))
+    ).toDF("doc_id", "payload")
+    val out = decodeMedia(df, "doc_id", "payload").orderBy("doc_id").collect()
+    for (r <- out)
+      assert(r.getString(1) == "wav" && r.getInt(5) == 48000 &&
+        r.getInt(6) == 6 && r.getInt(7) == 24,
+        s"doc ${r.getLong(0)}: $r")
+  }
+
   test("decodeMedia parses PNG IHDR and JPEG SOF headers (hand-assembled bytes)") {
     def be4(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def be2(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
