@@ -385,6 +385,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("empty-shingle docs never band together (NULL signatures, the dd963bf regression)") {
+    import spark.implicits._
+    // three docs too short to produce a 3-shingle, plus one real
+    // near-dup pair: the empties must produce NO pairs at all (a NULL
+    // signature has no bands), not an all-empties clique
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, ""),
+      (10L, "x y z w v u t s"), (11L, "x y z w v u t q")
+    ).toDF("doc_id", "text")
+    val pairs = graft.functions.DedupFunctions.minhashNearDuplicates(
+      docs, "doc_id", "text", 3, numHashes = 16, bands = 4, threshold = 0.5)
+    val got = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    pairs.unpersist()
+    assert(got == Set((10L, 11L)), s"got $got")
+  }
+
   test("banding parameter guards fail fast (r=0 or non-divisible splits, oversized simhash radius)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
