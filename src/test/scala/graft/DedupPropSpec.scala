@@ -218,6 +218,40 @@ class DedupPropSpec extends AnyFunSuite {
     }
   }
 
+  test("property: simhashNearDuplicates equals brute-force hamming at every legal radius") {
+    // the 4-byte-band pigeonhole must have 100% recall up to hamming 3:
+    // for every pair within radius, at least one byte of the 32-bit
+    // hash is untouched, so they share that band. Near-identical docs
+    // (one token swapped) land at small hamming distances; the brute
+    // force recomputes hamming over ALL pairs of hashes.
+    val rnd = new scala.util.Random(909)
+    val vocab = Vector("kappa", "lambda", "mu", "nu", "xi", "omicron", "pi", "rho")
+    val baseDocs = Seq.tabulate(12)(i =>
+      Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = baseDocs.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      val mutated = toks.updated(rnd.nextInt(toks.length),
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      Seq((i * 2L, t), (i * 2L + 1L, mutated))
+    }.toDF("doc_id", "text")
+    val hashes = docs.select(col("doc_id"),
+        graft.expressions.HashExpressions.simhash32_native(
+          split(col("text"), " ")).as("h"))
+      .as[(Long, Long)].collect()
+    for (radius <- 0 to 3) {
+      val want = (for {
+        (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= radius
+      } yield (ia, ib, d)).toSet
+      val pairs = simhashNearDuplicates(docs, "doc_id", "text", maxHamming = radius)
+      val got = pairs.as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      pairs.unpersist()
+      assert(got == want,
+        s"radius $radius: missed ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("property: shingle kernels equal the HOF forms on random unicode text") {
     // the kernels walk raw UTF-8 bytes by hand — fuzz them with text
     // mixing ASCII, multi-byte scripts, doubled/leading/trailing
