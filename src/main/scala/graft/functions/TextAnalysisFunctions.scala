@@ -29,10 +29,8 @@ object TextAnalysisFunctions {
   /** Language-ID by stopword voting: argmax of profile hits, ties
     * broken by profile order; no hits → "und". */
   def langIdGuess(text: Column): Column = {
-    val wordArr = (words: Seq[String]) => array(words.map(lit): _*)
     val hits = stopwordProfiles.map { case (lang, words) =>
-      struct(size(filter(toks(text), t => array_contains(wordArr(words), t)))
-        .as("hits"), lit(lang).as("lang"))
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
     }
     val best = array(hits: _*)
     val winner = aggregate(best,

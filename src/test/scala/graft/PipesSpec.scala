@@ -134,6 +134,16 @@ class PipesSpec extends AnyFunSuite {
       b.select("k").collect().map(_.getLong(0)).sorted.toSeq) // same rows chosen
   }
 
+  test("charTokens (T1 character_tokenizer) splits into single characters, incl. multi-byte") {
+    import spark.implicits._
+    val out = Seq("abc", "héé", "").toDF("t")
+      .select(graft.functions.TextFunctions.charTokens(col("t")).as("c"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a", "b", "c"))
+    assert(out(1) == Seq("h", "é", "é"), "multi-byte chars stay whole")
+    assert(out(2).filter(_.nonEmpty).isEmpty, "empty text yields no characters")
+  }
+
   test("padToMax on an empty frame returns it unchanged (max over zero rows is null)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[String])].toDF("id", "toks")
