@@ -154,6 +154,7 @@ class ModelSpec extends AnyFunSuite {
     assert(!a.components.isFrozen("m") && !a.components.isFrozen("b"))
     a.freeze("m")
     assert(a.components.isFrozen("m") && !a.components.isFrozen("b"))
+    assert(a.components.frozenKeys == Seq("m"), "frozenKeys lists exactly the frozen subset")
     a.unfreeze("m")
     // the flag lives with the parameter: freezing a SHARED component in
     // one model freezes it in every model linking it (requires_grad on
