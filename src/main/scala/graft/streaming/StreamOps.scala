@@ -358,6 +358,11 @@ object StreamOps {
   def streamDistinctCounts(events: DataFrame, groupCol: String,
                            valueCol: String, k: Int)
   : org.apache.spark.sql.Dataset[(String, Long)] = {
+    // same bound the batch kmv_sketch expression enforces — fail at
+    // declaration, not as a NoSuchElementException mid-micro-batch
+    // (KmvBuffer.insert peeks set.last once k slots are "full"; k <= 0
+    // means full-at-empty)
+    require(k >= 16, s"sketch capacity must be >= 16, got $k")
     import graft.expressions.SketchExpressions
     val session = events.sparkSession
     import session.implicits._

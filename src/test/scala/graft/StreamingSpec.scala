@@ -471,6 +471,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamDistinctCounts rejects undersized sketch capacity at declaration (batch-parity guard)") {
+    import spark.implicits._
+    val df = Seq(("a", "u1")).toDF("site", "user")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamDistinctCounts(df, "site", "user", k = 0)
+    }
+  }
+
   test("streamDistinctCounts: cumulative across batches, exact below k, batch-compatible state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
