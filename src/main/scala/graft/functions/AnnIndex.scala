@@ -112,10 +112,16 @@ object AnnIndex {
     * use [[addBatchTagged]], whose replay converges to exactly one
     * copy. */
   def addBatch(spark: SparkSession, dir: String, batch: DataFrame,
-               idCol: String, vecCol: String): Unit =
+               idCol: String, vecCol: String): Unit = {
+    // heal BEFORE writing: a compact crash mid-swap leaves cell=X only
+    // as .old-X, and an append would recreate a live cell=X holding
+    // just the new rows — the next read-side recovery would then drop
+    // .old-X and every pre-compaction vector of that cell with it
+    recoverMaintenance(spark, dir)
     encodeBatch(spark, dir, batch, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
 
   /** Replay-idempotent addBatch: the encoded batch is staged under
     * `dir/.staging-<tag>`, then each file is MOVED into its cell
@@ -130,6 +136,7 @@ object AnnIndex {
   def addBatchTagged(spark: SparkSession, dir: String, batch: DataFrame,
                      idCol: String, vecCol: String, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a safe file prefix: $tag")
+    recoverMaintenance(spark, dir) // same live-dir-recreation hazard as addBatch
     val conf = spark.sparkContext.hadoopConfiguration
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$tag")
@@ -238,8 +245,13 @@ object AnnIndex {
     * Single-writer maintenance op (same contract as addBatch): the new
     * partitions land before the centroid swap and the old directory is
     * removed last, so a crash mid-op leaves a probe-able index whose
-    * worst case is the split cell present twice. */
+    * worst case is the split cell present twice on disk (never in a
+    * probe: the probe scan is pruned to centroid-listed cells) — and
+    * the next entry point's [[recoverMaintenance]] sweeps whichever
+    * copy the centroids no longer name, so the double-count is not
+    * permanent either. */
   def resplitCell(spark: SparkSession, dir: String, cid: Long, k: Int): Unit = {
+    recoverMaintenance(spark, dir) // writes cell dirs -> same hazard as addBatch
     val meta = readMeta(spark, dir)
     require(meta.kind == "ivf_flat",
       s"resplitCell needs the raw-vector (ivf_flat) layout, not ${meta.kind}: " +
@@ -260,14 +272,10 @@ object AnnIndex {
       val base = cellCent.map(_._1).max + 1
       val subCent = seedRows.zipWithIndex.map { case (r, i) =>
         (base + i, r.getSeq[Double](1).toArray) }.toSeq
-      // scrub orphan sub-cell dirs from a crashed prior attempt (it
-      // died before the centroid swap, so base is recomputed the same
-      // and a plain append would double every row)
-      val conf = spark.sparkContext.hadoopConfiguration
-      subCent.foreach { case (c, _) =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$c")
-        p.getFileSystem(conf).delete(p, true)
-      }
+      // orphan sub-cell dirs from a crashed prior attempt (it died
+      // before the centroid swap, so base is recomputed the same and a
+      // plain append would double every row) were already swept by the
+      // entry recoverMaintenance: their cids are not in the centroids
       ivfAssign(cellVecs, "id", "vec", subCent)
         .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
           col("__cid").as("cell"))
@@ -330,19 +338,37 @@ object AnnIndex {
     flagged
   }
 
-  /** Repair any cell a crashed [[compactCells]] pass left mid-swap —
-    * called from every entry point that reads the inverted file (probe,
-    * indexStats, compactCells), NOT just the next compaction: a backup
-    * dir whose live `cell=` twin is missing means the crash landed
-    * between the two renames, and until it is restored every probe
-    * would silently return results missing that entire cell. Also
-    * drops stale `.compact-*` staging dirs (a leaked cell copy from a
-    * crash before the swap; the next compaction rewrites them anyway).
-    * Listing-only when there is nothing to repair (the common case). */
+  /** Repair whatever a crashed maintenance pass left behind — called
+    * from EVERY entry point that reads or writes the inverted file
+    * (probe, indexStats, compactCells, addBatch, addBatchTagged,
+    * resplitCell), because the write paths are where a stale state is
+    * dangerous: an ingest that recreates a live `cell=X` while `.old-X`
+    * still holds the pre-compaction rows would make the next read-side
+    * recovery delete `.old-X` — silently dropping every old vector of
+    * that cell. Three repairs, in dependency order:
+    *   1. `.old-<cid>` with no live `cell=<cid>` twin → the crash landed
+    *      between [[compactCells]]' two renames; restore it (else every
+    *      probe silently misses the whole cell). With a live twin the
+    *      backup is stale → drop it.
+    *   2. stale `.compact-*` staging dirs → leaked cell copy from a
+    *      crash before the swap; drop.
+    *   3. `cell=<cid>` dirs whose cid is absent from the centroids file
+    *      → a [[resplitCell]] crash between the centroid swap and the
+    *      old-dir delete leaves the retired cell on disk forever:
+    *      probes never read it (cid is gone from the centroids), but
+    *      indexStats double-counts the split vectors and compactCells
+    *      keeps compacting a dead partition. Runs AFTER the `.old-`
+    *      restore so a dead cell parked in backup is restored first and
+    *      then swept by the same rule. Orphan sub-cell dirs from a
+    *      resplit that crashed BEFORE its centroid swap are swept by
+    *      the same rule (their cids are not in the centroids either),
+    *      which is exactly the scrub the retry would do.
+    * Listing-only plus one KB centroid read when there is nothing to
+    * repair (the common case). */
   private def recoverMaintenance(spark: SparkSession, dir: String): Unit = {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(codesRoot))
+    if (fs.exists(codesRoot)) {
       fs.listStatus(codesRoot).foreach { st =>
         val nm = st.getPath.getName
         if (st.isDirectory && nm.startsWith(".old-")) {
@@ -354,6 +380,17 @@ object AnnIndex {
         } else if (st.isDirectory && nm.startsWith(".compact-"))
           fs.delete(st.getPath, true)
       }
+      val centPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+      if (fs.exists(centPath)) {
+        val liveCids = readCentroids(spark, centPath.toString).map(_._1).toSet
+        fs.listStatus(codesRoot)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .foreach { st =>
+            val cid = st.getPath.getName.stripPrefix("cell=").toLong
+            if (!liveCids.contains(cid)) fs.delete(st.getPath, true)
+          }
+      }
+    }
   }
 
   /** The distinct cells the query set will probe — a queries×nprobe

@@ -720,4 +720,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(once.values.sum == afterSplit.values.sum + 30)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("write-path recovery: ingest after a compact mid-swap crash restores the backup first; retired cells are swept") {
+    import graft.functions.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_write_spec").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AnnIndex.ivfIndexSave(e.filter(col("vec_id") < 200), "vec_id", "embedding",
+      cells = 8, dir = dir)
+    def counts() = AnnIndex.indexStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = counts()
+    val victim = base.keys.min
+
+    // (a) the data-loss window the read-side-only recovery left open:
+    // compact crashes mid-swap (live cell parked in .old-), then the
+    // NEXT op is an ingest whose rows land in that same cell. Before
+    // the write-path recovery, the append recreated a live cell=victim
+    // holding only the new rows and the next read dropped .old-victim
+    // — every pre-compaction vector of the cell gone. Batch rows are
+    // clones of vectors already assigned to the victim cell (same
+    // nearest centroid), re-id'd past the corpus.
+    val victimRows = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell") === victim).select("id", "vec").limit(3)
+      .withColumn("id", col("id") + lit(10000L))
+      .persist()
+    val nClone = victimRows.count()
+    assert(nClone > 0)
+    fs.rename(new Path(s"$dir/codes/cell=$victim"), new Path(s"$dir/codes/.old-$victim"))
+    AnnIndex.addBatch(spark, dir, victimRows, "id", "vec")
+    victimRows.unpersist()
+    val after = counts()
+    assert(after(victim) == base(victim) + nClone,
+      "ingest into a mid-swap cell must restore the backup before appending, not shadow it")
+    assert(!fs.exists(new Path(s"$dir/codes/.old-$victim")))
+
+    // (b) a resplit that crashed between the centroid swap and the
+    // old-dir delete leaves a cell= dir with no centroid: probes never
+    // read it, but stats would double-count and compaction would keep
+    // rewriting a dead partition. Plant one with a real data file and
+    // pin that the next entry point sweeps it.
+    val leaked = new Path(s"$dir/codes/cell=99")
+    fs.mkdirs(leaked)
+    spark.read.parquet(s"$dir/codes").filter(col("cell") === victim)
+      .select("id", "vec").limit(2).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/.leak_stage")
+    fs.listStatus(new Path(s"$dir/.leak_stage"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(leaked, f.getPath.getName)))
+    val statsAfter = counts()
+    assert(!statsAfter.contains(99L), "retired cell must not be double-counted")
+    assert(!fs.exists(leaked), "recovery must drop the leaked retired cell dir")
+    assert(statsAfter == after, "sweep must not disturb live cells")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
