@@ -79,13 +79,20 @@ object SketchExpressions {
     bb.array()
   }
 
-  private[graft] def readInto(bytes: Array[Byte], into: KmvBuffer): Unit = {
+  /** Folds a serialized sketch into `into` (capacity becomes the
+    * min of the two — the sound KMV merge rule) and returns the
+    * blob's OWN serialized capacity, so a caller comparing a restored
+    * state's k against a requested k sees the mismatch in BOTH
+    * directions (after the fold, `into.k` already equals the min and
+    * can no longer tell a smaller-than-requested blob apart). */
+  private[graft] def readInto(bytes: Array[Byte], into: KmvBuffer): Int = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val n = bb.getInt
     var i = 0
     while (i < n) { into.insert(bb.getLong); i += 1 }
     into.trimTo(k)
+    k
   }
 
   private def toUnit(h: Long): Double = {

@@ -376,12 +376,15 @@ object StreamOps {
         GroupStateTimeout.NoTimeout) {
         (group, it, state: GroupState[Array[Byte]]) =>
           val buf = new SketchExpressions.KmvBuffer(k)
-          state.getOption.foreach(SketchExpressions.readInto(_, buf))
-          if (buf.k != k && state.exists &&
+          // compare against the blob's OWN capacity, not the post-fold
+          // buf.k: after readInto buf.k = min(serialized, requested),
+          // which masks a serialized capacity LARGER than the request
+          val serializedK = state.getOption.map(SketchExpressions.readInto(_, buf))
+          if (serializedK.exists(_ != k) &&
               StreamOps.capacityWarned.size < 10000 &&
               StreamOps.capacityWarned.add(s"kmv:$group"))
             System.err.println(s"[streamDistinctCounts] group '$group': " +
-              s"restored sketch capacity ${buf.k} != requested k=$k; " +
+              s"restored sketch capacity ${serializedK.get} != requested k=$k; " +
               "running at min(old, new) (the sound KMV merge rule)")
           it.foreach { case (_, v) =>
             if (v != null) buf.insert(SketchExpressions.hashString(v))
@@ -437,7 +440,10 @@ object StreamOps {
             .getOrElse(new QuantileSketchExpressions.KllBuffer(k))
           // restored state keeps its serialized capacity (see scaladoc);
           // surface a cross-restart k change instead of silently mixing —
-          // once per group per JVM, not once per micro-batch
+          // once per group per JVM, not once per micro-batch. Unlike the
+          // KMV fold, readBuffer preserves the blob's own k verbatim
+          // (never min'd with the request), so buf.k != k catches a
+          // mismatch in BOTH directions here.
           if (buf.k != k && state.exists &&
               StreamOps.capacityWarned.size < 10000 &&
               StreamOps.capacityWarned.add(s"kll:$group"))
@@ -466,33 +472,52 @@ object StreamOps {
     * foreachBatch is the right sink shape: the encode+append is a bulk
     * columnar write, not a row sink. Structured Streaming re-runs a
     * failed batch with the SAME batchId and data; the sink keeps a
-    * marker file per committed batchId under `dir/ingest_log/` to skip
-    * clean replays, and the append itself goes through
-    * [[graft.functions.AnnIndex.addBatchTagged]] with the batchId as
-    * the tag — a replay of a batch that crashed AFTER its append
-    * committed but BEFORE its marker landed first scrubs that tag's
-    * files, so any number of retries converges to exactly one copy
-    * (true exactly-once, not marker-window at-least-once), as long as
-    * `dir` has a single writer (the addBatch contract). Start with
-    * `.start()` / `.trigger(...)` as usual; pair with a
-    * checkpointLocation for cross-restart replay safety. */
+    * marker file per committed batchId under
+    * `dir/ingest_log/<streamId>/` to skip clean replays, and the
+    * append itself goes through
+    * [[graft.functions.AnnIndex.addBatchTagged]] with
+    * `<streamId>-b<batchId>` as the tag — a replay of a batch that
+    * crashed AFTER its append committed but BEFORE its marker landed
+    * first scrubs that tag's files, so any number of retries converges
+    * to exactly one copy (true exactly-once, not marker-window
+    * at-least-once), as long as `dir` has a single writer (the
+    * addBatch contract).
+    *
+    * `streamId` is the logical stream's identity and what makes the
+    * idempotence safe across STREAMS, not just across retries: batchIds
+    * restart at 0 whenever a query starts from a fresh (or reset)
+    * checkpoint, so two streams feeding the same index would otherwise
+    * collide on bare batchIds — the second stream's batch 0 either gets
+    * silently SKIPPED (the first stream's marker exists) or SCRUBS the
+    * first stream's committed b0 files (same tag). Pick an id that is
+    * (a) stable across restarts of the same checkpoint — a
+    * StreamingQuery runId changes per restart and would re-ingest the
+    * recovered in-flight batch under a fresh tag, duplicating it — and
+    * (b) distinct per logical stream / checkpoint; the checkpoint name
+    * is the natural choice. Start with `.start()` / `.trigger(...)` as
+    * usual; pair with a checkpointLocation for cross-restart replay
+    * safety. */
   def vectorIngest(stream: DataFrame, dir: String,
-                   idCol: String, vecCol: String)
-  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                   idCol: String, vecCol: String, streamId: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_-]+"),
+      s"streamId must be a safe file/tag prefix: $streamId")
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/batch-$batchId")
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/ingest_log/$streamId/batch-$batchId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           if (!batch.isEmpty)
             graft.functions.AnnIndex.addBatchTagged(spark, dir, batch.toDF(),
-              idCol, vecCol, tag = s"b$batchId")
+              idCol, vecCol, tag = s"$streamId-b$batchId")
           fs.mkdirs(marker.getParent)
           fs.create(marker, true).close()
         }
       }
+  }
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {

@@ -556,17 +556,33 @@ class StreamingSpec extends AnyFunSuite {
 
     val mem = MemoryStream[(Long, Seq[Double])]
     val q = graft.streaming.StreamOps.vectorIngest(
-        mem.toDF().toDF("vec_id", "embedding"), dir, "vec_id", "embedding")
+        mem.toDF().toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+        streamId = "ing1")
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try {
       mem.addData((100L until 120L).map(i => (i, vec(i))): _*)
       q.processAllAvailable()
-      mem.addData((120L until 140L).map(i => (i, vec(i))): _*)
+      mem.addData((120L until 130L).map(i => (i, vec(i))): _*)
       q.processAllAvailable()
     } finally q.stop()
 
-    // two committed batch markers, 140 indexed vectors
+    // a SECOND logical stream (fresh checkpoint -> its batchIds restart
+    // at 0) feeding the same index: its distinct streamId keeps it from
+    // being skipped by the first stream's batch-0 marker or scrubbing
+    // the first stream's b0 files
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = graft.streaming.StreamOps.vectorIngest(
+        mem2.toDF().toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+        streamId = "ing2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    try {
+      mem2.addData((130L until 140L).map(i => (i, vec(i))): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // three committed batches across two streams, 140 indexed vectors
     assert(AnnIndex.indexStats(spark, dir).agg(sum("n_vectors")).head().getLong(0) == 140L)
     val full = (0L until 140L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     val queries = full.filter(col("vec_id") < 5 || col("vec_id") >= 135)
