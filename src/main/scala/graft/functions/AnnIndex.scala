@@ -141,31 +141,11 @@ object AnnIndex {
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$tag")
     val fs = codes.getFileSystem(conf)
-    if (fs.exists(codes))
-      fs.listStatus(codes)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .foreach { cd =>
-          fs.listStatus(cd.getPath)
-            .filter(f => f.isFile && f.getPath.getName.startsWith(s"$tag-"))
-            .foreach(f => fs.delete(f.getPath, false))
-        }
+    PartitionedStore.scrubTag(fs, codes, "cell", tag)
     encodeBatch(spark, dir, batch, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-    fs.listStatus(staging)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { cd =>
-        val dest = new org.apache.hadoop.fs.Path(codes, cd.getPath.getName)
-        fs.mkdirs(dest)
-        fs.listStatus(cd.getPath)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            val to = new org.apache.hadoop.fs.Path(dest, s"$tag-$i.parquet")
-            require(fs.rename(f.getPath, to),
-              s"addBatchTagged: rename ${f.getPath} -> $to failed")
-          }
-      }
-    fs.delete(staging, true)
+    PartitionedStore.moveStagedTagged(fs, staging, codes, "cell", tag)
   }
 
   /** Probe a saved index: top-k per query row, bit-identical to the
@@ -306,36 +286,12 @@ object AnnIndex {
     * Single-writer maintenance op, same contract as addBatch.
     * Returns the compacted cell ids. */
   def compactCells(spark: SparkSession, dir: String, minFiles: Int = 8): Seq[Long] = {
-    require(minFiles >= 2, "need minFiles >= 2")
-    val conf = spark.sparkContext.hadoopConfiguration
     recoverMaintenance(spark, dir)
-    val flagged = indexStats(spark, dir)
-      .filter(col("n_files") >= minFiles)
-      .select("cell").collect().map(_.getLong(0)).toSeq
-    flagged.foreach { cid =>
-      val cellPath = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$cid")
-      val backup = new org.apache.hadoop.fs.Path(s"$dir/codes/.old-$cid")
-      val staged = new org.apache.hadoop.fs.Path(s"$dir/codes/.compact-$cid")
-      val fs = cellPath.getFileSystem(conf)
-      // read ONLY this cell's directory (no discovery of the whole
-      // codes tree — after heavy ingest most cells are flagged and a
-      // full listing per cell is O(flagged × total files)), rewrite as
-      // one file into a dot-prefixed staging dir (invisible to parquet
-      // listings)
-      spark.read.parquet(cellPath.toString).coalesce(1)
-        .write.mode("overwrite").parquet(staged.toString)
-      // drop the _SUCCESS marker so the swapped dir holds data files only
-      fs.delete(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"), false)
-      // crash-safe swap: live -> backup, staged -> live, drop backup.
-      // A crash at any point leaves the rows reachable (live or backup)
-      // and the recovery pass above restores the invariant.
-      require(fs.rename(cellPath, backup),
-        s"compactCells: rename $cellPath -> $backup failed")
-      require(fs.rename(staged, cellPath),
-        s"compactCells: rename $staged -> $cellPath failed")
-      fs.delete(backup, true)
-    }
-    flagged
+    // per-cell pruned reads, dot-prefixed staging, live→backup→live
+    // rename swap — the shared single-partition-column machinery
+    PartitionedStore.compact(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/codes"), "cell", minFiles)
+      .map(_.toLong)
   }
 
   /** Repair whatever a crashed maintenance pass left behind — called
@@ -369,17 +325,7 @@ object AnnIndex {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(codesRoot)) {
-      fs.listStatus(codesRoot).foreach { st =>
-        val nm = st.getPath.getName
-        if (st.isDirectory && nm.startsWith(".old-")) {
-          val live = new org.apache.hadoop.fs.Path(codesRoot,
-            s"cell=${nm.stripPrefix(".old-")}")
-          if (!fs.exists(live)) require(fs.rename(st.getPath, live),
-            s"AnnIndex: crash recovery rename ${st.getPath} -> $live failed")
-          else fs.delete(st.getPath, true)
-        } else if (st.isDirectory && nm.startsWith(".compact-"))
-          fs.delete(st.getPath, true)
-      }
+      PartitionedStore.recover(fs, codesRoot, "cell")
       val centPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
       if (fs.exists(centPath)) {
         val liveCids = readCentroids(spark, centPath.toString).map(_._1).toSet

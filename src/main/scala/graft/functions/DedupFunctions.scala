@@ -818,14 +818,15 @@ object DedupFunctions {
     // >= n words on both sides mirrors the oracle's len(ws) >= n guard.
     // n-grams come from the native word_shingles kernel (codegen'd
     // static call, pinned bit-identical to the HOF reference by
-    // HashExpressionsSpec/DedupPropSpec) + map-side array_distinct for the
-    // shingle-SET semantics — no per-token posexplode, no (doc, pos)
+    // HashExpressionsSpec/DedupPropSpec), which already returns DISTINCT
+    // shingles per its kernel contract — the shingle-SET semantics need
+    // no second dedup pass. No per-token posexplode, no (doc, pos)
     // window sort shuffle of the full token stream (the round-12
     // review found the lead()-window form rebuilt what the kernel
     // already produces at one extra exchange)
     val sh = docs.filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("__id"), benchCond.as("__bench"),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("__s"))
+        explode(wordShingles(col(textCol), n)).as("__s"))
     val bench = broadcast(sh.filter(col("__bench")).select("__s").distinct())
     val corpus = sh.filter(!col("__bench"))
     val grams = corpus.groupBy("__id").agg(count(lit(1)).as("__ngrams"))

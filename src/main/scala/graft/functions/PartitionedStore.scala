@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared crash-safe maintenance machinery for on-disk stores laid out
+  * as a parquet tree partitioned by ONE column ([[AnnIndex]]'s
+  * `codes/cell=…`, [[BandIndex]]'s `bands/bucket=…` and
+  * `shingles/sbucket=…`): replay-idempotent tagged ingest (scrub the
+  * tag's leftovers, stage the partitioned write, rename each staged
+  * file to a deterministic `<tag>-<i>.parquet` name), the small-files
+  * compaction valve (rewrite a partition to one file behind a
+  * live→backup, staged→live rename swap), and the recovery pass that
+  * repairs a crash at any point of either. Single-writer contract
+  * throughout: one maintenance/ingest op per store at a time, readers
+  * any time (every reader entry point runs [[recover]] first).
+  *
+  * The invariant the trio preserves: every committed row is reachable
+  * under exactly one live `<part>=<v>` directory, no matter where a
+  * previous op crashed — `.old-<v>` holds the rows while a compaction
+  * swap is in flight and [[recover]] restores it if the swap never
+  * finished; `.compact-*` / staging dirs are invisible to parquet
+  * listings (dot-prefixed) and dropped on recovery.
+  */
+private[graft] object PartitionedStore {
+
+  /** The live partition dirs of `root` (empty when the tree does not
+    * exist yet — a store before its first write). */
+  def partitions(fs: FileSystem, root: Path, partCol: String): Seq[Path] =
+    if (fs.exists(root))
+      fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "=")).map(_.getPath).toSeq
+    else Seq.empty
+
+  /** Delete every `<tag>-*` file from the live partition dirs — the
+    * leftovers of a crashed prior attempt at the same tagged batch. */
+  def scrubTag(fs: FileSystem, root: Path, partCol: String, tag: String): Unit =
+    partitions(fs, root, partCol).foreach { pd =>
+      fs.listStatus(pd)
+        .filter(f => f.isFile && f.getPath.getName.startsWith(s"$tag-"))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+
+  /** Move a staged partitioned write into the live tree under the
+    * tag's deterministic file names (rename is atomic per file), then
+    * drop the staging dir. Preceded by [[scrubTag]], any number of
+    * replays of the same tagged batch converges to exactly one copy,
+    * no matter where the previous attempt died. */
+  def moveStagedTagged(fs: FileSystem, staging: Path, root: Path,
+                       partCol: String, tag: String): Unit = {
+    partitions(fs, staging, partCol).foreach { pd =>
+      val dest = new Path(root, pd.getName)
+      fs.mkdirs(dest)
+      fs.listStatus(pd)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val to = new Path(dest, s"$tag-$i.parquet")
+          require(fs.rename(f.getPath, to),
+            s"tagged ingest: rename ${f.getPath} -> $to failed")
+        }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Compact every partition holding >= `minFiles` parquet files back
+    * to one file — the valve against the classic small-files failure
+    * mode (every ingest batch appends at least one file per touched
+    * partition). Reads ONLY the flagged partitions (pruned per-dir
+    * scans), swaps each behind live→backup, staged→live renames so a
+    * crash at any point leaves the rows reachable, and returns the
+    * compacted partition VALUES. Caller runs [[recover]] first. */
+  def compact(spark: SparkSession, root: Path, partCol: String,
+              minFiles: Int): Seq[String] = {
+    require(minFiles >= 2, "need minFiles >= 2")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flagged = partitions(fs, root, partCol).filter { pd =>
+      fs.listStatus(pd)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles
+    }
+    flagged.map { pd =>
+      val v = pd.getName.stripPrefix(partCol + "=")
+      val backup = new Path(root, s".old-$v")
+      val staged = new Path(root, s".compact-$v")
+      spark.read.parquet(pd.toString).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      // drop the _SUCCESS marker so the swapped dir holds data files only
+      fs.delete(new Path(staged, "_SUCCESS"), false)
+      require(fs.rename(pd, backup), s"compact: rename $pd -> $backup failed")
+      require(fs.rename(staged, pd), s"compact: rename $staged -> $pd failed")
+      fs.delete(backup, true)
+      v
+    }
+  }
+
+  /** Repair a crashed [[compact]]: a `.old-<v>` with no live
+    * `<part>=<v>` twin means the crash landed between the two renames
+    * — restore it (until then every reader silently misses the whole
+    * partition); with a live twin the backup is stale — drop it. Also
+    * drops leaked `.compact-*` staging dirs. Listing-only when there
+    * is nothing to repair (the common case). */
+  def recover(fs: FileSystem, root: Path, partCol: String): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith(".old-")) {
+          val live = new Path(root, s"$partCol=${nm.stripPrefix(".old-")}")
+          if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+            s"crash recovery rename ${st.getPath} -> $live failed")
+          else fs.delete(st.getPath, true)
+        } else if (st.isDirectory && nm.startsWith(".compact-"))
+          fs.delete(st.getPath, true)
+      }
+}

@@ -384,6 +384,31 @@ object DedupQueries {
           .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
       corpusDiff(old, newDocs, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Persisted band index round-trip — the d13 delta probe with the
+    // corpus side served from DISK, plus the whole maintenance
+    // life-cycle in one oracle-gated pass: save → skewed tagged
+    // ingest → REPLAY of the same tag (must converge to one copy) →
+    // small-files compaction → probe. The oracle brute-forces
+    // corpus ∪ batch1 ∪ batch2 with the probe-side filter, so any
+    // row lost (or doubled) by ingest, replay, compaction, or the
+    // bucket-pruned probe breaks the hash.
+    "d16_band_index_persisted" -> ((s, d) => {
+      import graft.functions.BandIndex
+      val docs = documents(s, d).select("doc_id", "text")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_band_idx_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      BandIndex.save(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, dir = dir)
+      val base = docs.filter(col("doc_id") < 30)
+      val batch1 = base.select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+      BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
+      BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
+      BandIndex.compact(s, dir, minFiles = 2)
+      val batch2 = base.select((col("doc_id") + 60000L).as("doc_id"), col("text"))
+      BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8)
+        .orderBy("a", "b")
     })
   )
 
@@ -756,6 +781,29 @@ object DedupQueries {
         |       WHEN old.h = new.h THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // brute force over corpus ∪ both batches, keep pairs touching the
+    // PROBE batch (>= 60000) — the d13 oracle shape with the probe-side
+    // filter
+    "d16_band_index_persisted" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 60000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        | t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+        |  FROM all_docs),
+        | p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p
+        |WHERE jac >= 0.8 AND (a >= 60000 OR b >= 60000)
+        |ORDER BY a, b""".stripMargin
   )
 }
