@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *   codes/     the DATA-sized inverted file, partitioned BY CELL:
   *              ivf_flat: (id, vec) under cell=…/
   *              ivf_pq:   (id, b, code) under cell=…/
+  *   vectors/   (id, vec) under cell=…/ — optional raw-vector sidecar
+  *              (ivf_pq with keepVectors = true): never probed, it is
+  *              what makes resplitCell legal on a lossy-code layout
   *
   * Scale design: centroids/codebook are the KB driver readback every
   * ANN path already does (SimilarityFunctions.collectCentroids); the
@@ -47,7 +50,8 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val cent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
-    writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false)
+    writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false,
+      keepVectors = false)
     writeCentroids(spark, s"$dir/centroids", cent.map { case (c, v) => (c, v.toSeq) })
     ivfAssign(corpus, idCol, vecCol, cent)
       .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
@@ -61,16 +65,28 @@ object AnnIndex {
 
   /** Build an IVF-PQ index (optionally residual-quantized) and save it
     * under `dir`, replacing any prior index. Conventions match
-    * ivfpqTopK: cells/codebook seeds are the first-C corpus vectors. */
+    * ivfpqTopK: cells/codebook seeds are the first-C corpus vectors.
+    *
+    * `keepVectors = true` additionally stores the RAW vectors as a
+    * cell-partitioned sidecar (`vectors/`, same layout as the ivf_flat
+    * codes table) — the storage-for-operability trade that makes
+    * [[resplitCell]] legal on a PQ index: PQ codes are lossy, so
+    * re-splitting a hot cell needs its source vectors, and without the
+    * sidecar the only remedy for skew is a full rebuild from the
+    * source-of-truth corpus. The sidecar is ingest-maintained
+    * ([[addBatch]]/[[addBatchTagged]] append to it) and never read by
+    * probes. */
   def ivfpqIndexSave(corpus: DataFrame, idCol: String, vecCol: String,
                      cells: Int, m: Int, codebook: Int, dim: Int,
-                     residual: Boolean, dir: String): Unit = {
+                     residual: Boolean, dir: String,
+                     keepVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val cellCent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
     val codeSeeds = ivfpqCodeSeeds(
       collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
-    writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual)
+    writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual,
+      keepVectors)
     writeCentroids(spark, dir + "/centroids", cellCent.map { case (c, v) => (c, v.toSeq) })
     writeCentroids(spark, dir + "/codebook", codeSeeds)
     ivfpqEncode(corpus, idCol, vecCol, cellCent, codeSeeds, m, dim, residual)
@@ -78,6 +94,12 @@ object AnnIndex {
         col("__cid").as("code"), col("__cell").as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    if (keepVectors)
+      ivfAssign(corpus, idCol, vecCol, cellCent)
+        .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
+          col("__cid").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
   /** The shared encode half of the ingest paths: the batch encoded
@@ -121,6 +143,20 @@ object AnnIndex {
     encodeBatch(spark, dir, batch, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    if (readMeta(spark, dir).keepVectors)
+      assignedVectors(spark, dir, batch, idCol, vecCol)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** The raw-vector sidecar rows of a batch — same cell assignment as
+    * the codes (shared nearest-centroid kernel and convention). */
+  private def assignedVectors(spark: SparkSession, dir: String, batch: DataFrame,
+                              idCol: String, vecCol: String): DataFrame = {
+    val cellCent = readCentroids(spark, s"$dir/centroids")
+    ivfAssign(batch, idCol, vecCol, cellCent)
+      .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
+        col("__cid").as("cell"))
   }
 
   /** Replay-idempotent addBatch: the encoded batch is staged under
@@ -146,6 +182,18 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
     PartitionedStore.moveStagedTagged(fs, staging, codes, "cell", tag)
+    if (readMeta(spark, dir).keepVectors) {
+      // the sidecar replays under the same tag: a crash between the
+      // codes move above and this one heals on the next retry (scrub
+      // is per-store, rename names deterministic)
+      val vecs = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+      val vecStaging = new org.apache.hadoop.fs.Path(s"$dir/.staging-vec-$tag")
+      PartitionedStore.scrubTag(fs, vecs, "cell", tag)
+      assignedVectors(spark, dir, batch, idCol, vecCol)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(vecStaging.toString)
+      PartitionedStore.moveStagedTagged(fs, vecStaging, vecs, "cell", tag)
+    }
   }
 
   /** Probe a saved index: top-k per query row, bit-identical to the
@@ -189,9 +237,13 @@ object AnnIndex {
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
     recoverMaintenance(spark, dir)
     import spark.implicits._
+    // ivf_pq stores m code rows per vector — report VECTORS, not rows
+    // (still footer-count-only: rows / m is exact, no distinct needed)
+    val meta = readMeta(spark, dir)
+    val perVec = if (meta.kind == "ivf_pq") meta.m.toLong else 1L
     val counts = spark.read.parquet(s"$dir/codes")
       .groupBy(col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("n_vectors"))
+      .agg((count(lit(1)) / perVec).cast("long").as("n_vectors"))
     val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fsRows = fs.listStatus(root)
@@ -208,38 +260,48 @@ object AnnIndex {
       .orderBy("cell")
   }
 
-  /** Split one over-grown cell of an ivf_flat index into `k` sub-cells
-    * — the maintenance path for [[addBatch]] skew: hot cells otherwise
-    * grow without bound and probe cost follows the hottest cell, not
-    * the corpus. Sub-centroid seeds are the cell's first `k` members
-    * by id (the same deterministic first-C convention as
-    * collectCentroids); the new cells take ids max(cid)+1 … +k in seed
-    * order, the old cell id retires. Only the split cell's vectors are
-    * read (partition-pruned) and rewritten; every other partition of
-    * the inverted file — and therefore every probe that does not rank
-    * the split/new centroids into its nprobe set — is untouched
-    * (SimilaritySpec pins bit-identical probes for unchanged probe
-    * sets). ivf_pq is rejected: PQ codes are lossy, so re-splitting a
-    * PQ cell needs its source vectors re-ingested, not a code rewrite.
+  /** Split one over-grown cell into `k` sub-cells — the maintenance
+    * path for [[addBatch]] skew: hot cells otherwise grow without
+    * bound and probe cost follows the hottest cell, not the corpus.
+    * Sub-centroid seeds are the cell's first `k` members by id (the
+    * same deterministic first-C convention as collectCentroids); the
+    * new cells take ids max(cid)+1 … +k in seed order, the old cell id
+    * retires. Only the split cell's partitions are read
+    * (partition-pruned) and rewritten; every other partition — and
+    * therefore every probe that does not rank the split/new centroids
+    * into its nprobe set — is untouched (SimilaritySpec pins
+    * bit-identical probes for unchanged probe sets).
+    *
+    * ivf_flat splits from the codes table itself (it stores raw
+    * vectors). ivf_pq needs the `keepVectors` sidecar: PQ codes are
+    * lossy, so the cell's source vectors are read from `vectors/`,
+    * re-encoded against the FIXED stored codebook with the sub-cells
+    * as the assignment set (in residual mode the new codes quantize
+    * v − subcentroid, exactly what [[SimilarityFunctions.ivfpqEncode]]
+    * produces), and both stores' partitions are rewritten. A PQ index
+    * saved without the sidecar is rejected — its only skew remedy is
+    * a rebuild from the source corpus.
     *
     * Single-writer maintenance op (same contract as addBatch): the new
-    * partitions land before the centroid swap and the old directory is
-    * removed last, so a crash mid-op leaves a probe-able index whose
-    * worst case is the split cell present twice on disk (never in a
-    * probe: the probe scan is pruned to centroid-listed cells) — and
-    * the next entry point's [[recoverMaintenance]] sweeps whichever
-    * copy the centroids no longer name, so the double-count is not
-    * permanent either. */
+    * partitions land before the centroid swap and the old directories
+    * are removed last, so a crash mid-op leaves a probe-able index
+    * whose worst case is the split cell present twice on disk (never
+    * in a probe: the probe scan is pruned to centroid-listed cells) —
+    * and the next entry point's [[recoverMaintenance]] sweeps
+    * whichever copy the centroids no longer name, so the double-count
+    * is not permanent either. */
   def resplitCell(spark: SparkSession, dir: String, cid: Long, k: Int): Unit = {
     recoverMaintenance(spark, dir) // writes cell dirs -> same hazard as addBatch
     val meta = readMeta(spark, dir)
-    require(meta.kind == "ivf_flat",
-      s"resplitCell needs the raw-vector (ivf_flat) layout, not ${meta.kind}: " +
-        "PQ codes are lossy — re-split a PQ cell by re-ingesting its vectors")
+    require(meta.kind == "ivf_flat" || meta.keepVectors,
+      "resplitCell needs raw vectors: ivf_flat stores them in the codes " +
+        "table, ivf_pq only with keepVectors = true (PQ codes are lossy) — " +
+        "without the sidecar, re-split by rebuilding from the source corpus")
     require(k >= 2, "need k >= 2 sub-cells")
     val cellCent = readCentroids(spark, s"$dir/centroids")
     require(cellCent.exists(_._1 == cid), s"no cell $cid in $dir")
-    val cellVecs = spark.read.parquet(s"$dir/codes")
+    val vecSource = if (meta.kind == "ivf_flat") "codes" else "vectors"
+    val cellVecs = spark.read.parquet(s"$dir/$vecSource")
       .filter(col("cell") === cid).select(col("id"), col("vec"))
       // materialize before appending to (and later deleting from) the
       // directory the plan reads
@@ -256,19 +318,36 @@ object AnnIndex {
       // before the centroid swap, so base is recomputed the same and a
       // plain append would double every row) were already swept by the
       // entry recoverMaintenance: their cids are not in the centroids
-      ivfAssign(cellVecs, "id", "vec", subCent)
+      val reassigned = ivfAssign(cellVecs, "id", "vec", subCent)
         .select(col("neighbor_id").as("id"), col("__cv").as("vec"),
           col("__cid").as("cell"))
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      if (meta.kind == "ivf_flat")
+        reassigned
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      else {
+        val codeSeeds = readCentroids(spark, s"$dir/codebook")
+          .map { case (c, v) => (c, v.toSeq) }
+        ivfpqEncode(cellVecs, "id", "vec", subCent, codeSeeds,
+            meta.m, meta.dim, meta.residual)
+          .select(col("neighbor_id").as("id"), col("__b").as("b"),
+            col("__cid").as("code"), col("__cell").as("cell"))
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+        reassigned
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      }
       writeCentroids(spark, s"$dir/centroids",
         (cellCent.filterNot(_._1 == cid).map { case (c, v) => (c, v.toSeq) } ++
           subCent.map { case (c, v) => (c, v.toSeq) }).sortBy(_._1))
       writeMeta(spark, dir, meta.kind, meta.cells + k - 1, meta.m,
-        meta.codebook, meta.dim, meta.residual)
-      val old = new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$cid")
-      old.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(old, true)
+        meta.codebook, meta.dim, meta.residual, meta.keepVectors)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$cid"), true)
+      if (meta.kind == "ivf_pq")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors/cell=$cid"), true)
     } finally cellVecs.unpersist()
   }
 
@@ -288,10 +367,15 @@ object AnnIndex {
   def compactCells(spark: SparkSession, dir: String, minFiles: Int = 8): Seq[Long] = {
     recoverMaintenance(spark, dir)
     // per-cell pruned reads, dot-prefixed staging, live→backup→live
-    // rename swap — the shared single-partition-column machinery
-    PartitionedStore.compact(spark,
+    // rename swap — the shared single-partition-column machinery; the
+    // raw-vector sidecar (when kept) accumulates ingest files at the
+    // same rate as the codes and compacts alongside them
+    val codes = PartitionedStore.compact(spark,
       new org.apache.hadoop.fs.Path(s"$dir/codes"), "cell", minFiles)
       .map(_.toLong)
+    PartitionedStore.compact(spark,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors"), "cell", minFiles)
+    codes
   }
 
   /** Repair whatever a crashed maintenance pass left behind — called
@@ -325,16 +409,18 @@ object AnnIndex {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(codesRoot)) {
+      val vecsRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
       PartitionedStore.recover(fs, codesRoot, "cell")
+      PartitionedStore.recover(fs, vecsRoot, "cell")
       val centPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
       if (fs.exists(centPath)) {
         val liveCids = readCentroids(spark, centPath.toString).map(_._1).toSet
-        fs.listStatus(codesRoot)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-          .foreach { st =>
-            val cid = st.getPath.getName.stripPrefix("cell=").toLong
-            if (!liveCids.contains(cid)) fs.delete(st.getPath, true)
+        Seq(codesRoot, vecsRoot).foreach { root =>
+          PartitionedStore.partitions(fs, root, "cell").foreach { pd =>
+            val cid = pd.getName.stripPrefix("cell=").toLong
+            if (!liveCids.contains(cid)) fs.delete(pd, true)
           }
+        }
       }
     }
   }
@@ -353,13 +439,14 @@ object AnnIndex {
       .collect().map(_.getLong(0)).toSeq
 
   private[graft] case class Meta(kind: String, cells: Int, m: Int,
-                                 codebook: Int, dim: Int, residual: Boolean)
+                                 codebook: Int, dim: Int, residual: Boolean,
+                                 keepVectors: Boolean)
 
   private def writeMeta(spark: SparkSession, dir: String, kind: String,
                         cells: Int, m: Int, codebook: Int, dim: Int,
-                        residual: Boolean): Unit = {
+                        residual: Boolean, keepVectors: Boolean): Unit = {
     import spark.implicits._
-    Seq(Meta(kind, cells, m, codebook, dim, residual)).toDF()
+    Seq(Meta(kind, cells, m, codebook, dim, residual, keepVectors)).toDF()
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 

@@ -205,6 +205,44 @@ object SimilarityQueries {
         .orderBy("phase", "cell")
     }),
 
+    // The s11 life-cycle replayed for the PRODUCTION layout (ivf_pq
+    // with the keepVectors raw-vector sidecar): save → two skewed
+    // ingest batches → compaction → resplit of the hot PQ cell, each
+    // phase snapshotted by indexStats (which reports VECTORS — code
+    // rows / m — so the oracle is layout-independent). Cell
+    // assignment and the resplit's sub-assignment share the flat
+    // path's kernels and conventions, so the s11 oracle gates this
+    // verbatim: any vector lost or doubled by the sidecar-driven PQ
+    // re-encode breaks the hash.
+    "s13_ann_ivfpq_maintain" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_pqmaint_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.functions.AnnIndex.ivfpqIndexSave(
+        e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        cells = 16, m = 4, codebook = 16, dim = 64, residual = false,
+        dir = dir, keepVectors = true)
+      def snap(phase: String): Seq[(String, Long, Long)] =
+        graft.functions.AnnIndex.indexStats(s, dir)
+          .select(col("cell"), col("n_vectors")).collect()
+          .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq
+      val base = snap("1_base")
+      val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("__bv"))
+      def batch(lo: Int, hi: Int) =
+        s.range(lo, hi).select((col("id") + 10000).as("vec_id"))
+          .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
+      graft.functions.AnnIndex.addBatch(s, dir, batch(0, 25), "vec_id", "embedding")
+      graft.functions.AnnIndex.addBatch(s, dir, batch(25, 50), "vec_id", "embedding")
+      val added = snap("2_added")
+      graft.functions.AnnIndex.compactCells(s, dir, minFiles = 2)
+      val compacted = snap("3_compact")
+      graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4)
+      val resplit = snap("4_resplit")
+      (base ++ added ++ compacted ++ resplit).toDF("phase", "cell", "n")
+        .orderBy("phase", "cell")
+    }),
+
     // Full k-NN self-join: top-3 neighbors for EVERY vector via the
     // LSH bucket join (the neighbor-graph builder behind semantic
     // dedup / cluster-then-sample). Nothing broadcast — both join
@@ -701,6 +739,9 @@ object SimilarityQueries {
     "s10_ann_index_persisted" -> s4Sql,
     "s10b_ann_ivfpq_persisted" -> s8Sql,
     "s11_ann_index_maintain" -> s11Sql,
+    // the PQ life-cycle's phase counts are assignment-only facts —
+    // the flat oracle gates the lossy layout verbatim
+    "s13_ann_ivfpq_maintain" -> s11Sql,
     "s12_ann_nprobe_curve" -> s12Sql,
     "s1_ann_topk" -> s1Sql,
     // recall@5 of the LSH path against the brute-force truth, per

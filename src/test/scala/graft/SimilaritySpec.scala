@@ -721,6 +721,57 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("PQ resplit via the keepVectors sidecar: untouched cells bit-identical, probes equal the in-session IVF-PQ") {
+    import graft.functions.{AnnIndex, SimilarityFunctions}
+    import org.apache.hadoop.fs.Path
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") < 250)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_resplit").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AnnIndex.ivfpqIndexSave(corpus, "vec_id", "embedding",
+      cells = 8, m = 4, codebook = 16, dim = 64, residual = false,
+      dir = dir, keepVectors = true)
+    // skew one cell with clones of vector 3, ingested through the
+    // tagged path (exercises the sidecar's replay plumbing too)
+    val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("__bv"))
+    val batch = spark.range(0, 40).select((col("id") + 10000).as("vec_id"))
+      .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
+    AnnIndex.addBatchTagged(spark, dir, batch, "vec_id", "embedding", tag = "pq1")
+    AnnIndex.addBatchTagged(spark, dir, batch, "vec_id", "embedding", tag = "pq1")
+    val full = corpus.select("vec_id", "embedding")
+      .unionByName(batch.toDF("vec_id", "embedding"))
+    val hot = AnnIndex.indexStats(spark, dir)
+      .orderBy(col("n_vectors").desc).select("cell").head.getLong(0)
+    def fileSig(cid: Long) = fs.listStatus(new Path(s"$dir/codes/cell=$cid"))
+      .filter(_.isFile).map(f => (f.getPath.getName, f.getLen)).toSet
+    val untouched = AnnIndex.indexStats(spark, dir).select("cell").collect()
+      .map(_.getLong(0)).filterNot(_ == hot)
+    val sigsBefore = untouched.map(c => c -> fileSig(c)).toMap
+    val statTotal = AnnIndex.indexStats(spark, dir)
+      .agg(sum("n_vectors")).head.getLong(0)
+    AnnIndex.resplitCell(spark, dir, cid = hot, k = 4)
+    // untouched cells: the resplit never rewrote their files
+    untouched.foreach(c => assert(fileSig(c) == sigsBefore(c),
+      s"cell $c files changed across a resplit of cell $hot"))
+    // rows conserved across the split (in BOTH stores' accounting)
+    assert(AnnIndex.indexStats(spark, dir).agg(sum("n_vectors")).head.getLong(0)
+      == statTotal, "resplit must conserve vectors")
+    // probing ALL cells: non-residual ADC estimates are
+    // cell-independent, so the re-encoded index must rank exactly like
+    // the in-session IVF-PQ over the union corpus
+    val queries = full.filter(col("vec_id") < 6 || col("vec_id") === 10005L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), "" + r.get(2), r.getInt(3))).toSet
+    val probed = rows(AnnIndex.probe(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nprobe = 11))
+    val inSession = rows(SimilarityFunctions.ivfpqTopK(full, queries,
+      "vec_id", "embedding", k = 5, cells = 8, nprobe = 8, m = 4,
+      codebook = 16, dim = 64, residual = false))
+    assert(probed == inSession,
+      "post-resplit PQ probe must equal in-session IVF-PQ at full probe width")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("write-path recovery: ingest after a compact mid-swap crash restores the backup first; retired cells are swept") {
     import graft.functions.AnnIndex
     import org.apache.hadoop.fs.Path
