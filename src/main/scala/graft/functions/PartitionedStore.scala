@@ -70,14 +70,15 @@ private[graft] object PartitionedStore {
     * crash at any point leaves the rows reachable, and returns the
     * compacted partition VALUES. Caller runs [[recover]] first. */
   def compact(spark: SparkSession, root: Path, partCol: String,
-              minFiles: Int): Seq[String] = {
+              minFiles: Int, parallelism: Int = 8): Seq[String] = {
     require(minFiles >= 2, "need minFiles >= 2")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val flagged = partitions(fs, root, partCol).filter { pd =>
       fs.listStatus(pd)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles
     }
-    flagged.map { pd =>
+    if (flagged.isEmpty) return Seq.empty
+    def compactOne(pd: Path): String = {
       val v = pd.getName.stripPrefix(partCol + "=")
       val backup = new Path(root, s".old-$v")
       val staged = new Path(root, s".compact-$v")
@@ -90,6 +91,22 @@ private[graft] object PartitionedStore {
       fs.delete(backup, true)
       v
     }
+    // each partition's rewrite is a tiny Spark job; run them from a
+    // bounded submitter pool — after heavy micro-batch ingest HUNDREDS
+    // of partitions are flagged and sequential submission is pure
+    // job-launch latency (the swap itself stays per-partition, so the
+    // crash-safety story is unchanged; a crash mid-pool leaves each
+    // partition individually live-or-backup and recover() heals)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, flagged.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = flagged.map(pd => scala.concurrent.Future(compactOne(pd)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Repair a crashed [[compact]]: a `.old-<v>` with no live

@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer training (Kudo 2018, SentencePiece
+  * unigram model) — the other tokenizer trainer real LLM data
+  * pipelines run next to BPE, with the SAME distributed shape as
+  * [[BpeFunctions.bpeTrain]]: ONE corpus scan builds the
+  * word-frequency table (Heaps-law vocabulary-sized, never
+  * corpus-sized); every hard-EM iteration is a vocabulary-table scan
+  * (Viterbi E-step through the native
+  * [[graft.expressions.UnigramExpressions.UnigramEncode]] kernel) plus
+  * a KB-scale driver readback (the piece table — the same documented
+  * boundary class as BPE's merge argmax and the k-means centroid
+  * pull). The reference tokenizes by whitespace/regex only
+  * (fireworks/toolbox/text.py); this is parity-plus surface.
+  *
+  * The variant is the deterministic hard-EM core of the SentencePiece
+  * trainer: seed vocabulary = the corpus's most frequent substrings
+  * (up to `seedMaxLen` code points, occurrence-weighted); each
+  * iteration Viterbi-segments every distinct word under integer
+  * micro-log piece scores (E), re-estimates piece counts from usage,
+  * and prunes to the `vocabSize` most-used pieces (M) — single-char
+  * pieces are never pruned, so every word stays segmentable (the
+  * SentencePiece character-coverage rule). Integer scores + total-
+  * order tie-breaks make the whole loop a pure function of the corpus
+  * at any parallelism — the DuckDB oracle replays training
+  * move-for-move (t9), the same gate t8c puts on BPE.
+  *
+  * Words are truncated to `maxWordLen` code points for TRAINING (the
+  * SentencePiece max-sentencepiece-length discipline; it also bounds
+  * the oracle's unrolled DP) — encoding never truncates.
+  */
+object UnigramFunctions {
+
+  import graft.expressions.UnigramExpressions
+
+  /** Learn a unigram vocabulary; returns (piece, count) in rank order
+    * (count DESC, piece ASC in UTF-8 order) — counts are the final
+    * E-step's usage counts (seed counts for `iters = 0`).
+    *
+    * Same two execution paths as [[BpeFunctions.bpeTrain]], pinned
+    * identical by UnigramSpec: word tables under `collectVocabMax`
+    * run the loop on the driver (industrial shape: a 10⁶-word dict is
+    * seconds of CPU; per-iteration jobs would be pure overhead);
+    * larger vocabularies keep every E-step distributed. */
+  def unigramTrain(docs: DataFrame, textCol: String, vocabSize: Int,
+                   iters: Int, seedMaxLen: Int = 4, seedSize: Int = 1000,
+                   maxWordLen: Int = 16,
+                   collectVocabMax: Long = 1L << 20): Seq[(String, Long)] = {
+    require(vocabSize >= 1 && iters >= 0 && seedMaxLen >= 1 && maxWordLen >= 1)
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(substring(col("__t"), 1, maxWordLen).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (words.count() <= collectVocabMax) {
+        val wf = words.collect().map(r => (r.getString(0), r.getLong(1)))
+        unigramTrainLocal(wf, vocabSize, iters, seedMaxLen, seedSize)
+      } else {
+        // seed: occurrence-weighted substring counts — one vocab-table
+        // scan; top-K selected DISTRIBUTED (orderBy+limit under a
+        // total order), only seedSize + charset rows reach the driver
+        val seedDf = words.select(col("__f"),
+            explode(flatten(transform(
+              sequence(lit(1), length(col("__w"))),
+              i => transform(
+                sequence(lit(1), least(lit(seedMaxLen), length(col("__w")) - i + lit(1))),
+                l => col("__w").substr(i, l))))).as("__p"))
+          .groupBy("__p").agg(sum("__f").as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val seedTop = seedDf.orderBy(col("cnt").desc, col("__p").asc)
+          .limit(seedSize).collect().map(r => (r.getString(0), r.getLong(1)))
+        val singles = seedDf.filter(length(col("__p")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        seedDf.unpersist(blocking = false)
+        val singleSet = singles.map(_._1).toSet
+        var vocab = mergeSingles(seedTop.toSeq, singles.toMap, singleSet)
+        for (_ <- 1 to iters) {
+          val scores = scoredPieces(vocab)
+          val usage = words.select(col("__f"),
+              explode(UnigramExpressions.unigram_encode(col("__w"), scores)).as("__p"))
+            .groupBy("__p").agg(sum("__f").as("cnt"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val top = usage.orderBy(col("cnt").desc, col("__p").asc)
+            .limit(vocabSize).collect().map(r => (r.getString(0), r.getLong(1)))
+          val singleUse = usage.filter(length(col("__p")) === 1)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          usage.unpersist(blocking = false)
+          vocab = mergeSingles(top.toSeq, singleUse, singleSet)
+        }
+        rankSorted(vocab)
+      }
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** Segment a text column with a trained vocabulary (array of pieces,
+    * concatenated across the text's space-separated words). */
+  def unigramEncode(text: org.apache.spark.sql.Column,
+                    vocab: Seq[(String, Long)]): org.apache.spark.sql.Column =
+    UnigramExpressions.unigram_encode(text, scoredPieces(vocab))
+
+  /** In-memory twin of the distributed loop — bit-identical results
+    * (UnigramSpec pins the agreement): same seed counting, the same
+    * shared Viterbi kernel function, the same total-order top-K. */
+  private[graft] def unigramTrainLocal(wordFreqs: Array[(String, Long)],
+                                       vocabSize: Int, iters: Int,
+                                       seedMaxLen: Int,
+                                       seedSize: Int): Seq[(String, Long)] = {
+    // code-point substrings, matching Spark/DuckDB substr semantics
+    def cps(w: String): Array[String] = {
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b.toArray
+    }
+    val seed = new java.util.HashMap[String, Long]()
+    wordFreqs.foreach { case (w, f) =>
+      val c = cps(w)
+      var i = 0
+      while (i < c.length) {
+        val maxL = math.min(seedMaxLen, c.length - i)
+        var l = 1
+        var s = ""
+        while (l <= maxL) {
+          s = s + c(i + l - 1)
+          seed.merge(s, f, (a: Long, b: Long) => a + b)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val seedSeq = seed.asScala.toSeq.map { case (p, c) => (p, c) }
+    def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
+    val singleSet = seedSeq.map(_._1).filter(isSingle).toSet
+    val seedTop = seedSeq.sortWith(cmp).take(seedSize)
+    var vocab = mergeSingles(seedTop, seedSeq.toMap, singleSet)
+    for (_ <- 1 to iters) {
+      val scored = scoredPieces(vocab)
+      val scoreMap = new java.util.HashMap[String, java.lang.Long]()
+      scored.foreach { case (p, s) => scoreMap.put(p, s) }
+      val maxLen = math.max(1, vocab.map(p => p._1.codePointCount(0, p._1.length)).max)
+      val usage = new java.util.HashMap[String, Long]()
+      wordFreqs.foreach { case (w, f) =>
+        UnigramExpressions.viterbiSplit(w, scoreMap, maxLen)
+          .foreach(p => usage.merge(p, f, (a: Long, b: Long) => a + b))
+      }
+      val useSeq = usage.asScala.toSeq.map { case (p, c) => (p, c) }
+      val top = useSeq.sortWith(cmp).take(vocabSize)
+      vocab = mergeSingles(top, useSeq.toMap, singleSet)
+    }
+    rankSorted(vocab)
+  }
+
+  // ---- shared selection/scoring (the determinism backbone) ----
+
+  /** UTF-8 binary order — what Spark's string orderBy and DuckDB's
+    * default collation both use; Java compareTo (UTF-16 units)
+    * disagrees above the BMP. */
+  private def binLt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  private def cmp(a: (String, Long), b: (String, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && binLt(a._1, b._1))
+
+  /** top-K ∪ never-pruned single-char pieces (with their current
+    * counts), deduplicated; caller ranks. */
+  private def mergeSingles(top: Seq[(String, Long)],
+                           counts: Map[String, Long],
+                           singleSet: Set[String]): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+    top.foreach { case (p, c) => m(p) = c }
+    singleSet.toSeq.sortWith(binLt).foreach { s =>
+      if (!m.contains(s)) m(s) = counts.getOrElse(s, 0L) }
+    m.toSeq
+  }
+
+  private def rankSorted(vocab: Seq[(String, Long)]): Seq[(String, Long)] =
+    vocab.sortWith(cmp)
+
+  /** Integer micro-log scores of a vocabulary (add-one smoothed). */
+  private[graft] def scoredPieces(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = vocab.map(_._2).sum
+    val v = vocab.size.toLong
+    vocab.map { case (p, c) =>
+      (p, UnigramExpressions.scoreOf(c, total, v)) }
+  }
+}

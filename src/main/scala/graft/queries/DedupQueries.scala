@@ -79,8 +79,31 @@ object DedupQueries {
         "doc_id", "text", charShingles(_, 5), threshold = 0.4))
   }
 
+  /** d16's persisted probe results and on-disk index dirs, one pair
+    * per invocation. A FRESH dir per call is load-bearing, not
+    * hygiene: reusing one dir across bench passes made pass 2's probe
+    * plan structurally identical to pass 1's leaked persisted
+    * `verified`, so the CacheManager substituted the old cached
+    * relation — whose bound file listing named files pass 2's
+    * overwrite had deleted (FILE_NOT_EXIST on any evicted block).
+    * Distinct paths make the plans distinct; releaseCaches unpersists
+    * the probe results and deletes the spent dirs. */
+  private val bandIdxLive =
+    scala.collection.mutable.ArrayBuffer[(DataFrame, String)]()
+  private val bandIdxSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def bandIdxDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_band_idx_" +
+      d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + bandIdxSeq.incrementAndGet()
+
   /** Unpersist and drop every memoized intermediate this object holds. */
   def releaseCaches(): Unit = {
+    bandIdxLive.synchronized {
+      bandIdxLive.foreach { case (df, dir) =>
+        df.unpersist(blocking = false)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      }
+      bandIdxLive.clear()
+    }
     jacCache.synchronized {
       jacCache.values.foreach(_.unpersist(blocking = false))
       jacCache.clear()
@@ -397,18 +420,22 @@ object DedupQueries {
     "d16_band_index_persisted" -> ((s, d) => {
       import graft.functions.BandIndex
       val docs = documents(s, d).select("doc_id", "text")
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_band_idx_" +
-        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = bandIdxDir(d) // fresh per call — see bandIdxLive
+      // test-scale bucket counts (16 band buckets, 8 id buckets): the
+      // per-partition maintenance cost is ∝ buckets, and the defaults
+      // (256/64) are sized for corpora that dwarf these fixtures
       BandIndex.save(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, dir = dir)
+        shingleN = 3, numHashes = 64, bands = 16, dir = dir,
+        prefixLen = 1, idBuckets = 8)
       val base = docs.filter(col("doc_id") < 30)
       val batch1 = base.select((col("doc_id") + 50000L).as("doc_id"), col("text"))
       BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
       BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
       BandIndex.compact(s, dir, minFiles = 2)
       val batch2 = base.select((col("doc_id") + 60000L).as("doc_id"), col("text"))
-      BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8)
-        .orderBy("a", "b")
+      val probed = BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8)
+      bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
+      probed.orderBy("a", "b")
     })
   )
 

@@ -30,7 +30,199 @@ object TextQueries {
           numMerges = BpeNumMerges, minPairFreq = BpeMinPairFreq))
     }
 
-  def releaseCaches(): Unit = bpeCache.synchronized { bpeCache.clear() }
+  def releaseCaches(): Unit = {
+    bpeCache.synchronized { bpeCache.clear() }
+    ugCache.synchronized { ugCache.clear() }
+  }
+
+  /** Learned unigram vocabulary, memoized per scale dir (same
+    * discipline as [[bpeMergesShared]]) — and ONE set of constants
+    * shared by the trainer call and the generated DuckDB replay. */
+  private val ugCache =
+    scala.collection.mutable.Map[String, Seq[(String, Long)]]()
+  private val UgVocabSize = 40
+  private val UgIters = 2
+  private val UgSeedMaxLen = 4
+  private val UgSeedSize = 120
+  private val UgMaxWordLen = 16
+  private def unigramVocabShared(s: SparkSession, d: String): Seq[(String, Long)] =
+    ugCache.synchronized {
+      ugCache.getOrElseUpdate(d,
+        graft.functions.UnigramFunctions.unigramTrain(
+          documents(s, d), "text", vocabSize = UgVocabSize, iters = UgIters,
+          seedMaxLen = UgSeedMaxLen, seedSize = UgSeedSize,
+          maxWordLen = UgMaxWordLen))
+    }
+
+  /** Fixed (piece, count) vocabulary for the t9b kernel-oracle query;
+    * scores are derived Scala-side ([[graft.functions.UnigramFunctions
+    * .scoredPieces]]) and embedded as INTEGER literals in the
+    * generated SQL, so the kernel gate involves no cross-engine
+    * floating point at all. Multi-char pieces overlap competitively
+    * (scan/sc/an, table/ta/ble, order/or/der) so the DP genuinely
+    * arbitrates; chars outside the list exercise the fallback score. */
+  private val t9bCounts: Seq[(String, Long)] = Seq(
+    "scan" -> 50L, "table" -> 40L, "hash" -> 40L, "row" -> 30L,
+    "order" -> 25L, "ta" -> 20L, "sc" -> 20L, "an" -> 15L, "ble" -> 12L,
+    "der" -> 10L, "or" -> 10L, "ro" -> 8L, "w" -> 5L, "a" -> 5L,
+    "t" -> 5L, "e" -> 4L, "h" -> 4L, "s" -> 4L, "c" -> 3L, "b" -> 3L,
+    "l" -> 3L, "d" -> 2L, "r" -> 2L, "o" -> 2L, "n" -> 2L)
+  private def t9bScored: Seq[(String, Long)] =
+    graft.functions.UnigramFunctions.scoredPieces(t9bCounts)
+
+  /** The Viterbi DP of [[graft.expressions.UnigramExpressions
+    * .viterbiSplit]] unrolled into generated CTEs over a word table:
+    * dp<tag>_p = best integer score segmenting the first p code
+    * points (one CTE per position, arms = the ≤ maxLen split points),
+    * win<tag> = the SMALLEST split point achieving each dp value (the
+    * kernel's longest-final-piece tie-break, as MIN(j) over integer
+    * equality — exact, no floats), path<tag> = the per-word
+    * segmentation recovered by linear recursion over the winners.
+    * Integer scores make every comparison bit-reproducible across
+    * engines — the reason the kernel scores micro-logs as BIGINT. */
+  private def ugDpChainSql(tag: String, scTable: String, wordsTable: String,
+                           maxP: Int, maxLen: Int): String = {
+    val b = new StringBuilder
+    b ++= s""",
+      |dp${tag}_0 AS MATERIALIZED (
+      |  SELECT w, CAST(0 AS BIGINT) AS sc FROM $wordsTable)""".stripMargin
+    for (p <- 1 to maxP) {
+      val arms = (math.max(0, p - maxLen) until p).map { j =>
+        s"""SELECT d.w, d.sc + s.s AS cand
+           |    FROM dp${tag}_$j d JOIN $scTable s ON s.piece = substr(d.w, ${j + 1}, ${p - j})
+           |    WHERE len(d.w) >= $p""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      b ++= s""",
+        |dp${tag}_$p AS MATERIALIZED (
+        |  SELECT w, MAX(cand) AS sc FROM (
+        |    $arms
+        |  ) GROUP BY w)""".stripMargin
+    }
+    val winArms = (for { p <- 1 to maxP; j <- math.max(0, p - maxLen) until p } yield
+      s"""SELECT d.w, $p AS p, $j AS j
+         |    FROM dp${tag}_$j d
+         |    JOIN $scTable s ON s.piece = substr(d.w, ${j + 1}, ${p - j})
+         |    JOIN dp${tag}_$p e ON e.w = d.w AND e.sc = d.sc + s.s
+         |    WHERE len(d.w) >= $p""".stripMargin).mkString("\n    UNION ALL\n    ")
+    b ++= s""",
+      |win$tag AS MATERIALIZED (
+      |  SELECT w, p, MIN(j) AS j FROM (
+      |    $winArms
+      |  ) GROUP BY w, p),
+      |path$tag AS (
+      |  SELECT n.w, n.p, n.j FROM win$tag n
+      |  JOIN $wordsTable ww ON ww.w = n.w AND n.p = len(ww.w)
+      |  UNION ALL
+      |  SELECT n.w, n.p, n.j FROM path$tag pp
+      |  JOIN win$tag n ON n.w = pp.w AND n.p = pp.j)""".stripMargin
+    b.toString
+  }
+
+  /** The unigram TRAINER replayed in DuckDB (the t8 replay discipline
+    * one algorithm over): truncated word-frequency table → occurrence-
+    * weighted substring seed → top-(seedSize) ∪ single chars → per
+    * hard-EM iteration: integer micro-log scores (the ONLY cross-
+    * engine floats, floor'd at 1e-6 resolution), the unrolled Viterbi
+    * DP, usage re-count from the recovered paths, and the
+    * top-(vocabSize) ∪ single-chars prune. */
+  private def ugReplaySql: String = {
+    val b = new StringBuilder
+    b ++= s"""WITH RECURSIVE uw AS MATERIALIZED (
+      |  SELECT substr(w, 1, $UgMaxWordLen) AS w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |seedcnt AS MATERIALIZED (
+      |  SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(flatten(list_transform(generate_series(1, len(w)),
+      |      i -> list_transform(generate_series(1, least($UgSeedMaxLen, len(w) - i + 1)),
+      |        l -> substr(w, i, l))))) AS piece, f
+      |    FROM uw)
+      |  GROUP BY piece),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece, MAX(cnt) AS cnt FROM (
+      |    SELECT piece, cnt FROM (
+      |      SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+      |      FROM seedcnt) WHERE rn <= $UgSeedSize
+      |    UNION ALL
+      |    SELECT piece, cnt FROM seedcnt WHERE len(piece) = 1
+      |  ) GROUP BY piece)""".stripMargin
+    for (k <- 1 to UgIters) {
+      val prev = s"v${k - 1}"
+      b ++= s""",
+        |sc$k AS MATERIALIZED (
+        |  SELECT piece, CAST(FLOOR(1e6 * ln((cnt + 1.0) /
+        |    ((SELECT SUM(cnt) FROM $prev) + (SELECT COUNT(*) FROM $prev)))) AS BIGINT) AS s
+        |  FROM $prev)""".stripMargin
+      b ++= ugDpChainSql(s"$k", s"sc$k", "uw", UgMaxWordLen, UgSeedMaxLen)
+      b ++= s""",
+        |use$k AS MATERIALIZED (
+        |  SELECT substr(pp.w, pp.j + 1, pp.p - pp.j) AS piece,
+        |    CAST(SUM(ww.f) AS BIGINT) AS cnt
+        |  FROM path$k pp JOIN uw ww ON ww.w = pp.w
+        |  GROUP BY 1),
+        |v$k AS MATERIALIZED (
+        |  -- dedup via GROUP BY, not UNION: inside WITH RECURSIVE,
+        |  -- DuckDB treats a CTE's UNION arms as anchor+step and does
+        |  -- not dedup across them (both arms agree on cnt, so MAX is
+        |  -- the shared value)
+        |  SELECT piece, MAX(cnt) AS cnt FROM (
+        |    SELECT piece, cnt FROM (
+        |      SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        |      FROM use$k) WHERE rn <= $UgVocabSize
+        |    UNION ALL
+        |    SELECT s.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+        |    FROM (SELECT piece FROM seedcnt WHERE len(piece) = 1) s
+        |    LEFT JOIN use$k u ON u.piece = s.piece
+        |  ) GROUP BY piece)""".stripMargin
+    }
+    b.toString
+  }
+
+  private def t9OracleSql: String =
+    ugReplaySql + s"""
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS INT) AS rank,
+      |  piece, cnt
+      |FROM v$UgIters ORDER BY rank""".stripMargin
+
+  /** t9b oracle: the encode KERNEL alone under a static vocabulary —
+    * integer piece scores embedded as literals (zero cross-engine
+    * floats), chars outside the list scored at the kernel's fallback
+    * constant, per-doc tokens re-assembled in word order × split
+    * order. */
+  private def t9bOracleSql: String = {
+    val vals = t9bScored.map { case (p, s) =>
+      s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE uw AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |fixed AS (SELECT * FROM (VALUES $vals) t(piece, s)),
+      |scF AS MATERIALIZED (
+      |  SELECT piece, s FROM fixed
+      |  UNION ALL
+      |  SELECT c AS piece, CAST(-1000000000000 AS BIGINT) AS s FROM (
+      |    SELECT DISTINCT unnest(string_split(w, '')) AS c FROM uw)
+      |  WHERE c NOT IN (SELECT piece FROM fixed))""".stripMargin +
+      ugDpChainSql("F", "scF", "uw", UgMaxWordLen, 5) +
+      s""",
+      |docw AS MATERIALIZED (
+      |  SELECT doc_id, i AS wpos, string_split(text, ' ')[i] AS w
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+      |        FROM documents)),
+      |toks AS MATERIALIZED (
+      |  SELECT d.doc_id, d.wpos, pp.j AS ppos,
+      |    substr(pp.w, pp.j + 1, pp.p - pp.j) AS piece
+      |  FROM docw d JOIN pathF pp ON pp.w = d.w
+      |  WHERE d.w <> '')
+      |SELECT doc.doc_id, CAST(COALESCE(t.n, 0) AS INT) AS n_tokens,
+      |  COALESCE(t.tok, '') AS tokens
+      |FROM documents doc LEFT JOIN (
+      |  SELECT doc_id, COUNT(*) AS n,
+      |    string_agg(piece, ',' ORDER BY wpos, ppos) AS tok
+      |  FROM toks GROUP BY doc_id) t USING (doc_id)
+      |ORDER BY doc.doc_id""".stripMargin
+  }
 
   /** Fixed merge list for the t8b kernel-oracle query — shared by the
     * Spark side and the generated DuckDB replace-chain so the two can
@@ -176,6 +368,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T9/parity-plus: unigram-LM tokenizer training (SentencePiece
+    // hard-EM) — seed substring vocabulary, Viterbi E-steps under
+    // integer micro-log scores, usage-count prune. The DuckDB twin
+    // replays the WHOLE loop (generated unrolled DP, ugReplaySql), so
+    // the learned vocabulary itself is hash-gated like t8c gates the
+    // BPE merge sequence.
+    "t9_unigram_vocab" -> ((s, d) => {
+      import s.implicits._
+      unigramVocabShared(s, d).zipWithIndex
+        .map { case ((p, c), i) => (i + 1, p, c) }
+        .toDF("rank", "piece", "cnt")
+        .orderBy("rank")
+    }),
+
+    // The Viterbi encode KERNEL under a full SQL oracle: a fixed
+    // integer-scored vocabulary applied by the native kernel on the
+    // Spark side and by the generated unrolled DP in DuckDB. Tokens
+    // ship comma-joined (the comparator can't hash arrays).
+    "t9b_unigram_fixed" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.expressions.UnigramExpressions
+            .unigram_encode(col("text"), t9bScored).as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          array_join(col("__t"), ",").as("tokens"))
+        .orderBy("doc_id")
+    }),
+
     // T2: space tokenization + counts per document.
     "t2_token_count" -> ((s, d) => {
       documents(s, d)
@@ -254,6 +474,8 @@ object TextQueries {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "t9_unigram_vocab" -> t9OracleSql,
+    "t9b_unigram_fixed" -> t9bOracleSql,
     "t8_bpe" -> t8OracleSql(BpeNumMerges, BpeMinPairFreq),
     "t8c_bpe_merges" -> t8cOracleSql(BpeNumMerges, BpeMinPairFreq),
     "t8b_bpe_fixed" ->

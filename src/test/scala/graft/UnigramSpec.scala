@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.UnigramFunctions
+import graft.expressions.UnigramExpressions
+
+/** Unigram-LM trainer/kernel properties: the local and distributed
+  * hard-EM paths must agree bit-for-bit (the BpeSpec discipline — the
+  * two paths share the Viterbi kernel and every tie-break), and the
+  * kernel's segmentation invariants must hold on adversarial input. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // tie-heavy multi-byte corpus: equal-count pieces force the
+  // (count DESC, piece ASC-in-UTF8) tie-breaks to decide, including
+  // a supplementary-plane char (UTF-16 order disagrees with UTF-8)
+  private val tieCorpus = Seq(
+    "abab abab baba baba", "aabb bbaa aabb bbaa", "ab ba ab ba",
+    "aba bab aba bab", "😀ab ab😀 😀ab",
+    "ééab abéé ééab", "xyz zyx xyz zyx")
+
+  test("local and distributed training agree bit-for-bit on a tie-heavy corpus") {
+    import spark.implicits._
+    val docs = tieCorpus.toDF("text")
+    val local = UnigramFunctions.unigramTrain(docs, "text",
+      vocabSize = 12, iters = 2, seedMaxLen = 3, seedSize = 30)
+    val dist = UnigramFunctions.unigramTrain(docs, "text",
+      vocabSize = 12, iters = 2, seedMaxLen = 3, seedSize = 30,
+      collectVocabMax = 0L) // force the distributed path
+    assert(local == dist,
+      s"paths diverged:\nlocal  = $local\ndist   = $dist")
+    assert(local.nonEmpty && local.map(_._1).distinct.size == local.size)
+    // training is a pure function of the corpus: a second run replays
+    val again = UnigramFunctions.unigramTrain(docs, "text",
+      vocabSize = 12, iters = 2, seedMaxLen = 3, seedSize = 30)
+    assert(again == local)
+  }
+
+  test("viterbi: pieces concatenate to the word; max-score split wins; ties pick the longest final piece") {
+    def m(ps: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+      val h = new java.util.HashMap[String, java.lang.Long]()
+      ps.foreach { case (k, v) => h.put(k, v) }
+      h
+    }
+    // "abc": piece abc (-10) beats ab+c (-3 + -9) and a+bc — pure max
+    val s1 = m("abc" -> -10L, "ab" -> -3L, "c" -> -9L, "a" -> -5L,
+      "bc" -> -6L, "b" -> -20L)
+    assert(UnigramExpressions.viterbiSplit("abc", s1, 3).toSeq == Seq("abc"))
+    // equal total scores: a+bc ties ab+c at -11 → the smallest split
+    // point (longest FINAL piece) wins → a + bc
+    val s2 = m("ab" -> -5L, "c" -> -6L, "a" -> -6L, "bc" -> -5L, "b" -> -99L)
+    assert(UnigramExpressions.viterbiSplit("abc", s2, 2).toSeq == Seq("a", "bc"))
+    // unknown char: becomes its own fallback piece, rest segments
+    val s3 = m("ab" -> -2L, "a" -> -3L, "b" -> -3L)
+    assert(UnigramExpressions.viterbiSplit("aQb", s3, 2).toSeq == Seq("a", "Q", "b"))
+    // supplementary-plane code point is ONE piece position
+    val s4 = m("a" -> -2L, "😀" -> -2L)
+    assert(UnigramExpressions.viterbiSplit("a😀a", s4, 2).toSeq
+      == Seq("a", "😀", "a"))
+  }
+
+  test("trained vocab segments the training corpus losslessly through the kernel") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = UnigramFunctions.unigramTrain(docs, "text",
+      vocabSize = 40, iters = 2, seedMaxLen = 4, seedSize = 120)
+    val bad = docs
+      .select(col("text"),
+        UnigramFunctions.unigramEncode(col("text"), vocab).as("__t"))
+      .withColumn("__rejoined", concat_ws("", col("__t")))
+      .withColumn("__nospace", regexp_replace(col("text"), " ", ""))
+      .filter(col("__rejoined") =!= col("__nospace"))
+      .count()
+    assert(bad == 0L, "segmentation must be lossless on every doc")
+  }
+}
