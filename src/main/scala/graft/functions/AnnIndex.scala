@@ -198,8 +198,9 @@ object AnnIndex {
 
   /** Probe a saved index: top-k per query row, bit-identical to the
     * in-session ivfTopK/ivfpqTopK on the indexed corpus. Only the
-    * probed cells' partitions of the inverted file are read: the
-    * probe-cell list (queries × nprobe ids, KB) prunes the scan. */
+    * probed cells' partitions of the inverted file are read — AND only
+    * they are listed ([[PartitionedStore.prunedRead]]): probe cost,
+    * planning included, follows the probe set, never the index size. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     recoverMaintenance(spark, dir)
@@ -208,16 +209,16 @@ object AnnIndex {
     val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
     meta.kind match {
       case "ivf_flat" =>
-        val assigned = spark.read.parquet(s"$dir/codes")
-          .filter(col("cell").isin(probedCells: _*))
+        val assigned = PartitionedStore
+          .prunedRead(spark, s"$dir/codes", "cell", probedCells)
           .select(col("id").as("neighbor_id"), col("vec").as("__cv"),
             col("cell").cast("long").as("__cid"))
         ivfProbeAssigned(assigned, queries, idCol, vecCol, cellCent, k, nprobe)
       case "ivf_pq" =>
         val codeSeeds = readCentroids(spark, s"$dir/codebook")
           .map { case (c, v) => (c, v.toSeq) }
-        val codes = spark.read.parquet(s"$dir/codes")
-          .filter(col("cell").isin(probedCells: _*))
+        val codes = PartitionedStore
+          .prunedRead(spark, s"$dir/codes", "cell", probedCells)
           .select(col("id").as("neighbor_id"), col("cell").cast("long").as("__cell"),
             col("b").as("__b"), col("code").as("__cid"))
         ivfpqProbeCodes(codes, queries, idCol, vecCol, cellCent, codeSeeds,
@@ -301,8 +302,9 @@ object AnnIndex {
     val cellCent = readCentroids(spark, s"$dir/centroids")
     require(cellCent.exists(_._1 == cid), s"no cell $cid in $dir")
     val vecSource = if (meta.kind == "ivf_flat") "codes" else "vectors"
-    val cellVecs = spark.read.parquet(s"$dir/$vecSource")
-      .filter(col("cell") === cid).select(col("id"), col("vec"))
+    val cellVecs = PartitionedStore
+      .prunedRead(spark, s"$dir/$vecSource", "cell", Seq(cid))
+      .select(col("id"), col("vec"))
       // materialize before appending to (and later deleting from) the
       // directory the plan reads
       .persist()
@@ -423,6 +425,14 @@ object AnnIndex {
         }
       }
     }
+    // re-cache any cached plans over a store whose files a prior
+    // save / compact / resplit swapped out (PartitionedStore.refresh
+    // scaladoc). AFTER the FS repairs above: refresh re-executes
+    // cached plans lazily against the tree as it stands, and recaching
+    // against a still-parked `.old-` backup would capture an empty
+    // listing for that partition (pinned by SimilaritySpec's
+    // write-path recovery test).
+    PartitionedStore.refresh(spark, dir)
   }
 
   /** The distinct cells the query set will probe — a queries×nprobe

@@ -156,8 +156,8 @@ object BandIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = batchBands.select("bucket").distinct()
       .collect().map(_.getString(0)).toSeq
-    val idxBands = spark.read.parquet(s"$dir/bands")
-      .filter(col("bucket").isin(buckets: _*))
+    val idxBands = PartitionedStore
+      .prunedRead(spark, s"$dir/bands", "bucket", buckets)
       .select("id", "band")
     // probe batch × (index ∪ batch): batch-old pairs land once,
     // batch-batch twice (both sides probe) — canonicalize and distinct
@@ -172,8 +172,8 @@ object BandIndex {
       .select(explode(array(col("a"), col("b"))).as("id"))
       .select(sbucketOf(col("id"), meta).as("sb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idxSh = spark.read.parquet(s"$dir/shingles")
-      .filter(col("sbucket").isin(sbuckets: _*))
+    val idxSh = PartitionedStore
+      .prunedRead(spark, s"$dir/shingles", "sbucket", sbuckets)
       .select("id", "sh")
     val sh = idxSh.unionByName(batchSh)
     val verified = cand
@@ -182,10 +182,20 @@ object BandIndex {
       .withColumn("jac", jaccard(col("__sha"), col("__shb")))
       .filter(col("jac") >= threshold)
       .select("a", "b", "jac")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verified.count() // materialize, then release the batch-sized blocks
+    // Materialize AND sever the result from the store's files via an
+    // eager localCheckpoint: the returned plan is a LogicalRDD (fresh
+    // RDD id), never plan-equal to a later probe's. Returning a
+    // persist()ed frame instead leaves a CacheManager entry whose plan
+    // IS equal to the next probe over the same buckets
+    // (InMemoryFileIndex equality is rootPaths-only), so after a
+    // compact/save swaps files in between, the next probe gets
+    // substituted with the stale entry and dies FILE_NOT_EXIST on the
+    // swapped-out files — the d16 bench flake, reproduced
+    // deterministically in BandIndexSpec's crash test. Pair-sized
+    // blocks, GC-released; no caller-side unpersist contract.
+    val out = verified.localCheckpoint(true)
     Seq(cand, batchBands, batchSh).foreach(_.unpersist(blocking = false))
-    verified // pair-sized; caller releases with unpersist() when done
+    out
   }
 
   /** Compact every partition of both stores that reached `minFiles`
@@ -270,6 +280,14 @@ object BandIndex {
     PartitionedStore.recover(fs, bandRoot, "bucket")
     PartitionedStore.recover(fs,
       new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket")
+    // re-cache any cached plans over a store whose files a prior
+    // save / compact / tagged replay swapped out (PartitionedStore
+    // .refresh scaladoc; probe's localCheckpoint is what actually
+    // fixed the d16 bench flake). AFTER the FS repairs above: refresh
+    // re-executes cached plans lazily against the tree as it stands,
+    // and recaching against a still-parked `.old-` backup would
+    // capture an empty listing for that partition.
+    PartitionedStore.refresh(spark, dir)
   }
 
   private def writeMeta(spark: SparkSession, dir: String, meta: Meta): Unit = {

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Shared crash-safe maintenance machinery for on-disk stores laid out
   * as a parquet tree partitioned by ONE column ([[AnnIndex]]'s
@@ -31,6 +32,53 @@ private[graft] object PartitionedStore {
       fs.listStatus(root).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(partCol + "=")).map(_.getPath).toSeq
     else Seq.empty
+
+  /** Re-cache any CACHED plans referencing `dir` — called at every
+    * store entry point. The rename swaps these stores do (compact /
+    * overwrite / tagged replay) happen behind Spark's back, so a user
+    * plan cached over the store before a swap holds a listing of the
+    * swapped-out files; refreshByPath re-lists and recomputes it.
+    * Fresh `spark.read` calls always re-list (each InMemoryFileIndex
+    * gets its own file-status-cache client), so this guards only
+    * still-cached plans. NOTE it is belt-and-braces, not sufficient on
+    * its own: a cached plan that is plan-EQUAL to a new read
+    * (InMemoryFileIndex equality is rootPaths-only) gets substituted
+    * by the CacheManager at analysis time, which is why [[BandIndex
+    * .probe]] severs its returned frame from the store's files with a
+    * localCheckpoint instead of leaving a persisted plan behind. */
+  def refresh(spark: SparkSession, dir: String): Unit =
+    spark.catalog.refreshByPath(dir)
+
+  /** Read ONLY the named partition values' directories of the tree —
+    * discovery ∝ probed, not ∝ store. A plain
+    * `spark.read.parquet(root).filter(part isin values)` prunes the
+    * DATA pages correctly but pays partition DISCOVERY for the whole
+    * tree: the file index lists every `<part>=<v>` directory, and past
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` (32)
+    * that listing becomes a Spark job per read — so probe PLANNING
+    * grows with store size even while probed bytes stay flat (the
+    * constant the ×100 ANN run surfaced: probe wall 1.95 s → 4.79 s at
+    * a flat 0.1 MB scanned, SCALE.md). Listing the probed dirs under
+    * `basePath` keeps discovery at one root listing (already paid by
+    * [[recover]]) plus a file index over only the probed dirs. The
+    * partition column survives via basePath discovery and the isin
+    * filter is re-applied, so the executed plan keeps its `INSET`
+    * PartitionFilters shape (PlanSpec pins it). Values absent from the
+    * tree are skipped; a fully-absent value set falls back to the
+    * full-tree read purely to preserve the result SCHEMA of an empty
+    * probe. */
+  def prunedRead(spark: SparkSession, rootDir: String, partCol: String,
+                 values: Seq[Any]): DataFrame = {
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = partitions(fs, root, partCol).map(_.getName).toSet
+    val hit = values.distinct.map(v => s"$partCol=$v").filter(live)
+    val base =
+      if (hit.isEmpty) spark.read.parquet(rootDir)
+      else spark.read.option("basePath", rootDir)
+        .parquet(hit.map(d => s"$rootDir/$d"): _*)
+    base.filter(col(partCol).isin(values: _*))
+  }
 
   /** Delete every `<tag>-*` file from the live partition dirs — the
     * leftovers of a crashed prior attempt at the same tagged batch. */

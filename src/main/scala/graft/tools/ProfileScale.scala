@@ -33,7 +33,9 @@ import graft.functions.DedupFunctions._
   *
   * Run: `sbt "runMain graft.tools.ProfileScale /root/testdata/sf0.1 1,3,10"`
   * (append `--embeddings-only` to skip the text cells and measure just
-  * the s5/d11/d12 embedding family). Results: SCALE.md. */
+  * the s5/d11/d12 embedding family; `--ops=d4b,d2` restricts to named
+  * cells — the dial for single-family ×100 runs, where the untargeted
+  * cells would dominate the wall clock). Results: SCALE.md. */
 object ProfileScale {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -56,6 +58,9 @@ object ProfileScale {
     }
 
     val famOnly = args.contains("--families-only")
+    val opsArg = args.find(_.startsWith("--ops="))
+      .map(_.stripPrefix("--ops=").split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def sel(op: String): Boolean = opsArg.forall(_.contains(op))
     val base = documents(spark, d).select("doc_id", "text", "source")
     val baseN = base.count()
     println(s"base corpus: $baseN docs ($d)")
@@ -65,14 +70,25 @@ object ProfileScale {
       val lower = "abcdefghijklmnopqrstuvwxyz"
       val upper = lower.toUpperCase
       val digits = "0123456789"
-      def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+      // a seeded full PERMUTATION per replica, not a rotation: rotations
+      // repeat with period 26, so past f=26 replicas collide into
+      // identical copies and the "growth law" measures the synthesized
+      // duplicate density, not the operator (observed at ×100: d2 pairs
+      // 819k ≈ the ~715k cross-rotation-class identity pairs + the 25.6k
+      // planted ones). A permutation is still a bijection on the
+      // alphabet, so within-replica shingle-set relations — and every
+      // planted pair's exact Jaccard — are preserved.
+      def perm(s: String, seed: Int): String = {
+        val r = new scala.util.Random(seed)
+        r.shuffle(s.toList).mkString
+      }
       val replicas = (0 until f).map { c =>
         if (c == 0) base
         else base.select(
           (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-          // shift step 7 is coprime to 26: distinct rotations per replica
           translate(col("text"), lower + upper + digits,
-            rot(lower, c * 7) + rot(upper, c * 7) + rot(digits, c * 3)).as("text"),
+            perm(lower, 3 * c + 1) + perm(upper, 3 * c + 2) +
+              perm(digits, 3 * c + 3)).as("text"),
           col("source"))
       }
       replicas.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
@@ -106,7 +122,7 @@ object ProfileScale {
 
       if (!famOnly) {
       // x11b — containment, prefix filter + PPJoin bound (threshold 0.7)
-      {
+      if (sel("x11b")) {
         val input = docs.filter(size(split(col("text"), " ")) >= 3)
         val (pairs, t) = time {
           val p = containmentPairs(input, "doc_id", "text", 3, 0.7)
@@ -149,7 +165,7 @@ object ProfileScale {
       }
 
       // d2 — MinHash(64) + LSH(16x4) at threshold 0.8
-      {
+      if (sel("d2")) {
         val (res, t) = time {
           val p = minhashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.8)
           val c = p.count(); p.unpersist(blocking = false); c
@@ -170,7 +186,7 @@ object ProfileScale {
       }
 
       // d4b — char-5-gram Jaccard, prefix-prefix PPJoin at threshold 0.4
-      {
+      if (sel("d4b")) {
         val input = docs.filter(length(col("text")) >= 5)
         val (pairs, t) = time {
           val p = jaccardPairs(input, "doc_id", "text", charShingles(_, 5), 0.4)
@@ -214,7 +230,7 @@ object ProfileScale {
       }
 
       // d6 — transitive clustering over the d2 pairs
-      {
+      if (sel("d6")) {
         val p = minhashNearDuplicates(docs, "doc_id", "text", 3, 64, 16, 0.8)
         val (nc, t) = time {
           val labels = nearDupClusters(p.select("a", "b"))
@@ -227,7 +243,7 @@ object ProfileScale {
 
       // d8 — corpus-level span dedup: spans exploded ∝ corpus, one
       // keep-first window on span text. "candidates" = total spans.
-      {
+      if (sel("d8")) {
         val (kept, t) = time {
           spanDedup(docs, "doc_id", "text", 10)
             .agg(sum("kept_spans")).collect()(0).getLong(0)
@@ -242,7 +258,7 @@ object ProfileScale {
       // x19 — self-trained bigram-LM perplexity: two hash aggs build
       // the LM, one bigram-keyed join scores. Work ∝ corpus tokens;
       // "candidates" = scored bigram positions.
-      {
+      if (sel("x19")) {
         import graft.functions.TextAnalysisFunctions.lmPerplexity
         val (scored, t) = time {
           lmPerplexity(docs, "doc_id", "text", alpha = 0.5).count()
@@ -257,7 +273,7 @@ object ProfileScale {
       // d9 — decontamination with a FIXED benchmark (the base replica's
       // % 50 slice — the realistic setting: the benchmark doesn't grow
       // with the corpus). Probe volume ∝ corpus grams, broadcast const.
-      {
+      if (sel("d9")) {
         val bench = col("doc_id") < 10000000L && col("doc_id") % 50 === 0
         val (flagged, t) = time {
           decontaminate(docs, "doc_id", "text", bench, 3).count()
@@ -277,7 +293,7 @@ object ProfileScale {
       // like daily ingest partitions — and the re-rollup reads ONLY
       // sketch rows, so its time follows sketch count, never corpus
       // bytes. "candidates" = sketch rows read.
-      {
+      if (sel("x31b")) {
         import graft.expressions.SketchExpressions._
         val toks = docs
           .select(col("source"), col("doc_id"),
@@ -308,7 +324,7 @@ object ProfileScale {
       // x33b — the same two-level claim for Misra-Gries frequency
       // sketches: global top-1 token count from merged per-shard
       // sketches, rollup reading sketch rows only.
-      {
+      if (sel("x33b")) {
         import graft.expressions.FreqSketchExpressions._
         val toks = docs
           .select(col("source"), col("doc_id"),
@@ -334,7 +350,7 @@ object ProfileScale {
       // (constant keep fraction): one scoring scan + the bounded
       // distinct-score histogram (candidates = its row count — must
       // stay ~flat while the corpus grows) + broadcast keep attach.
-      {
+      if (sel("x38")) {
         import graft.functions.CurationFunctions.selectByTokenBudget
         val (kept, t) = time {
           selectByTokenBudget(docs, "doc_id", "text", budgetTokens = 20000L * f)
@@ -356,7 +372,7 @@ object ProfileScale {
       // ≤ 3, 2¹⁶ buckets/band): candidates = Σ_band Σ_bucket c(c−1)/2
       // — the 8-band law is ~n²/2⁸ by construction and the 4-band law
       // cuts it by ~2⁸ more, which is the point of the dial.
-      {
+      if (sel("x39")) {
         import graft.functions.MultimodalFunctions.ahashNearDuplicates
         val hdrHex = "424DF600000000000000360000002800000008000000" +
           "080000000100180000000000C0000000" + "00" * 16
@@ -397,43 +413,50 @@ object ProfileScale {
     // dial is planes ~ log₂(corpus): grow the corpus F× AND add
     // ⌈log₂F⌉ planes, and candidate counts must stay ~linear (with
     // fixed planes they'd grow F²). Embedding replicas: vec_id offset
-    // + a replica-specific sign flip on a dim subset — an isometry, so
-    // per-replica geometry is exactly the base corpus's while
-    // cross-replica vectors land in fresh buckets.
+    // + a replica-specific sign flip — an isometry, so per-replica
+    // geometry is exactly the base corpus's while cross-replica
+    // vectors land in fresh buckets. The flip pattern is a hash of
+    // (replica, dim), NOT a modular shift: `(j + c) % 3` repeats with
+    // period 3, so past f=3 replicas would collide into identical
+    // copies and inflate candidates with synthesized duplicates (the
+    // same defect the text corpusPath fixed for rotations at f>26).
     {
       import graft.functions.SimilarityFunctions.{knnJoin, lshBucket}
       val ebase = embeddings(spark, d).select("vec_id", "embedding")
       val en = ebase.count()
-      for (f <- factors) {
+      for (f <- factors if sel("s5") || sel("d11") || sel("d12")) {
         val reps = (0 until f).map { c =>
           if (c == 0) ebase
           else ebase.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
             transform(col("embedding"),
-              (x, j) => when((j + c) % 3 === 0, -x).otherwise(x)).as("embedding"))
+              (x, j) => when(pmod(hash(lit(c), j), lit(2)) === 0, -x)
+                .otherwise(x)).as("embedding"))
         }
         val p = s"$tmp/emb_x$f"
         reps.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
         val e = spark.read.parquet(p)
-        val planes = 6 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt
-        val (rows, t) = time {
-          knnJoin(e, "vec_id", "embedding", k = 3, seed = 42L,
-            planes = planes, dim = 64).count()
+        if (sel("s5")) {
+          val planes = 6 + (math.log(f.toDouble) / math.log(2.0)).ceil.toInt
+          val (rows, t) = time {
+            knnJoin(e, "vec_id", "embedding", k = 3, seed = 42L,
+              planes = planes, dim = 64).count()
+          }
+          val cand = {
+            val b = e.select(col("vec_id").as("__id"),
+              lshBucket(col("embedding"), 42L, planes, 64).as("__b"))
+            b.groupBy("__b").agg(count(lit(1)).as("c"))
+              .agg(sum(col("c") * (col("c") - 1))).collect()(0).getLong(0)
+          }
+          println(f"s5 f=$f planes=$planes ${t}%7.1f s  candidates $cand%9d  rows $rows%7d")
+          cells += Cell("s5_knn_join", f, en * f, t, cand, rows)
         }
-        val cand = {
-          val b = e.select(col("vec_id").as("__id"),
-            lshBucket(col("embedding"), 42L, planes, 64).as("__b"))
-          b.groupBy("__b").agg(count(lit(1)).as("c"))
-            .agg(sum(col("c") * (col("c") - 1))).collect()(0).getLong(0)
-        }
-        println(f"s5 f=$f planes=$planes ${t}%7.1f s  candidates $cand%9d  rows $rows%7d")
-        cells += Cell("s5_knn_join", f, en * f, t, cand, rows)
 
         // d11 — SemDeDup with the documented linear dial C ∝ corpus:
         // cluster count grows with the factor, so cluster sizes (and
         // with them the within-cluster pair scan, candidates =
         // Σ c·(c−1)/2) stay ~constant per vector. Timed end-to-end on
         // the persisted output; dups/candidates read from it.
-        {
+        if (sel("d11")) {
           import graft.functions.SimilarityFunctions.semDedup
           val cSem = 16 * f
           val out = semDedup(e, "vec_id", "embedding", cSem, 0.35)
@@ -462,7 +485,7 @@ object ProfileScale {
         // residual count (vectors whose bucket held no centroid,
         // re-derived from the public lshBucket) is the dense-fallback
         // volume — it must stay a sliver for the path to be honest.
-        {
+        if (sel("d12")) {
           import graft.functions.SimilarityFunctions.{semDedup, lshBucket}
           val cSem = 16 * f
           val planesB = math.max(1,

@@ -92,4 +92,28 @@ class BandIndexSpec extends AnyFunSuite {
     assert(probed() == pBefore, "healed index must probe identically")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("same-session save-overwrite rep loop never serves a stale listing") {
+    // the bench rep loop that flaked once in 160 queries: rep N's
+    // save(overwrite) deletes rep N-1's files, and without the
+    // entry-point refresh (PartitionedStore.refresh) the session's
+    // FileStatusCache could hand rep N's probe the dead listing →
+    // FILE_NOT_EXIST at execution. Three full save→probe reps over the
+    // SAME dir must agree and never throw.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_reps").toString
+    val batch = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+    val reps = (1 to 3).map { _ =>
+      BandIndex.save(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, dir = dir)
+      val p = pairSet(BandIndex.probe(spark, dir, batch,
+        "doc_id", "text", threshold = 0.8))
+      BandIndex.compact(spark, dir, minFiles = 2)
+      p
+    }
+    assert(reps.distinct.size == 1, "every rep must return the same pair set")
+    assert(reps.head.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
