@@ -139,7 +139,7 @@ object AnnIndex {
     // as .old-X, and an append would recreate a live cell=X holding
     // just the new rows — the next read-side recovery would then drop
     // .old-X and every pre-compaction vector of that cell with it
-    recoverMaintenance(spark, dir)
+    recoverMaintenance(spark, dir, sweepRetired = true)
     encodeBatch(spark, dir, batch, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
@@ -172,7 +172,8 @@ object AnnIndex {
   def addBatchTagged(spark: SparkSession, dir: String, batch: DataFrame,
                      idCol: String, vecCol: String, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a safe file prefix: $tag")
-    recoverMaintenance(spark, dir) // same live-dir-recreation hazard as addBatch
+    // same live-dir-recreation hazard as addBatch
+    recoverMaintenance(spark, dir, sweepRetired = true)
     val conf = spark.sparkContext.hadoopConfiguration
     val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$tag")
@@ -203,7 +204,7 @@ object AnnIndex {
     * planning included, follows the probe set, never the index size. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    recoverMaintenance(spark, dir)
+    recoverMaintenance(spark, dir, sweepRetired = false)
     val meta = readMeta(spark, dir)
     val cellCent = readCentroids(spark, s"$dir/centroids")
     val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
@@ -227,37 +228,48 @@ object AnnIndex {
   }
 
   /** Per-cell footprint of a saved index WITHOUT scanning data pages:
-    * row counts come from a partition-column-only parquet scan (the
-    * reader satisfies a zero-data-column projection from footer row
-    * counts alone), byte/file counts from the filesystem listing of
-    * the `cell=…` partition directories (driver-side metadata plane,
-    * the same class as Hive partition listing — KB per cell, never
-    * corpus-sized). This is the skew report that tells an operator
-    * which cells [[addBatch]] has grown past their neighbors and
-    * [[resplitCell]] should split. */
+    * row counts come straight from parquet FOOTERS over the file list
+    * the partition-dir listing yields ([[PartitionedStore
+    * .footerCounts]] — one flat Spark job, so stats planning never
+    * pays the whole-store partition-DISCOVERY job a full-tree
+    * `spark.read.parquet` launches past 32 partitions), byte/file
+    * counts from the same filesystem listing (driver-side metadata
+    * plane, the same class as Hive partition listing — KB per cell,
+    * never corpus-sized). This is the skew report that tells an
+    * operator which cells [[addBatch]] has grown past their neighbors
+    * and [[resplitCell]] should split. */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
-    recoverMaintenance(spark, dir)
+    recoverMaintenance(spark, dir, sweepRetired = false)
     import spark.implicits._
     // ivf_pq stores m code rows per vector — report VECTORS, not rows
     // (still footer-count-only: rows / m is exact, no distinct needed)
     val meta = readMeta(spark, dir)
     val perVec = if (meta.kind == "ivf_pq") meta.m.toLong else 1L
-    val counts = spark.read.parquet(s"$dir/codes")
-      .groupBy(col("cell").cast("long").as("cell"))
-      .agg((count(lit(1)) / perVec).cast("long").as("n_vectors"))
     val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fsRows = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .map { st =>
-        val cid = st.getPath.getName.stripPrefix("cell=").toLong
-        val files = fs.listStatus(st.getPath)
+    // read path: IGNORE (don't sweep) dirs retired by a resplit — see
+    // recoverMaintenance; the centroid read is the KB pull every probe
+    // already does
+    val liveCids = readCentroids(spark, s"$dir/centroids").map(_._1).toSet
+    val fsRows = PartitionedStore.partitions(fs, root, "cell")
+      .map { pd =>
+        val cid = pd.getName.stripPrefix("cell=").toLong
+        val files = fs.listStatus(pd)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        (cid, files.length.toLong, files.map(_.getLen).sum)
-      }.toSeq
-    counts
-      .join(broadcast(fsRows.toDF("cell", "n_files", "bytes")), Seq("cell"), "left")
-      .select("cell", "n_vectors", "n_files", "bytes")
+        (cid, files.map(_.getPath.toString), files.length.toLong,
+          files.map(_.getLen).sum)
+      }
+      .filter { case (cid, _, _, _) => liveCids.contains(cid) }
+    // row counts from parquet FOOTERS over the exact file list above —
+    // one flat Spark job, no partition-discovery listing job no matter
+    // how many cells the store has grown (PartitionedStore.footerCounts)
+    val counts = PartitionedStore.footerCounts(spark,
+      fsRows.flatMap { case (cid, files, _, _) => files.map((cid.toString, _)) })
+    fsRows
+      .map { case (cid, _, nFiles, bytes) =>
+        (cid, counts.getOrElse(cid.toString, 0L) / perVec, nFiles, bytes)
+      }
+      .toDF("cell", "n_vectors", "n_files", "bytes")
       .orderBy("cell")
   }
 
@@ -292,7 +304,8 @@ object AnnIndex {
     * whichever copy the centroids no longer name, so the double-count
     * is not permanent either. */
   def resplitCell(spark: SparkSession, dir: String, cid: Long, k: Int): Unit = {
-    recoverMaintenance(spark, dir) // writes cell dirs -> same hazard as addBatch
+    // writes cell dirs -> same hazard as addBatch
+    recoverMaintenance(spark, dir, sweepRetired = true)
     val meta = readMeta(spark, dir)
     require(meta.kind == "ivf_flat" || meta.keepVectors,
       "resplitCell needs raw vectors: ivf_flat stores them in the codes " +
@@ -367,7 +380,7 @@ object AnnIndex {
     * Single-writer maintenance op, same contract as addBatch.
     * Returns the compacted cell ids. */
   def compactCells(spark: SparkSession, dir: String, minFiles: Int = 8): Seq[Long] = {
-    recoverMaintenance(spark, dir)
+    recoverMaintenance(spark, dir, sweepRetired = true)
     // per-cell pruned reads, dot-prefixed staging, live→backup→live
     // rename swap — the shared single-partition-column machinery; the
     // raw-vector sidecar (when kept) accumulates ingest files at the
@@ -387,27 +400,41 @@ object AnnIndex {
     * dangerous: an ingest that recreates a live `cell=X` while `.old-X`
     * still holds the pre-compaction rows would make the next read-side
     * recovery delete `.old-X` — silently dropping every old vector of
-    * that cell. Three repairs, in dependency order:
+    * that cell. Three repairs, in dependency order (the first two on
+    * every entry point, the third on write entry points only):
     *   1. `.old-<cid>` with no live `cell=<cid>` twin → the crash landed
     *      between [[compactCells]]' two renames; restore it (else every
     *      probe silently misses the whole cell). With a live twin the
     *      backup is stale → drop it.
     *   2. stale `.compact-*` staging dirs → leaked cell copy from a
     *      crash before the swap; drop.
-    *   3. `cell=<cid>` dirs whose cid is absent from the centroids file
-    *      → a [[resplitCell]] crash between the centroid swap and the
+    *   3. WRITE ENTRY POINTS ONLY (`sweepRetired = true` — addBatch /
+    *      addBatchTagged / resplitCell / compactCells): `cell=<cid>`
+    *      dirs whose cid is absent from the centroids file → a
+    *      [[resplitCell]] crash between the centroid swap and the
     *      old-dir delete leaves the retired cell on disk forever:
     *      probes never read it (cid is gone from the centroids), but
-    *      indexStats double-counts the split vectors and compactCells
-    *      keeps compacting a dead partition. Runs AFTER the `.old-`
-    *      restore so a dead cell parked in backup is restored first and
-    *      then swept by the same rule. Orphan sub-cell dirs from a
-    *      resplit that crashed BEFORE its centroid swap are swept by
-    *      the same rule (their cids are not in the centroids either),
-    *      which is exactly the scrub the retry would do.
+    *      indexStats would double-count the split vectors and
+    *      compactCells keeps compacting a dead partition. Runs AFTER
+    *      the `.old-` restore so a dead cell parked in backup is
+    *      restored first and then swept by the same rule. Orphan
+    *      sub-cell dirs from a resplit that crashed BEFORE its
+    *      centroid swap are swept by the same rule (their cids are not
+    *      in the centroids either), which is exactly the scrub the
+    *      retry would do. Read entry points (probe, indexStats) MUST
+    *      NOT sweep: the single-writer contract allows a reader to run
+    *      concurrently with an in-flight resplitCell, and between the
+    *      sub-cell append and the centroid swap the fresh sub-cell
+    *      dirs are exactly "cids absent from the centroids" — a reader
+    *      sweeping them would make the subsequent centroid swap point
+    *      at deleted data. Readers instead IGNORE retired dirs
+    *      (probe's scan is pruned to centroid-listed cells; indexStats
+    *      filters its listing to live cids), which is safe without
+    *      deleting anything.
     * Listing-only plus one KB centroid read when there is nothing to
     * repair (the common case). */
-  private def recoverMaintenance(spark: SparkSession, dir: String): Unit = {
+  private def recoverMaintenance(spark: SparkSession, dir: String,
+                                 sweepRetired: Boolean): Unit = {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(codesRoot)) {
@@ -415,7 +442,7 @@ object AnnIndex {
       PartitionedStore.recover(fs, codesRoot, "cell")
       PartitionedStore.recover(fs, vecsRoot, "cell")
       val centPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
-      if (fs.exists(centPath)) {
+      if (sweepRetired && fs.exists(centPath)) {
         val liveCids = readCentroids(spark, centPath.toString).map(_._1).toSet
         Seq(codesRoot, vecsRoot).foreach { root =>
           PartitionedStore.partitions(fs, root, "cell").foreach { pd =>
@@ -462,7 +489,14 @@ object AnnIndex {
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/meta").as[Meta].head()
+    // an index saved before the keepVectors field existed has no such
+    // column in its meta parquet; default it to false instead of
+    // letting encoder resolution fail every entry point on old indexes
+    val raw = spark.read.parquet(s"$dir/meta")
+    val withDefault =
+      if (raw.columns.contains("keepVectors")) raw
+      else raw.withColumn("keepVectors", lit(false))
+    withDefault.as[Meta].head()
   }
 
   private def writeCentroids(spark: SparkSession, path: String,

@@ -220,20 +220,24 @@ object BandIndex {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     recoverBoth(spark, dir)
     import spark.implicits._
-    val counts = spark.read.parquet(s"$dir/bands")
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_postings"))
     val root = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fsRows = PartitionedStore.partitions(fs, root, "bucket").map { pd =>
       val files = fs.listStatus(pd)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      (pd.getName.stripPrefix("bucket="), files.length.toLong,
-        files.map(_.getLen).sum)
+      (pd.getName.stripPrefix("bucket="), files.map(_.getPath.toString),
+        files.length.toLong, files.map(_.getLen).sum)
     }
-    counts
-      .join(broadcast(fsRows.toDF("bucket", "n_files", "bytes")),
-        Seq("bucket"), "left")
-      .select("bucket", "n_postings", "n_files", "bytes")
+    // posting counts from parquet FOOTERS over the listed files — one
+    // flat Spark job, no whole-store partition-discovery job no matter
+    // how many buckets ingest has grown (PartitionedStore.footerCounts)
+    val counts = PartitionedStore.footerCounts(spark,
+      fsRows.flatMap { case (b, files, _, _) => files.map((b, _)) })
+    fsRows
+      .map { case (b, _, nFiles, bytes) =>
+        (b, counts.getOrElse(b, 0L), nFiles, bytes)
+      }
+      .toDF("bucket", "n_postings", "n_files", "bytes")
       .orderBy("bucket")
   }
 

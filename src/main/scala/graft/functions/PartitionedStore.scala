@@ -157,6 +157,51 @@ private[graft] object PartitionedStore {
     } finally pool.shutdown()
   }
 
+  /** Parquet footer row counts for an EXPLICIT file list, summed per
+    * partition value — the stats-path scan that never touches Spark's
+    * partition-discovery machinery: a full-tree `spark.read.parquet`
+    * (or an explicit-paths read past
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` = 32
+    * paths) launches a listing job per call, so whole-store stats paid
+    * a discovery job that grew with the store — the same planning
+    * constant [[prunedRead]] removed from the probes. Here the caller
+    * already holds the file list (the `partitions()` + per-dir listing
+    * every stats method does anyway for file/byte counts), and the
+    * counts come from one flat Spark job over those paths reading KB
+    * footers — no listing, no data pages, cost ∝ files. Input is
+    * (partitionValue, filePath); output sums per value. */
+  def footerCounts(spark: SparkSession, files: Seq[(String, String)]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices)
+      .map { case (v, f) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), confB.value.value)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (v, reader.getRecordCount) finally reader.close()
+      }
+      .reduceByKey(_ + _)
+      .collect().toMap
+  }
+
+  /** Java-serializable Hadoop `Configuration` carrier (the filesystem
+    * credentials/settings the executor-side footer reads need) —
+    * `Configuration` is `Writable` but not `Serializable`, so ship it
+    * through its own Writable encoding. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Repair a crashed [[compact]]: a `.old-<v>` with no live
     * `<part>=<v>` twin means the crash landed between the two renames
     * — restore it (until then every reader silently misses the whole

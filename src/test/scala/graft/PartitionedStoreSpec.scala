@@ -70,4 +70,63 @@ class PartitionedStoreSpec extends AnyFunSuite {
       s"a wide value set must still plan as INSET PartitionFilters:\n$many")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("footerCounts equals a data scan's per-partition counts") {
+    val dir = store()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = PartitionedStore.partitions(fs, root, "cell").flatMap { pd =>
+      val v = pd.getName.stripPrefix("cell=")
+      fs.listStatus(pd).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (v, f.getPath.toString))
+    }
+    val fromFooters = PartitionedStore.footerCounts(spark, files)
+    val fromScan = spark.read.parquet(dir).groupBy("cell").count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(fromFooters == fromScan)
+    assert(PartitionedStore.footerCounts(spark, Seq.empty) == Map.empty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("indexStats planning launches no partition-discovery listing job past 32 partitions") {
+    import graft.functions.AnnIndex
+    import scala.collection.mutable
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = e.filter(col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_disc").toString
+    // 40 cells > spark.sql.sources.parallelPartitionDiscovery.threshold (32)
+    AnnIndex.ivfIndexSave(corpus, "vec_id", "embedding", cells = 40, dir = dir)
+
+    val descs = mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        descs.synchronized { descs += d }
+      }
+    }
+    def listingJobs(body: => Unit): Seq[String] = {
+      descs.synchronized(descs.clear())
+      spark.sparkContext.addSparkListener(listener)
+      // the listener bus is async and its public API has no flush —
+      // a short settle sleep is enough for job-START events, which are
+      // posted before the body's collect() can return
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      descs.synchronized(descs.filter(_.contains("Listing leaf files")).toSeq)
+    }
+
+    // detector sanity: the full-tree read this replaced DOES launch one
+    val before = listingJobs {
+      spark.read.parquet(s"$dir/codes").groupBy("cell").count().collect()
+    }
+    assert(before.nonEmpty,
+      "detector check: a 40-partition full-tree read should launch a listing job")
+    val after = listingJobs {
+      assert(AnnIndex.indexStats(spark, dir).count() == 40)
+    }
+    assert(after.isEmpty,
+      s"indexStats must not launch a partition-discovery listing job, saw: $after")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -772,6 +772,37 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("readMeta tolerates a pre-keepVectors meta parquet (old saved indexes keep working)") {
+    import graft.functions.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val e = graft.Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_oldmeta").toString
+    AnnIndex.ivfIndexSave(corpus, "vec_id", "embedding", cells = 4, dir = dir)
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    val before = AnnIndex.probe(spark, dir, q, "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rewrite meta WITHOUT the keepVectors column, as an index saved
+    // before the field existed would have it
+    val oldMeta = spark.read.parquet(s"$dir/meta").drop("keepVectors")
+    val tmp = s"$dir/.meta_old"
+    oldMeta.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/meta"), true)
+    assert(fs.rename(new Path(tmp), new Path(s"$dir/meta")))
+    spark.catalog.refreshByPath(dir)
+    // every entry point must still work, defaulting keepVectors = false
+    val after = AnnIndex.probe(spark, dir, q, "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "probe must be unchanged under a pre-keepVectors meta")
+    assert(AnnIndex.indexStats(spark, dir).count() == 4)
+    AnnIndex.addBatch(spark, dir,
+      e.filter(col("vec_id") >= 200 && col("vec_id") < 210), "vec_id", "embedding")
+    assert(AnnIndex.indexStats(spark, dir)
+      .agg(sum("n_vectors")).head().getLong(0) == 110)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("write-path recovery: ingest after a compact mid-swap crash restores the backup first; retired cells are swept") {
     import graft.functions.AnnIndex
     import org.apache.hadoop.fs.Path
@@ -810,8 +841,13 @@ class SimilaritySpec extends AnyFunSuite {
     // (b) a resplit that crashed between the centroid swap and the
     // old-dir delete leaves a cell= dir with no centroid: probes never
     // read it, but stats would double-count and compaction would keep
-    // rewriting a dead partition. Plant one with a real data file and
-    // pin that the next entry point sweeps it.
+    // rewriting a dead partition. Plant one with a real data file.
+    // READ entry points must IGNORE it but NOT delete it — to a
+    // concurrent reader an in-flight resplit's freshly appended
+    // sub-cells look exactly like this (centroid swap not yet done),
+    // and a reader-side sweep would delete the data the swap is about
+    // to name. Only the next WRITE entry point (single-writer, so no
+    // resplit can be in flight) sweeps it.
     val leaked = new Path(s"$dir/codes/cell=99")
     fs.mkdirs(leaked)
     spark.read.parquet(s"$dir/codes").filter(col("cell") === victim)
@@ -822,8 +858,12 @@ class SimilaritySpec extends AnyFunSuite {
       .foreach(f => fs.rename(f.getPath, new Path(leaked, f.getPath.getName)))
     val statsAfter = counts()
     assert(!statsAfter.contains(99L), "retired cell must not be double-counted")
-    assert(!fs.exists(leaked), "recovery must drop the leaked retired cell dir")
-    assert(statsAfter == after, "sweep must not disturb live cells")
+    assert(fs.exists(leaked),
+      "a READ entry point must not sweep retired dirs (concurrent-resplit hazard)")
+    assert(statsAfter == after, "ignoring the retired cell must not disturb live cells")
+    AnnIndex.compactCells(spark, dir, minFiles = 1000) // write entry, no-op compact
+    assert(!fs.exists(leaked), "the next WRITE entry point must sweep the retired dir")
+    assert(counts() == after, "sweep must not disturb live cells")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
