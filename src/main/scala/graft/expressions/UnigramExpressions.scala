@@ -43,23 +43,35 @@ object UnigramExpressions {
     * strings left to right. */
   def viterbiSplit(word: String, scores: java.util.HashMap[String, java.lang.Long],
                    maxPieceLen: Int): Array[String] = {
-    // code-point segmentation, matching SQL substr character semantics
-    val cps = new java.util.ArrayList[String]()
-    var ci = 0
-    while (ci < word.length) {
-      val n = Character.charCount(word.codePointAt(ci))
-      cps.add(word.substring(ci, ci + n))
-      ci += n
-    }
-    val n = cps.size
+    // code-point segmentation, matching SQL substr character semantics.
+    // Boundaries as a code-point → CHAR-OFFSET array, so piece(j, p) is
+    // one word.substring — linear total memory. (The earlier cumulative
+    // prefix-string table was O(n²) characters per word: training
+    // truncates words to maxWordLen, but ENCODING sees raw input, and
+    // one pathological unspaced blob would go quadratic here.)
+    val n = word.codePointCount(0, word.length)
     if (n == 0) return Array.empty
-    // prefix strings so substring(j, p) is O(1) via builder reuse
-    val prefix = new Array[String](n + 1)
-    prefix(0) = ""
+    val off = new Array[Int](n + 1)
+    var ci = 0
     var i = 0
-    while (i < n) { prefix(i + 1) = prefix(i) + cps.get(i); i += 1 }
-    def piece(j: Int, p: Int): String = prefix(p).substring(prefix(j).length)
+    while (ci < word.length) {
+      off(i) = ci
+      ci += Character.charCount(word.codePointAt(ci))
+      i += 1
+    }
+    off(n) = word.length
+    def piece(j: Int, p: Int): String = word.substring(off(j), off(p))
     val NoPath = java.lang.Long.MIN_VALUE
+    // piece scores are ≤ 0 by construction (ln((c+1)/(T+V)) with
+    // c+1 ≤ T+V, and FallbackScore < 0), so dp only decreases — but a
+    // blob of ~9.2e6 unknown chars would walk dp past Long.MIN_VALUE
+    // via FallbackScore and wrap positive. Saturate sums at a floor
+    // strictly above NoPath: beyond it every candidate ties at the
+    // floor and the strict > keeps the smallest j, so segmentation
+    // stays total and deterministic even in the pathological regime
+    // (which the integer-exact oracle never enters: training truncates
+    // words to maxWordLen).
+    val SatFloor = java.lang.Long.MIN_VALUE / 2
     val dp = Array.fill(n + 1)(NoPath)
     val bp = Array.fill(n + 1)(-1)
     dp(0) = 0L
@@ -73,7 +85,8 @@ object UnigramExpressions {
             else if (p - j == 1) FallbackScore
             else NoPath
           if (sc != NoPath) {
-            val cand = dp(j) + sc
+            val sum = dp(j) + sc // both ≤ 0: overflow shows as sum > dp(j)
+            val cand = if (sum > dp(j)) SatFloor else math.max(sum, SatFloor)
             // strict > with ascending j keeps the SMALLEST winning j
             if (cand > dp(p)) { dp(p) = cand; bp(p) = j }
           }
