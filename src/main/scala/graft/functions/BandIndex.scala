@@ -89,7 +89,7 @@ object BandIndex {
     * replay heals and a plain append cannot. */
   def addBatch(spark: SparkSession, dir: String, batch: DataFrame,
                idCol: String, textCol: String): Unit = {
-    recoverBoth(spark, dir)
+    recoverBoth(spark, dir, healInflight = true)
     val meta = readMeta(spark, dir)
     val sh = shingled(batch, idCol, textCol, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -97,7 +97,7 @@ object BandIndex {
       sh.withColumn("sbucket", sbucketOf(col("id"), meta))
         .repartition(col("sbucket"))
         .write.mode("append").partitionBy("sbucket").parquet(s"$dir/shingles")
-      banded(sh, meta)
+      bandedRouted(spark, dir, sh, meta)
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
     } finally sh.unpersist(blocking = false)
@@ -112,7 +112,9 @@ object BandIndex {
   def addBatchTagged(spark: SparkSession, dir: String, batch: DataFrame,
                      idCol: String, textCol: String, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a safe file prefix: $tag")
-    recoverBoth(spark, dir)
+    require(!tag.startsWith("rebucket-"),
+      "the rebucket- tag prefix is reserved for [[rebucket]]'s staged moves")
+    recoverBoth(spark, dir, healInflight = true)
     val meta = readMeta(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val shRoot = new org.apache.hadoop.fs.Path(s"$dir/shingles")
@@ -130,7 +132,7 @@ object BandIndex {
         .parquet(shStaging.toString)
       PartitionedStore.moveStagedTagged(fs, shStaging, shRoot, "sbucket", tag)
       val bandStaging = new org.apache.hadoop.fs.Path(s"$dir/.staging-bands-$tag")
-      banded(sh, meta)
+      bandedRouted(spark, dir, sh, meta)
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(bandStaging.toString)
@@ -154,8 +156,13 @@ object BandIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val batchBands = banded(batchSh, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = batchBands.select("bucket").distinct()
+    // base (prefixLen) buckets of the batch, widened to the live dirs
+    // they prefix-match: a [[rebucket]]-split hot bucket stores its
+    // postings under LONGER bucket values, and the exact prunedRead
+    // over the matched names keeps the INSET PartitionFilters shape
+    val baseBuckets = batchBands.select("bucket").distinct()
       .collect().map(_.getString(0)).toSeq
+    val buckets = prefixMatched(spark, s"$dir/bands", baseBuckets)
     val idxBands = PartitionedStore
       .prunedRead(spark, s"$dir/bands", "bucket", buckets)
       .select("id", "band")
@@ -204,7 +211,7 @@ object BandIndex {
     * Returns (store, partitionValue) per compacted partition. */
   def compact(spark: SparkSession, dir: String,
               minFiles: Int = 8): Seq[(String, String)] = {
-    recoverBoth(spark, dir)
+    recoverBoth(spark, dir, healInflight = true)
     PartitionedStore.compact(spark,
         new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket", minFiles)
       .map("bands" -> _) ++
@@ -239,6 +246,109 @@ object BandIndex {
       }
       .toDF("bucket", "n_postings", "n_files", "bytes")
       .orderBy("bucket")
+  }
+
+  /** Split ONE hot postings bucket by the next `extraLen` hex chars of
+    * its band keys — the hot-bucket valve `prefixLen`-at-save-time
+    * otherwise lacks: near-identical boilerplate docs all landing one
+    * band value grow a single bucket without bound, and the only other
+    * remedy is a full re-save of the postings store. Only the split
+    * bucket's partition is read and rewritten (cost ∝ bucket, never ∝
+    * store); shingles are untouched. Probes need no migration flag:
+    * they widen each batch bucket to the live dirs it prefixes
+    * ([[prefixMatched]]), and ingest routes new postings to the
+    * deepest live dir ([[bandedRouted]]), so mixed depths — including
+    * a re-split of a split ([[rebucket]] composes) — coexist.
+    *
+    * Crash protocol (single-writer, shared-machinery shapes): a marker
+    * `.rebucket-inflight-<bucket>-<gen>` brackets the op (gen = a
+    * per-op stamp, so a later split of a RECREATED base dir never
+    * collides with — or scrubs — a completed earlier split's files);
+    * the re-bucketed rows are staged and renamed in under the RESERVED
+    * tag `rebucket-<bucket>-<gen>`; the old dir retires via an atomic
+    * rename to `.retired-<bucket>` before deletion. The next WRITE
+    * entry point's [[recoverBoth]] heals any crash point: old dir
+    * still live → the split never committed, scrub the tag's files
+    * (exactly what a retry would do); old dir renamed away →
+    * committed, finish the delete. Healing is write-entry-only for the
+    * same reason as [[AnnIndex]]'s retired-cell sweep — to a
+    * concurrent READER an in-flight split is indistinguishable from a
+    * crashed one, and scrubbing it would delete data the commit rename
+    * is about to make canonical. Readers need no healing to stay
+    * correct: an uncommitted split's postings exist twice (base dir +
+    * tagged split files) and probe candidates are `.distinct()`ed, so
+    * duplicate postings never change the verified pairs (BandIndexSpec
+    * pins both arms and the mid-flight read). */
+  def rebucket(spark: SparkSession, dir: String, bucket: String,
+               extraLen: Int = 1): Unit = {
+    recoverBoth(spark, dir, healInflight = true)
+    require(extraLen >= 1 && bucket.length + extraLen <= 8,
+      s"need 1 <= extraLen and bucket+extra <= 8 hex chars, got " +
+        s"'$bucket' + $extraLen")
+    require(bucket.matches("[0-9a-f]+"), s"bucket must be hex chars: $bucket")
+    val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val fs = bandRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDir = new org.apache.hadoop.fs.Path(bandRoot, s"bucket=$bucket")
+    require(fs.exists(liveDir), s"no live postings bucket '$bucket' in $dir")
+    val gen = System.currentTimeMillis
+    val tag = s"rebucket-$bucket-$gen"
+    val marker = new org.apache.hadoop.fs.Path(bandRoot, s".rebucket-inflight-$bucket-$gen")
+    fs.create(marker, true).close()
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/.staging-$tag")
+    PartitionedStore.prunedRead(spark, bandRoot.toString, "bucket", Seq(bucket))
+      .select(col("id"), col("band"),
+        substring(col("band"), 1, bucket.length + extraLen).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    PartitionedStore.moveStagedTagged(fs, staging, bandRoot, "bucket", tag)
+    // commit point: the old dir leaves the live tree atomically
+    val retired = new org.apache.hadoop.fs.Path(bandRoot, s".retired-$bucket")
+    require(fs.rename(liveDir, retired), s"rebucket: retiring $liveDir failed")
+    fs.delete(retired, true)
+    fs.delete(marker, false)
+    PartitionedStore.refresh(spark, dir)
+  }
+
+  /** The live postings dirs a probe's base buckets select: each stored
+    * value keeps its full band-key prefix, so a value belongs to base
+    * bucket b iff it starts with b. Driver-side listing (the same one
+    * recovery already pays), ≤ 16^prefixLen + splits names. */
+  private def prefixMatched(spark: SparkSession, rootDir: String,
+                            baseBuckets: Seq[String]): Seq[Any] = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = baseBuckets.toSet
+    PartitionedStore.partitions(fs, root, "bucket")
+      .map(_.getName.stripPrefix("bucket="))
+      .filter(v => base.exists(v.startsWith))
+  }
+
+  /** [[banded]] with the bucket column routed to the DEEPEST live dir
+    * whose value prefixes the band key — so ingest after a
+    * [[rebucket]] keeps feeding the split dirs instead of recreating
+    * the retired base dir. Band keys whose split-depth dir does not
+    * exist yet fall back to the base (prefixLen) bucket, which probes
+    * still find by prefix match. The when-chain is over the handful of
+    * deeper-than-base live values (the valve is for hot buckets, not
+    * the whole keyspace); entry points run recovery first, so the live
+    * tree the routing reads is already healed. */
+  private def bandedRouted(spark: SparkSession, dir: String, sh: DataFrame,
+                           meta: Meta): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deeper = PartitionedStore.partitions(fs, root, "bucket")
+      .map(_.getName.stripPrefix("bucket="))
+      .filter(_.length > meta.prefixLen)
+      .sortBy(-_.length)
+    val basic = banded(sh, meta)
+    if (deeper.isEmpty) basic
+    else {
+      val routed = deeper.foldLeft(
+        when(lit(false), lit(null: String))) { (acc, v) =>
+          acc.when(substring(col("band"), 1, v.length) === v, lit(v))
+        }.otherwise(col("bucket"))
+      basic.withColumn("bucket", routed)
+    }
   }
 
   // ---- shared encode / layout helpers ----
@@ -277,13 +387,46 @@ object BandIndex {
   private def sbucketOf(id: org.apache.spark.sql.Column, meta: Meta) =
     pmod(xxhash64(id), lit(meta.idBuckets.toLong))
 
-  private def recoverBoth(spark: SparkSession, dir: String): Unit = {
+  /** Crash repair for both stores. `healInflight` (write entry points
+    * only — single-writer means no op can actually be in flight then)
+    * additionally settles any crashed [[rebucket]] from its marker:
+    * base dir still live → uncommitted, scrub the op's tagged files;
+    * base dir gone → committed, drop the `.retired-` remnant; either
+    * way drop the marker and any leaked `.staging-rebucket-*` dirs.
+    * Read entry points skip this arm — to a reader an IN-FLIGHT
+    * rebucket looks exactly like a crashed one, and scrubbing it would
+    * delete the files its commit rename is about to make canonical;
+    * readers are correct unhealed because probe dedups candidates
+    * (stats may transiently double-count a crashed split's postings
+    * until the next write op heals — report-grade, documented). */
+  private def recoverBoth(spark: SparkSession, dir: String,
+                          healInflight: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = bandRoot.getFileSystem(conf)
     PartitionedStore.recover(fs, bandRoot, "bucket")
     PartitionedStore.recover(fs,
       new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket")
+    if (healInflight && fs.exists(bandRoot)) {
+      fs.listStatus(bandRoot)
+        .filter(_.getPath.getName.startsWith(".rebucket-inflight-"))
+        .foreach { m =>
+          val suffix = m.getPath.getName.stripPrefix(".rebucket-inflight-")
+          // suffix = <hexbucket>-<gen>; the bucket has no dashes
+          val bucket = suffix.substring(0, suffix.lastIndexOf('-'))
+          val live = new org.apache.hadoop.fs.Path(bandRoot, s"bucket=$bucket")
+          val retired = new org.apache.hadoop.fs.Path(bandRoot, s".retired-$bucket")
+          if (fs.exists(live))
+            PartitionedStore.scrubTag(fs, bandRoot, "bucket", s"rebucket-$suffix")
+          else if (fs.exists(retired)) fs.delete(retired, true)
+          fs.delete(m.getPath, false)
+        }
+      val dirRoot = new org.apache.hadoop.fs.Path(dir)
+      if (fs.exists(dirRoot))
+        fs.listStatus(dirRoot)
+          .filter(_.getPath.getName.startsWith(".staging-rebucket-"))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
     // re-cache any cached plans over a store whose files a prior
     // save / compact / tagged replay swapped out (PartitionedStore
     // .refresh scaladoc; probe's localCheckpoint is what actually

@@ -432,6 +432,14 @@ object DedupQueries {
       BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
       BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
       BandIndex.compact(s, dir, minFiles = 2)
+      // hot-bucket valve inside the gated pass: split the heaviest
+      // postings bucket one hex char deeper — the probe below must
+      // still match the brute-force oracle exactly (rebucket moves
+      // rows, never changes WHAT pairs come back)
+      val hot = BandIndex.stats(s, dir)
+        .orderBy(col("n_postings").desc, col("bucket")).select("bucket")
+        .head().getString(0)
+      BandIndex.rebucket(s, dir, hot, extraLen = 1)
       val batch2 = base.select((col("doc_id") + 60000L).as("doc_id"), col("text"))
       val probed = BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8)
       bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }

@@ -93,6 +93,132 @@ class BandIndexSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("rebucket: probe equality through split, nested split, post-split ingest routing") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_rebucket").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BandIndex.save(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, dir = dir, prefixLen = 1)
+    val probeB = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+    def probed() = pairSet(BandIndex.probe(spark, dir, probeB, "doc_id", "text", 0.8))
+    def postings() = spark.read.parquet(s"$dir/bands").count()
+    val (p0, n0) = (probed(), postings())
+    assert(p0.nonEmpty)
+
+    // split hot bucket "a" by one more hex char
+    BandIndex.rebucket(spark, dir, "a", extraLen = 1)
+    assert(!fs.exists(new Path(s"$dir/bands/bucket=a")), "base dir must retire")
+    val splitDirs = fs.listStatus(new Path(s"$dir/bands"))
+      .map(_.getPath.getName).filter(d => d.startsWith("bucket=a") && d.length == 9)
+    assert(splitDirs.nonEmpty, "split dirs bucket=aX must exist")
+    assert(postings() == n0, "rebucket must conserve postings exactly")
+    assert(probed() == p0, "probe must be identical after rebucket")
+
+    // nested: split one of the split dirs again (rebucket composes)
+    val sub = splitDirs.head.stripPrefix("bucket=")
+    BandIndex.rebucket(spark, dir, sub, extraLen = 1)
+    assert(postings() == n0 && probed() == p0, "nested rebucket must change nothing")
+
+    // ingest after the splits routes keys to their deepest live dir
+    // (keys whose split sub-dir is absent fall back to the base bucket,
+    // which may legitimately recreate it — and it can be re-split)
+    val filesIn = fs.listStatus(new Path(s"$dir/bands"))
+      .filter(_.getPath.getName.startsWith("bucket=a"))
+      .map(st => st.getPath.getName ->
+        fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))).toMap
+    val b1 = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+    BandIndex.addBatch(spark, dir, b1, "doc_id", "text")
+    val grown = fs.listStatus(new Path(s"$dir/bands"))
+      .filter(st => st.getPath.getName.startsWith("bucket=a") &&
+        st.getPath.getName.length > "bucket=a".length)
+      .count(st => fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet"))
+        > filesIn.getOrElse(st.getPath.getName, 0))
+    assert(grown > 0, "ingest must route postings into the split dirs")
+    // and the ingested docs are probe-visible (exact in-session equality)
+    val p1 = pairSet(BandIndex.probe(spark, dir, probeB, "doc_id", "text", 0.8))
+    val inSession = pairSet(DedupFunctions.incrementalNearDuplicates(
+      docs.unionByName(b1), probeB, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
+    assert(p1 == inSession, "post-split ingest + probe must equal the in-session path")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("rebucket crash heals on the next write entry: uncommitted scrubs, committed completes; mid-flight reads stay correct") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 150)
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_rbcrash").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BandIndex.save(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, dir = dir, prefixLen = 1)
+    val probeB = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+    def probed() = pairSet(BandIndex.probe(spark, dir, probeB, "doc_id", "text", 0.8))
+    def postings() = spark.read.parquet(s"$dir/bands").count()
+    val (p0, n0) = (probed(), postings())
+    assert(p0.nonEmpty)
+
+    // (a) UNCOMMITTED crash: split files fully moved in, base dir still
+    // live, marker present — exactly the state before the commit
+    // rename. Simulate by doing the split's file moves by hand.
+    val victim = "b"
+    val gen = 12345L
+    val tag = s"rebucket-$victim-$gen"
+    fs.create(new Path(s"$dir/bands/.rebucket-inflight-$victim-$gen"), true).close()
+    val staged = s"$dir/.staging-$tag"
+    spark.read.parquet(s"$dir/bands/bucket=$victim")
+      .select(col("id"), col("band"),
+        substring(col("band"), 1, 2).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    graft.functions.PartitionedStore.moveStagedTagged(fs,
+      new Path(staged), new Path(s"$dir/bands"), "bucket", tag)
+    spark.catalog.refreshByPath(dir)
+    // mid-flight READ: postings are duplicated on disk, but candidate
+    // dedup keeps the verified pairs exact — and the read must NOT heal
+    assert(probed() == p0, "mid-flight probe must be exact despite duplicate postings")
+    assert(fs.exists(new Path(s"$dir/bands/.rebucket-inflight-$victim-$gen")),
+      "a read entry point must not touch the in-flight marker")
+    assert(postings() > n0, "precondition: duplicates on disk")
+    // next WRITE entry heals: scrub the uncommitted split
+    BandIndex.compact(spark, dir, minFiles = 1000)
+    assert(!fs.exists(new Path(s"$dir/bands/.rebucket-inflight-$victim-$gen")))
+    assert(postings() == n0, "uncommitted split must be scrubbed exactly")
+    assert(probed() == p0)
+
+    // (b) COMMITTED crash: base dir renamed to .retired- but not yet
+    // deleted, marker present — run the real rebucket up to its delete
+    // by replaying the tail by hand.
+    val gen2 = 23456L
+    val tag2 = s"rebucket-$victim-$gen2"
+    fs.create(new Path(s"$dir/bands/.rebucket-inflight-$victim-$gen2"), true).close()
+    val staged2 = s"$dir/.staging-$tag2"
+    spark.read.parquet(s"$dir/bands/bucket=$victim")
+      .select(col("id"), col("band"),
+        substring(col("band"), 1, 2).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staged2)
+    graft.functions.PartitionedStore.moveStagedTagged(fs,
+      new Path(staged2), new Path(s"$dir/bands"), "bucket", tag2)
+    assert(fs.rename(new Path(s"$dir/bands/bucket=$victim"),
+      new Path(s"$dir/bands/.retired-$victim")))
+    spark.catalog.refreshByPath(dir)
+    // committed-but-unfinished: live tree already has exactly one copy
+    assert(postings() == n0)
+    assert(probed() == p0, "post-commit crash state must probe exactly")
+    BandIndex.addBatch(spark, dir,
+      docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text")),
+      "doc_id", "text")
+    assert(!fs.exists(new Path(s"$dir/bands/.retired-$victim")),
+      "the next write entry must finish the committed delete")
+    assert(!fs.exists(new Path(s"$dir/bands/.rebucket-inflight-$victim-$gen2")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("same-session save-overwrite rep loop never serves a stale listing") {
     // the bench rep loop that flaked once in 160 queries: rep N's
     // save(overwrite) deletes rep N-1's files, and without the
