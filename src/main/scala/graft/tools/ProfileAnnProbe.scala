@@ -97,6 +97,16 @@ object ProfileAnnProbe {
       probePlan.linesIterator
         .filter(l => l.contains("PartitionFilters") || l.contains("Location"))
         .take(4).foreach(l => println("  " + l.trim.take(200)))
+      // PLANNING alone (recovery + meta/centroid reads + probe-cell
+      // collect + file-index build + plan), no execution: the r13 ×100
+      // run surfaced planning — not scanning — as the component that
+      // grew with store size (1.95 → 4.79 s at flat 0.1 MB scanned),
+      // which prunedRead fixed; this column is the direct evidence
+      val plans = (1 to 3).map { _ =>
+        time { AnnIndex.probe(spark, dir, queries, "vec_id", "embedding", 5, 4)
+          .queryExecution.executedPlan }._2
+      }
+      val planMed = plans.sorted.apply(1)
       val runs = (1 to 3).map { _ =>
         val ((_, scanB), t) = time { measuredBytes {
           AnnIndex.probe(spark, dir, queries, "vec_id", "embedding", 5, 4).count() } }
@@ -108,6 +118,7 @@ object ProfileAnnProbe {
       println(f"f=$f%2d  cells=$cells%4d  build=${tBuild}%6.1f s  " +
         f"index=${totalBytes / 1e6}%8.1f MB  probedCells=${probed.size}%3d  " +
         f"probedBytes=${probedBytes / 1e6}%7.1f MB  " +
+        f"plan med=${planMed}%5.2f s  " +
         f"probe med=${med}%5.2f s (min ${minT}%5.2f)  scanRead=${scanMed / 1e6}%7.1f MB")
     }
     spark.stop()

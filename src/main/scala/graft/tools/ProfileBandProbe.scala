@@ -72,7 +72,14 @@ object ProfileBandProbe {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"
-    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    // seeded full PERMUTATION per replica (the ProfileScale lesson):
+    // rotations repeat with period 26, so a ×100 corpus would hold ~4
+    // verbatim copies of every batch doc and the probe law would
+    // measure synthesized duplicate density, not the store
+    def perm(s: String, seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      r.shuffle(s.toList).mkString
+    }
 
     for ((f, pl) <- series) {
       val p = s"$tmp/docs_x$f"
@@ -81,7 +88,8 @@ object ProfileBandProbe {
         else base.select(
           (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
           translate(col("text"), lower + upper + digits,
-            rot(lower, c * 7) + rot(upper, c * 7) + rot(digits, c * 3)).as("text"))
+            perm(lower, 3 * c + 1) + perm(upper, 3 * c + 2) +
+              perm(digits, 3 * c + 3)).as("text"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
       val corpus = spark.read.parquet(p)
       val dir = s"$tmp/bandidx_x${f}_pl$pl"
@@ -104,6 +112,17 @@ object ProfileBandProbe {
         .collect().map(_.getString(0)).toSet
       val probedBytes = stats.filter { case (b, _) => probedBuckets(b) }.values.sum
       BandIndex.probe(spark, dir, batch, "doc_id", "text", 0.8).unpersist(blocking = false)
+      // probe is eager (localCheckpoint), so planning can't be timed
+      // plan-only on the full pipeline; instead time the component the
+      // ANN ×100 run showed growing — the pruned postings read's plan
+      // (recovery + listing + file index + plan), no execution
+      val plans = (1 to 3).map { _ =>
+        time {
+          graft.functions.PartitionedStore.prunedRead(spark, s"$dir/bands",
+            "bucket", probedBuckets.toSeq).queryExecution.executedPlan
+        }._2
+      }
+      val planMed = plans.sorted.apply(1)
       val runs = (1 to 3).map { _ =>
         val ((pairs, scanB), t) = time { measuredBytes {
           val v = BandIndex.probe(spark, dir, batch, "doc_id", "text", 0.8)
@@ -117,6 +136,7 @@ object ProfileBandProbe {
       println(f"f=$f%3d pl=$pl  buckets=${math.pow(16, pl).toLong}%5d  " +
         f"build=${tBuild}%6.1f s  index=${totalBytes / 1e6}%8.1f MB  " +
         f"probedBuckets=${probedBuckets.size}%4d  probedBytes=${probedBytes / 1e6}%7.2f MB  " +
+        f"plan med=${planMed}%5.2f s  " +
         f"probe med=${med}%5.2f s (min ${minT}%5.2f)  scanRead=${scanMed / 1e6}%7.2f MB  " +
         f"pairs=${runs.head._3}%d")
     }
