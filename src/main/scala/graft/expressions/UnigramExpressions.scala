@@ -85,8 +85,12 @@ object UnigramExpressions {
             else if (p - j == 1) FallbackScore
             else NoPath
           if (sc != NoPath) {
-            val sum = dp(j) + sc // both ≤ 0: overflow shows as sum > dp(j)
-            val cand = if (sum > dp(j)) SatFloor else math.max(sum, SatFloor)
+            // trained scores are ≤ 0, but this is a public method over an
+            // arbitrary map: a POSITIVE sc legitimately raises the sum, so
+            // only a negative addend growing the sum means Long wrap
+            val sum = dp(j) + sc
+            val cand = if (sc < 0 && sum > dp(j)) SatFloor
+              else math.max(sum, SatFloor)
             // strict > with ascending j keeps the SMALLEST winning j
             if (cand > dp(p)) { dp(p) = cand; bp(p) = j }
           }

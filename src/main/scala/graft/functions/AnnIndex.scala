@@ -204,7 +204,7 @@ object AnnIndex {
     * planning included, follows the probe set, never the index size. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    recoverMaintenance(spark, dir, sweepRetired = false)
+    readEntry(spark, dir)
     val meta = readMeta(spark, dir)
     val cellCent = readCentroids(spark, s"$dir/centroids")
     val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
@@ -239,7 +239,7 @@ object AnnIndex {
     * operator which cells [[addBatch]] has grown past their neighbors
     * and [[resplitCell]] should split. */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
-    recoverMaintenance(spark, dir, sweepRetired = false)
+    readEntry(spark, dir)
     import spark.implicits._
     // ivf_pq stores m code rows per vector — report VECTORS, not rows
     // (still footer-count-only: rows / m is exact, no distinct needed)
@@ -248,12 +248,14 @@ object AnnIndex {
     val root = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // read path: IGNORE (don't sweep) dirs retired by a resplit — see
-    // recoverMaintenance; the centroid read is the KB pull every probe
+    // recoverMaintenance; a cell parked in `.old-` by a crashed or
+    // in-flight compact is listed THROUGH its backup (readPartitions),
+    // never restored; the centroid read is the KB pull every probe
     // already does
     val liveCids = readCentroids(spark, s"$dir/centroids").map(_._1).toSet
-    val fsRows = PartitionedStore.partitions(fs, root, "cell")
-      .map { pd =>
-        val cid = pd.getName.stripPrefix("cell=").toLong
+    val fsRows = PartitionedStore.readPartitions(fs, root, "cell")
+      .map { case (v, pd) =>
+        val cid = v.toLong
         val files = fs.listStatus(pd)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         (cid, files.map(_.getPath.toString), files.length.toLong,
@@ -394,25 +396,29 @@ object AnnIndex {
   }
 
   /** Repair whatever a crashed maintenance pass left behind — called
-    * from EVERY entry point that reads or writes the inverted file
-    * (probe, indexStats, compactCells, addBatch, addBatchTagged,
-    * resplitCell), because the write paths are where a stale state is
-    * dangerous: an ingest that recreates a live `cell=X` while `.old-X`
-    * still holds the pre-compaction rows would make the next read-side
-    * recovery delete `.old-X` — silently dropping every old vector of
-    * that cell. Three repairs, in dependency order (the first two on
-    * every entry point, the third on write entry points only):
-    *   1. `.old-<cid>` with no live `cell=<cid>` twin → the crash landed
-    *      between [[compactCells]]' two renames; restore it (else every
-    *      probe silently misses the whole cell). With a live twin the
-    *      backup is stale → drop it.
+    * from every WRITE entry point (compactCells, addBatch,
+    * addBatchTagged, resplitCell) and from write entry points ONLY:
+    * single-writer means nothing can be in flight when a writer runs,
+    * so every remnant it sees really is a crash. A READER cannot make
+    * that call — an in-flight compact mid-swap looks exactly like a
+    * crashed one, and a reader "restoring" `.old-X` between the two
+    * renames makes the writer's staged→live rename fail (ADVICE r14);
+    * read entry points (probe, indexStats) therefore mutate NOTHING
+    * and read through the remnants instead ([[PartitionedStore
+    * .prunedRead]] serves an orphaned `.old-` backup's rows,
+    * [[PartitionedStore.readPartitions]] lists them). The write-side
+    * heal also matters for appends: an ingest that recreates a live
+    * `cell=X` while `.old-X` still holds the pre-compaction rows would
+    * make the next recovery delete `.old-X` — silently dropping every
+    * old vector of that cell. Three repairs, in dependency order:
+    *   1. `.old-<cid>` with no live `cell=<cid>` twin → the crash
+    *      landed between [[compactCells]]' two renames; restore it.
+    *      With a live twin the backup is stale → drop it.
     *   2. stale `.compact-*` staging dirs → leaked cell copy from a
     *      crash before the swap; drop.
-    *   3. WRITE ENTRY POINTS ONLY (`sweepRetired = true` — addBatch /
-    *      addBatchTagged / resplitCell / compactCells): `cell=<cid>`
-    *      dirs whose cid is absent from the centroids file → a
-    *      [[resplitCell]] crash between the centroid swap and the
-    *      old-dir delete leaves the retired cell on disk forever:
+    *   3. `cell=<cid>` dirs whose cid is absent from the centroids
+    *      file → a [[resplitCell]] crash between the centroid swap and
+    *      the old-dir delete leaves the retired cell on disk forever:
     *      probes never read it (cid is gone from the centroids), but
     *      indexStats would double-count the split vectors and
     *      compactCells keeps compacting a dead partition. Runs AFTER
@@ -421,16 +427,11 @@ object AnnIndex {
     *      sub-cell dirs from a resplit that crashed BEFORE its
     *      centroid swap are swept by the same rule (their cids are not
     *      in the centroids either), which is exactly the scrub the
-    *      retry would do. Read entry points (probe, indexStats) MUST
-    *      NOT sweep: the single-writer contract allows a reader to run
-    *      concurrently with an in-flight resplitCell, and between the
-    *      sub-cell append and the centroid swap the fresh sub-cell
-    *      dirs are exactly "cids absent from the centroids" — a reader
-    *      sweeping them would make the subsequent centroid swap point
-    *      at deleted data. Readers instead IGNORE retired dirs
-    *      (probe's scan is pruned to centroid-listed cells; indexStats
-    *      filters its listing to live cids), which is safe without
-    *      deleting anything.
+    *      retry would do. (Readers ignore retired dirs without
+    *      deleting: probe's scan is pruned to centroid-listed cells,
+    *      indexStats filters its listing to live cids — so a reader
+    *      concurrent with an in-flight resplit can never sweep the
+    *      fresh sub-cells out from under the coming centroid swap.)
     * Listing-only plus one KB centroid read when there is nothing to
     * repair (the common case). */
   private def recoverMaintenance(spark: SparkSession, dir: String,
@@ -461,6 +462,13 @@ object AnnIndex {
     // write-path recovery test).
     PartitionedStore.refresh(spark, dir)
   }
+
+  /** Read-entry prologue (probe, indexStats): NO filesystem mutation —
+    * see [[recoverMaintenance]]'s contract note. Only the driver-side
+    * catalog refresh remains (re-lists cached plans over files a prior
+    * maintenance op swapped; writes nothing). */
+  private def readEntry(spark: SparkSession, dir: String): Unit =
+    PartitionedStore.refresh(spark, dir)
 
   /** The distinct cells the query set will probe — a queries×nprobe
     * KB readback (same boundary class as the centroid pull) used to

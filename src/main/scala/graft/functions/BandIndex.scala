@@ -43,8 +43,12 @@ import org.apache.spark.storage.StorageLevel
   * via the shared [[PartitionedStore]] machinery: replay-idempotent
   * tagged ingest for sources that retry (streaming foreachBatch),
   * [[compact]] as the small-files valve, and a recovery pass on every
-  * entry point so a crash anywhere leaves every committed row
-  * reachable exactly once. Single-writer contract for writes.
+  * WRITE entry point so a crash anywhere leaves every committed row
+  * reachable exactly once (read entry points never mutate — they read
+  * THROUGH crash remnants via [[PartitionedStore.readPartitions]] /
+  * the orphan-aware [[PartitionedStore.prunedRead]], so a reader
+  * concurrent with a live compact can't corrupt it). Single-writer
+  * contract for writes.
   */
 object BandIndex {
 
@@ -89,7 +93,7 @@ object BandIndex {
     * replay heals and a plain append cannot. */
   def addBatch(spark: SparkSession, dir: String, batch: DataFrame,
                idCol: String, textCol: String): Unit = {
-    recoverBoth(spark, dir, healInflight = true)
+    recoverBoth(spark, dir)
     val meta = readMeta(spark, dir)
     val sh = shingled(batch, idCol, textCol, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -114,7 +118,7 @@ object BandIndex {
     require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a safe file prefix: $tag")
     require(!tag.startsWith("rebucket-"),
       "the rebucket- tag prefix is reserved for [[rebucket]]'s staged moves")
-    recoverBoth(spark, dir, healInflight = true)
+    recoverBoth(spark, dir)
     val meta = readMeta(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val shRoot = new org.apache.hadoop.fs.Path(s"$dir/shingles")
@@ -150,30 +154,32 @@ object BandIndex {
     * ≤ idBuckets values — the probeCells boundary class), never data. */
   def probe(spark: SparkSession, dir: String, batch: DataFrame,
             idCol: String, textCol: String, threshold: Double): DataFrame = {
-    recoverBoth(spark, dir)
+    readEntry(spark, dir)
     val meta = readMeta(spark, dir)
     val batchSh = shingled(batch, idCol, textCol, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val batchBands = banded(batchSh, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // base (prefixLen) buckets of the batch, widened to the live dirs
-    // they prefix-match: a [[rebucket]]-split hot bucket stores its
-    // postings under LONGER bucket values, and the exact prunedRead
-    // over the matched names keeps the INSET PartitionFilters shape
+    // base (prefixLen) buckets of the batch, widened to the stored
+    // values they prefix-match: a [[rebucket]]-split hot bucket stores
+    // its postings under LONGER bucket values, and the exact pruned
+    // read over the matched names keeps the INSET PartitionFilters
+    // shape. ONE root listing serves both the prefix match and the
+    // pruned read (readView/prunedReadView — at 16^prefixLen dirs the
+    // listing is the probe's dominant metadata cost), and it is the
+    // READ view: a bucket parked in `.old-` by a crashed or in-flight
+    // compact is served through its backup, never repaired.
     val baseBuckets = batchBands.select("bucket").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val buckets = prefixMatched(spark, s"$dir/bands", baseBuckets)
+      .collect().map(_.getString(0)).toSet
+    val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val fsB = bandRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val view = PartitionedStore.readView(fsB, bandRoot, "bucket")
+    val buckets = (view._1.map(_.getName.stripPrefix("bucket=")) ++ view._2.keys)
+      .filter(v => baseBuckets.exists(v.startsWith))
     val idxBands = PartitionedStore
-      .prunedRead(spark, s"$dir/bands", "bucket", buckets)
+      .prunedReadView(spark, s"$dir/bands", "bucket", buckets, view)
       .select("id", "band")
-    // probe batch × (index ∪ batch): batch-old pairs land once,
-    // batch-batch twice (both sides probe) — canonicalize and distinct
-    val cand = batchBands.as("x")
-      .join(idxBands.unionByName(batchBands.select("id", "band")).as("y"),
-        col("x.band") === col("y.band") && col("x.id") =!= col("y.id"))
-      .select(least(col("x.id"), col("y.id")).as("a"),
-        greatest(col("x.id"), col("y.id")).as("b"))
-      .distinct()
+    val cand = probeCandidates(batchBands, idxBands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sbuckets = cand
       .select(explode(array(col("a"), col("b"))).as("id"))
@@ -182,13 +188,7 @@ object BandIndex {
     val idxSh = PartitionedStore
       .prunedRead(spark, s"$dir/shingles", "sbucket", sbuckets)
       .select("id", "sh")
-    val sh = idxSh.unionByName(batchSh)
-    val verified = cand
-      .join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "__sha"), Seq("a"))
-      .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "__shb"), Seq("b"))
-      .withColumn("jac", jaccard(col("__sha"), col("__shb")))
-      .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
+    val verified = verifyPairs(cand, idxSh.unionByName(batchSh), threshold)
     // Materialize AND sever the result from the store's files via an
     // eager localCheckpoint: the returned plan is a LogicalRDD (fresh
     // RDD id), never plan-equal to a later probe's. Returning a
@@ -211,7 +211,7 @@ object BandIndex {
     * Returns (store, partitionValue) per compacted partition. */
   def compact(spark: SparkSession, dir: String,
               minFiles: Int = 8): Seq[(String, String)] = {
-    recoverBoth(spark, dir, healInflight = true)
+    recoverBoth(spark, dir)
     PartitionedStore.compact(spark,
         new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket", minFiles)
       .map("bands" -> _) ++
@@ -225,14 +225,16 @@ object BandIndex {
     * pattern): the skew report that shows which band buckets ingest
     * has grown hot and how many files [[compact]] would fold. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
-    recoverBoth(spark, dir)
+    readEntry(spark, dir)
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fsRows = PartitionedStore.partitions(fs, root, "bucket").map { pd =>
+    // a bucket parked in `.old-` by a crashed or in-flight compact is
+    // listed THROUGH its backup dir (readPartitions), never restored
+    val fsRows = PartitionedStore.readPartitions(fs, root, "bucket").map { case (v, pd) =>
       val files = fs.listStatus(pd)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      (pd.getName.stripPrefix("bucket="), files.map(_.getPath.toString),
+      (v, files.map(_.getPath.toString),
         files.length.toLong, files.map(_.getLen).sum)
     }
     // posting counts from parquet FOOTERS over the listed files — one
@@ -255,8 +257,8 @@ object BandIndex {
     * remedy is a full re-save of the postings store. Only the split
     * bucket's partition is read and rewritten (cost ∝ bucket, never ∝
     * store); shingles are untouched. Probes need no migration flag:
-    * they widen each batch bucket to the live dirs it prefixes
-    * ([[prefixMatched]]), and ingest routes new postings to the
+    * they widen each batch bucket to the stored values it prefixes
+    * (the [[probe]] prefix match), and ingest routes new postings to the
     * deepest live dir ([[bandedRouted]]), so mixed depths — including
     * a re-split of a split ([[rebucket]] composes) — coexist.
     *
@@ -281,7 +283,7 @@ object BandIndex {
     * pins both arms and the mid-flight read). */
   def rebucket(spark: SparkSession, dir: String, bucket: String,
                extraLen: Int = 1): Unit = {
-    recoverBoth(spark, dir, healInflight = true)
+    recoverBoth(spark, dir)
     require(extraLen >= 1 && bucket.length + extraLen <= 8,
       s"need 1 <= extraLen and bucket+extra <= 8 hex chars, got " +
         s"'$bucket' + $extraLen")
@@ -309,46 +311,78 @@ object BandIndex {
     PartitionedStore.refresh(spark, dir)
   }
 
-  /** The live postings dirs a probe's base buckets select: each stored
-    * value keeps its full band-key prefix, so a value belongs to base
-    * bucket b iff it starts with b. Driver-side listing (the same one
-    * recovery already pays), ≤ 16^prefixLen + splits names. */
-  private def prefixMatched(spark: SparkSession, rootDir: String,
-                            baseBuckets: Seq[String]): Seq[Any] = {
-    val root = new org.apache.hadoop.fs.Path(rootDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = baseBuckets.toSet
-    PartitionedStore.partitions(fs, root, "bucket")
-      .map(_.getName.stripPrefix("bucket="))
-      .filter(v => base.exists(v.startsWith))
-  }
-
   /** [[banded]] with the bucket column routed to the DEEPEST live dir
     * whose value prefixes the band key — so ingest after a
     * [[rebucket]] keeps feeding the split dirs instead of recreating
     * the retired base dir. Band keys whose split-depth dir does not
     * exist yet fall back to the base (prefixLen) bucket, which probes
-    * still find by prefix match. The when-chain is over the handful of
-    * deeper-than-base live values (the valve is for hot buckets, not
-    * the whole keyspace); entry points run recovery first, so the live
-    * tree the routing reads is already healed. */
-  private def bandedRouted(spark: SparkSession, dir: String, sh: DataFrame,
-                           meta: Meta): DataFrame = {
+    * still find by prefix match. Routing is ONE branch per distinct
+    * split DEPTH (≤ 8 − prefixLen branches ever, deepest first), each
+    * an O(1) set-membership on the band's depth-prefix — codegen depth
+    * is bounded no matter how many buckets an operator has split (a
+    * per-VALUE when-chain here went O(splits)-deep, fine for a few hot
+    * buckets but degenerate under wide rebucketing — r14 finding).
+    * Entry points run recovery first, so the live tree the routing
+    * reads is already healed. */
+  private[graft] def bandedRouted(spark: SparkSession, dir: String, sh: DataFrame,
+                                  meta: Meta): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deeper = PartitionedStore.partitions(fs, root, "bucket")
       .map(_.getName.stripPrefix("bucket="))
       .filter(_.length > meta.prefixLen)
-      .sortBy(-_.length)
     val basic = banded(sh, meta)
     if (deeper.isEmpty) basic
     else {
-      val routed = deeper.foldLeft(
-        when(lit(false), lit(null: String))) { (acc, v) =>
-          acc.when(substring(col("band"), 1, v.length) === v, lit(v))
+      // per-length prefix lookup: a band's L-prefix can equal at most
+      // one live value of length L, so "deepest wins" is the first
+      // matching length, descending
+      val byLen = deeper.groupBy(_.length).toSeq.sortBy(-_._1)
+      val routed = byLen.foldLeft(
+        when(lit(false), lit(null: String))) { case (acc, (len, vs)) =>
+          val pfx = substring(col("band"), 1, len)
+          acc.when(pfx.isInCollection(vs), pfx)
         }.otherwise(col("bucket"))
       basic.withColumn("bucket", routed)
     }
+  }
+
+  // ---- the shared banding probe kernel ----
+  // ONE implementation of the probe contract, used by both the
+  // persisted path ([[probe]], corpus sides served from pruned disk
+  // reads) and the in-session path ([[DedupFunctions
+  // .incrementalNearDuplicates]], corpus sides as live frames) — the
+  // two paths previously hand-rolled identical pipelines that could
+  // drift (r13 finding). BandIndexSpec's probe-equality pin is the
+  // contract for both.
+
+  /** Candidate pairs of a probe: batch × (corpus ∪ batch) on band-key
+    * equality — batch-corpus pairs land once, batch-batch twice (both
+    * sides probe) — canonicalized (a < b) and distinct'ed. Inputs any
+    * frames with (id, band); extra columns are dropped. Lazy. */
+  private[graft] def probeCandidates(batchBands: DataFrame,
+                                     corpusBands: DataFrame): DataFrame = {
+    val bb = batchBands.select("id", "band")
+    bb.as("x")
+      .join(corpusBands.select("id", "band").unionByName(bb).as("y"),
+        col("x.band") === col("y.band") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verify of candidate pairs against a shingle-set
+    * relation (id, sh): keeps (a, b, jac) with jac >= threshold.
+    * Lazy; caller decides materialization. */
+  private[graft] def verifyPairs(cand: DataFrame, sh: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val s = sh.select("id", "sh")
+    cand
+      .join(s.withColumnRenamed("id", "a").withColumnRenamed("sh", "__sha"), Seq("a"))
+      .join(s.withColumnRenamed("id", "b").withColumnRenamed("sh", "__shb"), Seq("b"))
+      .withColumn("jac", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
   }
 
   // ---- shared encode / layout helpers ----
@@ -387,27 +421,29 @@ object BandIndex {
   private def sbucketOf(id: org.apache.spark.sql.Column, meta: Meta) =
     pmod(xxhash64(id), lit(meta.idBuckets.toLong))
 
-  /** Crash repair for both stores. `healInflight` (write entry points
-    * only — single-writer means no op can actually be in flight then)
-    * additionally settles any crashed [[rebucket]] from its marker:
-    * base dir still live → uncommitted, scrub the op's tagged files;
-    * base dir gone → committed, drop the `.retired-` remnant; either
-    * way drop the marker and any leaked `.staging-rebucket-*` dirs.
-    * Read entry points skip this arm — to a reader an IN-FLIGHT
-    * rebucket looks exactly like a crashed one, and scrubbing it would
-    * delete the files its commit rename is about to make canonical;
-    * readers are correct unhealed because probe dedups candidates
-    * (stats may transiently double-count a crashed split's postings
-    * until the next write op heals — report-grade, documented). */
-  private def recoverBoth(spark: SparkSession, dir: String,
-                          healInflight: Boolean = false): Unit = {
+  /** Crash repair for both stores — WRITE entry points only
+    * (single-writer means no op can actually be in flight when a
+    * writer runs, so every remnant really is a crash; a READER cannot
+    * tell a crash from an op in flight right now, and repairing the
+    * latter corrupts it — ADVICE r14: restoring `.old-` mid-compact
+    * makes the writer's staged→live rename fail. Read entry points
+    * mutate nothing: [[readEntry]] + the read-through listing).
+    * Beyond [[PartitionedStore.recover]] this settles any crashed
+    * [[rebucket]] from its marker: base dir still live → uncommitted,
+    * scrub the op's tagged files; base dir gone → committed, drop the
+    * `.retired-` remnant; either way drop the marker and any leaked
+    * `.staging-rebucket-*` dirs. (An unhealed rebucket never breaks a
+    * reader: its postings exist twice and probe candidates are
+    * distinct()ed; stats may transiently double-count until the next
+    * write op heals — report-grade, documented.) */
+  private def recoverBoth(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = bandRoot.getFileSystem(conf)
     PartitionedStore.recover(fs, bandRoot, "bucket")
     PartitionedStore.recover(fs,
       new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket")
-    if (healInflight && fs.exists(bandRoot)) {
+    if (fs.exists(bandRoot)) {
       fs.listStatus(bandRoot)
         .filter(_.getPath.getName.startsWith(".rebucket-inflight-"))
         .foreach { m =>
@@ -436,6 +472,13 @@ object BandIndex {
     // capture an empty listing for that partition.
     PartitionedStore.refresh(spark, dir)
   }
+
+  /** Read-entry prologue (probe, stats): NO filesystem mutation — see
+    * [[recoverBoth]]'s contract note. Only the driver-side catalog
+    * refresh remains (re-lists cached plans over files a prior
+    * maintenance op swapped; writes nothing). */
+  private def readEntry(spark: SparkSession, dir: String): Unit =
+    PartitionedStore.refresh(spark, dir)
 
   private def writeMeta(spark: SparkSession, dir: String, meta: Meta): Unit = {
     import spark.implicits._

@@ -178,17 +178,16 @@ object DedupFunctions {
         bands, r)))
       .select("__id", "__band")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // self-join candidates (a < b, one landing per pair) — the probe
+    // kernel's batch×corpus shape does not apply here, but the VERIFY
+    // stage is the shared [[BandIndex.verifyPairs]]
     val cand = withBands.as("x").join(withBands.as("y"),
         col("x.__band") === col("y.__band") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
-    val sh = withSh.select(col("__id"), col("__sh"))
-    val verified = cand
-      .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "__sha"), Seq("a"))
-      .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "__shb"), Seq("b"))
-      .withColumn("jac", jaccard(col("__sha"), col("__shb")))
-      .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
+    val verified = BandIndex
+      .verifyPairs(cand,
+        withSh.select(col("__id").as("id"), col("__sh").as("sh")), threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // materialize, then release the corpus-sized blocks
     withBands.unpersist(blocking = false)
@@ -207,6 +206,12 @@ object DedupFunctions {
     * materialized — here it is built in-call and persisted for the
     * call's lifetime), never a corpus × corpus self-join. Ids must be
     * globally unique across old and new.
+    *
+    * The candidate/verify pipeline IS [[BandIndex.probeCandidates]] /
+    * [[BandIndex.verifyPairs]] — the one banding-probe implementation
+    * in the repo; this call differs from [[BandIndex.probe]] only in
+    * where the corpus sides come from (live frames vs pruned reads of
+    * the persisted store).
     */
   def incrementalNearDuplicates(oldDocs: DataFrame, newDocs: DataFrame,
                                 idCol: String, textCol: String,
@@ -219,33 +224,21 @@ object DedupFunctions {
         "candidates) and a non-divisible split silently discards the " +
         "trailing hashes the caller asked for")
     val r = numHashes / bands
-    def prep(d: DataFrame): DataFrame = d.select(col(idCol).as("__id"),
-        wordShingles(col(textCol), shingleN).as("__sh"))
+    def prep(d: DataFrame): DataFrame = d.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def bandsOf(sh: DataFrame): DataFrame = sh
-      .withColumn("__band", explode(bandKeys(
+      .withColumn("band", explode(bandKeys(
         graft.expressions.HashExpressions.minhash_signature(
-          col("__sh"), numHashes, hashFamily), bands, r)))
-      .select("__id", "__band")
+          col("sh"), numHashes, hashFamily), bands, r)))
+      .select("id", "band")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oldSh = prep(oldDocs); val newSh = prep(newDocs)
     val oldBands = bandsOf(oldSh) // "the stored index"
     val newBands = bandsOf(newSh)
-    // probe new × (old ∪ new): new-old pairs land once, new-new twice
-    // (both probe) — canonicalize and distinct
-    val cand = newBands.as("x")
-      .join(oldBands.unionByName(newBands).as("y"),
-        col("x.__band") === col("y.__band") && col("x.__id") =!= col("y.__id"))
-      .select(least(col("x.__id"), col("y.__id")).as("a"),
-        greatest(col("x.__id"), col("y.__id")).as("b"))
-      .distinct()
-    val sh = oldSh.unionByName(newSh)
-    val verified = cand
-      .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "__sha"), Seq("a"))
-      .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "__shb"), Seq("b"))
-      .withColumn("jac", jaccard(col("__sha"), col("__shb")))
-      .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
+    val verified = BandIndex
+      .verifyPairs(BandIndex.probeCandidates(newBands, oldBands),
+        oldSh.unionByName(newSh), threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // materialize, then release the corpus-sized blocks
     Seq(oldBands, newBands, oldSh, newSh).foreach(_.unpersist(blocking = false))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Shared crash-safe maintenance machinery for on-disk stores laid out
   * as a parquet tree partitioned by ONE column ([[AnnIndex]]'s
@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions.col
   * live→backup, staged→live rename swap), and the recovery pass that
   * repairs a crash at any point of either. Single-writer contract
   * throughout: one maintenance/ingest op per store at a time, readers
-  * any time (every reader entry point runs [[recover]] first).
+  * any time. [[recover]] runs on WRITE entry points only — a reader
+  * cannot distinguish a crashed compact from one that is in flight
+  * right now, and "repairing" the latter (restoring the live→backup
+  * rename mid-swap) makes the writer's staged→live rename fail. Read
+  * entry points never mutate: they read THROUGH crash remnants instead
+  * ([[prunedRead]] serves a probed value from its orphaned `.old-`
+  * backup, [[readPartitions]] lists backups as their value).
   *
   * The invariant the trio preserves: every committed row is reachable
   * under exactly one live `<part>=<v>` directory, no matter where a
@@ -32,6 +38,42 @@ private[graft] object PartitionedStore {
       fs.listStatus(root).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(partCol + "=")).map(_.getPath).toSeq
     else Seq.empty
+
+  /** ONE root listing split into the reader's view: (live partition
+    * dirs, orphan `.old-<v>` backups with no live twin, keyed by
+    * value). The orphans are the rows of a [[compact]] that crashed
+    * (or is in flight on another writer RIGHT NOW) between its
+    * live→backup and staged→live renames — write entry points heal
+    * them via [[recover]]; read entry points must not mutate, so they
+    * read through the backup instead. Single listStatus call: at
+    * 10⁴–10⁵ partition dirs the root listing is the dominant
+    * metadata-plane cost of a probe (ProfileBandProbe ×100), so read
+    * paths must never pay it twice for one view. */
+  def readView(fs: FileSystem, root: Path, partCol: String)
+  : (Seq[Path], Map[String, Path]) =
+    if (!fs.exists(root)) (Seq.empty, Map.empty)
+    else {
+      val sts = fs.listStatus(root).filter(_.isDirectory)
+      val live = sts.map(_.getPath)
+        .filter(_.getName.startsWith(partCol + "=")).toSeq
+      val liveVals = live.map(_.getName.stripPrefix(partCol + "=")).toSet
+      val orphans = sts.filter(_.getPath.getName.startsWith(".old-"))
+        .map(st => (st.getPath.getName.stripPrefix(".old-"), st.getPath))
+        .filterNot { case (v, _) => liveVals(v) }
+        .toMap
+      (live, orphans)
+    }
+
+  /** The partition view a READER should use: (value, dir) for every
+    * live partition, plus each orphan backup standing in for its
+    * missing value — so stats/listing paths stay correct across a
+    * crashed (or concurrently in-flight) compact without repairing
+    * anything. One root listing. */
+  def readPartitions(fs: FileSystem, root: Path, partCol: String): Seq[(String, Path)] = {
+    val (live, orphans) = readView(fs, root, partCol)
+    live.map(pd => (pd.getName.stripPrefix(partCol + "="), pd)) ++
+      orphans.toSeq.sortBy(_._1)
+  }
 
   /** Re-cache any CACHED plans referencing `dir` — called at every
     * store entry point. The rename swaps these stores do (compact /
@@ -59,8 +101,8 @@ private[graft] object PartitionedStore {
     * grows with store size even while probed bytes stay flat (the
     * constant the ×100 ANN run surfaced: probe wall 1.95 s → 4.79 s at
     * a flat 0.1 MB scanned, SCALE.md). Listing the probed dirs under
-    * `basePath` keeps discovery at one root listing (already paid by
-    * [[recover]]) plus a file index over only the probed dirs. The
+    * `basePath` keeps discovery at one root listing plus a file index
+    * over only the probed dirs. The
     * partition column survives via basePath discovery and the isin
     * filter is re-applied, so the executed plan keeps its `INSET`
     * PartitionFilters shape (PlanSpec pins it). Values absent from the
@@ -71,13 +113,46 @@ private[graft] object PartitionedStore {
                  values: Seq[Any]): DataFrame = {
     val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = partitions(fs, root, partCol).map(_.getName).toSet
-    val hit = values.distinct.map(v => s"$partCol=$v").filter(live)
+    prunedReadView(spark, rootDir, partCol, values, readView(fs, root, partCol))
+  }
+
+  /** [[prunedRead]] against an ALREADY-LISTED view — for callers that
+    * just paid the root listing for their own bookkeeping (e.g. a
+    * probe prefix-matching its buckets against the live dirs): at
+    * 10⁴–10⁵ partitions each redundant listing is a measurable slice
+    * of probe planning. */
+  private[graft] def prunedReadView(spark: SparkSession, rootDir: String,
+                                    partCol: String, values: Seq[Any],
+                                    view: (Seq[Path], Map[String, Path])): DataFrame = {
+    val (liveDirs, orphans) = view
+    val live = liveDirs.map(_.getName).toSet
+    val wanted = values.distinct
+    val hit = wanted.map(v => s"$partCol=$v").filter(live)
+    // read-through, never repair: a probed value whose live dir is
+    // missing but whose `.old-<v>` backup survives is a compact that
+    // crashed — or is in flight — between its two renames; serve its
+    // rows from the backup dir with the partition column re-attached
+    // (the dir's files were written under partitionBy, so they lack
+    // it). Write entry points run recover() first and see no orphans.
+    val orphanHit = wanted
+      .filter(v => !live(s"$partCol=$v") && orphans.contains(v.toString))
     val base =
-      if (hit.isEmpty) spark.read.parquet(rootDir)
-      else spark.read.option("basePath", rootDir)
-        .parquet(hit.map(d => s"$rootDir/$d"): _*)
-    base.filter(col(partCol).isin(values: _*))
+      if (hit.nonEmpty)
+        Some(spark.read.option("basePath", rootDir)
+          .parquet(hit.map(d => s"$rootDir/$d"): _*)
+          .filter(col(partCol).isin(values: _*)))
+      else if (orphanHit.isEmpty)
+        // fully-absent value set: full-tree read purely to preserve
+        // the result SCHEMA of an empty probe
+        Some(spark.read.parquet(rootDir).filter(col(partCol).isin(values: _*)))
+      else None
+    val orphanReads = orphanHit.map { v =>
+      val partType = base.map(_.schema(partCol).dataType).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal(v).dataType)
+      spark.read.parquet(orphans(v.toString).toString)
+        .withColumn(partCol, lit(v).cast(partType))
+    }
+    (base.toSeq ++ orphanReads).reduce(_ unionByName _)
   }
 
   /** Delete every `<tag>-*` file from the live partition dirs — the
@@ -204,10 +279,15 @@ private[graft] object PartitionedStore {
 
   /** Repair a crashed [[compact]]: a `.old-<v>` with no live
     * `<part>=<v>` twin means the crash landed between the two renames
-    * — restore it (until then every reader silently misses the whole
-    * partition); with a live twin the backup is stale — drop it. Also
-    * drops leaked `.compact-*` staging dirs. Listing-only when there
-    * is nothing to repair (the common case). */
+    * — restore it; with a live twin the backup is stale — drop it.
+    * Also drops leaked `.compact-*` staging dirs. Listing-only when
+    * there is nothing to repair (the common case). WRITE entry points
+    * ONLY (single-writer means nothing can be in flight when they
+    * run): called from a read path this races a live [[compact]] — a
+    * reader restoring the backup between the two renames makes the
+    * writer's staged→live rename fail, and deleting `.compact-*`
+    * deletes the write in progress. Readers use [[prunedRead]] /
+    * [[readPartitions]], which read through the remnants unmutated. */
   def recover(fs: FileSystem, root: Path, partCol: String): Unit =
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>

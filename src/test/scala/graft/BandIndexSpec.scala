@@ -78,17 +78,26 @@ class BandIndexSpec extends AnyFunSuite {
     assert(probed() == pBefore, "compaction changed probe results")
 
     // crash mid-swap: live bucket parked in backup + a stale staging
-    // leak -> the next entry point (stats here) restores both stores'
-    // invariant before reading
+    // leak. Read entry points MUST NOT repair (to a reader this is
+    // indistinguishable from a compact in flight right now — ADVICE
+    // r14); stats and probe read THROUGH the orphaned backup instead
     val victim = fs.listStatus(new Path(s"$dir/bands"))
       .filter(_.getPath.getName.startsWith("bucket=")).head.getPath
     val v = victim.getName.stripPrefix("bucket=")
     fs.rename(victim, new Path(s"$dir/bands/.old-$v"))
     fs.mkdirs(new Path(s"$dir/bands/.compact-$v"))
     assert(BandIndex.stats(spark, dir).agg(sum("n_postings")).head.getLong(0)
-      == once._1, "stats must restore the mid-swap bucket")
+      == once._1, "stats must read through the mid-swap bucket")
+    assert(probed() == pBefore, "probe must read through the mid-swap bucket")
+    assert(fs.exists(new Path(s"$dir/bands/.old-$v")) &&
+      fs.exists(new Path(s"$dir/bands/.compact-$v")) &&
+      !fs.exists(new Path(s"$dir/bands/bucket=$v")),
+      "a read entry point must not mutate the store")
+    // the next WRITE entry point heals — a no-op compact pass suffices
+    BandIndex.compact(spark, dir, minFiles = 999)
     assert(!fs.exists(new Path(s"$dir/bands/.old-$v")) &&
-      !fs.exists(new Path(s"$dir/bands/.compact-$v")))
+      !fs.exists(new Path(s"$dir/bands/.compact-$v")) &&
+      fs.exists(new Path(s"$dir/bands/bucket=$v")))
     assert(probed() == pBefore, "healed index must probe identically")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
@@ -143,6 +152,58 @@ class BandIndexSpec extends AnyFunSuite {
       docs.unionByName(b1), probeB, "doc_id", "text",
       shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8))
     assert(p1 == inSession, "post-split ingest + probe must equal the in-session path")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("wide rebucketing: ~50+ splits keep probe equality and a BOUNDED routing expression") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_wide").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BandIndex.save(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, dir = dir, prefixLen = 1)
+    val probeB = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+    def probed() = pairSet(BandIndex.probe(spark, dir, probeB, "doc_id", "text", 0.8))
+    def postings() = spark.read.parquet(s"$dir/bands").count()
+    val (p0, n0) = (probed(), postings())
+    assert(p0.nonEmpty)
+
+    // split EVERY base bucket — the broad-rebucket regime the valve was
+    // not built for but must survive — then nest one split deeper
+    val baseBuckets = fs.listStatus(new Path(s"$dir/bands"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=")).filter(_.length == 1).sorted
+    baseBuckets.foreach(b => BandIndex.rebucket(spark, dir, b, extraLen = 1))
+    val deeper = fs.listStatus(new Path(s"$dir/bands"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=")).filter(_.length > 1)
+    assert(deeper.length >= 50, s"fixture must create a WIDE split set, got ${deeper.length}")
+    BandIndex.rebucket(spark, dir, deeper.head, extraLen = 1)
+    assert(postings() == n0, "wide rebucketing must conserve postings")
+    assert(probed() == p0, "probe must be identical across a wide split set")
+
+    // the ingest routing expression stays BOUNDED: one branch per
+    // distinct split depth (here 2), never one per split value
+    val meta = BandIndex.readMeta(spark, dir)
+    val shDF = docs.limit(5).select(col("doc_id").as("id"),
+      DedupFunctions.wordShingles(col("text"), 3).as("sh"))
+    val plan = BandIndex.bandedRouted(spark, dir, shDF, meta)
+      .queryExecution.analyzed.toString
+    val whens = "WHEN ".r.findAllIn(plan).length
+    assert(whens <= 8,
+      s"routing must be per-depth, not per-split (saw $whens WHEN branches " +
+        s"for ${deeper.length + 15} split dirs):\n${plan.take(2000)}")
+
+    // ingest still routes and probes exactly
+    val b1 = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+    BandIndex.addBatch(spark, dir, b1, "doc_id", "text")
+    val p1 = pairSet(BandIndex.probe(spark, dir, probeB, "doc_id", "text", 0.8))
+    val inSession = pairSet(DedupFunctions.incrementalNearDuplicates(
+      docs.unionByName(b1), probeB, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.8))
+    assert(p1 == inSession, "post-wide-split ingest + probe must equal the in-session path")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

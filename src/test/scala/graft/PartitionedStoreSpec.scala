@@ -71,6 +71,39 @@ class PartitionedStoreSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("prunedRead and readPartitions read through an orphaned .old- backup without mutating") {
+    val dir = store()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows(vals: Seq[Any]) =
+      PartitionedStore.prunedRead(spark, dir, "cell", vals)
+        .select(col("id"), col("payload"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Seq[Any](3L, 5L)
+    val before = rows(want)
+    // simulate a compact crashed (or in flight) between its two
+    // renames: the live dir is parked in backup
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "cell=3"),
+      new org.apache.hadoop.fs.Path(dir, ".old-3")))
+    assert(rows(want) == before, "prunedRead must serve the orphaned value")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "cell=3")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(dir, ".old-3")),
+      "a read must not repair the store")
+    // the read view lists the backup as its value; the write view does not
+    val rp = PartitionedStore.readPartitions(fs, root, "cell").toMap
+    assert(rp.keySet.contains("3") && rp("3").getName == ".old-3")
+    assert(!PartitionedStore.partitions(fs, root, "cell")
+      .exists(_.getName == "cell=3"))
+    // a STALE backup (live twin present) is ignored by the read view
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, ".old-3"),
+      new org.apache.hadoop.fs.Path(dir, "cell=3")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".old-5"))
+    assert(PartitionedStore.readPartitions(fs, root, "cell")
+      .collect { case (v, p) => (v, p.getName) }.count(_._1 == "5") == 1)
+    assert(rows(want) == before)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("footerCounts equals a data scan's per-partition counts") {
     val dir = store()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -105,26 +138,36 @@ class PartitionedStoreSpec extends AnyFunSuite {
         descs.synchronized { descs += d }
       }
     }
-    def listingJobs(body: => Unit): Seq[String] = {
+    def listingJobs(body: => Unit, pollForHit: Boolean): Seq[String] = {
       descs.synchronized(descs.clear())
       spark.sparkContext.addSparkListener(listener)
-      // the listener bus is async and its public API has no flush —
-      // a short settle sleep is enough for job-START events, which are
-      // posted before the body's collect() can return
-      try { body; Thread.sleep(500) }
-      finally spark.sparkContext.removeSparkListener(listener)
+      // the listener bus is async and its public API has no flush.
+      // Job-START events post before the body's collect() returns, but
+      // DRAIN asynchronously: when the arm expects a hit, poll with a
+      // deadline (a loaded machine can outlast any one fixed sleep —
+      // ADVICE r14); when it expects silence, a settle sleep is the
+      // only option (can't poll for absence).
+      try {
+        body
+        if (pollForHit) {
+          val deadline = System.nanoTime() + 5000000000L
+          while (System.nanoTime() < deadline &&
+              descs.synchronized(!descs.exists(_.contains("Listing leaf files"))))
+            Thread.sleep(100)
+        } else Thread.sleep(500)
+      } finally spark.sparkContext.removeSparkListener(listener)
       descs.synchronized(descs.filter(_.contains("Listing leaf files")).toSeq)
     }
 
     // detector sanity: the full-tree read this replaced DOES launch one
-    val before = listingJobs {
+    val before = listingJobs({
       spark.read.parquet(s"$dir/codes").groupBy("cell").count().collect()
-    }
+    }, pollForHit = true)
     assert(before.nonEmpty,
       "detector check: a 40-partition full-tree read should launch a listing job")
-    val after = listingJobs {
+    val after = listingJobs({
       assert(AnnIndex.indexStats(spark, dir).count() == 40)
-    }
+    }, pollForHit = false)
     assert(after.isEmpty,
       s"indexStats must not launch a partition-discovery listing job, saw: $after")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -689,11 +689,30 @@ class SimilaritySpec extends AnyFunSuite {
     fs.mkdirs(new Path(s"$dir/codes/.compact-$victim")) // stale staging leak
     assert(!fs.exists(new Path(s"$dir/codes/cell=$victim")),
       "precondition: live cell dir gone mid-swap")
-    // EVERY read entry point heals, not just the next compactCells pass
-    assert(counts() == base, "indexStats must restore the mid-swap cell")
+    // read entry points MUST NOT repair (to a reader this state is
+    // indistinguishable from a compact in flight right now, and
+    // restoring the backup would abort the writer's swap — ADVICE
+    // r14); they read THROUGH the orphaned backup instead
+    assert(counts() == base, "indexStats must read through the mid-swap cell")
+    assert(fs.exists(new Path(s"$dir/codes/.old-$victim")) &&
+      fs.exists(new Path(s"$dir/codes/.compact-$victim")) &&
+      !fs.exists(new Path(s"$dir/codes/cell=$victim")),
+      "a read entry point must not mutate the store")
+    // probes read through too: an all-cells probe still reaches every
+    // indexed vector, including the orphaned cell's (self-matches are
+    // excluded, so count distinct NEIGHBORS across all queries)
+    val qAll = e.filter(col("vec_id") < 200)
+    assert(AnnIndex.probe(spark, dir, qAll, "vec_id", "embedding", 200, 8)
+      .select("neighbor_id").distinct().count() == 200,
+      "probe must read through the orphaned backup")
+    // the next WRITE entry point heals (single-writer: nothing can be
+    // in flight when it runs) — a no-op compact pass is enough
+    AnnIndex.compactCells(spark, dir, minFiles = 999)
     assert(!fs.exists(new Path(s"$dir/codes/.old-$victim")) &&
-      !fs.exists(new Path(s"$dir/codes/.compact-$victim")),
-      "recovery must consume the backup and drop the stale staging dir")
+      !fs.exists(new Path(s"$dir/codes/.compact-$victim")) &&
+      fs.exists(new Path(s"$dir/codes/cell=$victim")),
+      "the write entry point must consume the backup and drop the stale staging dir")
+    assert(counts() == base, "healed index must report the same stats")
 
     // (b) resplit retry: pre-plant an orphan sub-cell dir as if a prior
     // attempt crashed after its append; the retry must scrub it, not double
