@@ -519,6 +519,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming document ingest into a persisted LSH band index — the
+    * [[vectorIngest]] twin for the dedup family: each micro-batch is
+    * shingled/banded against the SAVED banding parameters
+    * ([[graft.functions.BandIndex.addBatchTagged]] — no re-band of
+    * history) and appended to both stores (postings + shingles), so
+    * [[graft.functions.BandIndex.probe]] between batches sees exactly
+    * the documents ingested so far. Exactly-once discipline is
+    * identical to vectorIngest's (same marker layout under
+    * `dir/ingest_log/<streamId>/`, same `<streamId>-b<batchId>` tag,
+    * same single-writer contract and streamId rules — see that
+    * scaladoc): a replay of a batch that crashed anywhere — including
+    * BETWEEN the shingle and band appends, the window a plain
+    * addBatch cannot heal — first scrubs the tag's files from BOTH
+    * stores and converges to exactly one copy. */
+  def bandIngest(stream: DataFrame, dir: String,
+                 idCol: String, textCol: String, streamId: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_-]+"),
+      s"streamId must be a safe file/tag prefix: $streamId")
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$dir/ingest_log/$streamId/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          if (!batch.isEmpty)
+            graft.functions.BandIndex.addBatchTagged(spark, dir, batch.toDF(),
+              idCol, textCol, tag = s"$streamId-b$batchId")
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
+      }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => keyCols.contains(c) || c == tsCol).toSeq

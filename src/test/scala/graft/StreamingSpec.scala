@@ -598,4 +598,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(probed.exists { case (qid, nid, _, _) => qid >= 135L && nid >= 100L })
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("bandIngest: streamed batches land in the persisted band index; probe equals in-session incremental near-dup on the union") {
+    import graft.functions.{BandIndex, DedupFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    // real document texts, re-id'd; streams plant exact copies of
+    // corpus docs so cross-side near-dup pairs are guaranteed
+    val txt = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(100).select("text")
+      .collect().map(_.getString(0))
+    def docsDF(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val corpus = docsDF((0 until 100).map(i => (i.toLong, txt(i))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_ingest").toString
+    BandIndex.save(corpus, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, dir = dir, prefixLen = 1)
+
+    val s1 = (0 until 20).map(i => (200L + i, txt(i)))
+    val s2 = (0 until 20).map(i => (250L + i, txt(20 + i)))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.bandIngest(
+        mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+        streamId = "bi1")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData(s1.take(10): _*); q.processAllAvailable()
+      mem.addData(s1.drop(10): _*); q.processAllAvailable()
+    } finally q.stop()
+    // a SECOND logical stream (fresh checkpoint, batchIds restart at 0)
+    // feeding the same index under its own streamId
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamOps.bandIngest(
+        mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+        streamId = "bi2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    try {
+      mem2.addData(s2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    // probe a NEW batch against the streamed store: identical to the
+    // in-session incremental pipeline over everything ingested so far
+    // texts 15..29: overlaps s1's copies (txt 15..19) AND s2's (20..29)
+    val batch = docsDF((0 until 15).map(i => (300L + i, txt(15 + i))))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaStore = BandIndex.probe(spark, dir, batch, "doc_id", "text", 0.8)
+    val union = corpus.unionByName(docsDF(s1)).unionByName(docsDF(s2))
+    val inSession = DedupFunctions.incrementalNearDuplicates(
+      union, batch, "doc_id", "text", 3, 32, 8, 0.8)
+    val got = pairs(viaStore)
+    assert(got == pairs(inSession),
+      "probe after two-stream ingest must equal in-session incremental near-dup on the union")
+    inSession.unpersist(blocking = false)
+    // pairs actually span the batch and BOTH streams' planted copies
+    assert(got.exists { case (a, b, _) => math.max(a, b) >= 300L && (
+      (math.min(a, b) >= 200L && math.min(a, b) < 250L)) })
+    assert(got.exists { case (a, b, _) => math.max(a, b) >= 300L &&
+      math.min(a, b) >= 250L && math.min(a, b) < 300L })
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
