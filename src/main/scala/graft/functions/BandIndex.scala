@@ -252,9 +252,17 @@ object BandIndex {
 
   /** Split ONE hot postings bucket by the next `extraLen` hex chars of
     * its band keys — the hot-bucket valve `prefixLen`-at-save-time
-    * otherwise lacks: near-identical boilerplate docs all landing one
-    * band value grow a single bucket without bound, and the only other
-    * remedy is a full re-save of the postings store. Only the split
+    * otherwise lacks. What it treats, measured (d16b): a bucket hot
+    * from MANY DISTINCT band keys sharing its prefix (hash-collision /
+    * ingest-volume skew) — deeper prefixes fan those keys out. What it
+    * does NOT treat: a bucket hot from ONE shared band value (a
+    * boilerplate flood — hundreds of identical docs): every copy
+    * carries the same full 32-char key, so the whole flood lands in a
+    * single sub-bucket at any depth (d16b pins this). Value skew must
+    * be dedup'd upstream (exact/soft dedup d1/d14, incremental d10)
+    * before ingest; the only in-store alternative would be a
+    * recall-losing stop-value cap, deliberately not implemented. Only
+    * the split
     * bucket's partition is read and rewritten (cost ∝ bucket, never ∝
     * store); shingles are untouched. Probes need no migration flag:
     * they widen each batch bucket to the stored values it prefixes

@@ -444,6 +444,66 @@ object DedupQueries {
       val probed = BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8)
       bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
       probed.orderBy("a", "b")
+    }),
+
+    // Skewed-corpus rebucket — the valve's HONEST measurement. A
+    // boilerplate flood (400 exact copies of one template doc, the
+    // web-corpus header/footer regime) grows the template's band
+    // values' buckets far past the median; the stats-picked rebucket
+    // must leave the probe ORACLE-EXACT over the skewed store. The
+    // require()s pin two measured facts into the gate: (1) the split
+    // bucket holds >= 10x the median postings (the fixture really is
+    // skewed), and (2) a bucket hot from ONE shared band value does
+    // NOT collapse under a prefix split — every copy carries the same
+    // full 32-char key, so the whole flood lands in a single
+    // sub-bucket. Prefix rebucketing treats prefix-COLLISION skew
+    // (many distinct keys); identical-value skew must be dedup'd
+    // upstream (d1/d14/d10) — see the rebucket scaladoc.
+    "d16b_band_index_skewed" -> ((s, d) => {
+      import graft.functions.BandIndex
+      import graft.functions.DedupFunctions.{wordShingles, bandKeys}
+      import graft.expressions.HashExpressions.minhash_signature
+      val bg = documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 60)
+      val flood = bg.filter(col("doc_id") === 7).select("text")
+        .crossJoin(s.range(0, 400).select((col("id") + 80000L).as("doc_id")))
+        .select("doc_id", "text")
+      val dir = bandIdxDir(d) // fresh per call — see bandIdxLive
+      // prefixLen=2 (256 buckets): the flood's 16 band values touch
+      // <= 16 of them, so the median bucket stays background-sized
+      BandIndex.save(bg.unionByName(flood), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, dir = dir,
+        prefixLen = 2, idBuckets = 8)
+      // pick a hot bucket owned by exactly ONE template band value
+      // (re-derived with the public kernels): its post-split mass is
+      // then exactly the flood size, making the non-collapse pin exact
+      val tmplKeys = flood.limit(1)
+        .select(explode(bandKeys(minhash_signature(
+          wordShingles(col("text"), 3), 64, "md5"), 16, 4)).as("k"))
+        .select(substring(col("k"), 1, 2).as("p"), col("k")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val soloPrefixes = tmplKeys.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.length == 1).keySet
+      val st = BandIndex.stats(s, dir).select("bucket", "n_postings")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val hot = st.filter(c => soloPrefixes(c._1)).maxBy(_._2)
+      val median = st.map(_._2).sorted.apply(st.length / 2)
+      require(hot._2 >= 10 * math.max(1L, median),
+        s"skew fixture: hot bucket $hot must hold >= 10x median ($median) postings")
+      BandIndex.rebucket(s, dir, hot._1, extraLen = 1)
+      val subMax = BandIndex.stats(s, dir).select("bucket", "n_postings")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .filter(_._1.startsWith(hot._1)).map(_._2).max
+      require(subMax >= 400L,
+        "measured truth: a one-value hot bucket must NOT collapse under a " +
+          s"prefix split (flood postings stay together; max sub-bucket $subMax)")
+      val batch = bg.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text"))
+        .unionByName(flood.filter(col("doc_id") < 80003L)
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      val probed = BandIndex.probe(s, dir, batch, "doc_id", "text", threshold = 0.8)
+      bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
+      probed.orderBy("a", "b")
     })
   )
 
@@ -839,6 +899,36 @@ object DedupQueries {
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM p
         |WHERE jac >= 0.8 AND (a >= 60000 OR b >= 60000)
+        |ORDER BY a, b""".stripMargin,
+    // brute force over the SKEWED corpus (60 background docs + a
+    // 400-copy boilerplate flood of doc 7) u the probe batch, pairs
+    // touching the batch (ids >= 90000) — the d16 oracle shape; the
+    // rebucket inside the Spark pass must not change WHAT comes back
+    "d16b_band_index_skewed" ->
+      """WITH flood AS (
+        |  SELECT 80000 + t.i AS doc_id, d.text
+        |  FROM documents d, (SELECT unnest(generate_series(0, 399)) AS i) t
+        |  WHERE d.doc_id = 7),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id, text FROM flood
+        |  UNION ALL
+        |  SELECT doc_id + 90000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text FROM flood WHERE doc_id < 80003),
+        | t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+        |  FROM all_docs),
+        | p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p
+        |WHERE jac >= 0.8 AND (a >= 90000 OR b >= 90000)
         |ORDER BY a, b""".stripMargin
   )
 }
