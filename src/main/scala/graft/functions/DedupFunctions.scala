@@ -513,6 +513,15 @@ object DedupFunctions {
     * string Jaccard — a collision shifts both engines identically, so
     * oracle equality stays exact.
     *
+    * Measured growth (ProfileScale, SCALE.md "d4b ×100"): candidates
+    * 3.6M / 36.9M / 477M and verified pairs exactly linear at corpus
+    * 5k / 50k / 500k docs. At 500k docs the hashed-set relation
+    * (~1.1 GB) passes the default broadcast cap, and on a SINGLE node
+    * the shuffle-hash arm's candidates×arrays exchange exceeds local
+    * disk — raise `broadcastVerifyBytes` to executor-memory scale
+    * there; on a cluster the exchange is the honest distributed cost
+    * and spreads across the fleet's disks.
+    *
     * `shingles` maps the text column to a shingle-set column (e.g.
     * `charShingles(_, 5)` for the n-gram family, `wordShingles(_, 3)`
     * for word grams). Returns (a, b, jac) with a < b, persisted —

@@ -41,11 +41,42 @@ object ProfileScale {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = args.lift(1).getOrElse("1,3,10").split(",").map(_.trim.toInt).toSeq
     val embOnly = args.contains("--embeddings-only")
+    // --phase=pipe|cand|both (default both): at ×100 the d4b cell's
+    // pipeline AND its candidate reconstruction each spill tens of GB
+    // of shuffle, and one app holds every finished stage's shuffle
+    // files until the ContextCleaner reaps them — the r15 first
+    // attempt filled the 80 GB sandbox disk mid-×100. Splitting the
+    // two jobs into separate invocations bounds peak disk to one
+    // job's footprint; --corpus= makes both read the SAME corpus.
+    val phase = args.find(_.startsWith("--phase="))
+      .map(_.stripPrefix("--phase=")).getOrElse("both")
+    val runPipe = phase == "both" || phase == "pipe"
+    val runCand = phase == "both" || phase == "cand"
+    val corpusRoot = args.find(_.startsWith("--corpus="))
+      .map(_.stripPrefix("--corpus="))
+    // the d4b verify dial (see jaccardPairs/attachVerifySets): at ×100
+    // the 500k-doc hashed-set relation is ~1.1 GB — past the 256 MB
+    // default the verify falls to SHUFFLE_HASH and the candidate
+    // relation (~370M rows) carries ~2.3 KB of arrays per row through
+    // an exchange: ~100s of GB of shuffle, more than this sandbox's
+    // disk. On one 128 GiB node the right plan is the broadcast arm,
+    // so the ×100 invocation raises the cap (and the heap, via
+    // SPARK_DRIVER_MEM) instead of paying a cluster's distributed-disk
+    // cost on one spindle.
+    val verifyBytes = args.find(_.startsWith("--verify-bytes="))
+      .map(_.stripPrefix("--verify-bytes=").toLong).getOrElse(256L << 20)
+    val shufParts = args.find(_.startsWith("--shuffle-parts="))
+      .map(_.stripPrefix("--shuffle-parts=")).getOrElse("32")
+    // zstd halves shuffle/spill bytes on this workload vs lz4 — the
+    // disk-bound ×100 cells run under it (named in their SCALE.md rows)
+    val codec = args.find(_.startsWith("--codec="))
+      .map(_.stripPrefix("--codec=")).getOrElse("lz4")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
+      .config("spark.io.compression.codec", codec)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -66,7 +97,13 @@ object ProfileScale {
     println(s"base corpus: $baseN docs ($d)")
 
     def corpusPath(f: Int): String = {
-      val p = s"$tmp/docs_x$f"
+      val p = corpusRoot.map(r => s"$r/docs_x$f").getOrElse(s"$tmp/docs_x$f")
+      // under --corpus= the replica synthesis is deterministic (seeded
+      // permutations of a fixed base), so an existing dir IS the same
+      // corpus — reuse it so split-phase invocations measure one corpus
+      if (corpusRoot.isDefined &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+        return p
       val lower = "abcdefghijklmnopqrstuvwxyz"
       val upper = lower.toUpperCase
       val digits = "0123456789"
@@ -188,11 +225,15 @@ object ProfileScale {
       // d4b — char-5-gram Jaccard, prefix-prefix PPJoin at threshold 0.4
       if (sel("d4b")) {
         val input = docs.filter(length(col("text")) >= 5)
-        val (pairs, t) = time {
-          val p = jaccardPairs(input, "doc_id", "text", charShingles(_, 5), 0.4)
+        val (pairs, t) = if (runPipe) time {
+          val p = jaccardPairs(input, "doc_id", "text", charShingles(_, 5), 0.4,
+            broadcastVerifyBytes = verifyBytes)
           val c = p.count(); p.unpersist(blocking = false); c
-        }
-        val cand = {
+        } else (-1L, -1.0)
+        // between the two shuffle-heavy jobs: drop dead references and
+        // give the ContextCleaner a GC to reap finished shuffle files
+        clearVerifyStatCache(); System.gc(); Thread.sleep(2000)
+        val cand = if (!runCand) -1L else {
           import org.apache.spark.sql.expressions.Window
           val t0 = 0.4
           val tok = input.select(col("doc_id").as("__id"),
@@ -406,6 +447,7 @@ object ProfileScale {
         }
       }
       spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(2000)
     }
 
     if (!famOnly)
