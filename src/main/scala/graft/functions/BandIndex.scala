@@ -224,14 +224,27 @@ object BandIndex {
     * pages (footer row counts + filesystem listing, the indexStats
     * pattern): the skew report that shows which band buckets ingest
     * has grown hot and how many files [[compact]] would fold. */
-  def stats(spark: SparkSession, dir: String): DataFrame = {
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    stats(spark, dir, prefix = None)
+
+  /** As [[stats]], but when `prefix` is set only buckets whose value
+    * starts with it are footprinted — the targeted form for checking
+    * ONE split's outcome (d16b) or monitoring one hot region: the
+    * root listing is unavoidable (names only, metadata-plane), but
+    * per-bucket file listings and footer reads drop from store-wide
+    * to the matched region. At 10⁵–10⁶ buckets that is the difference
+    * between a store-wide stats job and a handful of footers. */
+  def stats(spark: SparkSession, dir: String,
+            prefix: Option[String]): DataFrame = {
     readEntry(spark, dir)
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a bucket parked in `.old-` by a crashed or in-flight compact is
     // listed THROUGH its backup dir (readPartitions), never restored
-    val fsRows = PartitionedStore.readPartitions(fs, root, "bucket").map { case (v, pd) =>
+    val fsRows = PartitionedStore.readPartitions(fs, root, "bucket")
+      .filter { case (v, _) => prefix.forall(v.startsWith) }
+      .map { case (v, pd) =>
       val files = fs.listStatus(pd)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       (v, files.map(_.getPath.toString),

@@ -491,9 +491,11 @@ object DedupQueries {
       require(hot._2 >= 10 * math.max(1L, median),
         s"skew fixture: hot bucket $hot must hold >= 10x median ($median) postings")
       BandIndex.rebucket(s, dir, hot._1, extraLen = 1)
-      val subMax = BandIndex.stats(s, dir).select("bucket", "n_postings")
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .filter(_._1.startsWith(hot._1)).map(_._2).max
+      // targeted stats: only the split bucket's sub-region is
+      // footprinted (store-wide footers again here would re-pay the
+      // whole first pass to read ~16 buckets)
+      val subMax = BandIndex.stats(s, dir, prefix = Some(hot._1))
+        .select("n_postings").collect().map(_.getLong(0)).max
       require(subMax >= 400L,
         "measured truth: a one-value hot bucket must NOT collapse under a " +
           s"prefix split (flood postings stay together; max sub-bucket $subMax)")

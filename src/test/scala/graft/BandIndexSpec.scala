@@ -88,6 +88,16 @@ class BandIndexSpec extends AnyFunSuite {
     fs.mkdirs(new Path(s"$dir/bands/.compact-$v"))
     assert(BandIndex.stats(spark, dir).agg(sum("n_postings")).head.getLong(0)
       == once._1, "stats must read through the mid-swap bucket")
+    // prefix stats ≡ full stats filtered to the prefix — including the
+    // mid-swap bucket when the prefix covers it (read-through holds)
+    val pfx = v.take(1)
+    val fullPfx = BandIndex.stats(spark, dir)
+      .filter(col("bucket").startsWith(pfx))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = BandIndex.stats(spark, dir, prefix = Some(pfx))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(direct == fullPfx && direct.nonEmpty,
+      "prefix stats must equal full stats filtered to the prefix")
     assert(probed() == pBefore, "probe must read through the mid-swap bucket")
     assert(fs.exists(new Path(s"$dir/bands/.old-$v")) &&
       fs.exists(new Path(s"$dir/bands/.compact-$v")) &&
