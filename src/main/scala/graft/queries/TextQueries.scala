@@ -33,7 +33,23 @@ object TextQueries {
   def releaseCaches(): Unit = {
     bpeCache.synchronized { bpeCache.clear() }
     ugCache.synchronized { ugCache.clear() }
+    wpCache.synchronized { wpCache.clear() }
   }
+
+  /** Learned WordPiece merge list, memoized per scale dir (the
+    * [[bpeMergesShared]] discipline) — ONE pair of constants shared
+    * by the trainer call and the generated DuckDB replay. */
+  private val wpCache =
+    scala.collection.mutable.Map[String, Seq[(String, String)]]()
+  private val WpNumMerges = 30
+  private val WpMinPairFreq = 2L
+  private def wpMergesShared(s: SparkSession, d: String): Seq[(String, String)] =
+    wpCache.synchronized {
+      wpCache.getOrElseUpdate(d,
+        graft.functions.WordPieceFunctions.wordpieceTrain(
+          documents(s, d), "text",
+          numMerges = WpNumMerges, minPairFreq = WpMinPairFreq))
+    }
 
   /** Learned unigram vocabulary, memoized per scale dir (same
     * discipline as [[bpeMergesShared]]) — and ONE set of constants
@@ -321,6 +337,166 @@ object TextQueries {
       |FROM docw d LEFT JOIN tokcnt t ON d.token = t.token
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** The WordPiece TRAINER replayed in DuckDB — [[bpeTrainReplaySql]]
+    * with the likelihood score: each iteration's CTE quadruple
+    * derives unit counts `u_p` and pair counts `p_p` from the current
+    * state, `m_i` picks the argmax under (score DESC, count DESC,
+    * left, right) where score = CAST(cnt AS DOUBLE)/(cu_l·cu_r) —
+    * long→double conversion is exact below 2⁵³ and IEEE multiply/
+    * divide are correctly rounded, so Spark and DuckDB compute the
+    * SAME double and the same total order — and `w_i` applies the
+    * merge with the greedy-pass-exact double-delimiter replace (the
+    * merged symbol is l plus r without its `##`, the BERT symbol
+    * convention). Early stop inherits t8's shape: an empty m_i
+    * leaves state untouched and every later m_j is empty. */
+  private def wpTrainReplaySql(numMerges: Int, minPairFreq: Long): String = {
+    val d = "chr(1)"; val dd = "chr(1)||chr(1)"
+    val b = new StringBuilder
+    b ++= s"""WITH w0 AS MATERIALIZED (
+      |  SELECT token,
+      |    $dd || array_to_string(
+      |      list_prepend(string_split(token, '')[1],
+      |        list_transform(string_split(token, '')[2:], c -> '##' || c)),
+      |      $dd) || $dd AS sq,
+      |    COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY token)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val p = i - 1
+      b ++= s""",
+        |u$p AS MATERIALIZED (
+        |  SELECT u, SUM(f) AS cu FROM (
+        |    SELECT unnest(string_split(trim(sq, chr(1)), $dd)) AS u, f
+        |    FROM w$p) GROUP BY 1),
+        |p$p AS MATERIALIZED (
+        |  SELECT s.syms[k] AS l, s.syms[k + 1] AS r, SUM(s.f) AS cnt
+        |  FROM (SELECT string_split(trim(sq, chr(1)), $dd) AS syms, f
+        |        FROM w$p) s,
+        |       unnest(generate_series(1, len(s.syms) - 1)) AS g(k)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (
+        |  SELECT l, r FROM (
+        |    SELECT pp.l, pp.r, pp.cnt,
+        |      CAST(pp.cnt AS DOUBLE) /
+        |        (CAST(ul.cu AS DOUBLE) * CAST(ur.cu AS DOUBLE)) AS sc
+        |    FROM p$p pp
+        |    JOIN u$p ul ON pp.l = ul.u
+        |    JOIN u$p ur ON pp.r = ur.u
+        |    WHERE pp.cnt >= $minPairFreq)
+        |  ORDER BY sc DESC, cnt DESC, l, r LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT w.token, CASE WHEN m.l IS NULL THEN w.sq
+        |    ELSE replace(w.sq, $d||m.l||$dd||m.r||$d,
+        |      $d||m.l||substr(m.r, 3)||$d)
+        |    END AS sq, w.f
+        |  FROM w$p w LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }
+    b.toString
+  }
+
+  /** Oracle for t10: the learned WordPiece merge list itself. */
+  private def t10OracleSql(numMerges: Int, minPairFreq: Long): String = {
+    val sel = (1 to numMerges)
+      .map(i => s"SELECT ${i - 1} AS merge_idx, l AS lft, r AS rgt FROM m$i")
+      .mkString("\nUNION ALL\n")
+    wpTrainReplaySql(numMerges, minPairFreq) +
+      s"\nSELECT * FROM (\n$sel\n) ORDER BY merge_idx"
+  }
+
+  /** Fixed vocabulary for the t10b kernel-oracle query — shared by
+    * the Spark kernel and the generated DuckDB greedy chain. Single
+    * letters (both forms) keep ordinary lowercase words encodable so
+    * the greedy arbitration is exercised (multi-char pieces compete
+    * with their prefixes: or/ord/order, sc/scan, ##d/##der/##rder);
+    * uppercase/digit/punctuation words fall to [UNK]. */
+  private val t10bVocab: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "abcdefghijklmnopqrstuvwxyz".map(c => s"##$c") ++
+      Seq("th", "the", "or", "ord", "order", "re", "an", "and", "sc",
+        "scan", "ta", "table", "per", "pro",
+        "##er", "##ed", "##ing", "##on", "##an", "##le", "##ble",
+        "##der", "##rder", "##ce", "##ss")).toSeq
+  private val T10bMaxWordChars = 24
+
+  /** The greedy longest-match walk unrolled into generated CTEs over
+    * the distinct-word table: each of `maxChars` steps advances every
+    * word's cursor by its longest matching piece (a LATERAL top-1 —
+    * match text at a fixed position is determined by its length, so
+    * (consumed DESC) is already a total order), or marks the word
+    * failed. Since every step consumes ≥ 1 character, `maxChars`
+    * steps fully encode any word the kernel accepts; longer words
+    * are [UNK] by contract on BOTH sides. */
+  private def t10bGreedySql(maxChars: Int): String = {
+    val vocabRows = t10bVocab.map { p =>
+      val cont = p.startsWith("##")
+      val body = if (cont) p.substring(2) else p
+      s"('$p', ${if (cont) "TRUE" else "FALSE"}, ${body.length}, '$body')"
+    }.mkString(",\n    ")
+    val b = new StringBuilder
+    b ++= s"""WITH vocab(p, cont, plen, body) AS (VALUES
+      |    $vocabRows),
+      |words AS MATERIALIZED (
+      |  SELECT DISTINCT token FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' AND length(token) <= $maxChars),
+      |s0 AS MATERIALIZED (
+      |  SELECT token, length(token) AS wlen, 1 AS pos,
+      |    CAST('' AS VARCHAR) AS toks, FALSE AS failed
+      |  FROM words)""".stripMargin
+    for (i <- 1 to maxChars) {
+      val p = i - 1
+      b ++= s""",
+        |s$i AS MATERIALIZED (
+        |  SELECT s.token, s.wlen,
+        |    CASE WHEN s.failed OR s.pos > s.wlen THEN s.pos
+        |         WHEN b.body IS NULL THEN s.pos
+        |         ELSE s.pos + b.plen END AS pos,
+        |    CASE WHEN s.failed OR s.pos > s.wlen OR b.body IS NULL THEN s.toks
+        |         ELSE s.toks ||
+        |           CASE WHEN s.pos = 1 THEN b.body ELSE '##' || b.body END
+        |           || chr(1) END AS toks,
+        |    s.failed OR (s.pos <= s.wlen AND b.body IS NULL) AS failed
+        |  FROM s$p s LEFT JOIN LATERAL (
+        |    SELECT v.plen, v.body FROM vocab v
+        |    WHERE v.cont = (s.pos > 1)
+        |      AND substr(s.token, s.pos, v.plen) = v.body
+        |    ORDER BY v.plen DESC LIMIT 1) b ON TRUE)""".stripMargin
+    }
+    b ++= s""",
+      |wtok AS MATERIALIZED (
+      |  SELECT token,
+      |    CASE WHEN failed THEN '[UNK]' ELSE rtrim(toks, chr(1)) END AS tk,
+      |    CASE WHEN failed THEN 1
+      |         ELSE len(string_split(rtrim(toks, chr(1)), chr(1))) END AS ntok
+      |  FROM s$maxChars
+      |  UNION ALL
+      |  SELECT token, '[UNK]', 1 FROM
+      |    (SELECT DISTINCT token FROM
+      |      (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |     WHERE length(token) > $maxChars))""".stripMargin
+    b.toString
+  }
+
+  private def t10bOracleSql: String =
+    t10bGreedySql(T10bMaxWordChars) +
+      s""",
+      |docw AS (
+      |  SELECT doc_id, k AS ord, ws[k] AS token FROM
+      |    (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |    unnest(generate_series(1, len(ws))) AS g(k)
+      |  WHERE ws[k] <> ''),
+      |perdoc AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM(w.ntok) AS INT) AS n_tokens,
+      |    string_agg(replace(w.tk, chr(1), ','), ',' ORDER BY d.ord) AS tokens
+      |  FROM docw d JOIN wtok w ON d.token = w.token
+      |  GROUP BY d.doc_id)
+      |SELECT doc.doc_id,
+      |  COALESCE(p.n_tokens, 0) AS n_tokens,
+      |  COALESCE(p.tokens, '') AS tokens
+      |FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T8/parity-plus: distributed BPE — merges learned on the corpus
     // word-frequency table (vocab-sized iterations, one corpus scan),
@@ -391,6 +567,37 @@ object TextQueries {
         .select(col("doc_id"),
           graft.expressions.UnigramExpressions
             .unigram_encode(col("text"), t9bScored).as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          array_join(col("__t"), ",").as("tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // T10/parity-plus: WordPiece trainer — the likelihood-scored
+    // sibling of t8's BPE (argmax of count(lr)/(count(l)·count(r))
+    // instead of raw pair count). The learned merge SEQUENCE is
+    // deterministic driver state under a total order and the DuckDB
+    // oracle replays the whole loop move-for-move (wpTrainReplaySql),
+    // the t8c discipline.
+    "t10_wordpiece" -> ((s, d) => {
+      import s.implicits._
+      wpMergesShared(s, d).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_idx", "lft", "rgt")
+        .orderBy("merge_idx")
+    }),
+
+    // The greedy longest-match-first encode KERNEL under a full SQL
+    // oracle: a fixed vocabulary applied by the native kernel on the
+    // Spark side and by a generated unrolled greedy walk in DuckDB
+    // (t10bGreedySql — one CTE per consumed character, LATERAL top-1
+    // longest match per step, whole-word [UNK] on any miss). Tokens
+    // ship comma-joined (the comparator can't hash arrays).
+    "t10b_wordpiece_fixed" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordPieceFunctions.wordpieceEncode(
+            col("text"), t10bVocab, unk = "[UNK]",
+            maxWordChars = T10bMaxWordChars).as("__t"))
         .select(col("doc_id"), size(col("__t")).as("n_tokens"),
           array_join(col("__t"), ",").as("tokens"))
         .orderBy("doc_id")
@@ -474,6 +681,8 @@ object TextQueries {
       |""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "t10_wordpiece" -> t10OracleSql(WpNumMerges, WpMinPairFreq),
+    "t10b_wordpiece_fixed" -> t10bOracleSql,
     "t9_unigram_vocab" -> t9OracleSql,
     "t9b_unigram_fixed" -> t9bOracleSql,
     "t8_bpe" -> t8OracleSql(BpeNumMerges, BpeMinPairFreq),
