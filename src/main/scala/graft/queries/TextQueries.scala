@@ -425,17 +425,13 @@ object TextQueries {
     * (consumed DESC) is already a total order), or marks the word
     * failed. Since every step consumes ≥ 1 character, `maxChars`
     * steps fully encode any word the kernel accepts; longer words
-    * are [UNK] by contract on BOTH sides. */
-  private def t10bGreedySql(maxChars: Int): String = {
-    val vocabRows = t10bVocab.map { p =>
-      val cont = p.startsWith("##")
-      val body = if (cont) p.substring(2) else p
-      s"('$p', ${if (cont) "TRUE" else "FALSE"}, ${body.length}, '$body')"
-    }.mkString(",\n    ")
+    * are [UNK] by contract on BOTH sides. Assumes a prior CTE
+    * `vocab(p, cont, plen, body)` (piece, is-continuation, consumed
+    * length, match text) — literal for t10b, DERIVED FROM THE
+    * TRAINING REPLAY for t10c. */
+  private def wpGreedyChainSql(maxChars: Int): String = {
     val b = new StringBuilder
-    b ++= s"""WITH vocab(p, cont, plen, body) AS (VALUES
-      |    $vocabRows),
-      |words AS MATERIALIZED (
+    b ++= s"""words AS MATERIALIZED (
       |  SELECT DISTINCT token FROM
       |    (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |  WHERE token <> '' AND length(token) <= $maxChars),
@@ -477,9 +473,10 @@ object TextQueries {
     b.toString
   }
 
-  private def t10bOracleSql: String =
-    t10bGreedySql(T10bMaxWordChars) +
-      s""",
+  /** Per-doc token assembly shared by the two greedy-encode oracles
+    * (assumes the chain's `wtok` CTE). */
+  private val wpPerDocSql: String =
+    s""",
       |docw AS (
       |  SELECT doc_id, k AS ord, ws[k] AS token FROM
       |    (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -496,6 +493,46 @@ object TextQueries {
       |  COALESCE(p.tokens, '') AS tokens
       |FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
       |ORDER BY doc.doc_id""".stripMargin
+
+  private def t10bOracleSql: String = {
+    val vocabRows = t10bVocab.map { p =>
+      val cont = p.startsWith("##")
+      val body = if (cont) p.substring(2) else p
+      s"('$p', ${if (cont) "TRUE" else "FALSE"}, ${body.length}, '$body')"
+    }.mkString(",\n    ")
+    s"""WITH vocab(p, cont, plen, body) AS (VALUES
+      |    $vocabRows),
+      |""".stripMargin +
+      wpGreedyChainSql(T10bMaxWordChars) + wpPerDocSql
+  }
+
+  /** Oracle for t10c — the full train→encode integration replayed in
+    * SQL: the training CTE chain's final state supplies the encode
+    * vocabulary (initial units of the corpus = w0's distinct symbols,
+    * plus every m_i's merge product), and the greedy walk runs
+    * against THAT derived relation instead of literals. A drift in
+    * either the trainer or the kernel breaks the gate. */
+  private def t10cOracleSql(numMerges: Int, minPairFreq: Long): String = {
+    val dd = "chr(1)||chr(1)"
+    val products = (1 to numMerges)
+      .map(i => s"SELECT l || substr(r, 3) AS p FROM m$i")
+      .mkString("\n    UNION ALL\n    ")
+    wpTrainReplaySql(numMerges, minPairFreq) +
+      s""",
+      |vunits AS (
+      |  SELECT DISTINCT unnest(string_split(trim(sq, chr(1)), $dd)) AS p
+      |  FROM w0),
+      |vocab AS MATERIALIZED (
+      |  SELECT DISTINCT p, starts_with(p, '##') AS cont,
+      |    CASE WHEN starts_with(p, '##') THEN length(p) - 2
+      |         ELSE length(p) END AS plen,
+      |    CASE WHEN starts_with(p, '##') THEN substr(p, 3)
+      |         ELSE p END AS body
+      |  FROM (SELECT p FROM vunits UNION
+      |    $products)),
+      |""".stripMargin +
+      wpGreedyChainSql(T10bMaxWordChars) + wpPerDocSql
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T8/parity-plus: distributed BPE — merges learned on the corpus
@@ -603,6 +640,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The full train→encode WordPiece integration: encode the corpus
+    // with the TRAINED vocabulary (corpus initial units + merge
+    // products — the merge-closed inventory, so training words always
+    // encode without [UNK] via character fallback). The oracle derives
+    // the SAME vocabulary from the training replay's CTE state and
+    // greedy-walks with it (t10cOracleSql) — trainer and kernel are
+    // gated as one system. The unit readback is alphabet-sized (the
+    // documented KB-scale driver boundary).
+    "t10c_wordpiece_encode" -> ((s, d) => {
+      val merges = wpMergesShared(s, d)
+      val units = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("__w"))
+        .filter(length(col("__w")) > 0).distinct()
+        .select(explode(transform(split(col("__w"), ""),
+          (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))).as("u"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val vocab = graft.functions.WordPieceFunctions
+        .vocabFromMerges(units, merges)
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordPieceFunctions.wordpieceEncode(
+            col("text"), vocab, unk = "[UNK]",
+            maxWordChars = T10bMaxWordChars).as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+          array_join(col("__t"), ",").as("tokens"))
+        .orderBy("doc_id")
+    }),
+
     // T2: space tokenization + counts per document.
     "t2_token_count" -> ((s, d) => {
       documents(s, d)
@@ -683,6 +748,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "t10_wordpiece" -> t10OracleSql(WpNumMerges, WpMinPairFreq),
     "t10b_wordpiece_fixed" -> t10bOracleSql,
+    "t10c_wordpiece_encode" -> t10cOracleSql(WpNumMerges, WpMinPairFreq),
     "t9_unigram_vocab" -> t9OracleSql,
     "t9b_unigram_fixed" -> t9bOracleSql,
     "t8_bpe" -> t8OracleSql(BpeNumMerges, BpeMinPairFreq),

@@ -72,6 +72,48 @@ class WordPieceSpec extends AnyFunSuite {
     assert(capped == List("[UNK]"))
   }
 
+  test("property: kernel equals an independent local greedy walk on random corpora") {
+    // reference implementation written independently of the kernel:
+    // longest-match at each position against the raw vocab partition
+    def refEncode(word: String, vocab: Seq[String], maxChars: Int): List[String] = {
+      if (word.length > maxChars) return List("[UNK]")
+      val init = vocab.filter(!_.startsWith("##")).sortBy(-_.length)
+      val cont = vocab.filter(_.startsWith("##")).map(_.substring(2)).sortBy(-_.length)
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var pos = 0
+      while (pos < word.length) {
+        val cands = if (pos == 0) init else cont
+        cands.find(p => word.startsWith(p, pos)) match {
+          case Some(p) =>
+            out += (if (pos == 0) p else "##" + p)
+            pos += p.length
+          case None => return List("[UNK]")
+        }
+      }
+      out.toList
+    }
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd"
+      def piece(maxLen: Int) =
+        Seq.fill(1 + rnd.nextInt(maxLen))(alpha(rnd.nextInt(alpha.length))).mkString
+      // singles for only PART of the alphabet ('d' missing) so UNK
+      // genuinely occurs; random multi-char pieces in both forms
+      val vocab = (Seq("a", "b", "c", "##a", "##b", "##c") ++
+        Seq.fill(10)(piece(4)) ++ Seq.fill(10)("##" + piece(4))).distinct
+      val words = Seq.fill(60)(piece(8))
+      val docs = toDocs(words.grouped(6).map(_.mkString(" ")).toSeq)
+      val got = docs
+        .select(col("doc_id"),
+          WordPieceExpressions.wordpiece_encode(col("text"), vocab,
+            unk = "[UNK]", maxWordChars = 6).as("t"))
+        .orderBy("doc_id")
+        .collect().toList.flatMap(_.getSeq[String](1))
+      val want = words.flatMap(w => refEncode(w, vocab, maxChars = 6))
+      assert(got == want, s"seed $seed: kernel disagrees with reference")
+    }
+  }
+
   test("train -> encode: merge-closed vocab round-trips training words") {
     val docs = toDocs(Seq(
       "banana banana banana bandana", "banana bandana banana"))
