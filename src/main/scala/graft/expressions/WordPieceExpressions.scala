@@ -46,9 +46,15 @@ object WordPieceExpressions {
       vocab.foreach(p => if (!p.startsWith("##")) s.add(p))
       s
     }
+    // a piece exactly "##" (reachable when corpus words contain a
+    // literal '#': merging '#' + '###' products) would be an
+    // empty-body continuation no position can ever consume (the match
+    // loop requires len >= 1) -- drop it here AND in the oracle's
+    // vocab CTE (TextQueries wpGreedyChainSql consumers) so kernel
+    // and replay agree that it is dead vocabulary (r15 advice).
     @transient private lazy val contSet: java.util.HashSet[String] = {
       val s = new java.util.HashSet[String]()
-      vocab.foreach(p => if (p.startsWith("##")) s.add(p.substring(2)))
+      vocab.foreach(p => if (p.startsWith("##") && p.length > 2) s.add(p.substring(2)))
       s
     }
     @transient private lazy val maxInitialCp: Int =

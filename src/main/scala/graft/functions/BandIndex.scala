@@ -174,8 +174,16 @@ object BandIndex {
     val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fsB = bandRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val view = PartitionedStore.readView(fsB, bandRoot, "bucket")
+    // Invariant making the O(1) lookup exact: every batch bucket is
+    // EXACTLY prefixLen chars ([[banded]] takes substring(band, 1,
+    // prefixLen)) and every live dir value is >= prefixLen chars (base
+    // dirs are prefixLen, rebucket splits only deepen), so
+    // "some base bucket prefixes v" == "v's first prefixLen chars ARE
+    // a base bucket". The per-dir startsWith scan this replaces was
+    // O(live-dirs x batch-buckets) driver string compares -- 10^10+ at
+    // the production dial (pl=5-6, large probe batch) -- r15 finding.
     val buckets = (view._1.map(_.getName.stripPrefix("bucket=")) ++ view._2.keys)
-      .filter(v => baseBuckets.exists(v.startsWith))
+      .filter(v => baseBuckets.contains(v.take(meta.prefixLen)))
     val idxBands = PartitionedStore
       .prunedReadView(spark, s"$dir/bands", "bucket", buckets, view)
       .select("id", "band")

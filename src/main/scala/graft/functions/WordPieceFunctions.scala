@@ -106,7 +106,12 @@ object WordPieceFunctions {
                 element_at(acc, -1) === lit(l) && x === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(j))))
               .otherwise(concat(acc, array(x))))
+          val prev = vocab
           vocab = ckpt(vocab.select(merged.as("__sym"), col("__f")))
+          // the new checkpoint is materialized (eager) -- release the
+          // parent's blocks instead of accumulating numMerges cached
+          // lineages for the run's duration (r15 advice)
+          org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(prev)
         }
       }
       merges.toSeq

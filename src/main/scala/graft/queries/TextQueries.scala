@@ -495,7 +495,7 @@ object TextQueries {
       |ORDER BY doc.doc_id""".stripMargin
 
   private def t10bOracleSql: String = {
-    val vocabRows = t10bVocab.map { p =>
+    val vocabRows = t10bVocab.filter(_ != "##").map { p =>
       val cont = p.startsWith("##")
       val body = if (cont) p.substring(2) else p
       s"('$p', ${if (cont) "TRUE" else "FALSE"}, ${body.length}, '$body')"
@@ -529,7 +529,8 @@ object TextQueries {
       |    CASE WHEN starts_with(p, '##') THEN substr(p, 3)
       |         ELSE p END AS body
       |  FROM (SELECT p FROM vunits UNION
-      |    $products)),
+      |    $products)
+      |  WHERE NOT (starts_with(p, '##') AND length(p) = 2)),
       |""".stripMargin +
       wpGreedyChainSql(T10bMaxWordChars) + wpPerDocSql
   }

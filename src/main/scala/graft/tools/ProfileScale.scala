@@ -50,6 +50,10 @@ object ProfileScale {
     // job's footprint; --corpus= makes both read the SAME corpus.
     val phase = args.find(_.startsWith("--phase="))
       .map(_.stripPrefix("--phase=")).getOrElse("both")
+    // a typo'd --phase used to silently run NEITHER phase and still
+    // emit sentinel rows into the table (r15 advice) -- fail fast
+    require(Set("pipe", "cand", "both")(phase),
+      s"--phase must be pipe|cand|both, got '$phase'")
     val runPipe = phase == "both" || phase == "pipe"
     val runCand = phase == "both" || phase == "cand"
     val corpusRoot = args.find(_.startsWith("--corpus="))
@@ -552,8 +556,13 @@ object ProfileScale {
       }
     }
 
+    // skipped-phase fields print EMPTY, never a -1 a downstream
+    // aggregation could mistake for a measurement (r15 advice)
+    def fmtL(v: Long) = if (v < 0) "" else v.toString
+    def fmtS(v: Double) = if (v < 0) "" else f"$v%.1f"
     println("\nop,factor,docs,secs,candidates,pairs")
-    cells.foreach(c => println(s"${c.op},${c.factor},${c.docs},${f"${c.secs}%.1f"},${c.candidates},${c.pairs}"))
+    cells.foreach(c => println(
+      s"${c.op},${c.factor},${c.docs},${fmtS(c.secs)},${fmtL(c.candidates)},${fmtL(c.pairs)}"))
     // growth ratios vs the smallest factor
     val byOp = cells.groupBy(_.op)
     println("\nop: time and candidate growth vs corpus growth")
@@ -562,9 +571,10 @@ object ProfileScale {
       val b = s.head
       s.tail.foreach { c =>
         val fx = c.docs.toDouble / b.docs
-        val tx = c.secs / b.secs
-        val cx = if (b.candidates > 0) c.candidates.toDouble / b.candidates else -1
-        println(f"$op%-18s corpus ${fx}%5.1fx  time ${tx}%5.1fx  candidates ${cx}%5.1fx")
+        val tx = if (b.secs > 0 && c.secs >= 0) f"${c.secs / b.secs}%5.1fx" else "    -"
+        val cx = if (b.candidates > 0 && c.candidates >= 0)
+          f"${c.candidates.toDouble / b.candidates}%5.1fx" else "    -"
+        println(f"$op%-18s corpus ${fx}%5.1fx  time $tx  candidates $cx")
       }
     }
     spark.stop()
