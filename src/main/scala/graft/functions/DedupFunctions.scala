@@ -64,6 +64,21 @@ object DedupFunctions {
 
   def clearVerifyStatCache(): Unit = verifyStatCache.clear()
 
+  /** Resolved broadcast cap for the verify arm: an explicit positive
+    * `broadcastVerifyBytes` wins; any non-positive value (the
+    * default) derives the bound from the DRIVER's max heap — a
+    * quarter of it, ceilinged at 8 GiB (the broadcast is built on the
+    * driver, so heap is the binding resource; the r15 ×100 campaign
+    * showed a fixed 256 MB constant silently flipping a 1.1 GB
+    * relation to SHUFFLE_HASH and dragging KB-scale arrays through an
+    * exchange a 128 GiB single node never needed — SCALE.md r15).
+    * On a cluster with a modest driver the auto bound shrinks with
+    * the heap and the distributed shuffle-hash arm takes over, which
+    * is the honest cost there. */
+  private[graft] def resolveVerifyBroadcastBytes(explicitBytes: Long): Long =
+    if (explicitBytes > 0) explicitBytes
+    else math.min(Runtime.getRuntime.maxMemory() / 4, 8L << 30)
+
   /** Estimated bytes of the hashed verify-set relation for `sh`
     * (`__id`, `__sh` shingle array): element count × (8 B per hashed
     * long + ~48 B row overhead). Memoized per canonical plan. */
@@ -88,7 +103,8 @@ object DedupFunctions {
   private def attachVerifySets(pre: DataFrame, hsh: DataFrame, sh: DataFrame,
                                broadcastVerifyBytes: Long): DataFrame = {
     val side =
-      if (estVerifyBytes(sh) <= broadcastVerifyBytes) broadcast(hsh)
+      if (estVerifyBytes(sh) <= resolveVerifyBroadcastBytes(broadcastVerifyBytes))
+        broadcast(hsh)
       else hsh.hint("shuffle_hash")
     pre
       .join(side.as("__ha"), col("a") === col("__ha.__id"))
@@ -344,7 +360,7 @@ object DedupFunctions {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, threshold: Double,
                        sketchBits: Int = 0,
-                       broadcastVerifyBytes: Long = 256L << 20): DataFrame = {
+                       broadcastVerifyBytes: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ⌈t·n⌉ with an epsilon guard: if fl(t*n) rounds just above the
     // true rational t·n (possible when t·n is an exact integer), a
@@ -516,11 +532,14 @@ object DedupFunctions {
     * Measured growth (ProfileScale, SCALE.md "d4b ×100"): candidates
     * 3.6M / 36.9M / 477M and verified pairs exactly linear at corpus
     * 5k / 50k / 500k docs. At 500k docs the hashed-set relation
-    * (~1.1 GB) passes the default broadcast cap, and on a SINGLE node
+    * (~1.1 GB) passed the old fixed 256 MB cap, and on a SINGLE node
     * the shuffle-hash arm's candidates×arrays exchange exceeds local
-    * disk — raise `broadcastVerifyBytes` to executor-memory scale
-    * there; on a cluster the exchange is the honest distributed cost
-    * and spreads across the fleet's disks.
+    * disk — the default cap is therefore AUTO (0 → driver-heap/4,
+    * [[resolveVerifyBroadcastBytes]]), so a big-heap single node
+    * broadcasts without a flag; on a modest-driver cluster the bound
+    * shrinks and the exchange is the honest distributed cost,
+    * spreading across the fleet's disks. Pass an explicit positive
+    * cap to override either way.
     *
     * `shingles` maps the text column to a shingle-set column (e.g.
     * `charShingles(_, 5)` for the n-gram family, `wordShingles(_, 3)`
@@ -529,7 +548,7 @@ object DedupFunctions {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingles: Column => Column, threshold: Double,
                    sketchBits: Int = 0,
-                   broadcastVerifyBytes: Long = 256L << 20): DataFrame = {
+                   broadcastVerifyBytes: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // epsilon-guarded ⌈t·n⌉ — see containmentPairs: keeps the recall
     // proof valid when fl(t*n) rounds above an exact integer product

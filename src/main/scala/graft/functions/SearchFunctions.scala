@@ -102,9 +102,29 @@ object SearchFunctions {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Int, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val perDoc = bm25PerDoc(docs, idCol, textCol, queries, k1, b)
+    perDoc.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__micro")).as("__o"), col("__id")),
+        struct(col("__id"), col("__micro"), col("terms_hit")), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.__id").as("doc_id"),
+        round(col("col.__micro").cast("double") / lit(1e6), 6).as("score"),
+        col("col.terms_hit").as("terms_hit"))
+  }
+
+  /** The BM25-scored (qid, doc, micro-score) relation [[bm25TopK]]
+    * reranks — factored out so the score-fusion hybrids can keep the
+    * exact long micros instead of re-deriving them from the rounded
+    * public score. */
+  private def bm25PerDoc(docs: DataFrame, idCol: String, textCol: String,
+                         queries: Seq[(Int, String)],
+                         k1: Double, b: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(k >= 1, "need k >= 1")
 
     val tf = termFreqShared(docs, idCol, textCol)
       .withColumn("__id", col("__id").cast("long"))
@@ -158,19 +178,26 @@ object SearchFunctions {
       .crossJoin(broadcast(stats))
       .withColumn("__micro", round(idf * tfn * lit(1e6)).cast("long"))
 
-    val perDoc = scored.groupBy("qid", "__id")
+    scored.groupBy("qid", "__id")
       .agg(sum("__micro").as("__micro"), count(lit(1)).as("terms_hit"))
+  }
 
-    perDoc.groupBy("qid")
-      .agg(graft.expressions.TopKAggregate.bounded_topk(
-        struct((-col("__micro")).as("__o"), col("__id")),
-        struct(col("__id"), col("__micro"), col("terms_hit")), k).as("__top"))
-      .select(col("qid"), posexplode(col("__top")))
-      .select(col("qid"),
-        (col("pos") + 1).cast("int").as("rank"),
-        col("col.__id").as("doc_id"),
-        round(col("col.__micro").cast("double") / lit(1e6), 6).as("score"),
-        col("col.terms_hit").as("terms_hit"))
+  /** Per-(query, doc) cosine-to-anchor scores in integer micros —
+    * ONE corpus-embeddings pass with the per-query anchor vectors
+    * broadcast; shared by the RRF and score-normalization hybrids. */
+  private def denseCosineMicros(embeds: DataFrame, vecIdCol: String,
+                                embCol: String,
+                                anchors: Seq[(Int, Long)]): DataFrame = {
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    val av = anchors.toDF("qid", "__aid")
+      .join(embeds, col("__aid") === col(vecIdCol))
+      .select(col("qid"), col(embCol).as("__av"))
+    embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"))
+      .crossJoin(broadcast(av))
+      .select(col("qid"), col("doc_id"),
+        round(graft.functions.SimilarityFunctions.cosine(col("__v"), col("__av"))
+          * lit(1e6)).cast("long").as("__cm"))
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
@@ -211,14 +238,8 @@ object SearchFunctions {
 
     // dense ranks: cosine to the query's anchor embedding, one corpus
     // pass with the (tiny) anchor relation broadcast, bounded_topk heap
-    val anchors = queries.map(q => (q._1, q._3)).toDF("qid", "__aid")
-    val av = anchors.join(embeds, col("__aid") === col(vecIdCol))
-      .select(col("qid"), col(embCol).as("__av"))
-    val cmicro = embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"))
-      .crossJoin(broadcast(av))
-      .select(col("qid"), col("doc_id"),
-        round(graft.functions.SimilarityFunctions.cosine(col("__v"), col("__av"))
-          * lit(1e6)).cast("long").as("__cm"))
+    val cmicro = denseCosineMicros(embeds, vecIdCol, embCol,
+      queries.map(q => (q._1, q._3)))
     val dense = cmicro.groupBy("qid")
       .agg(graft.expressions.TopKAggregate.bounded_topk(
         struct((-col("__cm")).as("__o"), col("doc_id")),
@@ -245,6 +266,116 @@ object SearchFunctions {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.doc_id").as("doc_id"),
         round(col("col.__micro").cast("double") / lit(1e6), 6).as("rrf"),
+        col("col.lex_rank").as("lex_rank"),
+        col("col.dense_rank").as("dense_rank"))
+  }
+
+  /** Hybrid retrieval with SCORE-normalization fusion — the standard
+    * eval-harness alternative to [[hybridRrfTopK]]'s rank fusion
+    * (e.g. the BEIR/dense-retrieval convention): each side's
+    * top-`fuseN` score list is normalized onto a common scale, then
+    * fused as 0.5·lex + 0.5·dense, a doc absent from a list
+    * contributing 0 on that side. Two normalization modes, both
+    * emitted (column `mode`):
+    *  - `minmax`: (s − min)/(max − min) over the list, ∈ [0,1]; a
+    *    constant list (max = min) normalizes to 1.0 by convention
+    *  - `zscore`: (s − mean)/stddev_pop over the list; a constant
+    *    list normalizes to 0.0
+    *
+    * Determinism: both sides score in integer micros (exact longs —
+    * [[bm25PerDoc]] / [[denseCosineMicros]]); list statistics are
+    * exact long sums (Σs, Σs², min, max — order-free), so the ONLY
+    * doubles are the final normalization expressions, whose IEEE op
+    * order mirrors the oracle SQL term-for-term. Never
+    * `stddev_pop`/`avg` over doubles: their partial-aggregation
+    * order is nondeterministic. The fused score is re-rounded to
+    * micros and the top-k order (fused micro desc, doc_id asc) is
+    * total.
+    *
+    * Plan shape at scale: identical to [[hybridRrfTopK]] — postings-
+    * sized lexical exchanges, one broadcast-anchor corpus pass dense,
+    * bounded_topk map-side heaps; the normalization stats are a
+    * ≤(queries)-row aggregate over the (queries × fuseN)-row top
+    * lists, broadcast back. */
+  def hybridNormTopK(docs: DataFrame, idCol: String, textCol: String,
+                     embeds: DataFrame, vecIdCol: String, embCol: String,
+                     queries: Seq[(Int, String, Long)], k: Int,
+                     fuseN: Int = 50): DataFrame = {
+    require(k >= 1 && fuseN >= k, "need 1 <= k <= fuseN")
+    val perDoc = bm25PerDoc(docs, idCol, textCol,
+      queries.map(q => (q._1, q._2)), 1.2, 0.75)
+    val lexTop = perDoc.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__micro")).as("__o"), col("__id")),
+        struct(col("__id"), col("__micro")), fuseN).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.__id").as("doc_id"),
+        col("col.__micro").as("__lm"),
+        (col("pos") + 1).cast("int").as("lex_rank"))
+    val denTop = denseCosineMicros(embeds, vecIdCol, embCol,
+        queries.map(q => (q._1, q._3)))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__cm")).as("__o"), col("doc_id")),
+        struct(col("doc_id"), col("__cm")), fuseN).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.doc_id").as("doc_id"),
+        col("col.__cm").as("__dm"),
+        (col("pos") + 1).cast("int").as("dense_rank"))
+
+    // per-list statistics in exact longs (micro² of a ±~20·10⁶ score
+    // × fuseN rows stays far under 2⁶³); count doubles as __ln
+    def stats(top: DataFrame, mic: String, p: String): DataFrame =
+      top.groupBy("qid").agg(
+        min(mic).as(s"__${p}min"), max(mic).as(s"__${p}max"),
+        sum(mic).as(s"__${p}sum"),
+        sum(col(mic) * col(mic)).as(s"__${p}sq"),
+        count(lit(1)).cast("double").as(s"__${p}n"))
+    val joined = lexTop
+      .join(denTop, Seq("qid", "doc_id"), "full_outer")
+      .join(broadcast(stats(lexTop, "__lm", "l")), "qid")
+      .join(broadcast(stats(denTop, "__dm", "d")), "qid")
+
+    // op order mirrors the oracle SQL exactly; the absent-side NULL
+    // check comes FIRST so a degenerate list never lifts missing docs
+    def minmaxN(mic: Column, mn: Column, mx: Column): Column =
+      when(mic.isNull, lit(0.0))
+        .when(mx === mn, lit(1.0))
+        .otherwise((mic - mn).cast("double") / (mx - mn).cast("double"))
+    def zscoreN(mic: Column, sm: Column, sq: Column, n: Column): Column = {
+      val mean = sm.cast("double") / n
+      val std = sqrt(greatest(
+        (sq.cast("double") - sm.cast("double") * sm.cast("double") / n) / n,
+        lit(0.0)))
+      when(mic.isNull, lit(0.0))
+        .when(std <= lit(0.0), lit(0.0))
+        .otherwise((mic.cast("double") - mean) / std)
+    }
+    def fuseMicro(nl: Column, nd: Column): Column =
+      round((lit(0.5) * nl + lit(0.5) * nd) * lit(1e6)).cast("long")
+    val fusedBoth = joined.select(col("qid"), col("doc_id"),
+      coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+      coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+      fuseMicro(
+        minmaxN(col("__lm"), col("__lmin"), col("__lmax")),
+        minmaxN(col("__dm"), col("__dmin"), col("__dmax"))).as("__fmm"),
+      fuseMicro(
+        zscoreN(col("__lm"), col("__lsum"), col("__lsq"), col("__ln")),
+        zscoreN(col("__dm"), col("__dsum"), col("__dsq"), col("__dn"))).as("__fz"))
+    val byMode = fusedBoth.select(col("qid"), col("doc_id"),
+        col("lex_rank"), col("dense_rank"),
+        explode(map(lit("minmax"), col("__fmm"),
+          lit("zscore"), col("__fz"))).as(Seq("mode", "__fm")))
+    byMode.groupBy("qid", "mode")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__fm")).as("__o"), col("doc_id")),
+        struct(col("doc_id"), col("__fm"), col("lex_rank"), col("dense_rank")),
+        k).as("__top"))
+      .select(col("qid"), col("mode"), posexplode(col("__top")))
+      .select(col("qid"), col("mode"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.doc_id").as("doc_id"),
+        round(col("col.__fm").cast("double") / lit(1e6), 6).as("fused"),
         col("col.lex_rank").as("lex_rank"),
         col("col.dense_rank").as("dense_rank"))
   }

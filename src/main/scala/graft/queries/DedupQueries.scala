@@ -506,6 +506,63 @@ object DedupQueries {
       val probed = BandIndex.probe(s, dir, batch, "doc_id", "text", threshold = 0.8)
       bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
       probed.orderBy("a", "b")
+    }),
+
+    // Streaming document ingest, oracle-gated end-to-end (r15: the
+    // streaming twins were the one subsystem gated by specs alone).
+    // Two micro-batches flow through StreamOps.bandIngest's
+    // foreachBatch writer into the persisted store; then the
+    // exactly-once REPLAY arm runs inside the gate: batch 0's marker
+    // is dropped and the same data re-streamed under the same
+    // streamId from a fresh checkpoint — foreachBatch re-runs tag
+    // st9-b0, whose scrub must converge the store back to exactly
+    // one copy. The brute-force oracle over corpus u batch1 u batch2
+    // breaks on any row lost, doubled, or left from the replay.
+    "st9_band_ingest" -> ((s, d) => {
+      import graft.functions.BandIndex
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val docs = documents(s, d).select("doc_id", "text")
+      val dir = bandIdxDir(d) // fresh per call — see bandIdxLive
+      BandIndex.save(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, dir = dir,
+        prefixLen = 1, idBuckets = 8)
+      // the two stream payloads: exact copies of docs < 30, re-id'd
+      // (30 rows — a fixture-sized driver boundary, the spec shape)
+      val base = docs.filter(col("doc_id") < 30).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      implicit val sqlCtx = s.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.bandIngest(
+          mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+          streamId = "st9")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try {
+        mem.addData(base.map { case (id, t) => (id + 50000L, t) }: _*)
+        q.processAllAvailable()
+        mem.addData(base.map { case (id, t) => (id + 60000L, t) }: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // replay arm: crash-before-marker simulation for batch 0
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/st9/batch-0")
+      marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(marker, false)
+      val mem2 = MemoryStream[(Long, String)]
+      val q2 = graft.streaming.StreamOps.bandIngest(
+          mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+          streamId = "st9")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .start()
+      try {
+        mem2.addData(base.map { case (id, t) => (id + 50000L, t) }: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val probe = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+      val probed = BandIndex.probe(s, dir, probe, "doc_id", "text", threshold = 0.8)
+      bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
+      probed.orderBy("a", "b")
     })
   )
 
@@ -931,6 +988,32 @@ object DedupQueries {
         |  FROM t a, t b WHERE a.doc_id < b.doc_id)
         |SELECT a, b, jac FROM p
         |WHERE jac >= 0.8 AND (a >= 90000 OR b >= 90000)
+        |ORDER BY a, b""".stripMargin,
+    // the d16 oracle shape over the STREAMED store: brute force on
+    // corpus u batch1 (+50000) u batch2 (+60000), pairs touching the
+    // probe batch (+70000) — a replay that leaves zero or two copies
+    // of batch 1 changes the pair set and breaks the hash
+    "st9_band_ingest" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 60000 AS doc_id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 70000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        | t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+        |  FROM all_docs),
+        | p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id)
+        |SELECT a, b, jac FROM p
+        |WHERE jac >= 0.8 AND (a >= 70000 OR b >= 70000)
         |ORDER BY a, b""".stripMargin
   )
 }

@@ -282,6 +282,20 @@ object TextAnalysisQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Hybrid retrieval, SCORE-normalization fusion (the x27 workload
+    // under the other standard fusion family): each side's top-50
+    // micro-score list is min-max- and z-score-normalized, fused
+    // 0.5/0.5, both modes emitted. List stats are exact long sums so
+    // the only doubles are the pinned-order normalization
+    // expressions — see SearchFunctions.hybridNormTopK.
+    "x41_hybrid_norm" -> ((s, d) => {
+      graft.functions.SearchFunctions.hybridNormTopK(
+          documents(s, d), "doc_id", "text",
+          embeddings(s, d), "vec_id", "embedding",
+          hybridQueries, k = 10)
+        .orderBy("qid", "mode", "rank")
+    }),
+
     // Image average-hash over REAL pixel decode: each doc gets a
     // synthesized 8×8 24-bpp BMP whose 192 pixel bytes derive from
     // doc_id ((doc_id·7 + idx·13) mod 256), the native kernel
@@ -810,6 +824,84 @@ object TextAnalysisQueries {
         |  round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS rrf,
         |  CAST(lex_rank AS INT) AS lex_rank, CAST(dense_rank AS INT) AS dense_rank
         |FROM frk WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
+    // x41: same CTE prefix as x27 through the two top-50 lists, but
+    // the lists keep their exact micro scores; list stats are exact
+    // long sums (min/max/sum/sum-of-squares) so every double below is
+    // a pinned-op-order expression the Spark side mirrors term for
+    // term (SearchFunctions.hybridNormTopK).
+    "x41_hybrid_norm" ->
+      """WITH q(qid, qtext, anchor) AS (VALUES
+        |    (0, 'dup join', 7), (1, 'hash agg scan', 42), (2, 'vector query batch', 123)),
+        | qt AS (SELECT DISTINCT qid, w FROM
+        |   (SELECT qid, unnest(string_split(qtext, ' ')) AS w FROM q) WHERE w <> ''),
+        | tok AS (SELECT doc_id, w FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+        | tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        | dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        | post AS (SELECT * FROM tf WHERE w IN (SELECT w FROM qt)),
+        | dfq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        | sc AS (SELECT qt.qid, post.doc_id,
+        |   CAST(round((ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |     * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))))
+        |     * 1000000.0) AS BIGINT) AS micro
+        |   FROM post JOIN qt USING (w) JOIN dfq USING (w) JOIN dl USING (doc_id), st),
+        | agg AS (SELECT qid, doc_id, CAST(SUM(micro) AS BIGINT) AS micro FROM sc GROUP BY 1, 2),
+        | lrk AS (SELECT qid, doc_id, micro,
+        |   row_number() OVER (PARTITION BY qid ORDER BY micro DESC, doc_id) AS lr FROM agg),
+        | ltop AS (SELECT qid, doc_id, micro, lr FROM lrk WHERE lr <= 50),
+        | emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | anch AS (SELECT q.qid, e.v AS av FROM q JOIN emb e ON e.vec_id = q.anchor),
+        | dcos AS (SELECT a.qid, e.vec_id AS doc_id,
+        |   CAST(round(1000000.0 *
+        |     (list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * a.av[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.av[i] * a.av[i])))))) AS BIGINT) AS cm
+        |   FROM anch a, emb e),
+        | drk AS (SELECT qid, doc_id, cm,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) AS dr FROM dcos),
+        | dtop AS (SELECT qid, doc_id, cm, dr FROM drk WHERE dr <= 50),
+        | lst AS (SELECT qid, MIN(micro) AS lmin, MAX(micro) AS lmax,
+        |   CAST(SUM(micro) AS BIGINT) AS lsum,
+        |   CAST(SUM(micro * micro) AS BIGINT) AS lsq,
+        |   CAST(COUNT(*) AS DOUBLE) AS lnn FROM ltop GROUP BY 1),
+        | dst AS (SELECT qid, MIN(cm) AS dmin, MAX(cm) AS dmax,
+        |   CAST(SUM(cm) AS BIGINT) AS dsum,
+        |   CAST(SUM(cm * cm) AS BIGINT) AS dsq,
+        |   CAST(COUNT(*) AS DOUBLE) AS dnn FROM dtop GROUP BY 1),
+        | fo AS (SELECT COALESCE(l.qid, t.qid) AS qid,
+        |   COALESCE(l.doc_id, t.doc_id) AS doc_id, l.micro AS lm, t.cm AS dm,
+        |   COALESCE(l.lr, 0) AS lex_rank, COALESCE(t.dr, 0) AS dense_rank
+        |   FROM ltop l FULL OUTER JOIN dtop t ON l.qid = t.qid AND l.doc_id = t.doc_id),
+        | nrm AS (SELECT fo.qid, doc_id, lex_rank, dense_rank,
+        |   CASE WHEN lm IS NULL THEN 0.0 WHEN lmax = lmin THEN 1.0
+        |        ELSE CAST(lm - lmin AS DOUBLE) / CAST(lmax - lmin AS DOUBLE) END AS nlmm,
+        |   CASE WHEN dm IS NULL THEN 0.0 WHEN dmax = dmin THEN 1.0
+        |        ELSE CAST(dm - dmin AS DOUBLE) / CAST(dmax - dmin AS DOUBLE) END AS ndmm,
+        |   CASE WHEN lm IS NULL THEN 0.0
+        |        WHEN sqrt(greatest((CAST(lsq AS DOUBLE) - CAST(lsum AS DOUBLE) * CAST(lsum AS DOUBLE) / lnn) / lnn, 0.0)) <= 0.0 THEN 0.0
+        |        ELSE (CAST(lm AS DOUBLE) - CAST(lsum AS DOUBLE) / lnn)
+        |           / sqrt(greatest((CAST(lsq AS DOUBLE) - CAST(lsum AS DOUBLE) * CAST(lsum AS DOUBLE) / lnn) / lnn, 0.0)) END AS nlz,
+        |   CASE WHEN dm IS NULL THEN 0.0
+        |        WHEN sqrt(greatest((CAST(dsq AS DOUBLE) - CAST(dsum AS DOUBLE) * CAST(dsum AS DOUBLE) / dnn) / dnn, 0.0)) <= 0.0 THEN 0.0
+        |        ELSE (CAST(dm AS DOUBLE) - CAST(dsum AS DOUBLE) / dnn)
+        |           / sqrt(greatest((CAST(dsq AS DOUBLE) - CAST(dsum AS DOUBLE) * CAST(dsum AS DOUBLE) / dnn) / dnn, 0.0)) END AS ndz
+        |   FROM fo JOIN lst ON fo.qid = lst.qid JOIN dst ON fo.qid = dst.qid),
+        | fm AS (SELECT qid, doc_id, lex_rank, dense_rank, mode,
+        |   CAST(round((0.5 * nl + 0.5 * nd) * 1000000.0) AS BIGINT) AS fmic
+        |   FROM (SELECT qid, doc_id, lex_rank, dense_rank,
+        |           'minmax' AS mode, nlmm AS nl, ndmm AS nd FROM nrm
+        |         UNION ALL
+        |         SELECT qid, doc_id, lex_rank, dense_rank,
+        |           'zscore' AS mode, nlz AS nl, ndz AS nd FROM nrm)),
+        | frk AS (SELECT qid, doc_id, mode, fmic, lex_rank, dense_rank,
+        |   row_number() OVER (PARTITION BY qid, mode ORDER BY fmic DESC, doc_id) AS rnk FROM fm)
+        |SELECT qid, mode, CAST(rnk AS INT) AS rank, doc_id,
+        |  round(CAST(fmic AS DOUBLE) / 1000000.0, 6) AS fused,
+        |  CAST(lex_rank AS INT) AS lex_rank, CAST(dense_rank AS INT) AS dense_rank
+        |FROM frk WHERE rnk <= 10 ORDER BY qid, mode, rank""".stripMargin,
     // ahash bit p (p = cellY*8+cellX, top-down grid) reads BMP pixel
     // bytes bottom-up: source row = 7 - p//8, byte idx = row*24 + x*3;
     // luma = sum of 3 channel bytes; bit = 64*g > total (the kernel's

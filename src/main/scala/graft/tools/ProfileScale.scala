@@ -67,8 +67,12 @@ object ProfileScale {
     // so the ×100 invocation raises the cap (and the heap, via
     // SPARK_DRIVER_MEM) instead of paying a cluster's distributed-disk
     // cost on one spindle.
+    // default 0 = the operator's own auto dial (driver-heap/4 --
+    // resolveVerifyBroadcastBytes): the x100 pipe phase runs green
+    // with NO flag on a big-heap node; pass an explicit cap to pin
+    // an arm for an A/B
     val verifyBytes = args.find(_.startsWith("--verify-bytes="))
-      .map(_.stripPrefix("--verify-bytes=").toLong).getOrElse(256L << 20)
+      .map(_.stripPrefix("--verify-bytes=").toLong).getOrElse(0L)
     val shufParts = args.find(_.startsWith("--shuffle-parts="))
       .map(_.stripPrefix("--shuffle-parts=")).getOrElse("32")
     // zstd halves shuffle/spill bytes on this workload vs lz4 — the

@@ -121,6 +121,36 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("jaccardPairs verify arm: auto bound broadcasts on a big heap; an explicit tiny cap forces SHUFFLE_HASH") {
+    // pins resolveVerifyBroadcastBytes at both sides of the bound
+    // (r15 item 6): default 0 resolves to maxMemory/4 -- far above
+    // the fixture's hashed-set estimate, so the broadcast arm is
+    // picked with NO flag; an explicit 1-byte cap must flip the SAME
+    // pipeline to the shuffle-hash arm (and never to a sort-merge of
+    // the candidate stream).
+    import org.apache.spark.sql.functions._
+    import graft.functions.DedupFunctions
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .filter(length(col("text")) >= 5).limit(200)
+    assert(DedupFunctions.resolveVerifyBroadcastBytes(0L) >=
+      Runtime.getRuntime.maxMemory() / 4 - 1)
+    assert(DedupFunctions.resolveVerifyBroadcastBytes(123L) == 123L)
+    def verifyJoins(bytes: Long): String = {
+      val p = DedupFunctions.jaccardPairs(docs, "doc_id", "text",
+        DedupFunctions.charShingles(_, 5), 0.4, broadcastVerifyBytes = bytes)
+      val str = p.queryExecution.executedPlan.toString
+      p.unpersist(blocking = false)
+      str
+    }
+    DedupFunctions.clearVerifyStatCache()
+    val auto = verifyJoins(0L)
+    assert(auto.contains("BroadcastHashJoin"), auto.take(2000))
+    DedupFunctions.clearVerifyStatCache()
+    val tiny = verifyJoins(1L)
+    assert(tiny.contains("ShuffledHashJoin"), tiny.take(2000))
+    assert(!tiny.contains("SortMergeJoin"), tiny.take(2000))
+  }
+
   test("x18b winnowing pairs: inverted-index equi-join on the fingerprint key (no all-pairs scan)") {
     val p = plan("x18b_winnowing_pairs")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||

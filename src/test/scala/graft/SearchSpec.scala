@@ -91,4 +91,79 @@ class SearchSpec extends AnyFunSuite {
     assert(micros.sameElements(micros.sortBy(-_)))
   }
 
+
+  test("hybridNormTopK: minmax and zscore modes pin the documented conventions") {
+    import graft.functions.SearchFunctions.hybridNormTopK
+    val embeds = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = hybridNormTopK(docs, "doc_id", "text", embeds, "vec_id",
+        "embedding", Seq((0, "a b", 1L)), k = 4, fuseN = 4)
+      .select("mode", "rank", "doc_id", "fused", "lex_rank", "dense_rank")
+      .as[(String, Int, Long, Double, Int, Int)].collect()
+    val mm = out.filter(_._1 == "minmax").sortBy(_._2)
+    val zs = out.filter(_._1 == "zscore").sortBy(_._2)
+    assert(mm.length == 4 && zs.length == 4)
+
+    // reproduce the fusion from first principles: lexical micros from
+    // the bm25 fixture, dense micros from the embedding cosines
+    val m1 = micro(2, 3, 4.0, 2.5, 2.0) + micro(1, 3, 4.0, 2.5, 2.0)
+    val m2 = micro(1, 2, 4.0, 2.5, 2.0)
+    val m3 = micro(3, 4, 4.0, 2.5, 2.0)
+    val lex = Map(1L -> m1, 2L -> m2, 3L -> m3)           // doc 4 absent
+    def cosMicro(x: Double, y: Double): Long =
+      math.round(1e6 * (x * 1.0 + y * 0.0) / (math.sqrt(x * x + y * y) * 1.0))
+    val den = Map(1L -> cosMicro(1.0, 0.0), 2L -> cosMicro(0.9f.toDouble, 0.1f.toDouble),
+      3L -> cosMicro(0.5, 0.5), 4L -> cosMicro(0.0, 1.0))
+    def minmaxN(m: Map[Long, Long])(id: Long): Double =
+      m.get(id).map(v => (v - m.values.min).toDouble / (m.values.max - m.values.min).toDouble).getOrElse(0.0)
+    def zN(m: Map[Long, Long])(id: Long): Double = m.get(id).map { v =>
+      val n = m.size.toDouble
+      val sm = m.values.sum
+      val sq = m.values.map(x => x * x).sum
+      val std = math.sqrt(math.max((sq.toDouble - sm.toDouble * sm.toDouble / n) / n, 0.0))
+      (v.toDouble - sm.toDouble / n) / std
+    }.getOrElse(0.0)
+    def fuse(nl: Double, nd: Double): Long = math.round((0.5 * nl + 0.5 * nd) * 1e6)
+    def r6(micro: Long): Double = BigDecimal(micro.toDouble / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    mm.foreach { case (_, _, id, fused, _, _) =>
+      assert(fused == r6(fuse(minmaxN(lex)(id), minmaxN(den)(id))), s"minmax doc $id")
+    }
+    zs.foreach { case (_, _, id, fused, _, _) =>
+      assert(fused == r6(fuse(zN(lex)(id), zN(den)(id))), s"zscore doc $id")
+    }
+    // a doc absent from one list contributes 0 on that side: doc 4 has
+    // no lexical match, so its minmax fused score is dense-only
+    assert(mm.find(_._3 == 4L).get._5 == 0)
+    // ordering is total on (fused micro desc, doc_id asc) within mode
+    Seq(mm, zs).foreach { rows =>
+      val micros = rows.map(r => math.round(r._4 * 1e6))
+      assert(micros.sameElements(micros.sortBy(-_)))
+    }
+  }
+
+  test("hybridNormTopK: a constant list normalizes to 1.0 (minmax) / 0.0 (zscore)") {
+    import graft.functions.SearchFunctions.hybridNormTopK
+    // all docs equidistant from the anchor direction -> every dense
+    // cosine micro identical -> degenerate dense list
+    val embeds = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = hybridNormTopK(docs, "doc_id", "text", embeds, "vec_id",
+        "embedding", Seq((0, "zzz a", 1L)), k = 4, fuseN = 4)
+      .select("mode", "doc_id", "fused", "lex_rank", "dense_rank")
+      .as[(String, Long, Double, Int, Int)].collect()
+    // lexical list = docs 1,2 (term 'a'); dense list = all four, constant.
+    // minmax: dense side contributes 0.5*1.0 to every doc (constant ->
+    // 1.0 by convention) -- doc absent from lex still scores 0.5
+    val mm = out.filter(_._1 == "minmax")
+    assert(mm.filter(r => r._2 == 3L || r._2 == 4L).forall(_._3 == 0.5))
+    // zscore: constant dense list contributes 0.0 everywhere; docs
+    // absent from the lexical list fuse to exactly 0
+    val zsAbsent = out.filter(r => r._1 == "zscore" && (r._2 == 3L || r._2 == 4L))
+    assert(zsAbsent.forall(_._3 == 0.0))
+  }
 }
