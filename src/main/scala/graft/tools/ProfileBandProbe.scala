@@ -18,8 +18,12 @@ import graft.functions.BandIndex
   * task-level `inputMetrics.bytesRead` next to the store's total
   * bytes, plus the probed-bucket count against 16^prefixLen.
   *
-  * Usage: runMain graft.tools.ProfileBandProbe [sfDir] [series]
-  * where series = comma list of factor:prefixLen (default "1:2,16:3").
+  * Usage: runMain graft.tools.ProfileBandProbe [sfDir] [series] [batchDocs]
+  * where series = comma list of factor:prefixLen (default "1:2,16:3")
+  * and batchDocs sizes the probe batch (default 5 — the flat-law
+  * fixture; pass the full base size to stress the driver-side
+  * prefix-match with ~16^prefixLen distinct base buckets, the r15
+  * finding-#2 regime the 5-doc batch cannot reach).
   */
 object ProfileBandProbe {
   def main(args: Array[String]): Unit = {
@@ -27,6 +31,7 @@ object ProfileBandProbe {
     val series = args.lift(1).getOrElse("1:2,16:3").split(",").map { s =>
       val Array(f, pl) = s.trim.split(":"); (f.toInt, pl.toInt)
     }.toSeq
+    val batchDocs = args.lift(2).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -62,12 +67,12 @@ object ProfileBandProbe {
 
     val base = documents(spark, d).select("doc_id", "text")
     val baseN = base.count()
-    // constant 5-doc probe batch: 16 bands × 5 docs ≤ 80 band keys —
-    // the per-batch budget the law says probe cost follows
-    val batch = base.filter(col("doc_id") < 5)
+    // constant probe batch: 16 bands × batchDocs band keys — the
+    // per-batch budget the law says probe cost follows
+    val batch = base.filter(col("doc_id") < batchDocs)
       .select((col("doc_id") + 90000000L).as("doc_id"), col("text")).persist()
     batch.count()
-    println(s"base corpus: $baseN docs ($d); constant 5-doc probe batch, 64 hashes / 16 bands")
+    println(s"base corpus: $baseN docs ($d); constant $batchDocs-doc probe batch, 64 hashes / 16 bands")
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
@@ -110,6 +115,9 @@ object ProfileBandProbe {
             wordShingles(col("text"), 3), 64, "md5"), 16, 4)).as("band"))
         .select(substring(col("band"), 1, pl)).distinct()
         .collect().map(_.getString(0)).toSet
+      println(s"  batch base buckets at pl=$pl: ${probedBuckets.size} " +
+        s"(driver prefix-match work: ${probedBuckets.size}L lookups vs " +
+        s"dirs x buckets = ${stats.size}L x ${probedBuckets.size}L compares pre-r16)")
       val probedBytes = stats.filter { case (b, _) => probedBuckets(b) }.values.sum
       BandIndex.probe(spark, dir, batch, "doc_id", "text", 0.8).unpersist(blocking = false)
       // probe is eager (localCheckpoint), so planning can't be timed
