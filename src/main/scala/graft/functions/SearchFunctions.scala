@@ -304,15 +304,30 @@ object SearchFunctions {
     require(k >= 1 && fuseN >= k, "need 1 <= k <= fuseN")
     val perDoc = bm25PerDoc(docs, idCol, textCol,
       queries.map(q => (q._1, q._2)), 1.2, 0.75)
-    val lexTop = perDoc.groupBy("qid")
+    // per-list statistics ride along as WINDOW aggregates over the
+    // exploded top list (exact longs: min/max/Σ/Σ² — micro² of a
+    // ±~20·10⁶ score × fuseN rows stays far under 2⁶³; count doubles
+    // for the divisions). A groupBy-stats + join-back here evaluated
+    // the whole lexical rerank and the dense corpus pass TWICE each
+    // (the stats subtree is not shared with the join input); the
+    // window form computes each side once over its own
+    // (queries × fuseN)-row list.
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    def withStats(top: DataFrame, mic: String, p: String): DataFrame =
+      top.withColumn(s"__${p}min", min(mic).over(wq))
+        .withColumn(s"__${p}max", max(mic).over(wq))
+        .withColumn(s"__${p}sum", sum(mic).over(wq))
+        .withColumn(s"__${p}sq", sum(col(mic) * col(mic)).over(wq))
+        .withColumn(s"__${p}n", count(lit(1)).over(wq).cast("double"))
+    val lexTop = withStats(perDoc.groupBy("qid")
       .agg(graft.expressions.TopKAggregate.bounded_topk(
         struct((-col("__micro")).as("__o"), col("__id")),
         struct(col("__id"), col("__micro")), fuseN).as("__top"))
       .select(col("qid"), posexplode(col("__top")))
       .select(col("qid"), col("col.__id").as("doc_id"),
         col("col.__micro").as("__lm"),
-        (col("pos") + 1).cast("int").as("lex_rank"))
-    val denTop = denseCosineMicros(embeds, vecIdCol, embCol,
+        (col("pos") + 1).cast("int").as("lex_rank")), "__lm", "l")
+    val denTop = withStats(denseCosineMicros(embeds, vecIdCol, embCol,
         queries.map(q => (q._1, q._3)))
       .groupBy("qid")
       .agg(graft.expressions.TopKAggregate.bounded_topk(
@@ -321,20 +336,9 @@ object SearchFunctions {
       .select(col("qid"), posexplode(col("__top")))
       .select(col("qid"), col("col.doc_id").as("doc_id"),
         col("col.__cm").as("__dm"),
-        (col("pos") + 1).cast("int").as("dense_rank"))
-
-    // per-list statistics in exact longs (micro² of a ±~20·10⁶ score
-    // × fuseN rows stays far under 2⁶³); count doubles as __ln
-    def stats(top: DataFrame, mic: String, p: String): DataFrame =
-      top.groupBy("qid").agg(
-        min(mic).as(s"__${p}min"), max(mic).as(s"__${p}max"),
-        sum(mic).as(s"__${p}sum"),
-        sum(col(mic) * col(mic)).as(s"__${p}sq"),
-        count(lit(1)).cast("double").as(s"__${p}n"))
+        (col("pos") + 1).cast("int").as("dense_rank")), "__dm", "d")
     val joined = lexTop
       .join(denTop, Seq("qid", "doc_id"), "full_outer")
-      .join(broadcast(stats(lexTop, "__lm", "l")), "qid")
-      .join(broadcast(stats(denTop, "__dm", "d")), "qid")
 
     // op order mirrors the oracle SQL exactly; the absent-side NULL
     // check comes FIRST so a degenerate list never lifts missing docs
