@@ -420,4 +420,55 @@ class DedupSpec extends AnyFunSuite {
         docs, "doc_id", "text", maxHamming = 5)
     }
   }
+
+  test("exactSubstringDedup: canonical keeps, maximal-span merge, short docs pass through") {
+    // L=10. doc 1 is canonical for the shared 25-char region
+    // "ABCDEFGHIJKLMNOPQRSTUVWXY" (25 chars -> 16 dup grams in doc 2
+    // merging to ONE span of 25); doc 3 repeats a region of doc 1
+    // twice INSIDE itself; doc 4 is shorter than L.
+    val shared = "ABCDEFGHIJKLMNOPQRSTUVWXY"      // 25 chars
+    val d1 = s"xx${shared}yy"                      // canonical (id 1)
+    val d2 = s"aaaa${shared}bbbb"                  // loses the region
+    val d3 = s"qq${shared.take(12)}zz${shared.take(12)}ww" // 2nd copy self-dup
+    val d4 = "short"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val out = exactSubstringDedup(docs, "doc_id", "text", L = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "chars_removed", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1: canonical for the 25-char region AND for its 12-char
+    // prefix used by doc 3 -- nothing removed
+    assert(byId(1L) == ((1L, 0, 0, d1)))
+    // doc 2: the 16 duplicated 10-grams merge to exactly one 25-char span
+    assert(byId(2L) == ((2L, 1, 25, "aaaabbbb")))
+    // doc 3: both 12-char copies duplicate doc 1's grams; the SECOND
+    // copy also self-duplicates -- both copies are removed whole
+    assert(byId(3L) == ((3L, 2, 24, "qqzzww")))
+    // doc 4: below L, passes through untouched with zero spans
+    assert(byId(4L) == ((4L, 0, 0, "short")))
+    // chars_removed always equals the length delta
+    out.foreach { case (id, _, removed, clean) =>
+      val orig = Map(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4)(id)
+      assert(orig.length - clean.length == removed, s"doc $id")
+    }
+  }
+
+  test("exactSubstringDedup: adjacent spans merge; span at position 1 and at text end") {
+    // doc 20 = two canonical regions back to back -> its copy in doc
+    // 21 merges to ONE span covering the whole text (empty rebuild)
+    val a = "0123456789ABCDEFGHIJ"   // 20 chars
+    val docs = Seq((20L, a), (21L, a), (22L, s"pp$a")).toDF("doc_id", "text")
+    val out = exactSubstringDedup(docs, "doc_id", "text", L = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "chars_removed", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(20L) == ((20L, 0, 0, a)))
+    // identical doc: every gram marked, one span [1, 21), empty text
+    assert(byId(21L) == ((21L, 1, 20, "")))
+    // suffix copy: span runs to the exact end of text, "pp" survives
+    assert(byId(22L) == ((22L, 1, 20, "pp")))
+  }
 }
