@@ -1069,22 +1069,30 @@ object DedupFunctions {
     *    join; interval merge + text rebuild are PER-DOC windows
     *    (bounded by document length, the d8/x9 discipline — never a
     *    corpus-wide single partition)
-    *  - `L` is the only dial: shuffle bytes ∝ corpus chars × (L + 16)
-    *    / 1. For 100 TB, key the aggregate by a 128-bit gram hash
-    *    instead of the string (identical plan, 16 B keys); the
-    *    string form here keeps the DuckDB oracle byte-exact with
-    *    zero collision caveat.
+    *  - `L` is the only dial: shuffle bytes ∝ corpus chars × (L + 16).
+    *    `hashKeys = true` is the 100 TB arm: the canonical aggregate
+    *    and mark join key on `xxhash64(gram)` (8 B) instead of the
+    *    L-char string — same plan shape, ~L/8× smaller exchanges; a
+    *    64-bit collision merges two unrelated grams' canonical
+    *    choice (removing an innocent span), expected ~n²/2⁶⁵ events
+    *    — at 10¹² grams that is ~tens of spans corpus-wide, the
+    *    standard accepted cost of the hash variant (Lee et al. use
+    *    exactly this tradeoff in their hash-based impl). The string
+    *    form keeps the DuckDB oracle byte-exact with zero caveat;
+    *    d17/d17b gate BOTH arms against the SAME exact oracle, so
+    *    the twin's fixture-scale equality is itself verified.
     */
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
-                          L: Int): DataFrame = {
+                          L: Int, hashKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(L >= 2, "need L >= 2")
     val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val gramCol = col("__t").substr(col("__p"), lit(L))
     val grams = base.filter(length(col("__t")) >= L)
       .select(col("__id"), col("__t"),
         explode(sequence(lit(1), length(col("__t")) - lit(L - 1))).as("__p"))
       .select(col("__id"), col("__p"),
-        col("__t").substr(col("__p"), lit(L)).as("__g"))
+        (if (hashKeys) xxhash64(gramCol) else gramCol).as("__g"))
     // canonical = lexicographic min (doc, pos): min doc id, then min
     // position within that doc — one struct-min hash aggregate
     val canon = grams.groupBy("__g")

@@ -528,6 +528,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // The 100 TB arm of d17: identical semantics, exchanges keyed by
+    // xxhash64(gram) (8 B) instead of the 40-char string. Gated
+    // against the SAME exact-string oracle — at fixture scale a
+    // 64-bit collision is ~impossible, so oracle equality proves the
+    // twins agree while the plan carries 5x less shuffle payload.
+    "d17b_exact_substring_hash" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val all = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      exactSubstringDedup(all, "doc_id", "text", L = 40, hashKeys = true)
+        .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming document ingest, oracle-gated end-to-end (r15: the
     // streaming twins were the one subsystem gated by specs alone).
     // Two micro-batches flow through StreamOps.bandIngest's
@@ -1012,6 +1027,44 @@ object DedupQueries {
     // gram -> canonical -> interval-merge -> rebuild, replayed in SQL;
     // ORDER BY inside string_agg makes the rebuild order explicit
     "d17_exact_substring" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        | g AS (
+        |  SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 40) AS gram
+        |  FROM all_docs, unnest(generate_series(1, length(text) - 39)) AS t(i)
+        |  WHERE length(text) >= 40),
+        | cd AS (SELECT gram, MIN(doc_id) AS cdoc FROM g GROUP BY 1),
+        | cp AS (SELECT g.gram, g.doc_id AS cdoc, MIN(pos) AS cpos
+        |   FROM g JOIN cd ON g.gram = cd.gram AND g.doc_id = cd.cdoc GROUP BY 1, 2),
+        | mk AS (SELECT g.doc_id, g.pos AS s, g.pos + 40 AS e
+        |   FROM g LEFT JOIN cp ON g.gram = cp.gram AND g.doc_id = cp.cdoc AND g.pos = cp.cpos
+        |   WHERE cp.gram IS NULL),
+        | m1 AS (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM mk),
+        | m2 AS (SELECT doc_id, s, e,
+        |   CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS nw FROM m1),
+        | m3 AS (SELECT doc_id, s, e, SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM m2),
+        | sp AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM m3 GROUP BY doc_id, grp),
+        | hd AS (SELECT doc_id, COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS fs,
+        |   s AS fe FROM sp),
+        | tl AS (SELECT sp.doc_id, MAX(sp.e) AS fs, MAX(length(a.text)) + 1 AS fe
+        |   FROM sp JOIN all_docs a USING (doc_id) GROUP BY sp.doc_id),
+        | segs AS (SELECT * FROM hd UNION ALL SELECT * FROM tl),
+        | reb AS (SELECT s2.doc_id,
+        |   string_agg(substr(a.text, CAST(fs AS INT), CAST(fe - fs AS INT)), '' ORDER BY fs) AS clean_text
+        |   FROM segs s2 JOIN all_docs a USING (doc_id) GROUP BY s2.doc_id),
+        | st AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+        |   CAST(SUM(e - s) AS INT) AS chars_removed FROM sp GROUP BY 1)
+        |SELECT a.doc_id,
+        |  COALESCE(st.n_spans, 0) AS n_spans,
+        |  COALESCE(st.chars_removed, 0) AS chars_removed,
+        |  md5(COALESCE(reb.clean_text, a.text)) AS clean_md5
+        |FROM all_docs a LEFT JOIN st USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+    // d17b: the hash-keyed twin is gated against the SAME exact oracle
+    "d17b_exact_substring_hash" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
