@@ -250,11 +250,30 @@ object BandIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a bucket parked in `.old-` by a crashed or in-flight compact is
     // listed THROUGH its backup dir (readPartitions), never restored
+    // read-side consistency across a crashed or in-flight rebucket
+    // (r15 carried item): while an op's `.rebucket-inflight-` marker
+    // exists AND its base dir is still live, the op has NOT committed
+    // — the deeper dirs' `rebucket-<bucket>-<gen>-*` files are
+    // uncommitted copies of postings the base dir still holds.
+    // Exclude exactly those files so stats never double-counts;
+    // readers still mutate nothing (the next WRITE entry point's
+    // recoverBoth scrubs them for real).
+    val uncommittedTags: Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(".rebucket-inflight-"))
+        .map(_.stripPrefix(".rebucket-inflight-"))
+        .filter { suffix =>
+          val bucket = suffix.substring(0, suffix.lastIndexOf('-'))
+          fs.exists(new org.apache.hadoop.fs.Path(root, s"bucket=$bucket"))
+        }
+        .map(suffix => s"rebucket-$suffix-")
     val fsRows = PartitionedStore.readPartitions(fs, root, "bucket")
       .filter { case (v, _) => prefix.forall(v.startsWith) }
       .map { case (v, pd) =>
       val files = fs.listStatus(pd)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          !uncommittedTags.exists(f.getPath.getName.startsWith))
       (v, files.map(_.getPath.toString),
         files.length.toLong, files.map(_.getLen).sum)
     }
@@ -462,9 +481,9 @@ object BandIndex {
     * scrub the op's tagged files; base dir gone → committed, drop the
     * `.retired-` remnant; either way drop the marker and any leaked
     * `.staging-rebucket-*` dirs. (An unhealed rebucket never breaks a
-    * reader: its postings exist twice and probe candidates are
-    * distinct()ed; stats may transiently double-count until the next
-    * write op heals — report-grade, documented.) */
+    * reader: probe candidates are distinct()ed, and [[stats]] skips
+    * the uncommitted op's tagged files outright (r16 — the former
+    * transient double-count), both without mutating anything.) */
   private def recoverBoth(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")

@@ -313,4 +313,51 @@ class BandIndexSpec extends AnyFunSuite {
     assert(reps.head.nonEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("stats across a crashed rebucket: uncommitted tagged files are excluded, never double-counted") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_crashstats").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BandIndex.save(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, dir = dir, prefixLen = 1)
+    val total0 = BandIndex.stats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0)
+
+    // simulate a rebucket of bucket "a" that crashed AFTER staging its
+    // tagged split files but BEFORE retiring the base dir: marker
+    // present, base dir live, a deeper dir holding a tagged copy
+    val base = new Path(s"$dir/bands/bucket=a")
+    assume(fs.exists(base), "fixture needs bucket=a")
+    val srcFile = fs.listStatus(base)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val split = new Path(s"$dir/bands/bucket=a0")
+    fs.mkdirs(split)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcFile, fs,
+      new Path(split, "rebucket-a-7-0.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(s"$dir/bands/.rebucket-inflight-a-7"), true).close()
+
+    // stats reads THROUGH the crash remnants: same total, no mutation
+    val statsAcross = BandIndex.stats(spark, dir)
+    val totalAcross = statsAcross
+      .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0)
+    assert(totalAcross == total0,
+      s"stats must exclude the uncommitted tag: $totalAcross vs $total0")
+    assert(fs.exists(new Path(s"$dir/bands/.rebucket-inflight-a-7")) &&
+      fs.exists(new Path(split, "rebucket-a-7-0.parquet")),
+      "stats is a reader: the crash remnants must be untouched")
+
+    // the next WRITE entry point heals for real (scrubs the tag) and
+    // the total is unchanged again
+    BandIndex.compact(spark, dir, minFiles = 1000) // write entry, no-op compaction
+    assert(!fs.exists(new Path(s"$dir/bands/.rebucket-inflight-a-7")),
+      "write entry must drop the crashed op's marker")
+    assert(!fs.exists(new Path(split, "rebucket-a-7-0.parquet")),
+      "write entry must scrub the uncommitted tagged file")
+    val totalHealed = BandIndex.stats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0)
+    assert(totalHealed == total0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
