@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!tiny.contains("SortMergeJoin"), tiny.take(2000))
   }
 
+  test("d17 exact substring dedup: gram-keyed equi-joins only (no all-pairs scan, no cartesian)") {
+    for (q <- Seq("d17_exact_substring", "d17b_exact_substring_hash")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: " + p.take(2000))
+    }
+  }
+
   test("x18b winnowing pairs: inverted-index equi-join on the fingerprint key (no all-pairs scan)") {
     val p = plan("x18b_winnowing_pairs")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
