@@ -160,6 +160,58 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Streaming vector ingest, oracle-gated end-to-end (the st9 twin
+    // for the ANN family — r16: before this, vectorIngest's truth
+    // rested on StreamingSpec alone): save the first 250 vectors,
+    // stream the rest through vectorIngest in two micro-batches, then
+    // run the exactly-once REPLAY arm inside the gate (batch 0's
+    // marker dropped, same data re-streamed under the same streamId
+    // from a fresh checkpoint — the foreachBatch re-run must scrub
+    // tag st10-b0 and converge to ONE copy). Final store content is
+    // identical to s10's, so the SAME s4 oracle gates it: a replay
+    // that loses or doubles a vector changes the probed top-5.
+    "st10_vector_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_stream_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      // fresh store per call: markers/checkpoints from a previous rep
+      // would silently skip this rep's batches
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.functions.AnnIndex.ivfIndexSave(
+        e.filter(col("vec_id") < 250), "vec_id", "embedding",
+        cells = 16, dir = dir)
+      val rest = e.filter(col("vec_id") >= 250)
+        .select("vec_id", "embedding").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      implicit val sqlCtx = s.sqlContext
+      def ingest(ckpt: String)(batches: Seq[Array[(Long, Seq[Float])]]): Unit = {
+        val mem = MemoryStream[(Long, Seq[Float])]
+        val q = graft.streaming.StreamOps.vectorIngest(
+            mem.toDF().toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+            streamId = "st10")
+          .option("checkpointLocation", s"$dir/$ckpt")
+          .start()
+        // one processAllAvailable per addData = one micro-batch each
+        // (a single drain would coalesce both payloads into batch 0)
+        try batches.foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      ingest("ckpt")(Seq(b1, b2))
+      // replay arm: crash-before-marker simulation for batch 0
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/st10/batch-0")
+      marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(marker, false)
+      ingest("ckpt2")(Seq(b1))
+      graft.functions.AnnIndex.probe(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Index MAINTENANCE round-trip: per-cell stats of a saved ivf_flat
     // index (footer-only counts, no data scan), a deliberately SKEWED
     // ingest — two addBatch micro-batches of 25 clones of vector 3's
@@ -737,6 +789,8 @@ object SimilarityQueries {
     // the persisted-index round-trips must be result-invisible: the
     // oracles ARE the in-session s4/s8 oracles
     "s10_ann_index_persisted" -> s4Sql,
+    // streamed store content == s10's content, so the same oracle
+    "st10_vector_ingest" -> s4Sql,
     "s10b_ann_ivfpq_persisted" -> s8Sql,
     "s11_ann_index_maintain" -> s11Sql,
     // the PQ life-cycle's phase counts are assignment-only facts —
