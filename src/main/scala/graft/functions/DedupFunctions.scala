@@ -1082,6 +1082,172 @@ object DedupFunctions {
     *    d17/d17b gate BOTH arms against the SAME exact oracle, so
     *    the twin's fixture-scale equality is itself verified.
     */
+  /** Content-defined chunking (rsync / LBFS / FastCDC family): split
+    * each document at positions where a local window hash satisfies
+    * `h % avgMask == 0` (expected chunk length ≈ avgMask + window),
+    * subject to a greedy minimum chunk length, then detect duplicate
+    * chunks ACROSS documents by chunk hash. Because boundaries depend
+    * only on local content, an insertion near the head of a copied
+    * document shifts every byte offset yet the chunker RESYNCS at the
+    * next content-defined cut — the property fixed-stride splitting
+    * lacks, and the reason incremental-storage dedup uses CDC.
+    *
+    * Cut rule: for window start i (1-based, i ≤ len−window+1), the
+    * 40-bit md5 hash of `text[i, i+window)` (the d4b/x18 hash bits —
+    * engine-reproducible) marks a candidate cut at `i + window`;
+    * candidates are walked in order and kept if ≥ minLen since the
+    * last kept cut (chunk tails shorter than minLen are allowed at
+    * doc end). The canonical occurrence of a duplicated chunk is the
+    * lexicographic min (doc, idx) — d17's convention.
+    *
+    * Returns per doc: `n_chunks`, `dup_chunks`, `dup_chars` (chars in
+    * chunks whose canonical occurrence is elsewhere).
+    *
+    * Scale shape (100 TB): hashing + boundary walk are per-row HOFs
+    * (embarrassingly parallel, work linear in chars); the only
+    * exchange is the chunk-hash groupBy — chunks-sized, like d1 on
+    * chunk granularity. At production scale key the exchange by
+    * xxhash64(chunk) instead of the md5 hex (the d17b diet); the md5
+    * form keeps the oracle byte-exact. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, avgMask: Int = 16, minLen: Int = 8): DataFrame = {
+    require(window >= 2 && avgMask >= 1 && minLen >= 1, "bad CDC dials")
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val len = length(col("__t"))
+    // candidate cuts, in position order (sequence is ascending; the
+    // len >= window guard keeps sequence() from walking backwards)
+    val cands = when(len >= window,
+      filter(transform(sequence(lit(1), len - lit(window - 1)),
+        i => when(
+          conv(substring(md5(col("__t").substr(i, lit(window))), 1, 10), 16, 10)
+            .cast("long") % avgMask === 0,
+          i + lit(window)).otherwise(lit(null))),
+        c => c.isNotNull && c <= len))
+      .otherwise(array().cast("array<int>"))
+    // greedy min-length walk over the ordered candidates
+    val kept = aggregate(cands, array(lit(1)),
+      (acc, c) => when(c - element_at(acc, -1) >= minLen,
+        concat(acc, array(c))).otherwise(acc))
+    val bounds = concat(kept, array(len + 1))
+    val chunks = base
+      .select(col("__id"), col("__t"), bounds.as("__b"))
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), size(col("__b")) - 1),
+          j => struct(j.as("idx"),
+            col("__t").substr(element_at(col("__b"), j),
+              element_at(col("__b"), j + 1) - element_at(col("__b"), j))
+              .as("chunk")))).as("c"))
+      .select(col("__id"), col("c.idx").as("__idx"),
+        md5(col("c.chunk")).as("__ch"), length(col("c.chunk")).as("__cl"))
+    val canon = chunks.groupBy("__ch")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__c"))
+    val perDoc = chunks.join(canon, Seq("__ch"))
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__c.__id") === col("__id") && col("__c.__idx") === col("__idx"),
+          0).otherwise(1)).cast("int").as("dup_chunks"),
+        sum(when(col("__c.__id") === col("__id") && col("__c.__idx") === col("__idx"),
+          0).otherwise(col("__cl"))).cast("int").as("dup_chars"))
+    base.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_chunks"), lit(0)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0)).as("dup_chunks"),
+        coalesce(col("dup_chars"), lit(0)).as("dup_chars"))
+  }
+
+  /** Edit-distance fuzzy self-join over a string column (entity
+    * resolution / fuzzy key dedup — beyond-reference surface, same
+    * family as [[exactSubstringDedup]]). Returns all DISTINCT value
+    * pairs `(name_a < name_b)` with `levenshtein <= maxDist`, exactly:
+    * candidates come from a sound lower-bound filter, then every
+    * candidate is verified with the real edit distance, so any sound
+    * filter yields the brute-force answer.
+    *
+    * Two candidate arms (Gravano et al. 2001 q-gram counting; Xiao et
+    * al. 2008 Ed-Join prefix filtering):
+    *
+    *  - `prefixFilter = false`: positional q-gram equi-join with a
+    *    position band. If `ed(s,t) <= k` then at least
+    *    `max(|s|,|t|) - q + 1 - k*q` of s's positional q-grams survive
+    *    the edit script unchanged, each displaced by at most k
+    *    positions. The `length >= q*(k+1)` guard makes that bound >= 1,
+    *    so joining on (gram value, |pos delta| <= k) is complete.
+    *    Candidate volume ~ sum over gram values of cnt^2 — fine when
+    *    grams are selective, quadratic on low-entropy keys.
+    *  - `prefixFilter = true` (the scale arm): each string keeps only
+    *    its `k*q + 1` globally-rarest (gram, occurrence#) elements
+    *    under the total order (corpus count, gram, occ); two strings
+    *    within distance k MUST share one of these elements (set prefix
+    *    lemma over the (gram, occ) element encoding of the gram
+    *    multiset — occurrence indices make multiset overlap a plain
+    *    set intersection). Join key is (gram, occ), so hot gram VALUES
+    *    ("Customer#" boilerplate) stop driving the join: candidates
+    *    concentrate on each string's rare tail.
+    *
+    * Scale shape (100 TB): grams shuffle O(total chars); the gram-count
+    * relation is vocab-sized (<= charset^q, broadcast at q <= 2); the
+    * verify stage touches candidates only. No cartesian product at any
+    * stage (d17-style plan pin in DedupSpec).
+    */
+  def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int, q: Int = 2,
+                 prefixFilter: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDist >= 1, "need maxDist >= 1")
+    require(q >= 2, "need q >= 2")
+    val names = df.select(col(strCol).as("name")).na.drop().distinct()
+      // completeness guard: below q*(k+1) chars the surviving-gram
+      // lower bound can reach 0 and a qualifying pair may share no
+      // gram at all — mirror this filter in any oracle
+      .filter(length(col("name")) >= q * (maxDist + 1))
+    val grams = names
+      .select(col("name"),
+        explode(sequence(lit(1), length(col("name")) - lit(q - 1))).as("pos"))
+      .select(col("name"), col("pos"),
+        col("name").substr(col("pos"), lit(q)).as("g"))
+    val lenBand = abs(length(col("a.name")) - length(col("b.name"))) <= maxDist
+    val ordered = col("a.name") < col("b.name")
+    // NOTE: no distinct between candidate generation and verification —
+    // the levenshtein filter runs map-side on the (duplicated) join
+    // output and the final distinct exchanges only MATCHES. On a
+    // low-entropy key corpus the candidate relation is 20-40× the
+    // match set (measured at sf0.1, SCALE.md r16): deduping first
+    // would shuffle every candidate pair to save re-running a ~100 ns
+    // codegen kernel — the wrong side of the trade at any scale.
+    val cand =
+      if (!prefixFilter) {
+        grams.as("a").join(grams.as("b"),
+            col("a.g") === col("b.g") &&
+              abs(col("a.pos") - col("b.pos")) <= maxDist &&
+              ordered && lenBand)
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      } else {
+        // occurrence index per (name, gram value): the i-th occurrence
+        // of g in s can only match the i-th occurrence of g in t under
+        // the canonical multiset matching, turning multiset overlap
+        // into set intersection over (g, occ) elements. Window is per
+        // (name, gram) — bounded by string length.
+        val withOcc = grams.withColumn("occ",
+          row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
+        val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+        val countsR = if (q <= 2) broadcast(counts) else counts
+        val pref = withOcc.join(countsR, Seq("g"))
+          .groupBy("name")
+          .agg(slice(array_sort(collect_list(struct(col("cnt"), col("g"),
+            col("occ")))), 1, q * maxDist + 1).as("pf"))
+          .select(col("name"), explode(col("pf")).as("e"))
+          .select(col("name"), col("e.g").as("g"), col("e.occ").as("occ"))
+        pref.as("a").join(pref.as("b"),
+            col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+              ordered && lenBand)
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      }
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
                           L: Int, hashKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window

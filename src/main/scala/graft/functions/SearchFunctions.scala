@@ -383,4 +383,103 @@ object SearchFunctions {
         col("col.lex_rank").as("lex_rank"),
         col("col.dense_rank").as("dense_rank"))
   }
+
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    * SIGIR 1998) over the dense retrieval candidates: greedily select
+    * k of the top-`candN` cosine-to-anchor docs, each step maximizing
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * with the second term 0 on the first pick. The standard rerank for
+    * near-duplicate-heavy corpora, where plain top-k returns k copies
+    * of one document.
+    *
+    * Determinism: rel and sim are cosine in integer micros (the
+    * sequential-fold dot kernel the ANN oracles mirror); λ is a
+    * percentage so every MMR score is the exact long
+    * `λpct·rel − (100−λpct)·maxSim`; ties break doc_id asc. The
+    * greedy runs as ONE declarative higher-order-function fold per
+    * query row — no driver loop, no collect — so a million-query
+    * batch diversifies in a single distributed pass.
+    *
+    * Plan shape at scale: candidates come from one broadcast-anchor
+    * corpus pass + the bounded_topk map-side heap (k×partitions
+    * exchange); the candidate sim matrix is (queries × candN²) rows —
+    * candN is a small constant, so both the matrix and the per-row
+    * greedy (k·candN² map lookups) are bounded per query. For larger
+    * corpora the candidate stage composes with the IVF/LSH bucketed
+    * ANN paths unchanged. */
+  def mmrRerank(embeds: DataFrame, vecIdCol: String, embCol: String,
+                anchors: Seq[(Int, Long)], k: Int, candN: Int,
+                lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && candN >= k, "need 1 <= k <= candN")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct in [0,100]")
+    val spark = embeds.sparkSession
+    import spark.implicits._
+    val av = anchors.toDF("qid", "__aid")
+      .join(embeds, col("__aid") === col(vecIdCol))
+      .select(col("qid"), col(embCol).as("__av"))
+    val cmicro = embeds
+      .select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"))
+      .crossJoin(broadcast(av))
+      .select(col("qid"), col("doc_id"),
+        round(SimilarityFunctions.cosine(col("__v"), col("__av")) * lit(1e6))
+          .cast("long").as("__cm"))
+    val cand = cmicro.groupBy("qid")
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-col("__cm")).as("__o"), col("doc_id")),
+        struct(col("doc_id"), col("__cm")), candN).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("c"))
+      .select(col("qid"), col("c.doc_id").as("doc_id"), col("c.__cm").as("rel"))
+    // reattach vectors for the candidate-pair sim matrix (cand is
+    // (queries × candN) rows — broadcast against the corpus)
+    val cv = broadcast(cand)
+      .join(embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v")),
+        Seq("doc_id"))
+    val sims = cv.as("a").join(cv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.qid").as("qid"),
+        concat(col("a.doc_id"), lit(":"), col("b.doc_id")).as("__key"),
+        round(SimilarityFunctions.cosine(col("a.__v"), col("b.__v")) * lit(1e6))
+          .cast("long").as("__sim"))
+    val simMaps = sims.groupBy("qid")
+      .agg(map_from_entries(collect_list(struct(col("__key"), col("__sim"))))
+        .as("__sm"))
+    val packed = cand.groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rel"))))
+        .as("__cands"))
+      .join(simMaps, Seq("qid"))
+    // one greedy step: argmax over unselected candidates of
+    // λpct·rel − (100−λpct)·maxSim(selected), ties doc_id asc —
+    // encoded as min of (negMmr, doc_id) structs
+    def step(sel: Column): Column = {
+      // fold floor: cosine micros are >= -1e6, so -2e6 is strictly
+      // below any real sim and safe against λ-weight overflow
+      def maxSim(c: Column): Column =
+        when(size(sel) === 0, lit(0L)).otherwise(
+          aggregate(sel, lit(-2000000L),
+            (m, s) => greatest(m, coalesce(
+              element_at(col("__sm"),
+                concat(c.getField("doc_id"), lit(":"), s.getField("doc_id"))),
+              lit(-2000000L)))))
+      element_at(array_sort(transform(
+        filter(col("__cands"),
+          c => !exists(sel, s => s.getField("doc_id") === c.getField("doc_id"))),
+        c => struct(
+          (-(lit(lambdaPct.toLong) * c.getField("rel")
+            - lit((100 - lambdaPct).toLong) * maxSim(c))).as("negMmr"),
+          c.getField("doc_id").as("doc_id")))), 1)
+    }
+    val emptySel =
+      array().cast("array<struct<negMmr:bigint,doc_id:bigint>>")
+    val selected =
+      if (k == 1) array(step(emptySel))
+      else aggregate(sequence(lit(2), lit(k)), array(step(emptySel)),
+        (sel, _) => concat(sel, array(step(sel))))
+    packed.select(col("qid"), posexplode(selected))
+      .select(col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.doc_id").as("doc_id"),
+        round((-col("col.negMmr")).cast("double") / lit(1e8), 6).as("mmr"))
+  }
 }

@@ -543,6 +543,46 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking dedup (rsync/FastCDC family). Corpus =
+    // documents plus SHIFTED clones ('XX ' prefix on docs < 50): a
+    // fixed-stride chunker finds ~0% duplicate chunks after the
+    // 3-char offset shift, CDC resyncs at the next content-defined
+    // cut and finds ~89% — the oracle replays hash cuts, the greedy
+    // min-length walk (recursive CTE), chunk md5s, and the canonical
+    // min-(doc,idx) attribution.
+    "d19_cdc_chunks" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val all = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(lit("XX "), col("text")).as("text")))
+      cdcChunks(all, "doc_id", "text", window = 8, avgMask = 16, minLen = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Edit-distance fuzzy self-join (entity resolution). Part names
+    // are a natural fuzzy-key corpus ("red bolt"/"old bolt"). Arm:
+    // positional q-gram band join — sound because >= 1 gram survives
+    // any <= 2-edit script displaced by <= 2 positions (the len >= 6
+    // guard keeps the surviving-gram bound >= 1; mirrored in the
+    // oracle). Verification is the real levenshtein, so the candidate
+    // filter only has to be sound, and the oracle is plain brute force.
+    "d18_fuzzy_join" -> ((s, d) => {
+      fuzzyPairs(part(s, d), "p_name", maxDist = 2, q = 2)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // The 100 TB arm of d18: Ed-Join rare-gram prefix filtering over
+    // (gram, occurrence#) elements. Customer names share a massive
+    // "Customer#0…" boilerplate prefix — the positional-band arm would
+    // drive candidates through those hot grams, while the prefix arm
+    // keeps each name's k*q+1 globally-rarest elements (its digit
+    // tail) and joins only on those. Same brute-force oracle shape.
+    "d18b_fuzzy_join_prefix" -> ((s, d) => {
+      fuzzyPairs(customer(s, d), "c_name", maxDist = 1, q = 2,
+        prefixFilter = true)
+        .orderBy("name_a", "name_b")
+    }),
+
     // Streaming document ingest, oracle-gated end-to-end (r15: the
     // streaming twins were the one subsystem gated by specs alone).
     // Two micro-batches flow through StreamOps.bandIngest's
@@ -1101,6 +1141,69 @@ object DedupQueries {
         |  md5(COALESCE(reb.clean_text, a.text)) AS clean_md5
         |FROM all_docs a LEFT JOIN st USING (doc_id) LEFT JOIN reb USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+    // d19: hash cuts + greedy walk + chunk canon, replayed move-for-
+    // move (the walk is a per-doc recursive CTE over candidate index;
+    // depth = max candidates per doc)
+    "d19_cdc_chunks" ->
+      """WITH RECURSIVE
+        | all_docs AS (SELECT doc_id, text FROM documents
+        |   UNION ALL SELECT doc_id + 20000 AS doc_id, 'XX ' || text AS text FROM documents WHERE doc_id < 50),
+        | dd AS (SELECT doc_id, text, length(text) AS dlen FROM all_docs),
+        | cnd AS (
+        |   SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord
+        |   FROM (
+        |     SELECT doc_id, i + 8 AS pos
+        |     FROM dd, unnest(generate_series(1, dlen - 7)) AS t(i)
+        |     WHERE dlen >= 8
+        |       AND CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 10)) AS BIGINT) % 16 = 0
+        |       AND i + 8 <= dlen)),
+        | walk(doc_id, ord, lastkept, kept) AS (
+        |   SELECT doc_id, 0, CAST(1 AS BIGINT), [CAST(1 AS BIGINT)] FROM dd
+        |   UNION ALL
+        |   SELECT c.doc_id, c.ord,
+        |     CASE WHEN c.pos - w.lastkept >= 8 THEN CAST(c.pos AS BIGINT) ELSE w.lastkept END,
+        |     CASE WHEN c.pos - w.lastkept >= 8 THEN list_append(w.kept, CAST(c.pos AS BIGINT)) ELSE w.kept END
+        |   FROM walk w JOIN cnd c ON c.doc_id = w.doc_id AND c.ord = w.ord + 1),
+        | fin AS (SELECT doc_id, kept FROM (
+        |   SELECT doc_id, kept, row_number() OVER (PARTITION BY doc_id ORDER BY ord DESC) AS rn FROM walk) WHERE rn = 1),
+        | bnd AS (SELECT f.doc_id, list_append(f.kept, CAST(dd.dlen + 1 AS BIGINT)) AS b, dd.text AS text
+        |   FROM fin f JOIN dd USING (doc_id)),
+        | ch AS (SELECT doc_id, j AS idx,
+        |     md5(substr(text, CAST(b[CAST(j AS INT)] AS INT), CAST(b[CAST(j AS INT)+1] - b[CAST(j AS INT)] AS INT))) AS chash,
+        |     CAST(b[CAST(j AS INT)+1] - b[CAST(j AS INT)] AS INT) AS clen
+        |   FROM bnd, unnest(generate_series(1, len(b) - 1)) AS t(j)),
+        | cn AS (SELECT chash, min(struct_pack(cd := doc_id, ci := idx)) AS canon FROM ch GROUP BY 1),
+        | pd AS (SELECT ch.doc_id,
+        |     CAST(COUNT(*) AS INT) AS n_chunks,
+        |     CAST(SUM(CASE WHEN canon.cd = ch.doc_id AND canon.ci = ch.idx THEN 0 ELSE 1 END) AS INT) AS dup_chunks,
+        |     CAST(SUM(CASE WHEN canon.cd = ch.doc_id AND canon.ci = ch.idx THEN 0 ELSE ch.clen END) AS INT) AS dup_chars
+        |   FROM ch JOIN cn USING (chash) GROUP BY 1)
+        |SELECT a.doc_id, COALESCE(pd.n_chunks, 0) AS n_chunks,
+        |  COALESCE(pd.dup_chunks, 0) AS dup_chunks, COALESCE(pd.dup_chars, 0) AS dup_chars
+        |FROM all_docs a LEFT JOIN pd USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+    // d18: brute force — the length band is implied by dist <= 2 but
+    // kept to mirror the Spark plan's filter; len >= 6 mirrors the
+    // completeness guard (q*(maxDist+1))
+    "d18_fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE len(p_name) >= 6)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE abs(len(a.name) - len(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // d18b: the prefix-filter arm is gated against the SAME
+    // brute-force shape (k = 1, customer names, len >= 4 guard)
+    "d18b_fuzzy_join_prefix" ->
+      """WITH n AS (
+        |  SELECT DISTINCT c_name AS name FROM customer WHERE len(c_name) >= 4)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE abs(len(a.name) - len(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     // the d16 oracle shape over the STREAMED store: brute force on
     // corpus u batch1 (+50000) u batch2 (+60000), pairs touching the
     // probe batch (+70000) — a replay that leaves zero or two copies

@@ -296,6 +296,18 @@ object TextAnalysisQueries {
         .orderBy("qid", "mode", "rank")
     }),
 
+    // MMR diversification over the dense candidates (the x27/x41
+    // anchors): greedy λ=0.7 selection of 10 from the cosine top-20,
+    // every score an exact long (70·rel − 30·maxSim in micros), the
+    // whole greedy ONE declarative HOF fold per query row. The oracle
+    // replays the greedy move-for-move as a recursive CTE.
+    "x42_mmr_diversify" -> ((s, d) => {
+      graft.functions.SearchFunctions.mmrRerank(
+          embeddings(s, d), "vec_id", "embedding",
+          hybridQueries.map(q => (q._1, q._3)), k = 10, candN = 20)
+        .orderBy("qid", "rank")
+    }),
+
     // Image average-hash over REAL pixel decode: each doc gets a
     // synthesized 8×8 24-bpp BMP whose 192 pixel bytes derive from
     // doc_id ((doc_id·7 + idx·13) mod 256), the native kernel
@@ -902,6 +914,46 @@ object TextAnalysisQueries {
         |  round(CAST(fmic AS DOUBLE) / 1000000.0, 6) AS fused,
         |  CAST(lex_rank AS INT) AS lex_rank, CAST(dense_rank AS INT) AS dense_rank
         |FROM frk WHERE rnk <= 10 ORDER BY qid, mode, rank""".stripMargin,
+    // x42: the greedy replayed move-for-move — each recursion step's
+    // LATERAL argmax is the Spark fold's array_sort pick (mmr DESC,
+    // doc_id ASC), all arithmetic in exact longs; /1e8 = λ-percent ×
+    // micro scale
+    "x42_mmr_diversify" ->
+      """WITH RECURSIVE
+        | q(qid, anchor) AS (VALUES (0, 7), (1, 42), (2, 123)),
+        | emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | anch AS (SELECT q.qid, e.v AS av FROM q JOIN emb e ON e.vec_id = q.anchor),
+        | dcos AS (SELECT a.qid, e.vec_id AS doc_id,
+        |   CAST(round(1000000.0 *
+        |     (list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * a.av[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.av[i] * a.av[i])))))) AS BIGINT) AS cm
+        |   FROM anch a, emb e),
+        | drk AS (SELECT qid, doc_id, cm,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) AS dr FROM dcos),
+        | cand AS (SELECT qid, doc_id, cm FROM drk WHERE dr <= 20),
+        | cv AS (SELECT c.qid, c.doc_id, c.cm, e.v FROM cand c JOIN emb e ON e.vec_id = c.doc_id),
+        | sims AS (SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+        |   CAST(round(1000000.0 *
+        |     (list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))))) AS BIGINT) AS sim
+        |   FROM cv a JOIN cv b ON a.qid = b.qid AND a.doc_id <> b.doc_id),
+        | sel(qid, r, ids, picked, mmr) AS (
+        |   SELECT qid, 0, CAST([] AS BIGINT[]), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM q
+        |   UNION ALL
+        |   SELECT s.qid, s.r + 1, list_append(s.ids, p.doc_id), p.doc_id, p.mmr
+        |   FROM sel s, LATERAL (
+        |     SELECT c.doc_id,
+        |       70 * c.cm - 30 * (CASE WHEN len(s.ids) = 0 THEN 0 ELSE
+        |         (SELECT MAX(si.sim) FROM sims si
+        |          WHERE si.qid = s.qid AND si.da = c.doc_id AND list_contains(s.ids, si.db)) END) AS mmr
+        |     FROM cand c WHERE c.qid = s.qid AND NOT list_contains(s.ids, c.doc_id)
+        |     ORDER BY mmr DESC, c.doc_id LIMIT 1) p
+        |   WHERE s.r < 10)
+        |SELECT qid, CAST(r AS INT) AS rank, picked AS doc_id,
+        |  round(CAST(mmr AS DOUBLE) / 100000000.0, 6) AS mmr
+        |FROM sel WHERE r >= 1 ORDER BY qid, rank""".stripMargin,
     // ahash bit p (p = cellY*8+cellX, top-down grid) reads BMP pixel
     // bytes bottom-up: source row = 7 - p//8, byte idx = row*24 + x*3;
     // luma = sum of 3 channel bytes; bit = 64*g > total (the kernel's

@@ -471,4 +471,109 @@ class DedupSpec extends AnyFunSuite {
     // suffix copy: span runs to the exact end of text, "pp" survives
     assert(byId(22L) == ((22L, 1, 20, "pp")))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side replay of cdcChunks (hash cuts → greedy walk →
+    * canonical min-(doc,idx) attribution). */
+  private def cdcRef(docs: Seq[(Long, String)], w: Int, mask: Int,
+                     minLen: Int): Map[Long, (Int, Int, Int)] = {
+    val chunks = docs.flatMap { case (id, t) =>
+      val len = t.length
+      val cand =
+        if (len >= w) (1 to len - w + 1)
+          .filter(i => java.lang.Long.parseLong(
+            md5hex(t.substring(i - 1, i - 1 + w)).take(10), 16) % mask == 0)
+          .map(_ + w).filter(_ <= len)
+        else Seq.empty[Int]
+      val kept = cand.foldLeft(Vector(1)) { (acc, c) =>
+        if (c - acc.last >= minLen) acc :+ c else acc }
+      val bounds = kept :+ (len + 1)
+      bounds.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), j) => (id, j + 1, md5hex(t.substring(a - 1, b - 1)), b - a)
+      }.toSeq
+    }
+    val canon = chunks.groupBy(_._3)
+      .map { case (h, occ) => h -> occ.map(o => (o._1, o._2)).min }
+    docs.map { case (id, _) =>
+      val mine = chunks.filter(_._1 == id)
+      val dups = mine.filter(c => canon(c._3) != ((c._1, c._2)))
+      id -> ((mine.size, dups.size, dups.map(_._4).sum))
+    }.toMap
+  }
+
+  test("cdcChunks equals the driver replay; shifted copies resync; short/identical docs behave") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel")
+    val baseText = Seq.fill(60)(words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = Seq(
+      (1L, baseText),
+      (2L, "QQ " + baseText),       // shifted copy: must resync
+      (3L, baseText),               // identical copy: all chunks dup
+      (4L, "tiny"),                 // < window: one whole-text chunk
+      (5L, Seq.fill(50)(words(rnd.nextInt(words.length))).mkString(" ")))
+    val out = graft.functions.DedupFunctions
+      .cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
+        window = 8, avgMask = 16, minLen = 8)
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = cdcRef(docs, w = 8, mask = 16, minLen = 8)
+    assert(out == want, s"got $out want $want")
+    // the designed properties, not just replay equality:
+    val (n2, d2count, _) = out(2L)
+    assert(d2count >= n2 - 2, s"shifted copy failed to resync: $out")  // only the head chunk(s) new
+    assert(out(3L)._2 == out(3L)._1 && out(3L)._3 == baseText.length,
+      s"identical copy not fully dup: ${out(3L)}")
+    assert(out(4L) == ((1, 0, 0)), out(4L).toString)
+  }
+
+  private def bruteFuzzy(names: Seq[String], k: Int, q: Int): Set[(String, String, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val base = names.distinct.filter(_.length >= q * (k + 1))
+    (for (a <- base; b <- base if a < b; d = lev(a, b) if d <= k)
+      yield (a, b, d)).toSet
+  }
+
+  private def gotFuzzy(df: org.apache.spark.sql.DataFrame): Set[(String, String, Int)] =
+    df.as[(String, String, Int)].collect().toSet
+
+  test("fuzzyPairs: both arms equal brute force; repeated grams exercise the (gram, occ) encoding") {
+    // banana-family corpus: "an"/"na" occur 2-3 times per string, so a
+    // value-only prefix join would be unsound without occurrence
+    // indices; "banan" (5 chars) must be excluded by the len >= q(k+1)
+    // guard in ALL arms including brute force
+    val names = Seq("banana", "bananna", "bandana", "cabana", "banan",
+      "zzzzzz", "zzzzzx", "abcdef", "abcdff", "banana")
+    val df = names.toDF("n")
+    val want = bruteFuzzy(names, k = 2, q = 2)
+    assert(want.nonEmpty && want.exists(_._3 == 2), want.toString)
+    assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = 2, q = 2)) == want)
+    assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = 2, q = 2, prefixFilter = true)) == want)
+  }
+
+  test("fuzzyPairs: seeded random low-alphabet corpus, k=1 and k=2, both arms vs brute force") {
+    // {a,b,c} strings of length 6..10: dense near-matches, heavy gram
+    // repetition, length-band edges — the regime where an unsound
+    // candidate filter actually loses pairs
+    val rnd = new scala.util.Random(7)
+    val names = Seq.fill(40)((0 until (6 + rnd.nextInt(5)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val df = names.toDF("n")
+    for (k <- Seq(1, 2)) {
+      val want = bruteFuzzy(names, k, q = 2)
+      assert(want.nonEmpty, s"degenerate fixture at k=$k")
+      assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = k, q = 2)) == want, s"band arm k=$k")
+      assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = k, q = 2, prefixFilter = true)) == want,
+        s"prefix arm k=$k")
+    }
+  }
 }

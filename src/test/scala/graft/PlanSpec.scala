@@ -330,6 +330,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 unfiltered corpus scan, got $corpusScans:\n${p.take(2000)}")
   }
 
+  test("d18/d18b fuzzy join: gram-keyed equi-joins only, no cartesian on the name relation") {
+    for (q <- Seq("d18_fuzzy_join", "d18b_fuzzy_join_prefix")) {
+      val p = plan(q)
+      // band arm joins on gram value, prefix arm on (gram, occ) —
+      // either way the candidate stage must be a hash/merge join with
+      // the bands as post-join filters, never a nested loop over names
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("x42 MMR: candidate sim matrix joins on qid (broadcast candidates), greedy is one project") {
+    val p = plan("x42_mmr_diversify")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the rerank itself is a HOF fold in a Project over the packed
+    // row — no per-step shuffle, no window over candidates
+    assert(p.contains("bounded_topk"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("x23 BM25: query side broadcast, rerank is the bounded_topk heap (no window), no all-pairs scan") {
     val p = plan("x23_bm25")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))

@@ -166,4 +166,74 @@ class SearchSpec extends AnyFunSuite {
     val zsAbsent = out.filter(r => r._1 == "zscore" && (r._2 == 3L || r._2 == 4L))
     assert(zsAbsent.forall(_._3 == 0.0))
   }
+
+  // local reference of the production micro math: sequential-fold dot
+  // (the DoubleDot kernel order), round(cos * 1e6)
+  private def cosMicros(a: Seq[Float], b: Seq[Float]): Long = {
+    def dot(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+    math.round(dot(ad, bd) / (math.sqrt(dot(ad, ad)) * math.sqrt(dot(bd, bd))) * 1e6)
+  }
+
+  private def refMmr(embeds: Seq[(Long, Seq[Float])], anchor: Long, k: Int,
+                     candN: Int, lambdaPct: Long): Seq[(Int, Long, Long)] = {
+    val av = embeds.find(_._1 == anchor).get._2
+    val cand = embeds.map { case (id, v) => (id, cosMicros(v, av), v) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(candN)
+    val picked = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    for (r <- 1 to k) {
+      val best = cand.filterNot(c => selected.exists(_._1 == c._1))
+        .map { case (id, rel, v) =>
+          val maxSim = if (selected.isEmpty) 0L
+            else selected.map(s => cosMicros(v, s._2)).max
+          (id, lambdaPct * rel - (100 - lambdaPct) * maxSim, v)
+        }.minBy { case (id, mmr, _) => (-mmr, id) }
+      picked += ((r, best._1, best._2))
+      selected += ((best._1, best._3))
+    }
+    picked.toSeq
+  }
+
+  test("mmrRerank matches the reference greedy and demotes a near-duplicate at step 3") {
+    import graft.functions.SearchFunctions.mmrRerank
+    // With selected = {anchor}, maxSim(d) = cos(d, anchor) = rel(d),
+    // so step 2 is ALWAYS pure relevance order — demotion first
+    // becomes possible at step 3. Fixture: v2/v3 a near-dup pair at
+    // rel ≈ 0.5; v4 less relevant (0.45) but dissimilar to v2 — after
+    // {v1, v2}, v3's 0.99996 penalty pushes it below v4.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.866f, 0.0f)),
+      (3L, Seq(0.5f, 0.866f, 0.01f)),
+      (4L, Seq(0.45f, 0.0f, 0.893f)))
+    val out = mmrRerank(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        anchors = Seq((0, 1L)), k = 3, candN = 4)
+      .orderBy("rank").select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    val want = refMmr(vecs, anchor = 1L, k = 3, candN = 4, lambdaPct = 70)
+      .map(p => (p._1, p._2))
+    assert(out == want, s"got $out want $want")
+    // the designed demotion: 1 (anchor), 2 (most relevant), then 4 —
+    // NOT the near-copy 3, despite rel(3) > rel(4)
+    assert(out.map(_._2) == Seq(1L, 2L, 4L), out.toString)
+  }
+
+  test("mmrRerank k=1 and k=candN edges; lambda=100 reduces to dense top-k") {
+    import graft.functions.SearchFunctions.mmrRerank
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k1 = mmrRerank(df, "vec_id", "embedding", Seq((0, 1L)), k = 1, candN = 4)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(k1 == Seq((1, 1L)))
+    // λ=100: no diversity penalty — selection order IS (rel desc, id asc)
+    val all = mmrRerank(df, "vec_id", "embedding", Seq((0, 1L)),
+        k = 4, candN = 4, lambdaPct = 100)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    val wantOrder = vecs.map { case (id, v) => (id, cosMicros(v, vecs.head._2)) }
+      .sortBy { case (id, rel) => (-rel, id) }.map(_._1)
+    assert(all == wantOrder, s"got $all want $wantOrder")
+  }
 }
