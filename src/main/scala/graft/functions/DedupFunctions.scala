@@ -1191,7 +1191,22 @@ object DedupFunctions {
     * stage (d17-style plan pin in DedupSpec).
     */
   def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int, q: Int = 2,
-                 prefixFilter: Boolean = false): DataFrame = {
+                 prefixFilter: Boolean = false): DataFrame =
+    fuzzyCandidates(df, strCol, maxDist, q, prefixFilter)
+      // thresholded levenshtein runs the banded O(len·k) DP and
+      // returns -1 above maxDist — ~len/k cheaper per candidate than
+      // the full DP, at 10⁷ candidates the verify stage's main dial
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .distinct()
+
+  /** The candidate stage of [[fuzzyPairs]] (pre-verify, duplicates
+    * retained): the ONE implementation of both filter arms, exposed
+    * package-private so the ProfileD18 growth-law harness measures
+    * exactly the relation the operator joins. */
+  private[graft] def fuzzyCandidates(df: DataFrame, strCol: String,
+                                     maxDist: Int, q: Int,
+                                     prefixFilter: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxDist >= 1, "need maxDist >= 1")
     require(q >= 2, "need q >= 2")
@@ -1214,9 +1229,19 @@ object DedupFunctions {
     // match set (measured at sf0.1, SCALE.md r16): deduping first
     // would shuffle every candidate pair to save re-running a ~100 ns
     // codegen kernel — the wrong side of the trade at any scale.
+    // parallelism pin: the gram/prefix relations are tiny (names ×
+    // name-length rows) but the candidate join OUTPUT explodes to
+    // Σ_key cnt² — AQE coalesces the small upstream shuffles to ~1
+    // partition and serializes the explosion (measured at sf0.1:
+    // 70 s single-task vs 9 s at 32, ProbeD18Plan). An explicit-count
+    // repartition on the join keys is exempt from AQE coalescing and
+    // spreads the probe side; the exchange itself carries only the
+    // tiny relation.
+    val joinPar = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cand =
       if (!prefixFilter) {
-        grams.as("a").join(grams.as("b"),
+        val gramsPart = grams.repartition(joinPar, col("g"))
+        gramsPart.as("a").join(gramsPart.as("b"),
             col("a.g") === col("b.g") &&
               abs(col("a.pos") - col("b.pos")) <= maxDist &&
               ordered && lenBand)
@@ -1237,15 +1262,13 @@ object DedupFunctions {
             col("occ")))), 1, q * maxDist + 1).as("pf"))
           .select(col("name"), explode(col("pf")).as("e"))
           .select(col("name"), col("e.g").as("g"), col("e.occ").as("occ"))
-        pref.as("a").join(pref.as("b"),
+        val prefPart = pref.repartition(joinPar, col("g"), col("occ"))
+        prefPart.as("a").join(prefPart.as("b"),
             col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
               ordered && lenBand)
           .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       }
     cand
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
-      .distinct()
   }
 
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,

@@ -39,6 +39,31 @@ object Preprocessing {
     * on any cluster size, any partitioning, and by the SQL oracle) and
     * one shuffle on the class column; both window functions share the
     * same partitioning so Spark plans a single Exchange. */
+  /** Deterministic exact-k sample per group: the k members with the
+    * smallest md5(seed:key) ranks — a reproducible "stable eval-set
+    * draw" (re-running on the same corpus, or on a superset, keeps
+    * previously drawn members unless displaced by new smaller ranks).
+    *
+    * Scale shape: the rank heap is the bounded_topk
+    * TypedImperativeAggregate — map-side combining, so the exchange
+    * carries at most k rows per (task, group), never the group's
+    * population (the ANN-rerank shape; a row_number window would
+    * shuffle every row to rank them and throw away all but k). */
+  def deterministicGroupSample(df: DataFrame, groupCol: String,
+                               keyCol: String, k: Int,
+                               seed: String): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val h = md5(concat_ws(":", lit(seed), col(keyCol).cast("string")))
+    df.groupBy(groupCol)
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct(h.as("__h"), col(keyCol).as("__t")),
+        struct(col(keyCol).as("__k")), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol),
+        (col("pos") + 1).cast("int").as("draw"),
+        col("col.__k").as(keyCol))
+  }
+
   def stratifiedSampleByHash(df: DataFrame, classCol: String,
                              keyCols: Seq[String], fraction: Double,
                              seed: String): DataFrame = {

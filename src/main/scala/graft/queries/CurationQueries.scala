@@ -20,6 +20,16 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Deterministic exact-k sample per event_type (the reproducible
+    // eval-set draw): k smallest md5(seed:event_id) ranks via the
+    // bounded_topk map-side heap — exchange carries ≤ k rows per
+    // (task, group), never the group population.
+    "x43_group_sample" -> ((s, d) => {
+      graft.prep.Preprocessing.deterministicGroupSample(
+          events(s, d), "event_type", "event_id", k = 20, seed = "ev1")
+        .orderBy("event_type", "draw")
+    }),
+
     // Shard-local sequence packing into 256-token budgets: per-bin doc
     // and token counts + fill ratio. Packing windows parallelize
     // across sources (no global sort).
@@ -169,6 +179,13 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "x43_group_sample" ->
+      """SELECT event_type, CAST(rn AS INT) AS draw, event_id
+        |FROM (SELECT event_type, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY md5('ev1:' || CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 20 ORDER BY event_type, draw""".stripMargin,
     "x16_domain_mix" ->
       """WITH tok AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS ntok FROM documents),

@@ -144,4 +144,28 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(out.forall(r => r._3 <= r._4))
   }
+
+  test("deterministicGroupSample: exact k, reproducible, superset-stable, partitioning-invariant") {
+    import graft.prep.Preprocessing.deterministicGroupSample
+    val base = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("grp", "k")
+    def draw(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      deterministicGroupSample(df, "grp", "k", k = 5, seed = "s1")
+        .orderBy("grp", "draw").as[(String, Int, Long)].collect()
+        .groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(_._2).map(_._3).toSeq }
+    val d1 = draw(base)
+    assert(d1.keySet == Set("a", "b") && d1.values.forall(_.size == 5))
+    // reproducible and independent of physical partitioning (the heap
+    // merge is order-insensitive)
+    assert(draw(base.repartition(13)) == d1)
+    // superset stability: adding rows can only DISPLACE draws with
+    // smaller-rank newcomers, never perturb the survivors' membership
+    val more = base.unionByName((41L to 60L)
+      .map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("grp", "k"))
+    val d2 = draw(more)
+    for (g <- Seq("a", "b")) {
+      val kept = d2(g).filter(_ <= 40L).toSet
+      assert(kept.subsetOf(d1(g).toSet), s"$g: $kept not in ${d1(g)}")
+    }
+  }
 }
