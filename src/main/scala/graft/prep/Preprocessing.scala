@@ -64,6 +64,41 @@ object Preprocessing {
         col("col.__k").as(keyCol))
   }
 
+  /** Deterministic weighted exact-k sample per group (Efraimidis &
+    * Spirtakis 2006): each row draws u = md5-uniform(seed:key) and
+    * ranks by ln(u)/w — the k LARGEST ranks are a weighted sample
+    * without replacement (inclusion odds ∝ weight), reproducible
+    * across runs and engines. The importance-weighted twin of
+    * [[deterministicGroupSample]]; same bounded_topk map-side heap,
+    * so the exchange carries ≤ k rows per (task, group).
+    *
+    * Rows with weight <= 0 are excluded (their ES key is 0 — never
+    * selected ahead of any positive weight; dropping them keeps the
+    * rank expression total). ln is evaluated identically by both
+    * engines on the same 52-bit u (the x19/x22 LM-scoring precedent);
+    * a cross-engine flip would need two ranks within one ulp. */
+  def weightedGroupSample(df: DataFrame, groupCol: String, keyCol: String,
+                          weightCol: String, k: Int,
+                          seed: String): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    // u in (0, 1]: 13 hex digits of md5 (52 bits, exact in a double),
+    // +1 in the numerator so u is never 0 (ln(0) = -Inf is fine for
+    // ES but NULL-prone in SQL round-trips)
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+        col(keyCol).cast("string"))), 1, 13), 16, 10).cast("double") + 1.0) /
+      pow(lit(16.0), lit(13.0))
+    val rank = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).cast("double") > 0)
+      .groupBy(groupCol)
+      .agg(graft.expressions.TopKAggregate.bounded_topk(
+        struct((-rank).as("__r"), col(keyCol).as("__t")),
+        struct(col(keyCol).as("__k")), k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol),
+        (col("pos") + 1).cast("int").as("draw"),
+        col("col.__k").as(keyCol))
+  }
+
   def stratifiedSampleByHash(df: DataFrame, classCol: String,
                              keyCols: Seq[String], fraction: Double,
                              seed: String): DataFrame = {

@@ -30,6 +30,16 @@ object CurationQueries {
         .orderBy("event_type", "draw")
     }),
 
+    // Weighted exact-k sample per event_type (Efraimidis-Spirtakis):
+    // rank = ln(md5-uniform)/weight, k largest — inclusion odds ∝
+    // event value, reproducible, same map-side heap as x43.
+    "x44_weighted_group_sample" -> ((s, d) => {
+      graft.prep.Preprocessing.weightedGroupSample(
+          events(s, d), "event_type", "event_id", "value", k = 20,
+          seed = "ev2")
+        .orderBy("event_type", "draw")
+    }),
+
     // Shard-local sequence packing into 256-token budgets: per-bin doc
     // and token counts + fill ratio. Packing windows parallelize
     // across sources (no global sort).
@@ -179,6 +189,16 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // x44: the ES rank replayed exactly — same 52-bit u, same ln/w,
+    // DESC = the Spark side's (-rank) ascending heap order
+    "x44_weighted_group_sample" ->
+      """SELECT event_type, CAST(rn AS INT) AS draw, event_id
+        |FROM (SELECT event_type, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY
+        |    ln((CAST(('0x' || substr(md5('ev2:' || CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+        |       / (16.0 ^ 13)) / value DESC, event_id) AS rn
+        |  FROM events WHERE value > 0)
+        |WHERE rn <= 20 ORDER BY event_type, draw""".stripMargin,
     "x43_group_sample" ->
       """SELECT event_type, CAST(rn AS INT) AS draw, event_id
         |FROM (SELECT event_type, event_id,

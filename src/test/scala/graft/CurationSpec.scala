@@ -168,4 +168,35 @@ class CurationSpec extends AnyFunSuite {
       assert(kept.subsetOf(d1(g).toSet), s"$g: $kept not in ${d1(g)}")
     }
   }
+
+  test("weightedGroupSample matches the ES reference; zero/negative weights excluded; k > group") {
+    import graft.prep.Preprocessing.weightedGroupSample
+    // weights spanning 3 orders of magnitude + zero/negative rows
+    val rows = (1L to 30L).map(i =>
+      ("g" + (i % 2), i, if (i % 7 == 0) 0.0 else if (i % 11 == 0) -1.0
+        else math.pow(10.0, (i % 3).toDouble) + i * 0.01))
+    val df = rows.toDF("grp", "k", "w")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the production rank math, replayed exactly
+    def rank(id: Long, w: Double): Double = {
+      val u = (java.lang.Long.parseLong(md5hex(s"s2:$id").take(13), 16) + 1.0) /
+        math.pow(16.0, 13.0)
+      math.log(u) / w
+    }
+    val want = rows.filter(_._3 > 0).groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, rank(r._2, r._3)))
+        .sortBy { case (id, rk) => (-rk, id) }.take(8).map(_._1).toSeq
+    }
+    val got = weightedGroupSample(df, "grp", "k", "w", k = 8, seed = "s2")
+      .orderBy("grp", "draw").as[(String, Int, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(got == want, s"got $got want $want")
+    // k larger than a group's positive-weight population: returns all
+    val small = Seq(("z", 1L, 1.0), ("z", 2L, 5.0), ("z", 3L, 0.0)).toDF("grp", "k", "w")
+    val allOf = weightedGroupSample(small, "grp", "k", "w", k = 10, seed = "s2")
+      .as[(String, Int, Long)].collect()
+    assert(allOf.length == 2 && allOf.map(_._3).toSet == Set(1L, 2L))
+  }
 }
