@@ -30,6 +30,34 @@ object CurationQueries {
         .orderBy("event_type", "draw")
     }),
 
+    // URL canonicalization (the pre-dedup normalization for crawled
+    // corpora): deterministically messy URLs synthesized per doc (the
+    // x34 media-synthesis precedent) — case-shifted scheme/host,
+    // default ports, fragments, tracking params, unsorted query — and
+    // canonicalized with the documented 6-rule kernel. Same-source
+    // docs on the same branch collapse to ONE canonical key; the
+    // oracle replays every regexp/list step term for term.
+    "x45_url_canonical" -> ((s, d) => {
+      import graft.functions.WebFunctions._
+      val u = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("url",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://WWW."), col("source"),
+              lit(".Example.COM:80/Path/"), col("doc_id"),
+              lit("?utm_source=feed&b=2&a=1#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://"), col("source"),
+              lit(".example.com:443/items?gclid=xyz&z=9&a=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://CDN."), col("source"),
+              lit(".net/a/B?x=1&utm_campaign=c&y=2#x")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".org"))))
+      u.select(col("doc_id"),
+          urlCanonicalize(col("url")).as("canon"),
+          urlDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted exact-k sample per event_type (Efraimidis-Spirtakis):
     // rank = ln(md5-uniform)/weight, k largest — inclusion odds ∝
     // event value, reproducible, same map-side heap as x43.
@@ -189,6 +217,42 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // x45: the 6-rule kernel replayed term for term (note the two
+    // engine deltas the oracle papers over: DuckDB array_to_string
+    // of [] is NULL where Spark array_join is '', and a non-
+    // participating regex group is NULL where Spark yields '')
+    "x45_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://' || source || '.example.com:443/items?gclid=xyz&z=9&a=1'
+        |      WHEN 2 THEN 'https://CDN.' || source || '.net/a/B?x=1&utm_campaign=c&y=2#x'
+        |      ELSE 'http://' || source || '.org' END AS url
+        |  FROM documents),
+        | p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        | g AS (SELECT doc_id, url, nf,
+        |    regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 1) AS schemeraw,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 2)) AS rawhost,
+        |    regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 3) AS rawpath,
+        |    regexp_replace(COALESCE(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 4), ''), '^\?', '') AS rawq
+        |  FROM p),
+        | c AS (SELECT doc_id, url, schemeraw, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+        |         ELSE rawhost END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS pth,
+        |    COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS q,
+        |    regexp_extract(regexp_replace(rawhost, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN schemeraw = '' THEN url
+        |       ELSE scheme || '://' || host || pth ||
+        |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canon,
+        |  domain
+        |FROM c ORDER BY doc_id""".stripMargin,
     // x44: the ES rank replayed exactly — same 52-bit u, same ln/w,
     // DESC = the Spark side's (-rank) ascending heap order
     "x44_weighted_group_sample" ->

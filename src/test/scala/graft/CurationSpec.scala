@@ -199,4 +199,28 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Int, Long)].collect()
     assert(allOf.length == 2 && allOf.map(_._3).toSet == Set(1L, 2L))
   }
+
+  test("urlCanonicalize: the 6 rules, idempotence, and non-URL passthrough") {
+    import graft.functions.WebFunctions._
+    val cases = Seq(
+      // scheme/host case + default port + fragment + tracking + sort
+      ("HTTPS://User.Example.COM:443/A/b?z=2&utm_source=x&a=1#sec",
+        "https://user.example.com/A/b?a=1&z=2", "example.com"),
+      // http keeps :443 (not its default), path case preserved
+      ("http://h.org:443/P", "http://h.org:443/P", "h.org"),
+      ("http://h.org:80/P", "http://h.org/P", "h.org"),
+      // empty path -> '/', all-tracking query drops entirely
+      ("http://x.io?fbclid=1&gclid=2&utm_a=3", "http://x.io/", "x.io"),
+      // non-URL passthrough (canonicalization invents no structure)
+      ("not a url", "not a url", ""),
+      ("ftp://Files.Site.net:21/x", "ftp://files.site.net:21/x", "site.net"))
+    val out = cases.map(_._1).toDF("url")
+      .select(urlCanonicalize(col("url")).as("c"), urlDomain(col("url")).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(out == cases.map(c => (c._2, c._3)), s"got $out")
+    // idempotence: canonical output is its own canonical form
+    val again = cases.map(_._2).toDF("url")
+      .select(urlCanonicalize(col("url")).as("c")).as[String].collect().toSeq
+    assert(again == cases.map(_._2), s"not idempotent: $again")
+  }
 }
