@@ -109,6 +109,52 @@ object SimilarityFunctions {
     rankTopK(scored, k, "score", ascending = false)
   }
 
+  /** Scalar-quantized (SQ8) L2 top-k — the FAISS ScalarQuantizer arm
+    * that completes the quantization family next to [[pqTopK]]: each
+    * DIMENSION is trained to its corpus [min, max] range and every
+    * component stored as one 8-bit level
+    * `round((x − min)/(max − min) · 255)`; distances are asymmetric
+    * (full-precision query vs dequantized levels). Codes cost `dim`
+    * bytes/vector (4× under float32) and, unlike PQ, encode/decode is
+    * pure arithmetic — no codebook lookup in the scan.
+    *
+    * Train is one exact per-dim min/max aggregate (order-free, so
+    * engine-exact); the 2·dim range values are a driver-side KB pull
+    * (the collectCentroids precedent) re-broadcast as literals.
+    * Encode + scan is ONE corpus pass of per-row HOFs with the query
+    * set broadcast; rerank is the bounded_topk map-side heap.
+    * Deterministic: level rounding is exact-positive HALF_UP in both
+    * engines, est distances round to 6 before ranking, ties break
+    * neighbor_id asc. A dimension with max = min dequantizes to that
+    * constant (its quantization error is 0 by definition). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val mm = corpus.select(posexplode(asDouble(col(vecCol))))
+      .toDF("__i", "__x")
+      .groupBy("__i").agg(min("__x").as("mn"), max("__x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(mm.length == dim, s"expected $dim dims, got ${mm.length}")
+    val mins = typedlit(mm.map(_._2).toSeq)
+    val maxs = typedlit(mm.map(_._3).toSeq)
+    def mn(i: Column): Column = element_at(mins, i + 1)
+    def mx(i: Column): Column = element_at(maxs, i + 1)
+    val deq = transform(asDouble(col("__cv")), (x, i) =>
+      when(mx(i) > mn(i),
+        mn(i) + least(greatest(round(((x - mn(i)) / (mx(i) - mn(i))) * 255), lit(0.0)),
+          lit(255.0)) / 255.0 * (mx(i) - mn(i)))
+        .otherwise(mn(i)))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__dv", deq)
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("est", round(sqrt(
+        graft.expressions.HashExpressions.double_l2_squared(col("__qv"), col("__dv"))), 6))
+    rankTopK(scored, k, "est", ascending = true)
+  }
+
   /** Deterministic pseudo-random unit hyperplanes: component d of plane
     * p derives from md5("seed:p:d") — reproducible, no RNG state to
     * ship to executors (and embeddable as literals in the SQL oracle).

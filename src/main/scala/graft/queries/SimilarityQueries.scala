@@ -316,6 +316,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 scalar-quantized top-5 (the other quantization family next
+    // to PQ): per-dim [min,max] trained on the corpus (exact,
+    // order-free aggregate), every component stored as one 8-bit
+    // level, asymmetric L2 against the dequantized levels. One
+    // corpus pass, queries broadcast. Exact oracle by construction.
+    "s14_ann_sq8" -> ((s, d) => {
+      val e = embeddings(s, d)
+      sq8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ composed top-5: coarse cells prune the corpus (nprobe=4
     // of 16), PQ-ADC ranks within the probed cells (4 sub-codes of
     // 16) — the layout real vector stores run at 100 TB; corpus
@@ -600,6 +612,29 @@ object SimilarityQueries {
   /** s6 oracle: replicates pqTopK — codebooks are the first-16
     * vectors' sub-blocks, per-block argmin encoding with rounded L2²
     * and cid tie-break, ADC estimate summed in explicit block order. */
+  // s14: SQ8 replayed — per-dim min/max CTE, level round+clamp,
+  // dequant, asymmetric L2; round conventions shared with s6
+  private val s14Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      | mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      |   FROM e, unnest(generate_series(1, 64)) AS t(i) GROUP BY i),
+      | mma AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+      | dq AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+      |     CASE WHEN mxs[i] > mns[i]
+      |       THEN mns[i] + least(greatest(round(((v[i] - mns[i]) / (mxs[i] - mns[i])) * 255), 0.0), 255.0) / 255.0 * (mxs[i] - mns[i])
+      |       ELSE mns[i] END) AS dv
+      |   FROM e, mma),
+      | q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+      | s AS (SELECT q.qid AS query_id, d.vec_id AS neighbor_id,
+      |   round(sqrt(list_sum(list_transform(generate_series(1, 64),
+      |     i -> (q.qv[i] - d.dv[i]) * (q.qv[i] - d.dv[i])))), 6) AS est
+      |   FROM dq d, q WHERE d.vec_id <> q.qid),
+      | r AS (SELECT query_id, neighbor_id, est,
+      |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS INT) AS rank
+      |   FROM s)
+      |SELECT query_id, neighbor_id, est, rank FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private def s6Sql: String = {
     def l2(q: String, c: String, off: Int): String =
       s"""round(list_sum(list_transform(generate_series(1, 16),
@@ -785,6 +820,7 @@ object SimilarityQueries {
     "s2b_ann_multiprobe" -> s2bSql,
     "s5_knn_join" -> s5Sql,
     "s6_ann_pq" -> s6Sql,
+    "s14_ann_sq8" -> s14Sql,
     "s4_ann_ivf" -> s4Sql,
     // the persisted-index round-trips must be result-invisible: the
     // oracles ARE the in-session s4/s8 oracles

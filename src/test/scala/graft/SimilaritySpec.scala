@@ -30,6 +30,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.forall { case (q2, n) => q2 != n })
   }
 
+  test("sq8TopK: exact ranking on a gap-dominated fixture; high recall on the real corpus") {
+    import spark.implicits._
+    // designed fixture: inter-vector L2 gaps (>= 1.0) dwarf the max
+    // SQ8 dequantization error (range/510 per dim * sqrt(dim) ~= 0.07
+    // at range 10), so quantization CANNOT flip the ranking — sq8
+    // must equal exact L2 order
+    val vecs = (0L until 12L).map(i =>
+      (i, Seq.tabulate(4)(dimIdx => (i * (dimIdx + 1)).toFloat / 2f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = sq8TopK(df, df.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 5, dim = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val want = vecs.drop(1).map(v => (v._1, l2(v._2, vecs.head._2)))
+      .sortBy { case (id, dd) => (dd, id) }.take(5).map(_._1)
+    assert(got == want, s"got $got want $want")
+    // real corpus: SQ8's 8-bit grid is fine enough that recall@5 vs
+    // exact L2 stays high (far above the LSH floor)
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val qv = broadcast(q.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__qv")))
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      .crossJoin(qv).filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", sqrt(graft.expressions.HashExpressions
+        .double_l2_squared(col("__qv"), col("__cv"))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d"), col("neighbor_id"))))
+      .filter(col("rk") <= 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = sq8TopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall=$recall")
+  }
+
   test("multi-probe LSH: recall is monotone in probes; probes=1 equals the single-bucket plan") {
     val e = graft.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
