@@ -203,25 +203,48 @@ object AnnIndex {
     * they are listed ([[PartitionedStore.prunedRead]]): probe cost,
     * planning included, follows the probe set, never the index size. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+            idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    probeImpl(spark, dir, queries, idCol, vecCol, k, nprobe, identity)
+
+  /** Query-time FILTERED probe over a fixed index — the production
+    * "filtered vector search" shape (one index serves every attribute
+    * constraint): exact top-k among `allowed` ∩ the probed cells'
+    * members. The constraint is a semi-join on the stored id applied
+    * INSIDE the pruned cell scan, before any distance work
+    * (pre-filtering) — so k stays filled however selective the
+    * predicate, where post-filtering an unfiltered top-k under-fills
+    * and re-probes. Cost: the semi-join touches only probed-cell
+    * rows; Catalyst broadcasts a small allowed set and shuffles a
+    * large one — never corpus-wide either way. */
+  def probeFiltered(spark: SparkSession, dir: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nprobe: Int,
+                    allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val rel = allowed.select(col(allowedIdCol).as("neighbor_id")).distinct()
+    probeImpl(spark, dir, queries, idCol, vecCol, k, nprobe,
+      df => df.join(rel, Seq("neighbor_id"), "left_semi"))
+  }
+
+  private def probeImpl(spark: SparkSession, dir: String, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, nprobe: Int,
+                        restrict: DataFrame => DataFrame): DataFrame = {
     readEntry(spark, dir)
     val meta = readMeta(spark, dir)
     val cellCent = readCentroids(spark, s"$dir/centroids")
     val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
     meta.kind match {
       case "ivf_flat" =>
-        val assigned = PartitionedStore
+        val assigned = restrict(PartitionedStore
           .prunedRead(spark, s"$dir/codes", "cell", probedCells)
           .select(col("id").as("neighbor_id"), col("vec").as("__cv"),
-            col("cell").cast("long").as("__cid"))
+            col("cell").cast("long").as("__cid")))
         ivfProbeAssigned(assigned, queries, idCol, vecCol, cellCent, k, nprobe)
       case "ivf_pq" =>
         val codeSeeds = readCentroids(spark, s"$dir/codebook")
           .map { case (c, v) => (c, v.toSeq) }
-        val codes = PartitionedStore
+        val codes = restrict(PartitionedStore
           .prunedRead(spark, s"$dir/codes", "cell", probedCells)
           .select(col("id").as("neighbor_id"), col("cell").cast("long").as("__cell"),
-            col("b").as("__b"), col("code").as("__cid"))
+            col("b").as("__b"), col("code").as("__cid")))
         ivfpqProbeCodes(codes, queries, idCol, vecCol, cellCent, codeSeeds,
           k, nprobe, meta.m, meta.dim, meta.residual)
     }

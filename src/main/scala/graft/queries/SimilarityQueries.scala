@@ -328,6 +328,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Query-time FILTERED probe over the fixed persisted index (the
+    // production "filtered vector search" shape): top-5 among the
+    // EVEN vec_ids only, the predicate semi-joined into the pruned
+    // cell scan before any distance work — one index serves every
+    // attribute constraint, and k stays filled however selective the
+    // predicate (post-filtering an unfiltered top-k under-fills).
+    "s15_ann_filtered" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_filt_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.functions.AnnIndex.ivfIndexSave(e, "vec_id", "embedding",
+        cells = 16, dir = dir)
+      graft.functions.AnnIndex.probeFiltered(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4,
+        allowed = e.filter(col("vec_id") % 2 === 0).select("vec_id"),
+        allowedIdCol = "vec_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ composed top-5: coarse cells prune the corpus (nprobe=4
     // of 16), PQ-ADC ranks within the probed cells (4 sub-codes of
     // 16) — the layout real vector stores run at 100 TB; corpus
@@ -491,6 +511,26 @@ object SimilarityQueries {
   /** s4 oracle: replicates ivfTopK — centroids are the first 16 corpus
     * vectors, assignment/probing by round(cos, 6) with centroid-id
     * tie-break, exact rerank within probed cells. */
+  // s15 oracle: s4's cell machinery with the member side restricted
+  // to even ids — save/load/filter must be invisible to results
+  private def s15Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |  FROM e, cent),
+       | assigned AS (SELECT vec_id AS neighbor_id, v, cid FROM ca WHERE crank <= 1 AND vec_id % 2 = 0),
+       | qa AS (SELECT vec_id AS query_id, v AS qv, cid FROM ca WHERE crank <= 4 AND vec_id < 10),
+       | s AS (
+       |  SELECT qa.query_id, b.neighbor_id, ${cosSql("qa.qv", "b.v")} AS score
+       |  FROM assigned b JOIN qa ON b.cid = qa.cid AND b.neighbor_id <> qa.query_id),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   private def s4Sql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
@@ -822,6 +862,7 @@ object SimilarityQueries {
     "s6_ann_pq" -> s6Sql,
     "s14_ann_sq8" -> s14Sql,
     "s4_ann_ivf" -> s4Sql,
+    "s15_ann_filtered" -> s15Sql,
     // the persisted-index round-trips must be result-invisible: the
     // oracles ARE the in-session s4/s8 oracles
     "s10_ann_index_persisted" -> s4Sql,

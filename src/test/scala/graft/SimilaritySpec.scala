@@ -69,6 +69,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sq8 recall=$recall")
   }
 
+  test("probeFiltered: with all cells probed it IS the filtered brute force; k stays filled; the filter bites") {
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_filt_spec"
+    graft.functions.AnnIndex.ivfIndexSave(e, "vec_id", "embedding",
+      cells = 16, dir = dir)
+    val allowed = e.filter(col("vec_id") % 2 === 0).select("vec_id")
+    // nprobe = cells: no cell approximation left, so the filtered
+    // probe must EQUAL brute force over the allowed subset
+    val got = graft.functions.AnnIndex.probeFiltered(spark, dir, q,
+        "vec_id", "embedding", k = 5, nprobe = 16, allowed, "vec_id")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = bruteForceTopK(e.filter(col("vec_id") % 2 === 0), q,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want, s"diff: ${(got diff want) ++ (want diff got)}")
+    // every neighbor passes the predicate, every query keeps k = 5
+    assert(got.forall(_._2 % 2 == 0))
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+    // and the constraint actually changes results vs the unfiltered probe
+    val unfiltered = graft.functions.AnnIndex.probe(spark, dir, q,
+        "vec_id", "embedding", k = 5, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(unfiltered.exists(p => p._2 % 2 == 1), "fixture degenerate")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("multi-probe LSH: recall is monotone in probes; probes=1 equals the single-bucket plan") {
     val e = graft.Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
