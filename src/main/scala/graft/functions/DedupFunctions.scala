@@ -1191,8 +1191,9 @@ object DedupFunctions {
     * stage (d17-style plan pin in DedupSpec).
     */
   def fuzzyPairs(df: DataFrame, strCol: String, maxDist: Int, q: Int = 2,
-                 prefixFilter: Boolean = false): DataFrame =
-    fuzzyCandidates(df, strCol, maxDist, q, prefixFilter)
+                 prefixFilter: Boolean = false,
+                 blockCol: Option[String] = None): DataFrame =
+    fuzzyCandidates(df, strCol, maxDist, q, prefixFilter, blockCol)
       // thresholded levenshtein runs the banded O(len·k) DP and
       // returns -1 above maxDist — ~len/k cheaper per candidate than
       // the full DP, at 10⁷ candidates the verify stage's main dial
@@ -1203,25 +1204,41 @@ object DedupFunctions {
   /** The candidate stage of [[fuzzyPairs]] (pre-verify, duplicates
     * retained): the ONE implementation of both filter arms, exposed
     * package-private so the ProfileD18 growth-law harness measures
-    * exactly the relation the operator joins. */
+    * exactly the relation the operator joins.
+    *
+    * `blockCol` is standard ER blocking: only pairs agreeing on the
+    * block key are candidates — the equality joins gain the block as
+    * a key conjunct, so candidate volume divides by the number of
+    * blocks BEFORE any row materializes (never a post-hoc filter).
+    * The gram-rarity order for the prefix arm stays GLOBAL (the
+    * prefix lemma is indifferent to extra join conjuncts — adding a
+    * conjunct only removes candidates that verification would reject
+    * anyway, as cross-block pairs are out of scope by definition). */
   private[graft] def fuzzyCandidates(df: DataFrame, strCol: String,
                                      maxDist: Int, q: Int,
-                                     prefixFilter: Boolean): DataFrame = {
+                                     prefixFilter: Boolean,
+                                     blockCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxDist >= 1, "need maxDist >= 1")
     require(q >= 2, "need q >= 2")
-    val names = df.select(col(strCol).as("name")).na.drop().distinct()
+    val blockSel = blockCol.toSeq.map(b => col(b).as("blk"))
+    val names = df.select(col(strCol).as("name") +: blockSel: _*)
+      .na.drop().distinct()
       // completeness guard: below q*(k+1) chars the surviving-gram
       // lower bound can reach 0 and a qualifying pair may share no
       // gram at all — mirror this filter in any oracle
       .filter(length(col("name")) >= q * (maxDist + 1))
+    val blkCols = blockCol.toSeq.map(_ => col("blk"))
     val grams = names
-      .select(col("name"),
-        explode(sequence(lit(1), length(col("name")) - lit(q - 1))).as("pos"))
-      .select(col("name"), col("pos"),
-        col("name").substr(col("pos"), lit(q)).as("g"))
+      .select((col("name") +: blkCols) :+
+        explode(sequence(lit(1), length(col("name")) - lit(q - 1))).as("pos"): _*)
+      .select((col("name") +: blkCols) ++ Seq(col("pos"),
+        col("name").substr(col("pos"), lit(q)).as("g")): _*)
     val lenBand = abs(length(col("a.name")) - length(col("b.name"))) <= maxDist
     val ordered = col("a.name") < col("b.name")
+    val blkEq = blockCol.map(_ => col("a.blk") === col("b.blk")).getOrElse(lit(true))
+    val outCols = Seq(col("a.name").as("name_a"), col("b.name").as("name_b")) ++
+      blockCol.map(b => col("a.blk").as(b))
     // NOTE: no distinct between candidate generation and verification —
     // the levenshtein filter runs map-side on the (duplicated) join
     // output and the final distinct exchanges only MATCHES. On a
@@ -1240,33 +1257,36 @@ object DedupFunctions {
     val joinPar = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val cand =
       if (!prefixFilter) {
-        val gramsPart = grams.repartition(joinPar, col("g"))
+        val gramsPart = grams.repartition(joinPar, col("g") +: blkCols: _*)
         gramsPart.as("a").join(gramsPart.as("b"),
-            col("a.g") === col("b.g") &&
+            col("a.g") === col("b.g") && blkEq &&
               abs(col("a.pos") - col("b.pos")) <= maxDist &&
               ordered && lenBand)
-          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+          .select(outCols: _*)
       } else {
         // occurrence index per (name, gram value): the i-th occurrence
         // of g in s can only match the i-th occurrence of g in t under
         // the canonical multiset matching, turning multiset overlap
         // into set intersection over (g, occ) elements. Window is per
-        // (name, gram) — bounded by string length.
+        // (name [, block], gram) — bounded by string length.
         val withOcc = grams.withColumn("occ",
-          row_number().over(Window.partitionBy("name", "g").orderBy("pos")))
+          row_number().over(Window
+            .partitionBy(col("name") +: blkCols :+ col("g"): _*).orderBy("pos")))
         val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
         val countsR = if (q <= 2) broadcast(counts) else counts
         val pref = withOcc.join(countsR, Seq("g"))
-          .groupBy("name")
+          .groupBy(col("name") +: blkCols: _*)
           .agg(slice(array_sort(collect_list(struct(col("cnt"), col("g"),
             col("occ")))), 1, q * maxDist + 1).as("pf"))
-          .select(col("name"), explode(col("pf")).as("e"))
-          .select(col("name"), col("e.g").as("g"), col("e.occ").as("occ"))
-        val prefPart = pref.repartition(joinPar, col("g"), col("occ"))
+          .select((col("name") +: blkCols) :+ explode(col("pf")).as("e"): _*)
+          .select((col("name") +: blkCols) ++
+            Seq(col("e.g").as("g"), col("e.occ").as("occ")): _*)
+        val prefPart = pref.repartition(joinPar,
+          Seq(col("g"), col("occ")) ++ blkCols: _*)
         prefPart.as("a").join(prefPart.as("b"),
             col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
-              ordered && lenBand)
-          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+              blkEq && ordered && lenBand)
+          .select(outCols: _*)
       }
     cand
   }

@@ -583,6 +583,17 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     }),
 
+    // BLOCKED fuzzy join — standard entity-resolution blocking: only
+    // pairs agreeing on the block key (nation) are candidates, the
+    // block riding the equality JOIN KEYS so candidate volume divides
+    // by the block count before any row materializes (never a
+    // post-hoc filter; the join-key conjunct is visible in the plan).
+    "d20_fuzzy_blocked" -> ((s, d) => {
+      fuzzyPairs(customer(s, d), "c_name", maxDist = 1, q = 2,
+        prefixFilter = true, blockCol = Some("c_nationkey"))
+        .orderBy("c_nationkey", "name_a", "name_b")
+    }),
+
     // Streaming document ingest, oracle-gated end-to-end (r15: the
     // streaming twins were the one subsystem gated by specs alone).
     // Two micro-batches flow through StreamOps.bandIngest's
@@ -1204,6 +1215,19 @@ object DedupQueries {
         |WHERE abs(len(a.name) - len(b.name)) <= 1
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+    // d20: brute force within blocks (same shape as d18b + the block
+    // equality)
+    "d20_fuzzy_blocked" ->
+      """WITH n AS (
+        |  SELECT DISTINCT c_name AS name, c_nationkey FROM customer
+        |  WHERE len(c_name) >= 4)
+        |SELECT a.name AS name_a, b.name AS name_b, a.c_nationkey,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b
+        |  ON a.name < b.name AND a.c_nationkey = b.c_nationkey
+        |WHERE abs(len(a.name) - len(b.name)) <= 1
+        |  AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY a.c_nationkey, name_a, name_b""".stripMargin,
     // the d16 oracle shape over the STREAMED store: brute force on
     // corpus u batch1 (+50000) u batch2 (+60000), pairs touching the
     // probe batch (+70000) — a replay that leaves zero or two copies

@@ -529,15 +529,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((1, 0, 0)), out(4L).toString)
   }
 
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+      if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   private def bruteFuzzy(names: Seq[String], k: Int, q: Int): Set[(String, String, Int)] = {
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
-        if (i == 0) j else if (j == 0) i else 0))
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
-          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      dp(a.length)(b.length)
-    }
     val base = names.distinct.filter(_.length >= q * (k + 1))
     (for (a <- base; b <- base if a < b; d = lev(a, b) if d <= k)
       yield (a, b, d)).toSet
@@ -558,6 +559,28 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.exists(_._3 == 2), want.toString)
     assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = 2, q = 2)) == want)
     assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = 2, q = 2, prefixFilter = true)) == want)
+  }
+
+  test("fuzzyPairs blocking: both arms equal brute-within-block; zero cross-block pairs") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50)(((0 until (4 + rnd.nextInt(5)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString, rnd.nextInt(3)))
+    val df = rows.toDF("n", "b")
+    val base = rows.distinct.filter(_._1.length >= 4)
+    val want = (for {
+      (na, ba) <- base; (nb, bb) <- base
+      if ba == bb && na < nb
+      dd = lev(na, nb) if dd <= 1
+    } yield (na, nb, ba, dd)).toSet
+    // the same names also pair ACROSS blocks in the unblocked run —
+    // otherwise the zero-cross-block claim is vacuous
+    assert(bruteFuzzy(rows.map(_._1), 1, 2).size > want.size, "fixture degenerate")
+    for (arm <- Seq(false, true)) {
+      val got = fuzzyPairs(df, "n", maxDist = 1, q = 2,
+          prefixFilter = arm, blockCol = Some("b"))
+        .as[(String, String, Int, Int)].collect().toSet
+      assert(got == want, s"arm=$arm: ${(got diff want) ++ (want diff got)}")
+    }
   }
 
   test("fuzzyPairs: seeded random low-alphabet corpus, k=1 and k=2, both arms vs brute force") {
