@@ -1111,6 +1111,50 @@ object DedupFunctions {
     * form keeps the oracle byte-exact. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 window: Int = 8, avgMask: Int = 16, minLen: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val chunks = cdcChunkRelation(docs, idCol, textCol, window, avgMask, minLen)
+    val canon = chunks.groupBy("__ch")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__c"))
+    val perDoc = chunks.join(canon, Seq("__ch"))
+      .groupBy("__id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__c.__id") === col("__id") && col("__c.__idx") === col("__idx"),
+          0).otherwise(1)).cast("int").as("dup_chunks"),
+        sum(when(col("__c.__id") === col("__id") && col("__c.__idx") === col("__idx"),
+          0).otherwise(col("__cl"))).cast("int").as("dup_chars"))
+    base.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_chunks"), lit(0)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0)).as("dup_chunks"),
+        coalesce(col("dup_chars"), lit(0)).as("dup_chars"))
+  }
+
+  /** The corpus-level twin of [[cdcChunks]]: the k most-duplicated
+    * chunks — the boilerplate report an operator reads before
+    * deciding what to strip (shared headers, licence blocks, template
+    * fragments surface here). Per chunk hash: total copies, distinct
+    * docs, chunk length. One chunks-sized hash aggregate + a
+    * distributed top-k (TakeOrdered — map-side partial heaps, never a
+    * global sort of the chunk relation). */
+  def cdcTopChunks(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 8, avgMask: Int = 16, minLen: Int = 8,
+                   k: Int = 20): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    cdcChunkRelation(docs, idCol, textCol, window, avgMask, minLen)
+      .groupBy(col("__ch").as("chunk_md5"))
+      .agg(count(lit(1)).cast("int").as("n_copies"),
+        countDistinct(col("__id")).cast("int").as("n_docs"),
+        max(col("__cl")).cast("int").as("chunk_chars"))
+      .orderBy(col("n_copies").desc, col("chunk_md5"))
+      .limit(k)
+  }
+
+  /** Shared chunking stage of [[cdcChunks]]/[[cdcTopChunks]]: one row
+    * per (doc, chunk) with the chunk's md5 and length — hash cut rule
+    * + greedy min-length walk as per-row HOFs, no exchange. */
+  private def cdcChunkRelation(docs: DataFrame, idCol: String, textCol: String,
+                               window: Int, avgMask: Int, minLen: Int): DataFrame = {
     require(window >= 2 && avgMask >= 1 && minLen >= 1, "bad CDC dials")
     val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
     val len = length(col("__t"))
@@ -1129,7 +1173,7 @@ object DedupFunctions {
       (acc, c) => when(c - element_at(acc, -1) >= minLen,
         concat(acc, array(c))).otherwise(acc))
     val bounds = concat(kept, array(len + 1))
-    val chunks = base
+    base
       .select(col("__id"), col("__t"), bounds.as("__b"))
       .select(col("__id"),
         explode(transform(sequence(lit(1), size(col("__b")) - 1),
@@ -1139,21 +1183,6 @@ object DedupFunctions {
               .as("chunk")))).as("c"))
       .select(col("__id"), col("c.idx").as("__idx"),
         md5(col("c.chunk")).as("__ch"), length(col("c.chunk")).as("__cl"))
-    val canon = chunks.groupBy("__ch")
-      .agg(min(struct(col("__id"), col("__idx"))).as("__c"))
-    val perDoc = chunks.join(canon, Seq("__ch"))
-      .groupBy("__id")
-      .agg(count(lit(1)).cast("int").as("n_chunks"),
-        sum(when(col("__c.__id") === col("__id") && col("__c.__idx") === col("__idx"),
-          0).otherwise(1)).cast("int").as("dup_chunks"),
-        sum(when(col("__c.__id") === col("__id") && col("__c.__idx") === col("__idx"),
-          0).otherwise(col("__cl"))).cast("int").as("dup_chars"))
-    base.select(col("__id"))
-      .join(perDoc, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        coalesce(col("n_chunks"), lit(0)).as("n_chunks"),
-        coalesce(col("dup_chunks"), lit(0)).as("dup_chunks"),
-        coalesce(col("dup_chars"), lit(0)).as("dup_chars"))
   }
 
   /** Edit-distance fuzzy self-join over a string column (entity

@@ -583,6 +583,19 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     }),
 
+    // The corpus-level CDC report: the 20 most-duplicated chunks (the
+    // boilerplate an operator strips first). Same clone corpus as
+    // d19; distributed top-k (TakeOrdered), ties broken by chunk md5.
+    "d19b_cdc_top_chunks" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val all = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(lit("XX "), col("text")).as("text")))
+      cdcTopChunks(all, "doc_id", "text", window = 8, avgMask = 16,
+        minLen = 8, k = 20)
+        .orderBy(col("n_copies").desc, col("chunk_md5"))
+    }),
+
     // BLOCKED fuzzy join — standard entity-resolution blocking: only
     // pairs agreeing on the block key (nation) are candidates, the
     // block riding the equality JOIN KEYS so candidate volume divides
@@ -1215,6 +1228,40 @@ object DedupQueries {
         |WHERE abs(len(a.name) - len(b.name)) <= 1
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+    // d19b: the d19 chunk CTE chain, grouped by chunk hash
+    "d19b_cdc_top_chunks" ->
+      """WITH RECURSIVE
+        | all_docs AS (SELECT doc_id, text FROM documents
+        |   UNION ALL SELECT doc_id + 20000 AS doc_id, 'XX ' || text AS text FROM documents WHERE doc_id < 50),
+        | dd AS (SELECT doc_id, text, length(text) AS dlen FROM all_docs),
+        | cnd AS (
+        |   SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord
+        |   FROM (
+        |     SELECT doc_id, i + 8 AS pos
+        |     FROM dd, unnest(generate_series(1, dlen - 7)) AS t(i)
+        |     WHERE dlen >= 8
+        |       AND CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 10)) AS BIGINT) % 16 = 0
+        |       AND i + 8 <= dlen)),
+        | walk(doc_id, ord, lastkept, kept) AS (
+        |   SELECT doc_id, 0, CAST(1 AS BIGINT), [CAST(1 AS BIGINT)] FROM dd
+        |   UNION ALL
+        |   SELECT c.doc_id, c.ord,
+        |     CASE WHEN c.pos - w.lastkept >= 8 THEN CAST(c.pos AS BIGINT) ELSE w.lastkept END,
+        |     CASE WHEN c.pos - w.lastkept >= 8 THEN list_append(w.kept, CAST(c.pos AS BIGINT)) ELSE w.kept END
+        |   FROM walk w JOIN cnd c ON c.doc_id = w.doc_id AND c.ord = w.ord + 1),
+        | fin AS (SELECT doc_id, kept FROM (
+        |   SELECT doc_id, kept, row_number() OVER (PARTITION BY doc_id ORDER BY ord DESC) AS rn FROM walk) WHERE rn = 1),
+        | bnd AS (SELECT f.doc_id, list_append(f.kept, CAST(dd.dlen + 1 AS BIGINT)) AS b, dd.text AS text
+        |   FROM fin f JOIN dd USING (doc_id)),
+        | ch AS (SELECT doc_id, j AS idx,
+        |     md5(substr(text, CAST(b[CAST(j AS INT)] AS INT), CAST(b[CAST(j AS INT)+1] - b[CAST(j AS INT)] AS INT))) AS chash,
+        |     CAST(b[CAST(j AS INT)+1] - b[CAST(j AS INT)] AS INT) AS clen
+        |   FROM bnd, unnest(generate_series(1, len(b) - 1)) AS t(j))
+        |SELECT chash AS chunk_md5, CAST(COUNT(*) AS INT) AS n_copies,
+        |  CAST(COUNT(DISTINCT doc_id) AS INT) AS n_docs,
+        |  CAST(MAX(clen) AS INT) AS chunk_chars
+        |FROM ch GROUP BY chash
+        |ORDER BY n_copies DESC, chunk_md5 LIMIT 20""".stripMargin,
     // d20: brute force within blocks (same shape as d18b + the block
     // equality)
     "d20_fuzzy_blocked" ->

@@ -37,23 +37,28 @@ object ProfileD18 {
     }
     println("factor,sf,names,arm,cand_rows,pairs,secs")
     val cells = Seq((1, "sf0.001"), (10, "sf0.01"), (100, "sf0.1"))
+    // third arm: d20's ER blocking (nation) on top of the prefix
+    // filter — candidates should divide by ~the block count, the
+    // block riding the join keys
+    val arms = Seq(("band", false, None: Option[String]),
+      ("prefix", true, None: Option[String]),
+      ("prefix+block", true, Some("c_nationkey")))
     for ((f, sf) <- cells) {
       val cust = spark.read.parquet(s"/root/testdata/$sf/customer.parquet")
       val names = cust.select(countDistinct(col("c_name"))).head().getLong(0)
-      for (prefixArm <- Seq(false, true)) {
+      for ((arm, prefixArm, blk) <- arms) {
         // the band arm's ×100 cell is skipped by design (see scaladoc)
         if (prefixArm || f < 100) {
           val (cands, _) = time {
             graft.functions.DedupFunctions
-              .fuzzyCandidates(cust, "c_name", maxDist = 1, q = 2, prefixArm)
+              .fuzzyCandidates(cust, "c_name", maxDist = 1, q = 2, prefixArm, blk)
               .count()
           }
           val (pairs, t) = time {
             graft.functions.DedupFunctions
-              .fuzzyPairs(cust, "c_name", maxDist = 1, q = 2, prefixArm)
+              .fuzzyPairs(cust, "c_name", maxDist = 1, q = 2, prefixArm, blk)
               .count()
           }
-          val arm = if (prefixArm) "prefix" else "band"
           println(f"$f,$sf,$names,$arm,$cands,$pairs,$t%.2f")
         }
       }
