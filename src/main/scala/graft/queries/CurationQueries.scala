@@ -58,6 +58,31 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-domain capping (the standard web-corpus dominance guard:
+    // no registrable domain contributes more than N docs): the x45
+    // URL synthesis → urlDomain → deterministicGroupSample, cap 3 —
+    // the whole composition is two shipped kernels, one exchange each.
+    "x46_domain_cap" -> ((s, d) => {
+      import graft.functions.WebFunctions._
+      val u = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("url",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://WWW."), col("source"),
+              lit(".Example.COM:80/Path/"), col("doc_id"),
+              lit("?utm_source=feed&b=2&a=1#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://"), col("source"),
+              lit(".example.com:443/items?gclid=xyz&z=9&a=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://CDN."), col("source"),
+              lit(".net/a/B?x=1&utm_campaign=c&y=2#x")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".org"))))
+        .select(col("doc_id"), urlDomain(col("url")).as("domain"))
+      graft.prep.Preprocessing.deterministicGroupSample(
+          u, "domain", "doc_id", k = 3, seed = "cap1")
+        .orderBy("domain", "draw")
+    }),
+
     // Weighted exact-k sample per event_type (Efraimidis-Spirtakis):
     // rank = ln(md5-uniform)/weight, k largest — inclusion odds ∝
     // event value, reproducible, same map-side heap as x43.
@@ -253,6 +278,40 @@ object CurationQueries {
         |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canon,
         |  domain
         |FROM c ORDER BY doc_id""".stripMargin,
+    // x46: x45's domain CTEs + the x43 md5-rank cap
+    "x46_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://' || source || '.example.com:443/items?gclid=xyz&z=9&a=1'
+        |      WHEN 2 THEN 'https://CDN.' || source || '.net/a/B?x=1&utm_campaign=c&y=2#x'
+        |      ELSE 'http://' || source || '.org' END AS url
+        |  FROM documents),
+        | p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        | g AS (SELECT doc_id, url, nf,
+        |    regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 1) AS schemeraw,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 2)) AS rawhost,
+        |    regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 3) AS rawpath,
+        |    regexp_replace(COALESCE(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 4), ''), '^\?', '') AS rawq
+        |  FROM p),
+        | c AS (SELECT doc_id, url, schemeraw, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+        |         ELSE rawhost END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS pth,
+        |    COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS q,
+        |    regexp_extract(regexp_replace(rawhost, ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM g),
+        |d2 AS (SELECT doc_id, domain FROM c)
+        |SELECT domain, CAST(rn AS INT) AS draw, doc_id
+        |FROM (SELECT domain, doc_id,
+        |  row_number() OVER (PARTITION BY domain
+        |    ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM d2)
+        |WHERE rn <= 3 ORDER BY domain, draw""".stripMargin,
     // x44: the ES rank replayed exactly — same 52-bit u, same ln/w,
     // DESC = the Spark side's (-rank) ascending heap order
     "x44_weighted_group_sample" ->
