@@ -201,6 +201,20 @@ object WordPieceFunctions {
                       maxWordChars: Int = 200): Column =
     WordPieceExpressions.wordpiece_encode(text, vocab, unk, maxWordChars)
 
+  /** Inverse of [[wordpieceEncode]] for the lossless subset: word
+    * heads start a new space-joined word, `##`-continuations append
+    * their stripped body. Exact round-trip (`decode(encode(t)) = t`)
+    * holds for single-space-separated text whose words all encode
+    * without `[UNK]` — an unknown word decodes to the literal unk
+    * token, which is the one information loss the encoder has. One
+    * declarative fold per row, no exchange. */
+  def wordpieceDecode(tokens: Column): Column =
+    aggregate(tokens, lit(""), (acc, t) =>
+      concat(acc,
+        when(substring(t, 1, 2) === "##", t.substr(lit(3), length(t)))
+          .otherwise(concat(
+            when(length(acc) === 0, lit("")).otherwise(lit(" ")), t))))
+
   /** The encode vocabulary induced by training: every initial unit
     * that survives in some word's final segmentation plus every
     * merged symbol — i.e. the final symbol inventory. Derived

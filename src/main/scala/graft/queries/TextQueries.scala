@@ -494,7 +494,7 @@ object TextQueries {
       |FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
-  private def t10bOracleSql: String = {
+  private def t10bVocabCte: String = {
     val vocabRows = t10bVocab.filter(_ != "##").map { p =>
       val cont = p.startsWith("##")
       val body = if (cont) p.substring(2) else p
@@ -502,9 +502,36 @@ object TextQueries {
     }.mkString(",\n    ")
     s"""WITH vocab(p, cont, plen, body) AS (VALUES
       |    $vocabRows),
-      |""".stripMargin +
-      wpGreedyChainSql(T10bMaxWordChars) + wpPerDocSql
+      |""".stripMargin
   }
+
+  private def t10bOracleSql: String =
+    t10bVocabCte + wpGreedyChainSql(T10bMaxWordChars) + wpPerDocSql
+
+  /** t11 oracle: the t10b encode machinery, then the decode fold per
+    * word (strip '##' bodies, concat; words re-joined by ' ') — both
+    * engines report (lossless, has_unk) per doc. */
+  private def t11OracleSql: String =
+    t10bVocabCte + wpGreedyChainSql(T10bMaxWordChars) +
+    s""",
+      |docw AS (
+      |  SELECT doc_id, k AS ord, ws[k] AS token FROM
+      |    (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |    unnest(generate_series(1, len(ws))) AS g(k)
+      |  WHERE ws[k] <> ''),
+      |perdoc AS (
+      |  SELECT d.doc_id,
+      |    string_agg(array_to_string(list_transform(string_split(w.tk, chr(1)),
+      |      x -> CASE WHEN starts_with(x, '##') THEN substr(x, 3) ELSE x END), ''),
+      |      ' ' ORDER BY d.ord) AS decoded,
+      |    bool_or(list_contains(string_split(w.tk, chr(1)), '[UNK]')) AS has_unk
+      |  FROM docw d JOIN wtok w ON d.token = w.token
+      |  GROUP BY d.doc_id)
+      |SELECT doc.doc_id,
+      |  (COALESCE(p.decoded, '') = doc.text) AS lossless,
+      |  COALESCE(p.has_unk, FALSE) AS has_unk
+      |FROM documents doc LEFT JOIN perdoc p ON doc.doc_id = p.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
 
   /** Oracle for t10c — the full train→encode integration replayed in
     * SQL: the training CTE chain's final state supplies the encode
@@ -641,6 +668,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // The decode round-trip: wordpieceDecode(encode(text)) must equal
+    // the original for every doc whose words all encode without
+    // [UNK] — the one information loss the encoder has. Both engines
+    // compute lossless AND has_unk per doc, so the gate pins the
+    // decode fold and the loss boundary together (lossless must be
+    // exactly ¬has_unk on this single-space corpus).
+    "t11_wordpiece_roundtrip" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.functions.WordPieceFunctions.wordpieceEncode(
+            col("text"), t10bVocab, unk = "[UNK]",
+            maxWordChars = T10bMaxWordChars).as("__t"))
+        .select(col("doc_id"),
+          (graft.functions.WordPieceFunctions.wordpieceDecode(col("__t"))
+            === col("text")).as("lossless"),
+          array_contains(col("__t"), "[UNK]").as("has_unk"))
+        .orderBy("doc_id")
+    }),
+
     // The full train→encode WordPiece integration: encode the corpus
     // with the TRAINED vocabulary (corpus initial units + merge
     // products — the merge-closed inventory, so training words always
@@ -749,6 +795,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "t10_wordpiece" -> t10OracleSql(WpNumMerges, WpMinPairFreq),
     "t10b_wordpiece_fixed" -> t10bOracleSql,
+    "t11_wordpiece_roundtrip" -> t11OracleSql,
     "t10c_wordpiece_encode" -> t10cOracleSql(WpNumMerges, WpMinPairFreq),
     "t9_unigram_vocab" -> t9OracleSql,
     "t9b_unigram_fixed" -> t9bOracleSql,

@@ -143,4 +143,28 @@ class WordPieceSpec extends AnyFunSuite {
         !toks.head.startsWith("##"))
     }
   }
+
+  test("wordpieceDecode: exact inverse on covered text; [UNK] is the only loss and is per-word") {
+    import spark.implicits._
+    val vocab = "abcdefghijklmnopqrstuvwxyz".map(_.toString) ++
+      "abcdefghijklmnopqrstuvwxyz".map(c => s"##$c") ++ Seq("th", "##er")
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // fully covered → lossless
+      (2L, "over x7z lazy"),                // '7' uncovered → that WORD is [UNK]
+      (3L, "42 99"),                        // nothing covered
+      (4L, ""))                             // empty doc
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        wordpieceDecode(wordpieceEncode(col("text"), vocab)).as("dec"),
+        array_contains(wordpieceEncode(col("text"), vocab), "[UNK]").as("unk"))
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // fully covered → exact inverse, no unk
+    assert(out(1L) == (("the quick brown fox", false)))
+    // the uncovered word — and ONLY it — collapses to the unk token;
+    // covered neighbors survive byte-exact
+    assert(out(2L) == (("over [UNK] lazy", true)))
+    assert(out(3L) == (("[UNK] [UNK]", true)))
+    assert(out(4L) == (("", false)))
+  }
 }
