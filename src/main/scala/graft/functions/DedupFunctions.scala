@@ -1156,7 +1156,11 @@ object DedupFunctions {
   private def cdcChunkRelation(docs: DataFrame, idCol: String, textCol: String,
                                window: Int, avgMask: Int, minLen: Int): DataFrame = {
     require(window >= 2 && avgMask >= 1 && minLen >= 1, "bad CDC dials")
-    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    // null text reads as empty: without the coalesce a null row walks
+    // null bounds into a null chunk hash and a null-keyed groupBy row,
+    // diverging from the documented per-doc contract empty docs get
+    val base = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol), lit("")).as("__t"))
     val len = length(col("__t"))
     // candidate cuts, in position order (sequence is ascending; the
     // len >= window guard keeps sequence() from walking backwards)
@@ -1200,8 +1204,14 @@ object DedupFunctions {
     *    position band. If `ed(s,t) <= k` then at least
     *    `max(|s|,|t|) - q + 1 - k*q` of s's positional q-grams survive
     *    the edit script unchanged, each displaced by at most k
-    *    positions. The `length >= q*(k+1)` guard makes that bound >= 1,
-    *    so joining on (gram value, |pos delta| <= k) is complete.
+    *    positions. For strings of length >= q*(k+1) that bound is >= 1,
+    *    so joining on (gram value, |pos delta| <= k) is complete;
+    *    SHORTER strings (where the bound can reach 0 and a qualifying
+    *    pair may share no gram) route through a brute-force arm over
+    *    the sub-threshold bucket — its partners sit inside the length
+    *    band, so both join sides are that bounded-length bucket and
+    *    the full-corpus relation never enters. The union is the exact
+    *    brute-force answer with no length precondition.
     *    Candidate volume ~ sum over gram values of cnt^2 — fine when
     *    grams are selective, quadratic on low-entropy keys.
     *  - `prefixFilter = true` (the scale arm): each string keeps only
@@ -1251,12 +1261,13 @@ object DedupFunctions {
     require(maxDist >= 1, "need maxDist >= 1")
     require(q >= 2, "need q >= 2")
     val blockSel = blockCol.toSeq.map(b => col(b).as("blk"))
-    val names = df.select(col(strCol).as("name") +: blockSel: _*)
+    val allNames = df.select(col(strCol).as("name") +: blockSel: _*)
       .na.drop().distinct()
-      // completeness guard: below q*(k+1) chars the surviving-gram
-      // lower bound can reach 0 and a qualifying pair may share no
-      // gram at all — mirror this filter in any oracle
-      .filter(length(col("name")) >= q * (maxDist + 1))
+    // completeness guard: below q*(k+1) chars the surviving-gram
+    // lower bound can reach 0 and a qualifying pair may share no
+    // gram at all — such strings take the brute-force arm below
+    val thresh = q * (maxDist + 1)
+    val names = allNames.filter(length(col("name")) >= thresh)
     val blkCols = blockCol.toSeq.map(_ => col("blk"))
     val grams = names
       .select((col("name") +: blkCols) :+
@@ -1317,7 +1328,22 @@ object DedupFunctions {
               blkEq && ordered && lenBand)
           .select(outCols: _*)
       }
-    cand
+    // brute-force arm for the sub-threshold bucket: a pair with a side
+    // shorter than q*(k+1) may share no gram, so gram joins can't see
+    // it. Its partner is within the length band, hence itself shorter
+    // than thresh + maxDist — both sides of this join are the (tiny)
+    // bounded-length bucket, broadcast against it; the corpus-sized
+    // relation never enters. Pairs with both sides >= thresh stay the
+    // gram arms' exclusive property (no double counting beyond the
+    // duplicates the verify-then-distinct contract already absorbs).
+    val shortNames = allNames.filter(length(col("name")) < thresh)
+    val nearShort = allNames.filter(length(col("name")) < thresh + maxDist)
+    val brute = broadcast(shortNames).as("a").join(nearShort.as("b"),
+        col("a.name") =!= col("b.name") && blkEq && lenBand)
+      .select(Seq(least(col("a.name"), col("b.name")).as("name_a"),
+        greatest(col("a.name"), col("b.name")).as("name_b")) ++
+        blockCol.map(b => col("a.blk").as(b)): _*)
+    cand.unionByName(brute)
   }
 
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,

@@ -445,10 +445,16 @@ object SearchFunctions {
     val simMaps = sims.groupBy("qid")
       .agg(map_from_entries(collect_list(struct(col("__key"), col("__sim"))))
         .as("__sm"))
+    // left join: a query whose candidate set is a single doc produces
+    // no sims rows (the pair matrix needs >= 2 docs) — it must still
+    // return its one candidate, not vanish. __sm stays null for such
+    // rows; element_at(null, k) is null and the maxSim coalesce floor
+    // absorbs it (that path is only reachable after the sole pick,
+    // where the exhaustion guard below stops the fold anyway).
     val packed = cand.groupBy("qid")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("rel"))))
         .as("__cands"))
-      .join(simMaps, Seq("qid"))
+      .join(simMaps, Seq("qid"), "left")
     // one greedy step: argmax over unselected candidates of
     // λpct·rel − (100−λpct)·maxSim(selected), ties doc_id asc —
     // encoded as min of (negMmr, doc_id) structs
@@ -462,20 +468,31 @@ object SearchFunctions {
               element_at(col("__sm"),
                 concat(c.getField("doc_id"), lit(":"), s.getField("doc_id"))),
               lit(-2000000L)))))
-      element_at(array_sort(transform(
+      // get() (0-based, null out of bounds) not element_at: a query
+      // with fewer than k candidates exhausts the filtered array and
+      // element_at(…, 1) on it errors under ANSI mode — the null is
+      // the fold's stop signal below
+      get(array_sort(transform(
         filter(col("__cands"),
           c => !exists(sel, s => s.getField("doc_id") === c.getField("doc_id"))),
         c => struct(
           (-(lit(lambdaPct.toLong) * c.getField("rel")
             - lit((100 - lambdaPct).toLong) * maxSim(c))).as("negMmr"),
-          c.getField("doc_id").as("doc_id")))), 1)
+          c.getField("doc_id").as("doc_id")))), lit(0))
     }
     val emptySel =
       array().cast("array<struct<negMmr:bigint,doc_id:bigint>>")
+    // exhaustion guard: once candidates run out, step() is null and
+    // the selection stops growing — a query returns min(k, candidates)
+    // rows instead of erroring / emitting null rows
+    def grow(sel: Column): Column = {
+      val s = step(sel)
+      when(s.isNull, sel).otherwise(concat(sel, array(s)))
+    }
     val selected =
-      if (k == 1) array(step(emptySel))
-      else aggregate(sequence(lit(2), lit(k)), array(step(emptySel)),
-        (sel, _) => concat(sel, array(step(sel))))
+      if (k == 1) grow(emptySel)
+      else aggregate(sequence(lit(2), lit(k)), grow(emptySel),
+        (sel, _) => grow(sel))
     packed.select(col("qid"), posexplode(selected))
       .select(col("qid"),
         (col("pos") + 1).cast("int").as("rank"),

@@ -562,10 +562,10 @@ object DedupQueries {
     // Edit-distance fuzzy self-join (entity resolution). Part names
     // are a natural fuzzy-key corpus ("red bolt"/"old bolt"). Arm:
     // positional q-gram band join — sound because >= 1 gram survives
-    // any <= 2-edit script displaced by <= 2 positions (the len >= 6
-    // guard keeps the surviving-gram bound >= 1; mirrored in the
-    // oracle). Verification is the real levenshtein, so the candidate
-    // filter only has to be sound, and the oracle is plain brute force.
+    // any <= 2-edit script displaced by <= 2 positions for strings of
+    // len >= 6; shorter strings take the brute-force bucket arm, so
+    // there is no length precondition. Verification is the real
+    // levenshtein, and the oracle is plain unguarded brute force.
     "d18_fuzzy_join" -> ((s, d) => {
       fuzzyPairs(part(s, d), "p_name", maxDist = 2, q = 2)
         .orderBy("name_a", "name_b")
@@ -1205,12 +1205,12 @@ object DedupQueries {
         |SELECT a.doc_id, COALESCE(pd.n_chunks, 0) AS n_chunks,
         |  COALESCE(pd.dup_chunks, 0) AS dup_chunks, COALESCE(pd.dup_chars, 0) AS dup_chars
         |FROM all_docs a LEFT JOIN pd USING (doc_id) ORDER BY a.doc_id""".stripMargin,
-    // d18: brute force — the length band is implied by dist <= 2 but
-    // kept to mirror the Spark plan's filter; len >= 6 mirrors the
-    // completeness guard (q*(maxDist+1))
+    // d18: plain brute force, no length precondition — sub-threshold
+    // strings take fuzzyPairs' brute-force bucket arm, so the operator
+    // answers the unguarded quadratic exactly
     "d18_fuzzy_join" ->
       """WITH n AS (
-        |  SELECT DISTINCT p_name AS name FROM part WHERE len(p_name) >= 6)
+        |  SELECT DISTINCT p_name AS name FROM part)
         |SELECT a.name AS name_a, b.name AS name_b,
         |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
         |FROM n a JOIN n b ON a.name < b.name
@@ -1218,10 +1218,10 @@ object DedupQueries {
         |  AND levenshtein(a.name, b.name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
     // d18b: the prefix-filter arm is gated against the SAME
-    // brute-force shape (k = 1, customer names, len >= 4 guard)
+    // brute-force shape (k = 1, customer names, no length guard)
     "d18b_fuzzy_join_prefix" ->
       """WITH n AS (
-        |  SELECT DISTINCT c_name AS name FROM customer WHERE len(c_name) >= 4)
+        |  SELECT DISTINCT c_name AS name FROM customer)
         |SELECT a.name AS name_a, b.name AS name_b,
         |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
         |FROM n a JOIN n b ON a.name < b.name
@@ -1266,8 +1266,7 @@ object DedupQueries {
     // equality)
     "d20_fuzzy_blocked" ->
       """WITH n AS (
-        |  SELECT DISTINCT c_name AS name, c_nationkey FROM customer
-        |  WHERE len(c_name) >= 4)
+        |  SELECT DISTINCT c_name AS name, c_nationkey FROM customer)
         |SELECT a.name AS name_a, b.name AS name_b, a.c_nationkey,
         |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
         |FROM n a JOIN n b

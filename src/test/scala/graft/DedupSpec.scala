@@ -529,6 +529,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((1, 0, 0)), out(4L).toString)
   }
 
+  test("cdcChunks: null text behaves exactly like empty text (no null-keyed chunk rows)") {
+    // ADVICE r16: a null text row must follow the per-doc contract the
+    // empty-text doc gets, not walk null bounds into a null chunk hash
+    // same corpus twice, the only difference doc 2's text: null vs ''
+    // — the outputs must be byte-identical (null ≡ empty, not a
+    // null-keyed groupBy row)
+    def run(t2: String) = graft.functions.DedupFunctions
+      .cdcChunks(Seq((1L, "some reasonable document body here"), (2L, t2))
+        .toDF("doc_id", "text"), "doc_id", "text",
+        window = 8, avgMask = 16, minLen = 8)
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(run(null) == run(""), s"null ${run(null)} != empty ${run("")}")
+    // and the corpus report carries no null chunk key
+    val top = graft.functions.DedupFunctions
+      .cdcTopChunks(Seq((1L, "doc one body"), (2L, null)).toDF("doc_id", "text"),
+        "doc_id", "text", window = 8, avgMask = 16, minLen = 8, k = 10)
+    assert(top.filter(col("chunk_md5").isNull).count() == 0)
+  }
+
   private def lev(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
       if (i == 0) j else if (j == 0) i else 0))
@@ -539,7 +558,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   private def bruteFuzzy(names: Seq[String], k: Int, q: Int): Set[(String, String, Int)] = {
-    val base = names.distinct.filter(_.length >= q * (k + 1))
+    val base = names.distinct
     (for (a <- base; b <- base if a < b; d = lev(a, b) if d <= k)
       yield (a, b, d)).toSet
   }
@@ -550,15 +569,42 @@ class DedupSpec extends AnyFunSuite {
   test("fuzzyPairs: both arms equal brute force; repeated grams exercise the (gram, occ) encoding") {
     // banana-family corpus: "an"/"na" occur 2-3 times per string, so a
     // value-only prefix join would be unsound without occurrence
-    // indices; "banan" (5 chars) must be excluded by the len >= q(k+1)
-    // guard in ALL arms including brute force
+    // indices; "banan" (5 chars) is below the q*(k+1) gram bound and
+    // must arrive via the brute-force bucket arm — its (banan, banana)
+    // pair shares grams but the CONTRACT no longer depends on that
     val names = Seq("banana", "bananna", "bandana", "cabana", "banan",
       "zzzzzz", "zzzzzx", "abcdef", "abcdff", "banana")
     val df = names.toDF("n")
     val want = bruteFuzzy(names, k = 2, q = 2)
     assert(want.nonEmpty && want.exists(_._3 == 2), want.toString)
+    assert(want.exists(p => p._1 == "banan"), "short-string pair missing from fixture")
     assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = 2, q = 2)) == want)
     assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = 2, q = 2, prefixFilter = true)) == want)
+  }
+
+  test("fuzzyPairs sub-threshold bucket: strings too short for any gram bound still pair exactly") {
+    // k=1, q=2 → thresh 4: 'ab'/'ac' share NO 2-gram yet are distance
+    // 1 (the ADVICE r16 case); 'abc'/'abcd' crosses the bucket edge
+    // (one side short, one side at thresh). Both arms, with and
+    // without blocking, must equal unguarded brute force.
+    val names = Seq("ab", "ac", "b", "abc", "abcd", "abce", "xyz",
+      "wwww", "wwwv", "ab")
+    val df = names.toDF("n")
+    for (k <- Seq(1, 2); arm <- Seq(false, true)) {
+      val want = bruteFuzzy(names, k, q = 2)
+      assert(want.contains(("ab", "ac", 1)), "degenerate fixture")
+      assert(gotFuzzy(fuzzyPairs(df, "n", maxDist = k, q = 2, prefixFilter = arm)) == want,
+        s"k=$k arm=$arm")
+    }
+    // blocked: the bucket arm must honor the block conjunct too
+    val rows = Seq(("ab", 0), ("ac", 0), ("ab", 1), ("ad", 1), ("ae", 0))
+    val got = fuzzyPairs(rows.toDF("n", "b"), "n", maxDist = 1, q = 2,
+        blockCol = Some("b"))
+      .as[(String, String, Int, Int)].collect().toSet
+    val base = rows.distinct
+    val wantB = (for { (na, ba) <- base; (nb, bb) <- base
+      if ba == bb && na < nb; d = lev(na, nb) if d <= 1 } yield (na, nb, ba, d)).toSet
+    assert(got == wantB, s"${(got diff wantB) ++ (wantB diff got)}")
   }
 
   test("fuzzyPairs blocking: both arms equal brute-within-block; zero cross-block pairs") {

@@ -236,4 +236,22 @@ class SearchSpec extends AnyFunSuite {
       .sortBy { case (id, rel) => (-rel, id) }.map(_._1)
     assert(all == wantOrder, s"got $all want $wantOrder")
   }
+
+  test("mmrRerank degenerate corpora: 1-doc corpus survives; k > corpus truncates, no error") {
+    // ADVICE r16: (a) a 1-candidate query has an empty pair-sim matrix
+    // and must still return its candidate (left join, not inner);
+    // (b) fewer candidates than k must stop the greedy fold, not hit
+    // element_at on an empty array (ANSI error / null rows)
+    import graft.functions.SearchFunctions.mmrRerank
+    val one = Seq((7L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got1 = mmrRerank(one, "vec_id", "embedding", Seq((0, 7L)), k = 1, candN = 3)
+      .select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(got1 == Seq((1, 7L)), s"1-doc corpus vanished: $got1")
+    val three = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.8f, 0.2f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got3 = mmrRerank(three, "vec_id", "embedding", Seq((0, 1L)), k = 5, candN = 8)
+      .orderBy("rank").select("rank", "doc_id").as[(Int, Long)].collect().toSeq
+    assert(got3.length == 3 && got3.map(_._1) == Seq(1, 2, 3), s"got $got3")
+    assert(got3.map(_._2).toSet == Set(1L, 2L, 3L), s"got $got3")
+  }
 }
