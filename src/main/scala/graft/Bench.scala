@@ -92,7 +92,25 @@ object Bench {
       try allByName(p)(spark, sfDir).count()
       catch { case _: Throwable => () } // prereq failures surface on the query itself
     }
-    def runPass(): Map[String, (Double, Double)] = {
+    // Per-phase wall samples for the lifecycle-bundle queries (r16
+    // judge finding #2): the bundle lambdas record their internal
+    // phases through graft.PhaseTimer; every COUNTED sample drains the
+    // record here, adds the residual "exec" phase (wall − Σ recorded:
+    // the deferred execution of the returned frame), and the snapshot
+    // JSON publishes per-phase MEDIANS next to cpu — so a bundle-level
+    // ambient swing localizes to a phase from the artifact alone.
+    val phaseSamples = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.LinkedHashMap[String, Vector[Double]]]()
+    def recordPhases(name: String, wall: Double, counted: Boolean): Unit = {
+      val ph = graft.PhaseTimer.drain(name)
+      if (ph.nonEmpty && counted) {
+        val withExec = ph :+ ("exec" -> math.max(0.0, wall - ph.map(_._2).sum))
+        val m = phaseSamples.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap[String, Vector[Double]]())
+        withExec.foreach { case (p, s) => m(p) = m.getOrElse(p, Vector.empty) :+ s }
+      }
+    }
+    def runPass(counted: Boolean): Map[String, (Double, Double)] = {
       warm(missingPrereqs)
       val pass = queries.map { case (name, fn) =>
         val c0 = cpuNow()
@@ -105,14 +123,15 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (cpuNow() - c0) / 1e9
+        recordPhases(name, wall, counted && ok)
         name -> (if (ok) (wall, cpu) else (Double.NaN, Double.NaN))
       }
       SparkEntry.releaseCaches() // next pass pays its own materialization
       pass.toMap
     }
-    (1 to warmup).foreach(_ => runPass()) // uncounted: absorbs cold-JVM cost
+    (1 to warmup).foreach(_ => runPass(counted = false)) // uncounted: absorbs cold-JVM cost
     failures.clear() // warmup failures don't count; counted passes re-detect
-    val passes = (1 to reps).map(_ => runPass())
+    val passes = (1 to reps).map(_ => runPass(counted = true))
     // Adaptive top-up for the high-spread tail: with 3 base reps, one
     // GC pause or page-cache miss leaves a query's spread above its
     // own median (r7: u11_gradx spread 3.95 s on a 1.79 s median) —
@@ -160,9 +179,11 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        recordPhases(name, wall, counted = true)
         Some((wall, (cpuNow() - c0) / 1e9))
       } catch {
         case e: Throwable =>
+          graft.PhaseTimer.drain(name)
           failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
           None
       }
@@ -204,10 +225,17 @@ object Bench {
     val cpuSpread = jmap(results.map { case (k, _, _, _, _, _) =>
       k -> f"${central3(cpuSamples(k))._2}%.3f" })
     val errJson = jmap(failures.map { case (k, v) => k -> jstr(v) })
+    // per-phase medians for the bundle queries: {"d16…":{"save":…,
+    // "ingest":…,…,"exec":…}} — phases in the lambda's call order, the
+    // residual exec phase last; only queries that recorded phases appear
+    val phasesJson = jmap(phaseSamples.toSeq.sortBy(_._1).map { case (q, m) =>
+      q -> jmap(m.toSeq.map { case (p, v) =>
+        p -> f"${v.sorted.apply(v.size / 2)}%.3f" })
+    })
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
     val totalCpu = results.map { case (k, _, _, _, _, _) => central3(cpuSamples(k))._1 }.sum
-    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","cpu_total":${f"$totalCpu%.3f"},"queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_ok":${results.size},"n_err":${failures.size},"errors":$errJson,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples,"min":$mins,"cpu":$cpuMed,"cpu_spread":$cpuSpread}"""
+    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","cpu_total":${f"$totalCpu%.3f"},"queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_ok":${results.size},"n_err":${failures.size},"errors":$errJson,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples,"min":$mins,"cpu":$cpuMed,"cpu_spread":$cpuSpread,"phases":$phasesJson}"""
     // Full per-query JSON: printed first AND written to a fixed path —
     // the single ~4 KB line outruns the driver's stdout tail capture
     // (BENCH_r01–r03 all recorded "parsed": null), so the durable copy
@@ -258,6 +286,10 @@ object Bench {
     val focusOn = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_FOCUS", "1") != "0"
     var focusSnap: Option[java.nio.file.Path] = None
     if (focusOn && failures.isEmpty) {
+      // focus phases come from the focus window alone: clear the main
+      // run's samples so the focus snapshot's per-phase medians match
+      // its own wall medians (same samples, same conditions)
+      phaseSamples.clear()
       val focusQueries = queries.filter { case (n, _) => topDecile.contains(n) }
       // same adaptive top-up as the main loop (strict 0.5×median
       // trigger — these ARE the top-cost decile): one GC/page-cache
@@ -279,7 +311,11 @@ object Bench {
       val fmin = jmap(focusSamples.map { case (k, ps) => k -> f"${fwalls(ps).head}%.3f" })
       val fcpu = jmap(focusSamples.map { case (k, ps) => k -> f"${central3(fcpus(ps))._1}%.3f" })
       val fcpuSp = jmap(focusSamples.map { case (k, ps) => k -> f"${central3(fcpus(ps))._2}%.3f" })
-      val focusJson = s"""{"metric":"focus","unit":"sec","sf":"$sfDir","queries":$fq,"spread":$fsp,"min":$fmin,"cpu":$fcpu,"cpu_spread":$fcpuSp}"""
+      val fPhases = jmap(phaseSamples.toSeq.sortBy(_._1).map { case (q, m) =>
+        q -> jmap(m.toSeq.map { case (p, v) =>
+          p -> f"${v.sorted.apply(v.size / 2)}%.3f" })
+      })
+      val focusJson = s"""{"metric":"focus","unit":"sec","sf":"$sfDir","queries":$fq,"spread":$fsp,"min":$fmin,"cpu":$fcpu,"cpu_spread":$fcpuSp,"phases":$fPhases}"""
       val focusPath = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_FOCUS_OUT", "/root/repo/bench_focus.json"))
       java.nio.file.Files.write(focusPath,

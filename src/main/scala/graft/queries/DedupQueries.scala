@@ -419,29 +419,36 @@ object DedupQueries {
     // bucket-pruned probe breaks the hash.
     "d16_band_index_persisted" -> ((s, d) => {
       import graft.functions.BandIndex
+      val pt = graft.PhaseTimer.start("d16_band_index_persisted")
       val docs = documents(s, d).select("doc_id", "text")
       val dir = bandIdxDir(d) // fresh per call — see bandIdxLive
       // test-scale bucket counts (16 band buckets, 8 id buckets): the
       // per-partition maintenance cost is ∝ buckets, and the defaults
       // (256/64) are sized for corpora that dwarf these fixtures
-      BandIndex.save(docs, "doc_id", "text",
+      pt("save") { BandIndex.save(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, dir = dir,
-        prefixLen = 1, idBuckets = 8)
+        prefixLen = 1, idBuckets = 8) }
       val base = docs.filter(col("doc_id") < 30)
       val batch1 = base.select((col("doc_id") + 50000L).as("doc_id"), col("text"))
-      BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
-      BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
-      BandIndex.compact(s, dir, minFiles = 2)
+      pt("ingest") {
+        BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
+        BandIndex.addBatchTagged(s, dir, batch1, "doc_id", "text", tag = "n1")
+      }
+      pt("compact") { BandIndex.compact(s, dir, minFiles = 2) }
       // hot-bucket valve inside the gated pass: split the heaviest
       // postings bucket one hex char deeper — the probe below must
       // still match the brute-force oracle exactly (rebucket moves
       // rows, never changes WHAT pairs come back)
-      val hot = BandIndex.stats(s, dir)
+      val hot = pt("stats") { BandIndex.stats(s, dir)
         .orderBy(col("n_postings").desc, col("bucket")).select("bucket")
-        .head().getString(0)
-      BandIndex.rebucket(s, dir, hot, extraLen = 1)
+        .head().getString(0) }
+      pt("rebucket") { BandIndex.rebucket(s, dir, hot, extraLen = 1) }
       val batch2 = base.select((col("doc_id") + 60000L).as("doc_id"), col("text"))
-      val probed = BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8)
+      // probe() is eager (it ends in a localCheckpoint), so this phase
+      // carries the probe's execution; the bundle's residual "exec"
+      // phase in Bench is the final count over the checkpointed rows
+      val probed = pt("probe") {
+        BandIndex.probe(s, dir, batch2, "doc_id", "text", threshold = 0.8) }
       bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
       probed.orderBy("a", "b")
     }),
@@ -463,6 +470,7 @@ object DedupQueries {
       import graft.functions.BandIndex
       import graft.functions.DedupFunctions.{wordShingles, bandKeys}
       import graft.expressions.HashExpressions.minhash_signature
+      val pt = graft.PhaseTimer.start("d16b_band_index_skewed")
       val bg = documents(s, d).select("doc_id", "text")
         .filter(col("doc_id") < 60)
       val flood = bg.filter(col("doc_id") === 7).select("text")
@@ -471,39 +479,45 @@ object DedupQueries {
       val dir = bandIdxDir(d) // fresh per call — see bandIdxLive
       // prefixLen=2 (256 buckets): the flood's 16 band values touch
       // <= 16 of them, so the median bucket stays background-sized
-      BandIndex.save(bg.unionByName(flood), "doc_id", "text",
+      pt("save") { BandIndex.save(bg.unionByName(flood), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, dir = dir,
-        prefixLen = 2, idBuckets = 8)
+        prefixLen = 2, idBuckets = 8) }
       // pick a hot bucket owned by exactly ONE template band value
       // (re-derived with the public kernels): its post-split mass is
       // then exactly the flood size, making the non-collapse pin exact
-      val tmplKeys = flood.limit(1)
-        .select(explode(bandKeys(minhash_signature(
-          wordShingles(col("text"), 3), 64, "md5"), 16, 4)).as("k"))
-        .select(substring(col("k"), 1, 2).as("p"), col("k")).distinct()
-        .collect().map(r => (r.getString(0), r.getString(1)))
-      val soloPrefixes = tmplKeys.groupBy(_._1)
-        .filter(_._2.map(_._2).distinct.length == 1).keySet
-      val st = BandIndex.stats(s, dir).select("bucket", "n_postings")
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val hot = st.filter(c => soloPrefixes(c._1)).maxBy(_._2)
-      val median = st.map(_._2).sorted.apply(st.length / 2)
-      require(hot._2 >= 10 * math.max(1L, median),
-        s"skew fixture: hot bucket $hot must hold >= 10x median ($median) postings")
-      BandIndex.rebucket(s, dir, hot._1, extraLen = 1)
+      val hot = pt("skew_detect") {
+        val tmplKeys = flood.limit(1)
+          .select(explode(bandKeys(minhash_signature(
+            wordShingles(col("text"), 3), 64, "md5"), 16, 4)).as("k"))
+          .select(substring(col("k"), 1, 2).as("p"), col("k")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        val soloPrefixes = tmplKeys.groupBy(_._1)
+          .filter(_._2.map(_._2).distinct.length == 1).keySet
+        val st = BandIndex.stats(s, dir).select("bucket", "n_postings")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val h = st.filter(c => soloPrefixes(c._1)).maxBy(_._2)
+        val median = st.map(_._2).sorted.apply(st.length / 2)
+        require(h._2 >= 10 * math.max(1L, median),
+          s"skew fixture: hot bucket $h must hold >= 10x median ($median) postings")
+        h
+      }
+      pt("rebucket") { BandIndex.rebucket(s, dir, hot._1, extraLen = 1) }
       // targeted stats: only the split bucket's sub-region is
       // footprinted (store-wide footers again here would re-pay the
       // whole first pass to read ~16 buckets)
-      val subMax = BandIndex.stats(s, dir, prefix = Some(hot._1))
-        .select("n_postings").collect().map(_.getLong(0)).max
-      require(subMax >= 400L,
-        "measured truth: a one-value hot bucket must NOT collapse under a " +
-          s"prefix split (flood postings stay together; max sub-bucket $subMax)")
+      pt("stats") {
+        val subMax = BandIndex.stats(s, dir, prefix = Some(hot._1))
+          .select("n_postings").collect().map(_.getLong(0)).max
+        require(subMax >= 400L,
+          "measured truth: a one-value hot bucket must NOT collapse under a " +
+            s"prefix split (flood postings stay together; max sub-bucket $subMax)")
+      }
       val batch = bg.filter(col("doc_id") < 20)
         .select((col("doc_id") + 90000L).as("doc_id"), col("text"))
         .unionByName(flood.filter(col("doc_id") < 80003L)
           .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
-      val probed = BandIndex.probe(s, dir, batch, "doc_id", "text", threshold = 0.8)
+      val probed = pt("probe") {
+        BandIndex.probe(s, dir, batch, "doc_id", "text", threshold = 0.8) }
       bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
       probed.orderBy("a", "b")
     }),
@@ -621,45 +635,51 @@ object DedupQueries {
       import graft.functions.BandIndex
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
+      val pt = graft.PhaseTimer.start("st9_band_ingest")
       val docs = documents(s, d).select("doc_id", "text")
       val dir = bandIdxDir(d) // fresh per call — see bandIdxLive
-      BandIndex.save(docs, "doc_id", "text",
+      pt("save") { BandIndex.save(docs, "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, dir = dir,
-        prefixLen = 1, idBuckets = 8)
+        prefixLen = 1, idBuckets = 8) }
       // the two stream payloads: exact copies of docs < 30, re-id'd
       // (30 rows — a fixture-sized driver boundary, the spec shape)
       val base = docs.filter(col("doc_id") < 30).orderBy("doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       implicit val sqlCtx = s.sqlContext
-      val mem = MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamOps.bandIngest(
-          mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
-          streamId = "st9")
-        .option("checkpointLocation", s"$dir/ckpt")
-        .start()
-      try {
-        mem.addData(base.map { case (id, t) => (id + 50000L, t) }: _*)
-        q.processAllAvailable()
-        mem.addData(base.map { case (id, t) => (id + 60000L, t) }: _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      pt("ingest") {
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamOps.bandIngest(
+            mem.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+            streamId = "st9")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .start()
+        try {
+          mem.addData(base.map { case (id, t) => (id + 50000L, t) }: _*)
+          q.processAllAvailable()
+          mem.addData(base.map { case (id, t) => (id + 60000L, t) }: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       // replay arm: crash-before-marker simulation for batch 0
-      val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/st9/batch-0")
-      marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(marker, false)
-      val mem2 = MemoryStream[(Long, String)]
-      val q2 = graft.streaming.StreamOps.bandIngest(
-          mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
-          streamId = "st9")
-        .option("checkpointLocation", s"$dir/ckpt2")
-        .start()
-      try {
-        mem2.addData(base.map { case (id, t) => (id + 50000L, t) }: _*)
-        q2.processAllAvailable()
-      } finally q2.stop()
+      pt("replay") {
+        val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/st9/batch-0")
+        marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(marker, false)
+        val mem2 = MemoryStream[(Long, String)]
+        val q2 = graft.streaming.StreamOps.bandIngest(
+            mem2.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+            streamId = "st9")
+          .option("checkpointLocation", s"$dir/ckpt2")
+          .start()
+        try {
+          mem2.addData(base.map { case (id, t) => (id + 50000L, t) }: _*)
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
       val probe = docs.filter(col("doc_id") < 30)
         .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
-      val probed = BandIndex.probe(s, dir, probe, "doc_id", "text", threshold = 0.8)
+      val probed = pt("probe") {
+        BandIndex.probe(s, dir, probe, "doc_id", "text", threshold = 0.8) }
       bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
       probed.orderBy("a", "b")
     })

@@ -179,9 +179,10 @@ object SimilarityQueries {
       // fresh store per call: markers/checkpoints from a previous rep
       // would silently skip this rep's batches
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      graft.functions.AnnIndex.ivfIndexSave(
+      val pt = graft.PhaseTimer.start("st10_vector_ingest")
+      pt("save") { graft.functions.AnnIndex.ivfIndexSave(
         e.filter(col("vec_id") < 250), "vec_id", "embedding",
-        cells = 16, dir = dir)
+        cells = 16, dir = dir) }
       val rest = e.filter(col("vec_id") >= 250)
         .select("vec_id", "embedding").orderBy("vec_id")
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -200,12 +201,16 @@ object SimilarityQueries {
           mem.addData(b.toSeq: _*); q.processAllAvailable()
         } finally q.stop()
       }
-      ingest("ckpt")(Seq(b1, b2))
+      pt("ingest") { ingest("ckpt")(Seq(b1, b2)) }
       // replay arm: crash-before-marker simulation for batch 0
-      val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/st10/batch-0")
-      marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(marker, false)
-      ingest("ckpt2")(Seq(b1))
+      pt("replay") {
+        val marker = new org.apache.hadoop.fs.Path(s"$dir/ingest_log/st10/batch-0")
+        marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(marker, false)
+        ingest("ckpt2")(Seq(b1))
+      }
+      // probe is lazy here — its scan cost lands in the bundle's
+      // residual "exec" phase (the count Bench runs)
       graft.functions.AnnIndex.probe(s, dir,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 4)
@@ -227,31 +232,36 @@ object SimilarityQueries {
     // physical sizes are encoder-dependent, not oracle-reproducible.
     "s11_ann_index_maintain" -> ((s, d) => {
       import s.implicits._
+      val pt = graft.PhaseTimer.start("s11_ann_index_maintain")
       val e = embeddings(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_maint_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
-      graft.functions.AnnIndex.ivfIndexSave(
+      pt("save") { graft.functions.AnnIndex.ivfIndexSave(
         e.filter(col("vec_id") < 250), "vec_id", "embedding",
-        cells = 16, dir = dir)
-      def snap(phase: String): Seq[(String, Long, Long)] =
+        cells = 16, dir = dir) }
+      // the four stats snapshots time under ONE "stats" phase
+      // (PhaseTimer sums same-named phases)
+      def snap(phase: String): Seq[(String, Long, Long)] = pt("stats") {
         graft.functions.AnnIndex.indexStats(s, dir)
           .select(col("cell"), col("n_vectors")).collect()
-          .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq
+          .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq }
       val base = snap("1_base")
       val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("__bv"))
       def batch(lo: Int, hi: Int) =
         s.range(lo, hi).select((col("id") + 10000).as("vec_id"))
           .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
       // two micro-batches so cell 3 really holds multiple files…
-      graft.functions.AnnIndex.addBatch(s, dir, batch(0, 25), "vec_id", "embedding")
-      graft.functions.AnnIndex.addBatch(s, dir, batch(25, 50), "vec_id", "embedding")
+      pt("ingest") {
+        graft.functions.AnnIndex.addBatch(s, dir, batch(0, 25), "vec_id", "embedding")
+        graft.functions.AnnIndex.addBatch(s, dir, batch(25, 50), "vec_id", "embedding")
+      }
       val added = snap("2_added")
       // …and the compaction pass has real work; the hash gate then
       // proves compaction conserves every cell's rows (3_compact must
       // equal 2_added bit-for-bit)
-      graft.functions.AnnIndex.compactCells(s, dir, minFiles = 2)
+      pt("compact") { graft.functions.AnnIndex.compactCells(s, dir, minFiles = 2) }
       val compacted = snap("3_compact")
-      graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4)
+      pt("resplit") { graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4) }
       val resplit = snap("4_resplit")
       (base ++ added ++ compacted ++ resplit).toDF("phase", "cell", "n")
         .orderBy("phase", "cell")
@@ -268,28 +278,31 @@ object SimilarityQueries {
     // re-encode breaks the hash.
     "s13_ann_ivfpq_maintain" -> ((s, d) => {
       import s.implicits._
+      val pt = graft.PhaseTimer.start("s13_ann_ivfpq_maintain")
       val e = embeddings(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_pqmaint_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
-      graft.functions.AnnIndex.ivfpqIndexSave(
+      pt("save") { graft.functions.AnnIndex.ivfpqIndexSave(
         e.filter(col("vec_id") < 250), "vec_id", "embedding",
         cells = 16, m = 4, codebook = 16, dim = 64, residual = false,
-        dir = dir, keepVectors = true)
-      def snap(phase: String): Seq[(String, Long, Long)] =
+        dir = dir, keepVectors = true) }
+      def snap(phase: String): Seq[(String, Long, Long)] = pt("stats") {
         graft.functions.AnnIndex.indexStats(s, dir)
           .select(col("cell"), col("n_vectors")).collect()
-          .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq
+          .map(r => (phase, r.getLong(0), r.getLong(1))).toSeq }
       val base = snap("1_base")
       val v3 = e.filter(col("vec_id") === 3).select(col("embedding").as("__bv"))
       def batch(lo: Int, hi: Int) =
         s.range(lo, hi).select((col("id") + 10000).as("vec_id"))
           .crossJoin(broadcast(v3)).select(col("vec_id"), col("__bv").as("embedding"))
-      graft.functions.AnnIndex.addBatch(s, dir, batch(0, 25), "vec_id", "embedding")
-      graft.functions.AnnIndex.addBatch(s, dir, batch(25, 50), "vec_id", "embedding")
+      pt("ingest") {
+        graft.functions.AnnIndex.addBatch(s, dir, batch(0, 25), "vec_id", "embedding")
+        graft.functions.AnnIndex.addBatch(s, dir, batch(25, 50), "vec_id", "embedding")
+      }
       val added = snap("2_added")
-      graft.functions.AnnIndex.compactCells(s, dir, minFiles = 2)
+      pt("compact") { graft.functions.AnnIndex.compactCells(s, dir, minFiles = 2) }
       val compacted = snap("3_compact")
-      graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4)
+      pt("resplit") { graft.functions.AnnIndex.resplitCell(s, dir, cid = 3L, k = 4) }
       val resplit = snap("4_resplit")
       (base ++ added ++ compacted ++ resplit).toDF("phase", "cell", "n")
         .orderBy("phase", "cell")

@@ -358,6 +358,35 @@ class BandIndexSpec extends AnyFunSuite {
     val totalHealed = BandIndex.stats(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0)
     assert(totalHealed == total0)
+
+    // crash AFTER the commit point: the base dir was retired (renamed
+    // to .retired-) but the delete and marker cleanup never ran. The
+    // tagged split files are now the committed copy — stats must count
+    // THEM (fs.exists(base) gates the exclusion) and ignore the
+    // retired remnant, again totalling exactly once.
+    val base2 = new Path(s"$dir/bands/bucket=b")
+    assume(fs.exists(base2), "fixture needs bucket=b")
+    val split2 = new Path(s"$dir/bands/bucket=b0")
+    fs.mkdirs(split2)
+    fs.listStatus(base2)
+      .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (f, i) =>
+        assert(fs.rename(f.getPath, new Path(split2, s"rebucket-b-9-$i.parquet")))
+      }
+    assert(fs.rename(base2, new Path(s"$dir/bands/.retired-b")))
+    fs.create(new Path(s"$dir/bands/.rebucket-inflight-b-9"), true).close()
+    val totalCommitted = BandIndex.stats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0)
+    assert(totalCommitted == total0,
+      s"post-commit crash: tagged files counted once, retired dir ignored " +
+        s"($totalCommitted vs $total0)")
+    // and the write-entry heal finishes the delete without changing totals
+    BandIndex.compact(spark, dir, minFiles = 1000)
+    assert(!fs.exists(new Path(s"$dir/bands/.retired-b")) &&
+      !fs.exists(new Path(s"$dir/bands/.rebucket-inflight-b-9")),
+      "write entry must finish the committed rebucket's cleanup")
+    assert(BandIndex.stats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0) == total0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
