@@ -32,14 +32,64 @@ object WebFunctions {
 
   private val urlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?$"
 
-  /** Registrable-domain approximation: the last two dot-labels of the
-    * canonical host (no public-suffix list in a zero-dep engine; the
-    * dial a real deployment swaps for a PSL lookup table join). */
-  def urlDomain(url: Column): Column = {
+  /** Canonical host of a URL: fragment stripped, port stripped,
+    * lowercased; empty for non-`scheme://authority` strings. */
+  private def hostOf(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val host = lower(regexp_replace(regexp_extract(noFrag, urlRe, 2),
-      ":[0-9]+$", ""))
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    lower(regexp_replace(regexp_extract(noFrag, urlRe, 2), ":[0-9]+$", ""))
+  }
+
+  /** Registrable-domain approximation: the last two dot-labels of the
+    * canonical host — the zero-table rule; [[urlDomain(url:*,psl:*)]]
+    * is the public-suffix-backed arm a real deployment dials to. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(hostOf(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** A fixture subset of the public suffix list (publicsuffix.org —
+    * public data) covering the common multi-label country suffixes;
+    * a real deployment loads the full list into the same call. */
+  val PslFixture: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn",
+    "co.nz", "net.nz", "org.nz",
+    "com", "org", "net", "io", "uk")
+
+  /** Public-suffix-backed registrable domain (the dial [[urlDomain]]'s
+    * scaladoc names): longest suffix in `psl` matching the host's
+    * label tail wins, and the registrable domain is that suffix plus
+    * its one preceding (nonempty) label; hosts matching no suffix —
+    * or EQUAL to a suffix, which have no registrable domain — fall
+    * back to the last-two-labels rule.
+    *
+    * Shape: one when-branch per distinct suffix label-COUNT (longest
+    * first, the bandedRouted per-depth discipline — never a per-value
+    * chain), each an `isInCollection` membership of
+    * `substring_index(host, '.', -k)`. Catalyst converts the list to
+    * an InSet hash probe past 10 values, so the FULL ~9k-rule public
+    * suffix list costs O(distinct label counts) hash lookups per row —
+    * still a pure zero-exchange projection, no join needed at any
+    * scale. Wildcard (`*.ck`) and exception (`!`) PSL rule grammar is
+    * not implemented — plain suffix rules only (the fixture subset's
+    * class); x45b gates both arms against a DuckDB replay. */
+  def urlDomain(url: Column, psl: Seq[String]): Column = {
+    require(psl.nonEmpty, "need a nonempty suffix list")
+    val host = hostOf(url)
+    val byLen = psl.map(_.toLowerCase).distinct
+      .groupBy(_.count(_ == '.') + 1).toSeq.sortBy(-_._1)
+    val chain = byLen.foldLeft(when(lit(false), lit(null: String))) {
+      case (acc, (k, sfxs)) =>
+        val tail = substring_index(host, ".", -k)      // last k labels
+        val cand = substring_index(host, ".", -(k + 1)) // label + suffix
+        acc.when(tail.isInCollection(sfxs) &&
+          cand =!= tail &&              // host has more labels than the suffix
+          !cand.startsWith("."),        // …and the preceding label is nonempty
+          cand)
+    }
+    chain.otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
   }
 
   def urlCanonicalize(url: Column): Column = {

@@ -58,6 +58,31 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Public-suffix-backed registrable domain (the dial x45/x46's
+    // last-two-labels rule documents): hosts under multi-label
+    // country suffixes (shop.co.uk class) must resolve to
+    // label+suffix, not to the suffix itself — longest-matching
+    // suffix from the PSL fixture wins, fallback is the plain rule.
+    // Both arms emitted side by side; the oracle replays the
+    // cascaded longest-first match with per-label-count regexps.
+    "x45b_url_domain_psl" -> ((s, d) => {
+      import graft.functions.WebFunctions._
+      val u = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("url",
+          when(col("doc_id") % 4 === 0,
+            concat(lit("https://WWW."), col("source"),
+              lit(".shop.co.UK/item/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://blog."), col("source"), lit(".AC.uk:80/x?a=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://cdn."), col("source"), lit(".Example.COM:443/a")))
+          .otherwise(concat(lit("http://"), col("source"), lit("-site.io"))))
+      u.select(col("doc_id"),
+          urlDomain(col("url"), PslFixture).as("domain_psl"),
+          urlDomain(col("url")).as("domain_rule"))
+        .orderBy("doc_id")
+    }),
+
     // Per-domain capping (the standard web-corpus dominance guard:
     // no registrable domain contributes more than N docs): the x45
     // URL synthesis → urlDomain → deterministicGroupSample, cap 3 —
@@ -81,6 +106,25 @@ object CurationQueries {
       graft.prep.Preprocessing.deterministicGroupSample(
           u, "domain", "doc_id", k = 3, seed = "cap1")
         .orderBy("domain", "draw")
+    }),
+
+    // Learned quality filter (fastText-shaped linear classifier over
+    // hashed char-3-gram features — the trained arm next to the
+    // heuristic x2/x24 and perplexity x19/x22 filters). Weights are
+    // the pinned output of the repo Trainer's deterministic Adam run
+    // (QualityFilterWeights; CurationSpec re-trains and asserts
+    // bit-equality), scoring is ONE zero-exchange map pass: the
+    // weight vector rides as a 256-long array literal indexed by
+    // bucket, per-doc totals are exact long sums with the x19
+    // half-away integer mean — the oracle replays every step.
+    "x47_quality_filter" -> ((s, d) => {
+      import graft.functions.QualityFilter
+      documents(s, d)
+        .select(col("doc_id"), QualityFilter.qualityScore(col("text")).as("__m"))
+        .select(col("doc_id"),
+          (col("__m").cast("double") / lit(1e6)).as("score"),
+          when(col("__m") > 500000L, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
     }),
 
     // Weighted exact-k sample per event_type (Efraimidis-Spirtakis):
@@ -278,6 +322,34 @@ object CurationQueries {
         |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS canon,
         |  domain
         |FROM c ORDER BY doc_id""".stripMargin,
+    // x45b: the PSL longest-match replayed as cascaded label-count
+    // arms (2-label suffixes first, then 1-label, then the plain
+    // rule) — each arm's regexp demands a nonempty label BEFORE the
+    // suffix, which is exactly the Spark side's cand-not-degenerate
+    // guard; the suffix alternations are the PslFixture list verbatim
+    "x45b_url_domain_psl" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://WWW.' || source || '.shop.co.UK/item/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN 'http://blog.' || source || '.AC.uk:80/x?a=1'
+        |      WHEN 2 THEN 'https://cdn.' || source || '.Example.COM:443/a'
+        |      ELSE 'http://' || source || '-site.io' END AS url
+        |  FROM documents),
+        | h AS (SELECT doc_id,
+        |    lower(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?$', 2), ':[0-9]+$', '')) AS host
+        |  FROM u)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_extract(host, '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|net\.uk|sch\.uk|com\.au|net\.au|org\.au|edu\.au|gov\.au|co\.jp|ne\.jp|or\.jp|ac\.jp|go\.jp|com\.br|net\.br|org\.br|co\.in|net\.in|org\.in|com\.cn|net\.cn|org\.cn|co\.nz|net\.nz|org\.nz))$', 1) <> ''
+        |      THEN regexp_extract(host, '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|gov\.uk|net\.uk|sch\.uk|com\.au|net\.au|org\.au|edu\.au|gov\.au|co\.jp|ne\.jp|or\.jp|ac\.jp|go\.jp|com\.br|net\.br|org\.br|co\.in|net\.in|org\.in|com\.cn|net\.cn|org\.cn|co\.nz|net\.nz|org\.nz))$', 1)
+        |    WHEN regexp_extract(host, '([^.]+\.(?:com|org|net|io|uk))$', 1) <> ''
+        |      THEN regexp_extract(host, '([^.]+\.(?:com|org|net|io|uk))$', 1)
+        |    ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |  END AS domain_psl,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain_rule
+        |FROM h ORDER BY doc_id""".stripMargin,
     // x46: x45's domain CTEs + the x43 md5-rank cap
     "x46_domain_cap" ->
       """WITH u AS (
@@ -312,6 +384,28 @@ object CurationQueries {
         |    ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM d2)
         |WHERE rn <= 3 ORDER BY domain, draw""".stripMargin,
+    // x47: the fixed-weights scoring pass replayed exactly — the
+    // weight list is interpolated from the SAME pinned constants the
+    // Spark kernel reads (QualityFilterWeights, provenanced by the
+    // CurationSpec retrain pin), bucket = first-8 md5 hex % 256 on
+    // each char-3-gram of lower(text), exact integer micro mean
+    "x47_quality_filter" -> {
+      val wlist = graft.functions.QualityFilter.DefaultWeightsMicro.mkString(", ")
+      val b = graft.functions.QualityFilter.DefaultBiasMicro
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) - 2 AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(length(text) AS INT) - 2),
+         |      i -> [$wlist][CAST(CAST(('0x' || substr(md5(substr(lower(text), CAST(i AS INT), 3)), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS BIGINT) AS tot
+         |  FROM documents),
+         | m AS (SELECT doc_id,
+         |    CASE WHEN n <= 0 THEN CAST($b AS BIGINT)
+         |         ELSE CAST(sign(tot) AS BIGINT) * ((2 * abs(tot) + n) // (2 * n)) + $b END AS micro
+         |  FROM s)
+         |SELECT doc_id, CAST(micro AS DOUBLE) / 1e6 AS score,
+         |  CASE WHEN micro > 500000 THEN 1 ELSE 0 END AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     // x44: the ES rank replayed exactly — same 52-bit u, same ln/w,
     // DESC = the Spark side's (-rank) ascending heap order
     "x44_weighted_group_sample" ->

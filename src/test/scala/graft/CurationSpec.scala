@@ -223,4 +223,56 @@ class CurationSpec extends AnyFunSuite {
       .select(urlCanonicalize(col("url")).as("c")).as[String].collect().toSeq
     assert(again == cases.map(_._2), s"not idempotent: $again")
   }
+
+  test("quality filter: pinned weights ARE the trainer's output; training separates the fixture") {
+    import graft.functions.QualityFilter
+    // provenance pin (the u1 discipline): re-run the deterministic
+    // Adam training and assert bit-equality with the shipped
+    // constants — they can never drift from the trainer silently
+    val (w, b) = QualityFilter.trainDefault(spark)
+    assert(w.toSeq == QualityFilter.DefaultWeightsMicro.toSeq,
+      "pinned weights differ from the trainer's output — regenerate " +
+        "with graft.tools.TrainQualityFilter")
+    assert(b == QualityFilter.DefaultBiasMicro)
+    // convergence: the learned model separates every fixture example
+    // under the exact micro threshold the corpus filter uses
+    val correct = QualityFilter.TrainingFixture.count { case (t, y) =>
+      val x = QualityFilter.featuresOf(t)
+      val tot = x.zip(w).map { case (xi, wi) => xi * wi }.sum + b
+      (tot > 500000.0) == (y > 0.5)
+    }
+    assert(correct == QualityFilter.TrainingFixture.size,
+      s"training did not converge: $correct/${QualityFilter.TrainingFixture.size}")
+    // and the distributed scoring kernel agrees with the local replay
+    // on the fixture texts (same buckets, same integer mean)
+    val scored = QualityFilter.TrainingFixture.map(_._1).toDF("text")
+      .select(QualityFilter.qualityScore(col("text")).as("m"))
+      .as[Long].collect().toSeq
+    val kept = scored.map(_ > 500000L)
+    assert(kept == QualityFilter.TrainingFixture.map(_._2 > 0.5),
+      s"kernel keep decisions diverge: $scored")
+  }
+
+  test("urlDomain PSL arm: longest suffix wins, fall-through, rule fallback") {
+    import graft.functions.WebFunctions._
+    val cases = Seq(
+      // multi-label suffix: co.uk beats the 1-label uk rule
+      ("https://WWW.shop.Example.co.UK/x", "example.co.uk", "co.uk"),
+      // 1-label suffix, 2-label host
+      ("http://site.io/a", "site.io", "site.io"),
+      // deeper host under a 1-label suffix: registrable = label+suffix
+      ("https://a.b.example.com", "example.com", "example.com"),
+      // host equal to a 2-label suffix: falls through to the uk rule
+      ("http://co.uk/", "co.uk", "co.uk"),
+      // no suffix matches -> plain last-two-labels rule
+      ("http://x.y.internal/", "y.internal", "y.internal"),
+      // port + fragment stripped before matching
+      ("http://blog.Uni.AC.uk:80/p#f", "uni.ac.uk", "ac.uk"),
+      ("not a url", "", ""))
+    val out = cases.map(_._1).toDF("url")
+      .select(urlDomain(col("url"), PslFixture).as("p"),
+        urlDomain(col("url")).as("r"))
+      .as[(String, String)].collect().toSeq
+    assert(out == cases.map(c => (c._2, c._3)), s"got $out")
+  }
 }

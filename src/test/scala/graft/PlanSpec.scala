@@ -331,13 +331,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("d18/d18b fuzzy join: gram-keyed equi-joins only, no cartesian on the name relation") {
-    for (q <- Seq("d18_fuzzy_join", "d18b_fuzzy_join_prefix")) {
+    for ((q, thresh) <- Seq(("d18_fuzzy_join", 6), ("d18b_fuzzy_join_prefix", 4))) {
       val p = plan(q)
       // band arm joins on gram value, prefix arm on (gram, occ) —
-      // either way the candidate stage must be a hash/merge join with
-      // the bands as post-join filters, never a nested loop over names
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$q:\n${p.take(2000)}")
+      // either way the CORPUS-sized candidate stage must be a
+      // hash/merge join with the bands as post-join filters, never a
+      // nested loop over names
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      // the ONE nested-loop join allowed is the sub-threshold
+      // brute-force bucket (r16 advice), whose both sides carry the
+      // length(<q*(k+1)) bound — a BNLJ without that bound below it
+      // would be an all-pairs scan of the name relation
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 1, s"$q: $bnlj nested-loop joins\n${p.take(2000)}")
+      if (bnlj == 1)
+        assert(p.contains(s" < $thresh)"),
+          s"$q: nested-loop join without the sub-threshold length bound:\n${p.take(2000)}")
     }
   }
 
@@ -437,5 +446,16 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse(99)
     assert(inset <= 6, s"probe set wider than queries x nprobe: $scanLine")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("x47 learned quality scoring is one map pass: no hash exchange, no join, no UDF") {
+    val p = plan("x47_quality_filter")
+    // the weight vector rides as an array literal indexed per gram —
+    // a join-shaped scoring pass here would shuffle the corpus
+    assert(!p.contains("hashpartitioning"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("), p.take(1500))
+    // the only exchange is the output sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
   }
 }
