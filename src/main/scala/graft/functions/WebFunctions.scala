@@ -92,6 +92,36 @@ object WebFunctions {
     chain.otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
   }
 
+  /** Baseline HTML-to-text extraction (the regex-stripper class real
+    * pipelines run when a DOM extractor isn't warranted; script and
+    * style SUBTREES are dropped whole because their text content is
+    * code, not prose). Steps, in gated order:
+    *
+    *  1. `<script…>…</script>` and `<style…>…</style>` blocks removed
+    *     (case-insensitive, dot-matches-newline — `(?is)`, identical
+    *     inline-flag semantics under Java regex and RE2)
+    *  2. every remaining tag `<[^>]*>` becomes one space (block/inline
+    *     distinction deliberately not modeled — the downstream
+    *     whitespace collapse erases it anyway)
+    *  3. the five basic entities decode — `&lt; &gt; &quot; &#39;
+    *     &nbsp;` first, `&amp;` LAST so `&amp;lt;` decodes to the
+    *     literal `&lt;`, never double-decodes to `<`
+    *  4. whitespace collapses to single spaces, ends trimmed
+    *
+    * Pure per-row regexp projection, zero exchange at any scale; the
+    * x49 oracle replays every step term for term. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   def urlCanonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, urlRe, 1))

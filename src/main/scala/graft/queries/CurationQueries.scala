@@ -127,6 +127,61 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // PII detection + redaction (the standard pre-release masking
+    // pass: emails, phones, IPv4s to typed placeholders). PII is
+    // synthesized deterministically per doc (the x45 precedent);
+    // output pins the per-pattern counts AND the full redaction
+    // chain via md5 of the redacted text — the email → phone → IP
+    // order is part of the gated contract (an email whose domain is
+    // a dotted quad with an alpha TLD must redact as ONE [EMAIL],
+    // never an [IP] inside a mangled address).
+    "x48_pii_redact" -> ((s, d) => {
+      import graft.functions.PiiFunctions
+      val u = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("t2",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact "), col("source"), col("doc_id"),
+              lit("@example.com or admin@10.20.30.40.org")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("call +1 555-010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" now: "), col("text")))
+          .otherwise(concat(col("text"), lit(" from 192.168."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") + 7) % 256).cast("string"))))
+      u.select(col("doc_id"),
+          PiiFunctions.emailCount(col("t2")).cast("int").as("n_email"),
+          PiiFunctions.phoneCount(col("t2")).cast("int").as("n_phone"),
+          PiiFunctions.ipv4Count(col("t2")).cast("int").as("n_ip"),
+          md5(PiiFunctions.redact(col("t2"))).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML-to-text extraction (the baseline regex stripper real web
+    // pipelines run before quality/dedup when a DOM extractor isn't
+    // warranted): documents wrapped in deterministic markup — nested
+    // tags, attributes, a script subtree that must vanish WHOLE, and
+    // entities including the &amp;lt; double-decode trap — then
+    // stripped; clean_md5 pins every byte of the extraction.
+    "x49_strip_html" -> ((s, d) => {
+      import graft.functions.WebFunctions
+      val u = documents(s, d).select(col("doc_id"), col("source"), col("text"))
+        .withColumn("html",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;\nalert('junk');</script><title>"),
+              col("source"), lit("</title></head><body><p>"),
+              col("text"), lit("</p></body></html>")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("<div class=\"a b\"><b>bold&nbsp;note:</b> "),
+              col("text"), lit(" &amp;lt; kept &quot;as&quot; &#39;is&#39;</div>")))
+          .otherwise(concat(lit("<STYLE>p { color: red }</STYLE>"),
+            col("text"), lit(" 1 &lt; 2 &gt; 0"))))
+      u.select(col("doc_id"),
+          md5(WebFunctions.stripHtml(col("html"))).as("clean_md5"),
+          length(WebFunctions.stripHtml(col("html"))).cast("int").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted exact-k sample per event_type (Efraimidis-Spirtakis):
     // rank = ln(md5-uniform)/weight, k largest — inclusion odds ∝
     // event value, reproducible, same map-side heap as x43.
@@ -406,6 +461,51 @@ object CurationQueries {
          |  CASE WHEN micro > 500000 THEN 1 ELSE 0 END AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    // x48: detection counts via regexp_extract_all length, the
+    // redaction chain replayed in the SAME email → phone → IP order
+    // (RE2-safe patterns, no lookarounds — identical semantics to
+    // the Spark side's Java regex by construction)
+    "x48_pii_redact" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN text || ' contact ' || source || CAST(doc_id AS VARCHAR) || '@example.com or admin@10.20.30.40.org'
+        |      WHEN 1 THEN 'call +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now: ' || text
+        |      ELSE text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id + 7) % 256 AS VARCHAR)
+        |    END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t2, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS red_md5
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // x49: the stripper replayed step for step — script/style blocks
+    // ((?is) inline flags, lazy spans), tag→space, entities with
+    // &amp; LAST (the double-decode trap), whitespace collapse
+    "x49_strip_html" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN '<html><head><script type="text/javascript">var x = 1 < 2;' || chr(10) || 'alert(''junk'');</script><title>' || source || '</title></head><body><p>' || text || '</p></body></html>'
+        |      WHEN 1 THEN '<div class="a b"><b>bold&nbsp;note:</b> ' || text || ' &amp;lt; kept &quot;as&quot; &#39;is&#39;</div>'
+        |      ELSE '<STYLE>p { color: red }</STYLE>' || text || ' 1 &lt; 2 &gt; 0'
+        |    END AS html
+        |  FROM documents),
+        | s1 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS h FROM u),
+        | s2 AS (SELECT doc_id, regexp_replace(h, '<[^>]*>', ' ', 'g') AS h FROM s1),
+        | s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(h,
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CAST(chr(39) AS VARCHAR), 'g'),
+        |      '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS h FROM s2),
+        | s4 AS (SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean FROM s3)
+        |SELECT doc_id, md5(clean) AS clean_md5, CAST(length(clean) AS INT) AS clean_len
+        |FROM s4 ORDER BY doc_id""".stripMargin,
     // x44: the ES rank replayed exactly — same 52-bit u, same ln/w,
     // DESC = the Spark side's (-rank) ascending heap order
     "x44_weighted_group_sample" ->

@@ -253,6 +253,47 @@ class CurationSpec extends AnyFunSuite {
       s"kernel keep decisions diverge: $scored")
   }
 
+  test("PII redaction: pattern hits and the email→phone→IP order contract") {
+    import graft.functions.PiiFunctions._
+    val cases = Seq(
+      // email whose domain is a dotted quad + alpha TLD: ONE [EMAIL],
+      // never an [IP] inside a mangled address (order contract)
+      // (raw counts are per-pattern over the ORIGINAL text, so the
+      // dotted quad inside the address still counts one raw IP hit)
+      ("mail a@111.222.33.44.org now", "mail [EMAIL] now", 1, 0, 1),
+      // phone-shaped local part: email wins before the phone pass
+      ("555-010-1234@x.com", "[EMAIL]", 1, 1, 0),
+      ("call +1 555-010-9999 or 555 123 4567", "call +1 [PHONE] or [PHONE]", 0, 2, 0),
+      ("host 10.0.0.1 and 255.255.255.0", "host [IP] and [IP]", 0, 0, 2),
+      // no word boundary inside longer digit runs: not an IP
+      ("version 1.2.3.4567 stays", "version 1.2.3.4567 stays", 0, 0, 0),
+      ("clean text stays clean", "clean text stays clean", 0, 0, 0))
+    val out = cases.map(_._1).toDF("t")
+      .select(redact(col("t")).as("r"),
+        emailCount(col("t")).cast("int").as("e"),
+        phoneCount(col("t")).cast("int").as("p"),
+        ipv4Count(col("t")).cast("int").as("i"))
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(out == cases.map(c => (c._2, c._3, c._4, c._5)), s"got $out")
+  }
+
+  test("stripHtml: script/style subtrees vanish whole, entities decode once, tags collapse") {
+    import graft.functions.WebFunctions.stripHtml
+    val cases = Seq(
+      ("<p>plain <b>bold</b></p>", "plain bold"),
+      // script content (with a bare '<' inside) must vanish as a BLOCK
+      ("a<script>if (1 < 2) alert('x');</script>b", "a b"),
+      ("a<STYLE type=\"x\">p { }</STYLE>b", "a b"),
+      // multi-line lazy span: two scripts, text between survives
+      ("<script>x\ny</script>keep<script>z</script>", "keep"),
+      // &amp;lt; decodes ONCE to the literal &lt; — never to '<'
+      ("1 &lt; 2 &amp;lt; 3 &quot;q&quot; &#39;s&#39; a&nbsp;b", "1 < 2 &lt; 3 \"q\" 's' a b"),
+      ("  lots   of\n\n space  ", "lots of space"))
+    val out = cases.map(_._1).toDF("h")
+      .select(stripHtml(col("h")).as("t")).as[String].collect().toSeq
+    assert(out == cases.map(_._2), s"got $out")
+  }
+
   test("urlDomain PSL arm: longest suffix wins, fall-through, rule fallback") {
     import graft.functions.WebFunctions._
     val cases = Seq(
