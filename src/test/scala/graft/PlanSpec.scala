@@ -458,4 +458,17 @@ class PlanSpec extends AnyFunSuite {
     // the only exchange is the output sort's range partitioning
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
   }
+
+  test("x45b/x48/x49 web-curation projections: pure map passes, no join, no UDF") {
+    for (q <- Seq("x45b_url_domain_psl", "x48_pii_redact", "x49_strip_html")) {
+      val p = plan(q)
+      // PSL membership is an InSet chain, PII/HTML are regexp chains —
+      // none of them may shuffle or join the corpus
+      assert(!p.contains("hashpartitioning"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q:\n${p.take(1500)}")
+      assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+        s"$q:\n${p.take(1500)}")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q:\n${p.take(1500)}")
+    }
+  }
 }
