@@ -206,6 +206,16 @@ object CurationFunctions {
       .filter(col("n_docs") >= 2)
   }
 
+  /** First-8-md5-hex-digits feature bucket of a string column — THE
+    * hashed-feature kernel shared by [[dsirWeights]] and
+    * [[QualityFilter]] (one definition, so the cross-engine-sensitive
+    * form can't drift between the two oracle-gated consumers; DuckDB
+    * replays it as `CAST(('0x' || substr(md5(x),1,8)) AS BIGINT) % B`,
+    * and [[QualityFilter.bucketOfLocal]] is its pinned local twin). */
+  private[functions] def featureBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed n-gram features are
@@ -254,9 +264,7 @@ object CurationFunctions {
         explode(when(col("__w2").isNotNull,
             array(col("__w"), concat_ws(" ", col("__w"), col("__w2"))))
           .otherwise(array(col("__w")))).as("__g"))
-      .withColumn("__b",
-        pmod(conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)))
+      .withColumn("__b", featureBucket(col("__g"), buckets))
     val grams = gramsCache.synchronized {
       graft.DfMemo.getOrBuild(gramsCache,
         gramsPlan.queryExecution.analyzed.semanticHash(),

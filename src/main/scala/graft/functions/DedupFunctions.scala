@@ -1207,11 +1207,13 @@ object DedupFunctions {
     *    positions. For strings of length >= q*(k+1) that bound is >= 1,
     *    so joining on (gram value, |pos delta| <= k) is complete;
     *    SHORTER strings (where the bound can reach 0 and a qualifying
-    *    pair may share no gram) route through a brute-force arm over
-    *    the sub-threshold bucket — its partners sit inside the length
-    *    band, so both join sides are that bounded-length bucket and
-    *    the full-corpus relation never enters. The union is the exact
-    *    brute-force answer with no length precondition.
+    *    pair may share no gram) route through a deletion-neighborhood
+    *    arm (FastSS): the sub-threshold bucket equi-joins on its
+    *    ≤maxDist-deletion variant strings — complete because within-k
+    *    pairs always share a variant, and the variant fan is a small
+    *    constant by construction (bucket strings are shorter than
+    *    q(k+1)+k). The union is the exact brute-force answer with no
+    *    length precondition, and no stage is a nested loop.
     *    Candidate volume ~ sum over gram values of cnt^2 — fine when
     *    grams are selective, quadratic on low-entropy keys.
     *  - `prefixFilter = true` (the scale arm): each string keeps only
@@ -1328,21 +1330,42 @@ object DedupFunctions {
               blkEq && ordered && lenBand)
           .select(outCols: _*)
       }
-    // brute-force arm for the sub-threshold bucket: a pair with a side
-    // shorter than q*(k+1) may share no gram, so gram joins can't see
-    // it. Its partner is within the length band, hence itself shorter
-    // than thresh + maxDist — both sides of this join are the (tiny)
-    // bounded-length bucket, broadcast against it; the corpus-sized
-    // relation never enters. Pairs with both sides >= thresh stay the
-    // gram arms' exclusive property (no double counting beyond the
-    // duplicates the verify-then-distinct contract already absorbs).
-    val shortNames = allNames.filter(length(col("name")) < thresh)
-    val nearShort = allNames.filter(length(col("name")) < thresh + maxDist)
-    val brute = broadcast(shortNames).as("a").join(nearShort.as("b"),
-        col("a.name") =!= col("b.name") && blkEq && lenBand)
-      .select(Seq(least(col("a.name"), col("b.name")).as("name_a"),
-        greatest(col("a.name"), col("b.name")).as("name_b")) ++
-        blockCol.map(b => col("a.blk").as(b)): _*)
+    // sub-threshold arm via deletion neighborhoods (FastSS, Bocek et
+    // al. 2007): a pair with a side shorter than q*(k+1) may share no
+    // gram, so the gram joins can't see it — but if ed(s,t) <= k,
+    // an optimal alignment's matched characters survive deleting
+    // <= k positions from EACH side, so s and t share a <=k-deletion
+    // variant and an EQUI-join on variant strings is complete. The
+    // bucket is every string short enough to pair with a sub-threshold
+    // one (len < thresh + maxDist, the length band's reach), where
+    // variant counts are bounded by construction (len <= q(k+1)+k-1,
+    // so Σ C(len,i) is a small constant per string) — candidates hash-
+    // join on variant keys like the gram arms, never a broadcast
+    // nested loop over the bucket (r17 review: a corpus DOMINATED by
+    // short strings would have made the nested-loop form quadratic
+    // with an unbounded broadcast). A pair may share several variants
+    // (duplicate candidates, absorbed by the verify-then-distinct
+    // contract above); pairs with both sides >= thresh are double-
+    // covered with the gram arms, absorbed the same way.
+    val shortBucket = allNames.filter(length(col("name")) < thresh + maxDist)
+    def delOnce(arr: Column): Column =
+      array_distinct(flatten(transform(arr, s =>
+        when(length(s) <= 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(s)),
+            i => concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, length(s))))))))
+    val variants = {
+      var lvl = array(col("name"))
+      var all = lvl
+      for (_ <- 1 to maxDist) { lvl = delOnce(lvl); all = concat(all, lvl) }
+      array_distinct(all)
+    }
+    val shortVar = shortBucket
+      .select((col("name") +: blkCols) :+ explode(variants).as("__v"): _*)
+      .repartition(joinPar, col("__v") +: blkCols: _*) // same AQE pin as the gram arms
+    val brute = shortVar.as("a").join(shortVar.as("b"),
+        col("a.__v") === col("b.__v") && blkEq && ordered && lenBand)
+      .select(outCols: _*)
     cand.unionByName(brute)
   }
 

@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   *  - email: `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`
   *  - IPv4:  `\b` 1-3 digits ×4 dotted `\b` (word-bounded so it
   *    can't eat digit runs inside longer numbers)
-  *  - phone: optional `+`, then 3-3-4 digit groups separated by `-`
-  *    or space (the fixture's normalized North-American shape; a
-  *    real deployment swaps in locale patterns — the dial is the
-  *    pattern list, nothing else)
+  *  - phone: optional `+`, then word-bounded 3-3-4 digit groups
+  *    separated by `-` or space (the fixture's normalized
+  *    North-American shape; a real deployment swaps in locale
+  *    patterns — the dial is the pattern list, nothing else). The
+  *    `\b` guards keep the pattern from matching INSIDE longer
+  *    digit runs ("ref 2555-010-12345" contains no phone) — RE2 has
+  *    no lookarounds, so ASCII word boundaries are the
+  *    engine-portable anchor, with the documented consequence that
+  *    a digit run glued to a letter ("x555-010-1234") also doesn't
+  *    match
   *
   * REDACTION ORDER IS PART OF THE CONTRACT: email → phone → IPv4.
   * Email first because its local/domain parts can contain digit runs
@@ -36,7 +42,7 @@ object PiiFunctions {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  val PhoneRe = "\\+?\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
 
   /** Per-text PII hit counts (detection report, no mutation). */
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))

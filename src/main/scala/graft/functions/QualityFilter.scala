@@ -161,8 +161,7 @@ object QualityFilter {
     val n = length(t) - (NGram - 1)
     val tot = aggregate(
       transform(sequence(lit(1), greatest(n, lit(0))),
-        i => pmod(conv(substring(md5(t.substr(i, lit(NGram))), 1, 8), 16, 10)
-          .cast("long"), lit(Buckets.toLong))),
+        i => CurationFunctions.featureBucket(t.substr(i, lit(NGram)), Buckets)),
       lit(0L),
       (acc, bkt) => acc + element_at(warr, bkt.cast("int") + 1))
     // x19's exact half-away integer mean, in pure long arithmetic:
@@ -178,8 +177,9 @@ object QualityFilter {
       .otherwise(signum(tot).cast("long") * q + lit(biasMicro))
   }
 
-  /** (score, keep) columns with the pinned default model: keep = 1
-    * iff score_micro > 500000 (linear-probability threshold ½). */
+  /** Integer micro quality score under the pinned default model;
+    * the keep convention is `score_micro > 500000` (the
+    * linear-probability threshold ½ — x47 emits both columns). */
   def qualityScore(text: Column): Column =
     qualityScoreMicro(text, DefaultWeightsMicro.toSeq, DefaultBiasMicro)
 }

@@ -447,12 +447,13 @@ object CurationQueries {
     "x47_quality_filter" -> {
       val wlist = graft.functions.QualityFilter.DefaultWeightsMicro.mkString(", ")
       val b = graft.functions.QualityFilter.DefaultBiasMicro
-      s"""WITH s AS (
+      s"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+         | s AS (
          |  SELECT doc_id,
-         |    CAST(length(text) - 2 AS BIGINT) AS n,
-         |    CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(length(text) AS INT) - 2),
-         |      i -> [$wlist][CAST(CAST(('0x' || substr(md5(substr(lower(text), CAST(i AS INT), 3)), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS BIGINT) AS tot
-         |  FROM documents),
+         |    CAST(length(t) - 2 AS BIGINT) AS n,
+         |    CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(length(t) AS INT) - 2),
+         |      i -> [$wlist][CAST(CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 3)), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS BIGINT) AS tot
+         |  FROM lt),
          | m AS (SELECT doc_id,
          |    CASE WHEN n <= 0 THEN CAST($b AS BIGINT)
          |         ELSE CAST(sign(tot) AS BIGINT) * ((2 * abs(tot) + n) // (2 * n)) + $b END AS micro
@@ -476,11 +477,11 @@ object CurationQueries {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-        |  CAST(len(regexp_extract_all(t2, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '\+?\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b')) AS INT) AS n_phone,
         |  CAST(len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
         |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g'),
+        |    '\+?\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '[PHONE]', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')) AS red_md5
         |FROM u ORDER BY doc_id""".stripMargin,
     // x49: the stripper replayed step for step — script/style blocks

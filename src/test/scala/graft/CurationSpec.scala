@@ -267,6 +267,9 @@ class CurationSpec extends AnyFunSuite {
       ("host 10.0.0.1 and 255.255.255.0", "host [IP] and [IP]", 0, 0, 2),
       // no word boundary inside longer digit runs: not an IP
       ("version 1.2.3.4567 stays", "version 1.2.3.4567 stays", 0, 0, 0),
+      // …and not a phone either (review r17: the \b guards keep the
+      // pattern from eating the middle of a longer reference number)
+      ("ref 2555-010-12345 stays", "ref 2555-010-12345 stays", 0, 0, 0),
       ("clean text stays clean", "clean text stays clean", 0, 0, 0))
     val out = cases.map(_._1).toDF("t")
       .select(redact(col("t")).as("r"),
