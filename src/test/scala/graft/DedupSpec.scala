@@ -605,6 +605,19 @@ class DedupSpec extends AnyFunSuite {
     val wantB = (for { (na, ba) <- base; (nb, bb) <- base
       if ba == bb && na < nb; d = lev(na, nb) if d <= 1 } yield (na, nb, ba, d)).toSet
     assert(got == wantB, s"${(got diff wantB) ++ (wantB diff got)}")
+    // seeded random SHORT-string corpus ({a,b} length 1..6): dense
+    // within-k pairs straddling the bucket boundary — the regime the
+    // deletion-variant join's completeness lemma must carry alone
+    val rnd2 = new scala.util.Random(23)
+    val shorts = Seq.fill(60)((0 until (1 + rnd2.nextInt(6)))
+      .map(_ => ('a' + rnd2.nextInt(2)).toChar).mkString).filter(_.nonEmpty)
+    val sdf = shorts.toDF("n")
+    for (k <- Seq(1, 2); arm <- Seq(false, true)) {
+      val want = bruteFuzzy(shorts, k, q = 2)
+      assert(want.size > 10, s"degenerate short fixture at k=$k")
+      assert(gotFuzzy(fuzzyPairs(sdf, "n", maxDist = k, q = 2, prefixFilter = arm)) == want,
+        s"short corpus k=$k arm=$arm")
+    }
   }
 
   test("fuzzyPairs blocking: both arms equal brute-within-block; zero cross-block pairs") {
