@@ -10,6 +10,16 @@ import graft.functions.CurationFunctions._
   */
 object CurationQueries {
 
+  /** x50 blocklist fixture: nested prefixes/suffixes (scan/can/an),
+    * a cross-word term, substring-of-token terms — the shapes that
+    * make Aho-Corasick failure links load-bearing. ASCII, distinct. */
+  private val BlockPatterns = Seq(
+    "scan", "can", "an", "order", "batch batch", "art",
+    "low", "he", "spark", "park", "ta", "merge")
+
+  /** x50b whole-word fixture (full tokens of the corpus vocabulary). */
+  private val BlockWords = Seq("scan", "order", "spark", "merge", "batch", "slow")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Temperature-based (α = 0.5) source mixing: per-source weights,
     // keep rates targeting 25% of total tokens, md5-Bernoulli kept
@@ -179,6 +189,43 @@ object CurationQueries {
       u.select(col("doc_id"),
           md5(WebFunctions.stripHtml(col("html"))).as("clean_md5"),
           length(WebFunctions.stripHtml(col("html"))).cast("int").as("clean_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Blocklist tagging (the C4-style banned-term pass): per-doc
+    // occurrence counts against a fixed term list, computed by ONE
+    // Aho-Corasick automaton walk per document — O(|text|) regardless
+    // of list size, vs the O(P·|text|) chain of per-term contains the
+    // naive plan runs (at 100 TB × 1000 terms that chain is a
+    // thousand full-corpus scans). The fixture list nests prefixes/
+    // suffixes (scan/can/an), crosses word boundaries (`batch batch`)
+    // and includes substring-of-token terms (art⊂part, he⊂the) so the
+    // failure-link machinery is load-bearing; `sig` pins every
+    // per-term count byte-for-byte against the oracle's positional
+    // replay. Overlapping occurrences count (automaton semantics).
+    "x50_keyword_blocklist" -> ((s, d) => {
+      import graft.expressions.KeywordExpressions.keywordCounts
+      documents(s, d)
+        .select(col("doc_id"),
+          keywordCounts(lower(col("text")), BlockPatterns).as("c"))
+        .select(col("doc_id"),
+          aggregate(col("c"), lit(0L), (a, x) => a + x).as("n_hits"),
+          size(filter(col("c"), _ > lit(0))).as("n_pats"),
+          array_join(col("c").cast("array<string>"), ",").as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    // Whole-word arm of the blocklist pass (the compositional
+    // alternative when terms are full tokens): split once, then
+    // per-row HOF membership against the broadcast-literal word set —
+    // occurrences and distinct-words-present, zero exchange.
+    "x50b_keyword_words" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " +").as("w"))
+        .select(col("doc_id"),
+          size(filter(col("w"), t => array_contains(typedLit(BlockWords), t)))
+            .as("n_occ"),
+          size(array_intersect(col("w"), typedLit(BlockWords))).as("n_words"))
         .orderBy("doc_id")
     }),
 
@@ -507,6 +554,33 @@ object CurationQueries {
         | s4 AS (SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean FROM s3)
         |SELECT doc_id, md5(clean) AS clean_md5, CAST(length(clean) AS INT) AS clean_len
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // x50: the automaton's overlapping-count semantics replayed
+    // positionally — per (doc, term), count every start index i where
+    // substr(t, i, |term|) = term; sig string-aggs the counts in
+    // term order, pinning each per-term count byte-for-byte
+    "x50_keyword_blocklist" ->
+      s"""WITH pats AS (SELECT * FROM (VALUES ${
+            BlockPatterns.zipWithIndex
+              .map { case (p, i) => s"('$p',${i + 1})" }.mkString(",")
+          }) AS p(pat, pid)),
+        | lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+        | hits AS (SELECT doc_id, pid,
+        |   len([i FOR i IN range(1, length(t) - length(pat) + 2)
+        |        IF substr(t, i, length(pat)) = pat]) AS c
+        |  FROM lt CROSS JOIN pats)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+        |  CAST(count(*) FILTER (WHERE c > 0) AS INT) AS n_pats,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY pid) AS sig
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x50b: whole-word membership over the same split the Spark side
+    // runs; n_words counts DISTINCT blocklist words present
+    "x50b_keyword_words" ->
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+        |    w -> list_contains([${BlockWords.map("'" + _ + "'").mkString(",")}], w))) AS INT) AS n_occ,
+        |  CAST(len(list_distinct(list_filter(string_split_regex(lower(text), ' +'),
+        |    w -> list_contains([${BlockWords.map("'" + _ + "'").mkString(",")}], w)))) AS INT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // x44: the ES rank replayed exactly — same 52-bit u, same ln/w,
     // DESC = the Spark side's (-rank) ascending heap order
     "x44_weighted_group_sample" ->

@@ -319,4 +319,29 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSeq
     assert(out == cases.map(c => (c._2, c._3)), s"got $out")
   }
+
+  test("keywordCounts: the Aho-Corasick fixtures — dict suffixes, overlap, UTF-8 reset") {
+    import graft.expressions.KeywordExpressions.keywordCounts
+    def run(text: String, pats: Seq[String]): Seq[Int] =
+      Seq(text).toDF("t").select(keywordCounts(col("t"), pats).as("c"))
+        .as[Seq[Int]].collect().head
+    // the 1975 paper's own fixture: "ushers" fires she, he (inside
+    // she via fail link), hers — his never
+    assert(run("ushers", Seq("he", "she", "his", "hers")) == Seq(1, 1, 0, 1))
+    // overlapping occurrences all count: aa in aaaa -> 3; aaa -> 2
+    assert(run("aaaa", Seq("aa", "aaa")) == Seq(3, 2))
+    // a pattern that is a proper substring of another fires on both
+    // paths (an ends inside scan AND standalone)
+    assert(run("scan an", Seq("scan", "can", "an")) == Seq(1, 1, 2))
+    // cross-word pattern spans the space
+    assert(run("batch batch batch", Seq("batch batch")) == Seq(2))
+    // multi-byte UTF-8 resets the automaton and never falsely matches
+    assert(run("scän scan", Seq("scan", "an")) == Seq(1, 1))
+    // empty text and no-match text
+    assert(run("", Seq("x")) == Seq(0))
+    assert(run("zzz", Seq("x", "y")) == Seq(0, 0))
+    // contract guards: empty/duplicate/non-ASCII patterns refused
+    for (bad <- Seq(Seq(""), Seq("a", "a"), Seq("scän"), Seq.empty[String]))
+      intercept[Exception](run("t", bad))
+  }
 }

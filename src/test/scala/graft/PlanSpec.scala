@@ -452,6 +452,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
   }
 
+  test("x50/x50b blocklist passes: one map scan, no join, no UDF, P patterns in one walk") {
+    for (q <- Seq("x50_keyword_blocklist", "x50b_keyword_words")) {
+      val p = plan(q)
+      // the term list rides inside the automaton / array literal —
+      // a join-shaped tagging pass here would shuffle the corpus
+      assert(!p.contains("hashpartitioning"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q:\n${p.take(1500)}")
+      assert(!p.toLowerCase.contains("scalaudf") && !p.contains("UDF("),
+        s"$q:\n${p.take(1500)}")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q:\n${p.take(1500)}")
+    }
+    // the AC scan itself appears exactly once in the plan — P terms
+    // never fan out into P scans
+    assert("aho_corasick_counts".r.findAllIn(plan("x50_keyword_blocklist")).size == 1)
+  }
+
   test("x45b/x48/x49 web-curation projections: pure map passes, no join, no UDF") {
     for (q <- Seq("x45b_url_domain_psl", "x48_pii_redact", "x49_strip_html")) {
       val p = plan(q)
