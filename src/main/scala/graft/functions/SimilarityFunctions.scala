@@ -268,11 +268,17 @@ object SimilarityFunctions {
 
   /** The probe half of [[ivfTopK]], over a prebuilt (neighbor_id,
     * __cv, __cid) inverted file — in-session or loaded from a
-    * persisted index. */
+    * persisted index. With `broadcastQueries` (the default — a probe
+    * LIST is small by construction) the query side broadcast-joins;
+    * [[ivfKnnJoin]] passes false for corpus-sized query tables, where
+    * the join keys both sides on the cell id and Catalyst/AQE picks
+    * the strategy from actual sizes — forcing a broadcast there would
+    * ship the query corpus to every task. */
   private[graft] def ivfProbeAssigned(assigned: DataFrame, queries: DataFrame,
                                       idCol: String, vecCol: String,
                                       cent: Seq[(Long, Array[Double])],
-                                      k: Int, nprobe: Int): DataFrame = {
+                                      k: Int, nprobe: Int,
+                                      broadcastQueries: Boolean = true): DataFrame = {
     require(nprobe >= 1, "need nprobe >= 1")
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -280,10 +286,42 @@ object SimilarityFunctions {
         asDouble(col("__qv")), cent, nprobe, VectorKernels.MetricCosine)))
       .withColumn("__cid", col("__pc").getField("cid"))
       .drop("__pc")
-    val scored = assigned.join(broadcast(probes), Seq("__cid"))
+    val probesSide = if (broadcastQueries) broadcast(probes) else probes
+    val scored = assigned.join(probesSide, Seq("__cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
     rankTopK(scored, k, "score", ascending = false)
+  }
+
+  /** Batch kNN JOIN via IVF — the retrieval join where BOTH sides are
+    * large (the SemDeDup/embedding-retrieval primitive: every query
+    * row of one table gets its approximate top-k from another). The
+    * [[knnJoin]] LSH form covers the all-pairs near-dup regime; this
+    * is the asymmetric regime — a query CORPUS against an inverted
+    * file, the batch analogue of [[ivfTopK]] whose broadcast of the
+    * query side would be corpus-sized here.
+    *
+    * Scale shape: both sides reach the join keyed by cell id after
+    * per-row kernel assignment (zero exchange up to the join);
+    * exchange ∝ corpus + queries·nprobe, candidates ∝
+    * queries · nprobe · corpus/cells (never queries × corpus), and
+    * the rerank is the bounded_topk map-side heap (≤ k rows per
+    * task·query). Join strategy is left to Catalyst/AQE: at fixture
+    * scale it may legitimately broadcast a genuinely small side; at
+    * 100 TB both sides shuffle on the cell id. Cell count is the
+    * parallelism dial — production indexes run thousands of cells,
+    * so the cid key space is not a skew bottleneck; a hot cell is
+    * exactly what [[AnnIndex.resplitCell]] exists for.
+    *
+    * Deterministic end to end (first-C centroids, rounded cosine, id
+    * tie-breaks) — the DuckDB oracle replays the full join. */
+  def ivfKnnJoin(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 centroids: Int, nprobe: Int): DataFrame = {
+    val cent = collectCentroids(corpus, idCol, vecCol, centroids)
+      .map { case (cid, v) => (cid, v.toArray) }
+    ivfProbeAssigned(ivfAssign(corpus, idCol, vecCol, cent),
+      queries, idCol, vecCol, cent, k, nprobe, broadcastQueries = false)
   }
 
   /** Product-quantization top-k with ADC (asymmetric distance

@@ -318,6 +318,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Batch kNN JOIN via IVF (the asymmetric big-big retrieval join:
+    // every row of a corpus-sized query table gets its top-3 from
+    // the inverted file; here queries = the corpus itself). The query
+    // side is NOT broadcast — both sides key on the cell id and
+    // Catalyst picks the strategy; candidates ∝ queries·nprobe·
+    // corpus/cells, rerank is the bounded_topk heap.
+    "s16_ann_batch_join" -> ((s, d) => {
+      val e = embeddings(s, d)
+      ivfKnnJoin(e, e, "vec_id", "embedding",
+        k = 3, centroids = 16, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ-ADC approximate top-5 (the memory-bound ANN family: corpus
     // scanned as 4 sub-codes, distances from a per-query lookup
     // table). Deterministic codebooks (first-16 sub-blocks) → exact
@@ -542,6 +555,27 @@ object SimilarityQueries {
        |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
        |   FROM s)
        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** s16 oracle: the s4 IVF machinery with the query side widened to
+    * the whole table (nprobe = 2, k = 3) — the batch join replayed
+    * row for row. */
+  private def s16Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |  FROM e, cent),
+       | assigned AS (SELECT vec_id AS neighbor_id, v, cid FROM ca WHERE crank <= 1),
+       | qa AS (SELECT vec_id AS query_id, v AS qv, cid FROM ca WHERE crank <= 2),
+       | s AS (
+       |  SELECT qa.query_id, b.neighbor_id, ${cosSql("qa.qv", "b.v")} AS score
+       |  FROM assigned b JOIN qa ON b.cid = qa.cid AND b.neighbor_id <> qa.query_id),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
   private def s4Sql: String =
@@ -872,6 +906,7 @@ object SimilarityQueries {
     "s2_ann_lsh" -> s2Sql,
     "s2b_ann_multiprobe" -> s2bSql,
     "s5_knn_join" -> s5Sql,
+    "s16_ann_batch_join" -> s16Sql,
     "s6_ann_pq" -> s6Sql,
     "s14_ann_sq8" -> s14Sql,
     "s4_ann_ivf" -> s4Sql,

@@ -190,6 +190,16 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("s16 batch IVF join keys on the cell id, reranks in the heap, never goes all-pairs") {
+    val p = plan("s16_ann_batch_join")
+    // the candidate join is cell-equality (Catalyst picks the
+    // strategy — the code forces no broadcast of the query corpus)
+    assert(p.contains("__cid"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("bounded_topk"), p.take(1500))
+  }
+
   test("d8 span dedup shuffles only on span text and doc id (no join wider than the corpus)") {
     val p = plan("d8_span_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
