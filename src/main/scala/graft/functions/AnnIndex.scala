@@ -50,6 +50,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val cent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
+    clearTombstones(spark, dir)
     writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false,
       keepVectors = false)
     writeCentroids(spark, s"$dir/centroids", cent.map { case (c, v) => (c, v.toSeq) })
@@ -85,6 +86,7 @@ object AnnIndex {
       .map { case (cid, v) => (cid, v.toArray) }
     val codeSeeds = ivfpqCodeSeeds(
       collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
+    clearTombstones(spark, dir)
     writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual,
       keepVectors)
     writeCentroids(spark, dir + "/centroids", cellCent.map { case (c, v) => (c, v.toSeq) })
@@ -230,10 +232,18 @@ object AnnIndex {
     readEntry(spark, dir)
     val meta = readMeta(spark, dir)
     val cellCent = readCentroids(spark, s"$dir/centroids")
+    // tombstone mask FIRST (deleted rows must be invisible to every
+    // probe shape, filtered included), then the caller's restrict;
+    // both are pre-filters inside the pruned cell scan
+    val mask: DataFrame => DataFrame = readTombstones(spark, dir) match {
+      case Some(t) => df =>
+        restrict(df.join(t, df("neighbor_id") === t("__tomb_id"), "left_anti"))
+      case None => restrict
+    }
     val probedCells = probeCells(queries, idCol, vecCol, cellCent, nprobe)
     meta.kind match {
       case "ivf_flat" =>
-        val assigned = restrict(PartitionedStore
+        val assigned = mask(PartitionedStore
           .prunedRead(spark, s"$dir/codes", "cell", probedCells)
           .select(col("id").as("neighbor_id"), col("vec").as("__cv"),
             col("cell").cast("long").as("__cid")))
@@ -241,7 +251,7 @@ object AnnIndex {
       case "ivf_pq" =>
         val codeSeeds = readCentroids(spark, s"$dir/codebook")
           .map { case (c, v) => (c, v.toSeq) }
-        val codes = restrict(PartitionedStore
+        val codes = mask(PartitionedStore
           .prunedRead(spark, s"$dir/codes", "cell", probedCells)
           .select(col("id").as("neighbor_id"), col("cell").cast("long").as("__cell"),
             col("b").as("__b"), col("code").as("__cid")))
@@ -416,6 +426,89 @@ object AnnIndex {
     PartitionedStore.compact(spark,
       new org.apache.hadoop.fs.Path(s"$dir/vectors"), "cell", minFiles)
     codes
+  }
+
+  /** A full SAVE replaces any prior index, so tombstones (committed
+    * or staged) against the old generation must not survive into the
+    * new one — without this, a rebuilt index would silently mask ids
+    * a prior generation happened to delete. */
+  private def clearTombstones(spark: SparkSession, dir: String): Unit =
+    PartitionedStore.clearTombstones(spark, dir)
+
+  /** Tombstone-delete: mark `ids` deleted WITHOUT touching the
+    * data-sized inverted file (the GDPR/right-to-erasure shape every
+    * production vector store needs — FAISS `remove_ids`, the delta
+    * tombstones of lakehouse tables). The id list is written as a
+    * committed batch under `dir/tombstones/<tag>/`; every probe shape
+    * ([[probe]], [[probeFiltered]], both layouts) anti-joins it
+    * INSIDE the pruned cell scan before any distance work, so deleted
+    * rows are invisible immediately at probe cost ∝ tombstones, and
+    * [[vacuumDeletes]] later reclaims the bytes.
+    *
+    * Crash/replay discipline (the addBatchTagged contract, applied to
+    * deletes): the batch stages under `dir/.staging-del-<tag>` and
+    * COMMITS by one atomic directory rename — a crash before the
+    * rename leaves only staging, which readers never list and which
+    * the next write entry sweeps; re-running a committed tag is a
+    * no-op, so any number of replays converges to exactly one copy.
+    * Deleting an id that was never indexed is legal (the anti-join
+    * ignores it); deleting an id twice across batches is legal (set
+    * semantics). Single-writer, like every maintenance op.
+    *
+    * Stats note: [[indexStats]] reports PHYSICAL rows — tombstoned
+    * ids stay in its counts until vacuum, exactly like the bytes they
+    * still occupy. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame,
+                idCol: String, tag: String): Unit = {
+    recoverMaintenance(spark, dir, sweepRetired = true)
+    PartitionedStore.commitTombstones(spark, dir,
+      ids.select(col(idCol).cast("long").as("__tomb_id")), tag)
+    PartitionedStore.refresh(spark, dir)
+  }
+
+  /** The committed tombstone set as one distinct-id relation, or None
+    * when nothing is tombstoned. KB-to-MB scale in practice (deletes
+    * are rare events over a corpus), but never collected — the probe
+    * mask and vacuum both consume it as a relation. */
+  private[graft] def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    PartitionedStore.readTombstones(spark, dir)
+
+  /** Physically remove tombstoned rows and retire the applied
+    * tombstone batches — the reclaim half of [[deleteIds]]. Affected
+    * cells are found by one column-pruned id scan of the inverted
+    * file (vacuum is the deliberate heavy op; the probe-time mask is
+    * the cheap path), and each is rewritten with the compactCells
+    * swap discipline (stage `.compact-<cell>`, park live as
+    * `.old-<cell>`, swap, drop backup) — so a crash at ANY point
+    * leaves every cell individually live-or-backup, [[
+    * recoverMaintenance]] heals it, and the tombstones (removed only
+    * after every cell swapped) re-apply idempotently on the retry:
+    * probes never see a deleted row, before, during, or after.
+    * Rewrites the raw-vector sidecar alongside when kept. Returns the
+    * rewritten cell ids. */
+  def vacuumDeletes(spark: SparkSession, dir: String): Seq[Long] = {
+    recoverMaintenance(spark, dir, sweepRetired = true)
+    val toms = readTombstones(spark, dir).getOrElse(return Seq.empty)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot the batches being applied: a delete committed after
+    // this listing survives this vacuum and applies at the next one
+    val applied = PartitionedStore.tombstoneBatches(fs, dir)
+    val tombIds = toms.persist()
+    try {
+      val affected = spark.read.parquet(s"$dir/codes")
+        .select(col("id").cast("long").as("id"), col("cell").cast("long").as("cell"))
+        .join(tombIds, col("id") === col("__tomb_id"), "left_semi")
+        .select("cell").distinct().collect().map(_.getLong(0)).toIndexedSeq
+      val keepVectors = readMeta(spark, dir).keepVectors
+      for (cid <- affected; sub <- Seq("codes") ++ (if (keepVectors) Seq("vectors") else Nil))
+        PartitionedStore.rewriteExcluding(spark,
+          new org.apache.hadoop.fs.Path(s"$dir/$sub"), "cell", cid.toString,
+          tombIds, "id")
+      applied.foreach(p => fs.delete(p, true))
+      PartitionedStore.refresh(spark, dir)
+      affected
+    } finally tombIds.unpersist()
   }
 
   /** Repair whatever a crashed maintenance pass left behind — called

@@ -70,6 +70,9 @@ object BandIndex {
     val spark = docs.sparkSession
     val meta = checkedMeta(shingleN, numHashes, bands, hashFamily,
       prefixLen, idBuckets)
+    // a full save replaces the store: stale tombstones must not mask
+    // ids the new generation legitimately contains
+    PartitionedStore.clearTombstones(spark, dir)
     writeMeta(spark, dir, meta)
     val sh = shingled(docs, idCol, textCol, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -184,9 +187,17 @@ object BandIndex {
     // the production dial (pl=5-6, large probe batch) -- r15 finding.
     val buckets = (view._1.map(_.getName.stripPrefix("bucket=")) ++ view._2.keys)
       .filter(v => baseBuckets.contains(v.take(meta.prefixLen)))
-    val idxBands = PartitionedStore
+    val idxBandsAll = PartitionedStore
       .prunedReadView(spark, s"$dir/bands", "bucket", buckets, view)
       .select("id", "band")
+    // tombstone mask: deleted docs generate no candidates (and hence
+    // never reach the verify stage) — the same pre-filter-inside-the-
+    // pruned-scan shape as the AnnIndex probe mask
+    val idxBands = PartitionedStore.readTombstones(spark, dir) match {
+      case Some(t) =>
+        idxBandsAll.join(t, idxBandsAll("id") === t("__tomb_id"), "left_anti")
+      case None => idxBandsAll
+    }
     val cand = probeCandidates(batchBands, idxBands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sbuckets = cand
@@ -226,6 +237,72 @@ object BandIndex {
       PartitionedStore.compact(spark,
         new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket", minFiles)
         .map("shingles" -> _)
+  }
+
+  /** Tombstone-delete for the dedup store — the BandIndex twin of
+    * [[AnnIndex.deleteIds]] (right-to-erasure over an indexed corpus:
+    * a removed document must stop matching future probes immediately).
+    * Same committed-batch discipline via the shared
+    * [[PartitionedStore]] tombstone plumbing: stage, one atomic
+    * rename, replay-idempotent, staging invisible to readers. The
+    * probe anti-joins the set against the bucket-pruned postings
+    * BEFORE candidate generation, so a deleted doc costs no verify
+    * work and appears in no pair; [[vacuumDeletes]] reclaims the
+    * bytes. `ids` must keep the store's id type (the sbucket hash is
+    * type-sensitive, same contract as ingest). Single-writer. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame,
+                idCol: String, tag: String): Unit = {
+    recoverBoth(spark, dir)
+    PartitionedStore.commitTombstones(spark, dir,
+      ids.select(col(idCol).as("__tomb_id")), tag)
+    PartitionedStore.refresh(spark, dir)
+  }
+
+  /** Physically remove tombstoned docs from BOTH stores and retire
+    * the applied batches. NO store-wide scan: affected shingle
+    * buckets are a pure id hash computed from the tombstone set, and
+    * affected band buckets come from re-banding the deleted docs' OWN
+    * shingle sets (sbucket-pruned read, routed through any
+    * rebucket-deepened dirs by [[bandedRouted]]) — vacuum cost ∝
+    * deleted docs + affected partitions, never the store.
+    *
+    * Rewrite ORDER is load-bearing for crash retries: bands first
+    * (their bucket values are only derivable while the deleted
+    * shingles still exist), shingles second (derivable from ids
+    * alone, so a retry can always finish them), tombstones retired
+    * last. A crash mid-bands retries with shingles intact; a crash
+    * mid-shingles retries with bands already clean; each partition
+    * swap is individually crash-safe behind the shared compact
+    * discipline and the anti-join re-applies idempotently. Returns
+    * (store, partitionValue) per rewritten partition. */
+  def vacuumDeletes(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    recoverBoth(spark, dir)
+    val toms = PartitionedStore.readTombstones(spark, dir)
+      .getOrElse(return Seq.empty)
+    val meta = readMeta(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied = PartitionedStore.tombstoneBatches(fs, dir)
+    val tombIds = toms.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sbuckets = tombIds
+        .select(sbucketOf(col("__tomb_id"), meta).as("sb"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      val delSh = PartitionedStore
+        .prunedRead(spark, s"$dir/shingles", "sbucket", sbuckets)
+        .join(tombIds, col("id") === col("__tomb_id"), "left_semi")
+        .select("id", "sh")
+      val bandBuckets = bandedRouted(spark, dir, delSh, meta)
+        .select("bucket").distinct().collect().map(_.getString(0)).toIndexedSeq
+      bandBuckets.foreach(v => PartitionedStore.rewriteExcluding(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket", v, tombIds, "id"))
+      sbuckets.foreach(v => PartitionedStore.rewriteExcluding(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket", v.toString,
+        tombIds, "id"))
+      applied.foreach(p => fs.delete(p, true))
+      PartitionedStore.refresh(spark, dir)
+      bandBuckets.map("bands" -> _) ++ sbuckets.map(sb => "shingles" -> sb.toString)
+    } finally tombIds.unpersist()
   }
 
   /** Per-bucket footprint of the postings store without scanning data

@@ -155,6 +155,97 @@ private[graft] object PartitionedStore {
     (base.toSeq ++ orphanReads).reduce(_ unionByName _)
   }
 
+  // ---- tombstone plumbing shared by the delete arms of both
+  // persisted stores (AnnIndex / BandIndex). A committed delete batch
+  // is a parquet dir of one `__tomb_id` column under
+  // `<dir>/tombstones/<tag>/`; commit is ONE atomic directory rename
+  // from `<dir>/.staging-del-<tag>` (a crash before it leaves only
+  // staging, which readers never list and the next write entry
+  // sweeps); replaying a committed tag is a no-op.
+
+  /** Stage-and-commit a tombstone batch. `ids` must be a one-column
+    * relation named `__tomb_id` (the caller fixes the type — it must
+    * match the store's id column). Sweeps crashed delete stagings
+    * first (single-writer: any leftover IS a crash remnant). */
+  def commitTombstones(spark: SparkSession, dir: String, ids: org.apache.spark.sql.DataFrame,
+                       tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"tag must be a safe file prefix: $tag")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(s"$dir/tombstones")
+    val fs = root.getFileSystem(conf)
+    sweepDeleteStagings(fs, new Path(dir))
+    val committed = new Path(root, tag)
+    if (fs.exists(committed)) return // replayed tag: already committed
+    val staging = new Path(s"$dir/.staging-del-$tag")
+    ids.select(col("__tomb_id")).distinct()
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(new Path(staging, "_SUCCESS"), false)
+    fs.mkdirs(root)
+    require(fs.rename(staging, committed),
+      s"tombstone commit rename failed for tag $tag")
+  }
+
+  /** The committed tombstone set as one distinct `__tomb_id` relation,
+    * or None when nothing is tombstoned. Never collected — probe masks
+    * and vacuums consume it as a relation. */
+  def readTombstones(spark: SparkSession, dir: String): Option[org.apache.spark.sql.DataFrame] = {
+    val root = new Path(s"$dir/tombstones")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val batches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString)
+    if (batches.isEmpty) None
+    else Some(spark.read.parquet(batches.toIndexedSeq: _*)
+      .select(col("__tomb_id")).distinct())
+  }
+
+  /** The committed tombstone batch dirs (for a vacuum to snapshot at
+    * entry and retire after every affected partition swapped). */
+  def tombstoneBatches(fs: FileSystem, dir: String): Seq[Path] = {
+    val root = new Path(s"$dir/tombstones")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+  }
+
+  /** A full SAVE replaces the store, so tombstones (committed or
+    * staged) against the old generation must not survive into the new
+    * one. */
+  def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath)) {
+      fs.delete(new Path(s"$dir/tombstones"), true)
+      sweepDeleteStagings(fs, dirPath)
+    }
+  }
+
+  private def sweepDeleteStagings(fs: FileSystem, dirPath: Path): Unit =
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).filter(_.getPath.getName.startsWith(".staging-del-"))
+        .foreach(st => fs.delete(st.getPath, true))
+
+  /** Rewrite one live partition dir without the tombstoned ids, behind
+    * the [[compact]] swap discipline (stage `.compact-<v>`, park live
+    * as `.old-<v>`, swap, drop backup) — a crash at any point leaves
+    * the partition individually live-or-backup for [[recover]], and
+    * the not-yet-retired tombstones re-apply idempotently on retry. */
+  def rewriteExcluding(spark: SparkSession, root: Path, partCol: String,
+                       value: String, tombIds: org.apache.spark.sql.DataFrame,
+                       idCol: String): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(root, s"$partCol=$value")
+    if (!fs.exists(live)) return
+    val staged = new Path(root, s".compact-$value")
+    val backup = new Path(root, s".old-$value")
+    spark.read.parquet(live.toString)
+      .join(tombIds, col(idCol) === col("__tomb_id"), "left_anti")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(new Path(staged, "_SUCCESS"), false)
+    require(fs.rename(live, backup), s"vacuum: rename $live -> $backup failed")
+    require(fs.rename(staged, live), s"vacuum: rename $staged -> $live failed")
+    fs.delete(backup, true)
+  }
+
   /** Delete every `<tag>-*` file from the live partition dirs — the
     * leftovers of a crashed prior attempt at the same tagged batch. */
   def scrubTag(fs: FileSystem, root: Path, partCol: String, tag: String): Unit =

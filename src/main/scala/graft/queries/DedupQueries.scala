@@ -453,6 +453,62 @@ object DedupQueries {
       probed.orderBy("a", "b")
     }),
 
+    // Tombstone delete lifecycle over the persisted band index (the
+    // dedup-store twin of s17 — right-to-erasure over an indexed
+    // corpus: a removed document must stop matching future probes
+    // immediately): save → committed delete batch (replayed once — a
+    // no-op) → a CRASHED delete left staged-uncommitted (must never
+    // apply) → probe under the mask → vacuum (bands rewritten from
+    // the deleted docs' own re-banded shingles, shingles from the id
+    // hash — no store scan) → probe again (identical pairs) → second
+    // delete committed by the call that sweeps the crash remnant →
+    // probe under the widened mask. Arms collected before the next
+    // mutation, so mask, vacuum, and their equality are all gated.
+    "d21_band_delete" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.BandIndex
+      val pt = graft.PhaseTimer.start("d21_band_delete")
+      // fixture dial: 2000 background docs bound the in-query save
+      // cost (the d16b doc_id < 60 convention); the lifecycle being
+      // gated is delete/mask/vacuum, not a second full-corpus save
+      val docs = documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 2000)
+      val dir = bandIdxDir(d)
+      pt("save") { BandIndex.save(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, dir = dir,
+        prefixLen = 1, idBuckets = 8) }
+      val batch = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+      def probeArm(arm: String): Seq[(String, Long, Long, Double)] =
+        pt("probe") {
+          val probed = BandIndex.probe(s, dir, batch, "doc_id", "text",
+            threshold = 0.8)
+          bandIdxLive.synchronized { bandIdxLive += ((probed, dir)) }
+          probed.collect().map(r =>
+            (arm, r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        }
+      pt("delete") {
+        val del1 = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+        BandIndex.deleteIds(s, dir, del1, "doc_id", "del-1")
+        BandIndex.deleteIds(s, dir, del1, "doc_id", "del-1") // replay: no-op
+        // a delete that crashed before its commit rename: staged ids
+        // that must never apply
+        docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("__tomb_id"))
+          .write.mode("overwrite").parquet(s"$dir/.staging-del-crash99")
+      }
+      val masked = probeArm("1_masked")
+      val rewrote = pt("vacuum") { BandIndex.vacuumDeletes(s, dir) }
+      require(rewrote.nonEmpty, "vacuum rewrote no partitions")
+      val vacuumed = probeArm("2_vacuumed")
+      pt("delete") { BandIndex.deleteIds(s, dir,
+        docs.filter(col("doc_id") % 11 === 6).select("doc_id"),
+        "doc_id", "del-2") }
+      val masked2 = probeArm("3_masked2")
+      (masked ++ vacuumed ++ masked2).toDF("arm", "a", "b", "jac")
+        .orderBy("arm", "a", "b")
+    }),
+
     // Skewed-corpus rebucket — the valve's HONEST measurement. A
     // boilerplate flood (400 exact copies of one template doc, the
     // web-corpus header/footer regime) grows the template's band
@@ -1078,6 +1134,40 @@ object DedupQueries {
         |SELECT a, b, jac FROM p
         |WHERE jac >= 0.8 AND (a >= 60000 OR b >= 60000)
         |ORDER BY a, b""".stripMargin,
+    // d21: the d16 brute-force shape, pairs touching the batch
+    // (>= 70000), with the INDEX side of each pair filtered per arm —
+    // 1_masked and 2_vacuumed both exclude del-1 (% 9 = 4: mask and
+    // vacuum must agree pair for pair), 3_masked2 additionally
+    // excludes del-2 (% 11 = 6). The crashed staged set (% 4 = 0)
+    // appears in NO exclusion; batch docs are never excluded.
+    "d21_band_delete" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
+        |  UNION ALL
+        |  SELECT doc_id + 70000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        | t AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))) AS sh
+        |  FROM all_docs),
+        | p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM t a, t b WHERE a.doc_id < b.doc_id),
+        | pb AS (SELECT a, b, jac FROM p
+        |  WHERE jac >= 0.8 AND (a >= 70000 OR b >= 70000))
+        |SELECT arm, a, b, jac FROM (
+        |  SELECT '1_masked' AS arm, a, b, jac FROM pb
+        |   WHERE NOT (a < 70000 AND a % 9 = 4) AND NOT (b < 70000 AND b % 9 = 4)
+        |  UNION ALL
+        |  SELECT '2_vacuumed' AS arm, a, b, jac FROM pb
+        |   WHERE NOT (a < 70000 AND a % 9 = 4) AND NOT (b < 70000 AND b % 9 = 4)
+        |  UNION ALL
+        |  SELECT '3_masked2' AS arm, a, b, jac FROM pb
+        |   WHERE NOT (a < 70000 AND (a % 9 = 4 OR a % 11 = 6))
+        |     AND NOT (b < 70000 AND (b % 9 = 4 OR b % 11 = 6)))
+        |ORDER BY arm, a, b""".stripMargin,
     // brute force over the SKEWED corpus (60 background docs + a
     // 400-copy boilerplate flood of doc 7) u the probe batch, pairs
     // touching the batch (ids >= 90000) — the d16 oracle shape; the

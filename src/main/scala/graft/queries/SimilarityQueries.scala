@@ -318,6 +318,58 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Tombstone delete lifecycle over the persisted IVF index (the
+    // GDPR/right-to-erasure arm — the one CRUD op the store lacked):
+    // save → committed delete batch (replayed once: must be a no-op)
+    // → a CRASHED delete batch left staged-uncommitted (must stay
+    // invisible forever) → probe under the mask → vacuum (bytes
+    // reclaimed, tombstones retired) → probe again (identical rows) →
+    // second delete batch committed by the call that also sweeps the
+    // crash remnant → probe under the new mask. Each arm's rows are
+    // collected BEFORE the next mutation, so the gate pins the mask
+    // path, the vacuum path, and their equality, not just the final
+    // state.
+    "s17_ann_delete" -> ((s, d) => {
+      import s.implicits._
+      val pt = graft.PhaseTimer.start("s17_ann_delete")
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_del_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      pt("save") { graft.functions.AnnIndex.ivfIndexSave(
+        e, "vec_id", "embedding", cells = 16, dir = dir) }
+      def probeArm(arm: String): Seq[(String, Long, Long, Double, Int)] =
+        pt("probe") {
+          graft.functions.AnnIndex.probe(s, dir,
+              e.filter(col("vec_id") < 10), "vec_id", "embedding",
+              k = 5, nprobe = 4)
+            .collect().map(r => (arm, r.getLong(0), r.getLong(1),
+              r.getDouble(2), r.getInt(3))).toSeq
+        }
+      val del1 = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      pt("delete") {
+        graft.functions.AnnIndex.deleteIds(s, dir, del1, "vec_id", "del-1")
+        // replay of a committed tag: converges, no double batch
+        graft.functions.AnnIndex.deleteIds(s, dir, del1, "vec_id", "del-1")
+        // a delete that CRASHED before its commit rename: staged ids
+        // that must never apply (probes ignore staging; the next
+        // write entry sweeps it)
+        e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").cast("long").as("__tomb_id"))
+          .write.mode("overwrite").parquet(s"$dir/.staging-del-crash99")
+      }
+      val masked = probeArm("1_masked")
+      val rewrote = pt("vacuum") {
+        graft.functions.AnnIndex.vacuumDeletes(s, dir) }
+      require(rewrote.nonEmpty, "vacuum rewrote no cells")
+      val vacuumed = probeArm("2_vacuumed")
+      pt("delete") { graft.functions.AnnIndex.deleteIds(s, dir,
+        e.filter(col("vec_id") % 11 === 5).select("vec_id"), "vec_id", "del-2") }
+      val masked2 = probeArm("3_masked2")
+      (masked ++ vacuumed ++ masked2)
+        .toDF("arm", "query_id", "neighbor_id", "score", "rank")
+        .orderBy("arm", "query_id", "rank")
+    }),
+
     // Batch kNN JOIN via IVF (the asymmetric big-big retrieval join:
     // every row of a corpus-sized query table gets its top-3 from
     // the inverted file; here queries = the corpus itself). The query
@@ -556,6 +608,36 @@ object SimilarityQueries {
        |   FROM s)
        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** s17 oracle: the s4 IVF machinery with the assigned relation
+    * filtered per arm — 1_masked and 2_vacuumed both exclude the
+    * committed del-1 set (% 7 = 3: mask and vacuum must agree row for
+    * row), 3_masked2 additionally excludes del-2 (% 11 = 5). The
+    * crashed staged batch (% 5 = 0) appears in NO exclusion — those
+    * rows must remain in every arm. */
+  private def s17Sql: String = {
+    def branch(arm: String, excl: String): String =
+      s"""SELECT '$arm' AS arm, query_id, neighbor_id, score,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+         | FROM (
+         |  SELECT qa.query_id, b.neighbor_id, ${cosSql("qa.qv", "b.v")} AS score
+         |  FROM (SELECT vec_id AS neighbor_id, v, cid FROM ca WHERE crank <= 1 AND ($excl)) b
+         |  JOIN qa ON b.cid = qa.cid AND b.neighbor_id <> qa.query_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |  FROM e, cent),
+       | qa AS (SELECT vec_id AS query_id, v AS qv, cid FROM ca WHERE crank <= 4 AND vec_id < 10)
+       |SELECT arm, query_id, neighbor_id, score, rank FROM (
+       |${branch("1_masked", "vec_id % 7 <> 3")}
+       | UNION ALL
+       |${branch("2_vacuumed", "vec_id % 7 <> 3")}
+       | UNION ALL
+       |${branch("3_masked2", "vec_id % 7 <> 3 AND vec_id % 11 <> 5")})
+       |WHERE rank <= 5 ORDER BY arm, query_id, rank""".stripMargin
+  }
 
   /** s16 oracle: the s4 IVF machinery with the query side widened to
     * the whole table (nprobe = 2, k = 3) — the batch join replayed
@@ -907,6 +989,7 @@ object SimilarityQueries {
     "s2b_ann_multiprobe" -> s2bSql,
     "s5_knn_join" -> s5Sql,
     "s16_ann_batch_join" -> s16Sql,
+    "s17_ann_delete" -> s17Sql,
     "s6_ann_pq" -> s6Sql,
     "s14_ann_sq8" -> s14Sql,
     "s4_ann_ivf" -> s4Sql,

@@ -389,4 +389,67 @@ class BandIndexSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_postings")).head().getLong(0) == total0)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("tombstone deletes: mask = rebuilt-without = vacuum, through a rebucket-deepened store") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_del").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_band_del_ref").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def save(src: org.apache.spark.sql.DataFrame, to: String): Unit =
+      BandIndex.save(src, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, dir = to,
+        prefixLen = 1, idBuckets = 8)
+    save(docs, dir)
+    // deepen the hottest bucket BEFORE deleting: the vacuum's band
+    // rewrite must route the deleted docs' keys through the split
+    val hot = BandIndex.stats(spark, dir)
+      .orderBy(col("n_postings").desc, col("bucket")).select("bucket")
+      .head().getString(0)
+    BandIndex.rebucket(spark, dir, hot, extraLen = 1)
+    val del = docs.filter(col("doc_id") % 9 === 4)
+    save(docs.join(del.select("doc_id"), Seq("doc_id"), "left_anti"), dir2)
+    val batch = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 70000L).as("doc_id"), col("text"))
+    def probeOf(d: String) = pairSet(
+      BandIndex.probe(spark, d, batch, "doc_id", "text", threshold = 0.8))
+    val fullWant = probeOf(dir)
+    val want = probeOf(dir2)
+    assert(want != fullWant, "sanity: the delete set changes at least one pair")
+    BandIndex.deleteIds(spark, dir, del.select("doc_id"), "doc_id", "b1")
+    BandIndex.deleteIds(spark, dir, del.select("doc_id"), "doc_id", "b1") // replay
+    assert(probeOf(dir) == want, "tombstone mask must equal the rebuilt-without store")
+    val delIdSet = del.select("doc_id").collect().map(_.getLong(0)).toSet
+    def storeCounts(): (Long, Long, Long, Long) = {
+      val b = spark.read.parquet(s"$dir/bands").select("id").collect().map(_.getLong(0))
+      val sh = spark.read.parquet(s"$dir/shingles").select("id").collect().map(_.getLong(0))
+      (b.length.toLong, b.count(delIdSet).toLong,
+        sh.length.toLong, sh.count(delIdSet).toLong)
+    }
+    val (bandsBefore, bandsDel, shBefore, shDel) = storeCounts()
+    assert(bandsDel > 0 && shDel > 0, "fixture must actually index the delete set")
+    val rewrote = BandIndex.vacuumDeletes(spark, dir)
+    assert(rewrote.nonEmpty)
+    val (bandsAfter, bandsDelAfter, shAfter, shDelAfter) = storeCounts()
+    assert(bandsAfter == bandsBefore - bandsDel && bandsDelAfter == 0,
+      "postings must shrink by exactly the deleted docs' rows")
+    assert(shAfter == shBefore - shDel && shDelAfter == 0,
+      "shingle rows must shrink by exactly the deleted docs' rows")
+    assert(!fs.exists(new Path(s"$dir/tombstones")) ||
+      fs.listStatus(new Path(s"$dir/tombstones")).isEmpty,
+      "applied tombstone batches must be retired")
+    assert(probeOf(dir) == want, "post-vacuum probe must equal the masked probe")
+    assert(BandIndex.vacuumDeletes(spark, dir).isEmpty, "nothing left to vacuum")
+    // rebuild clears committed AND staged tombstones
+    BandIndex.deleteIds(spark, dir, del.select("doc_id"), "doc_id", "b2")
+    docs.limit(3).select(col("doc_id").as("__tomb_id"))
+      .write.mode("overwrite").parquet(s"$dir/.staging-del-crashX")
+    save(docs, dir)
+    assert(probeOf(dir) == fullWant,
+      "a rebuilt store must serve the full corpus again")
+    assert(!fs.exists(new Path(s"$dir/.staging-del-crashX")))
+    assert(!fs.exists(new Path(s"$dir/tombstones")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
 }

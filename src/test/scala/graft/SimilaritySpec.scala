@@ -954,4 +954,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts() == after, "sweep must not disturb live cells")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("tombstone deletes on the PQ layout: mask = vacuum = manual exclusion; rebuild clears them") {
+    import graft.functions.AnnIndex
+    import org.apache.hadoop.fs.Path
+    val e = graft.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anndel_spec").toString
+    def save(): Unit = AnnIndex.ivfpqIndexSave(e, "vec_id", "embedding",
+      cells = 16, m = 4, codebook = 16, dim = 64, residual = false,
+      dir = dir, keepVectors = true)
+    save()
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        .sortBy(t => (t._1, t._3))
+    val fullWant = rows(AnnIndex.probe(spark, dir, q, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    // ground truth for the masked probe: the SAME probe on an index
+    // built WITHOUT the deleted ids (centroids pinned by the first-16
+    // seeds, which the exclusion below never touches)
+    val delIds = e.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 16)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_anndel_ref").toString
+    AnnIndex.ivfpqIndexSave(e.join(delIds.select("vec_id"), Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", cells = 16, m = 4, codebook = 16, dim = 64,
+      residual = false, dir = dir2, keepVectors = true)
+    val want = rows(AnnIndex.probe(spark, dir2, q, "vec_id", "embedding", k = 5, nprobe = 4))
+    AnnIndex.deleteIds(spark, dir, delIds.select("vec_id"), "vec_id", "b1")
+    val maskedDf = AnnIndex.probe(spark, dir, q, "vec_id", "embedding", k = 5, nprobe = 4)
+    // the mask is a pre-filter anti-join inside the probe plan
+    assert(maskedDf.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    assert(rows(maskedDf) == want, "tombstone mask must equal the rebuilt-without index")
+    // vacuum reclaims: rows identical, sidecar rewritten too, bytes drop
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def storeRows(sub: String): Long =
+      spark.read.parquet(s"$dir/$sub").count()
+    val (codesBefore, vecsBefore) = (storeRows("codes"), storeRows("vectors"))
+    val rewrote = AnnIndex.vacuumDeletes(spark, dir)
+    assert(rewrote.nonEmpty)
+    assert(!fs.exists(new Path(s"$dir/tombstones")) ||
+      fs.listStatus(new Path(s"$dir/tombstones")).isEmpty,
+      "applied tombstone batches must be retired")
+    val nDel = delIds.count()
+    // PQ codes hold m = 4 rows per vector; the sidecar one per vector
+    assert(storeRows("codes") == codesBefore - 4 * nDel,
+      "codes rows must shrink by m x the delete set")
+    assert(storeRows("vectors") == vecsBefore - nDel, "sidecar rows must shrink too")
+    val vacuumed = AnnIndex.probe(spark, dir, q, "vec_id", "embedding", k = 5, nprobe = 4)
+    assert(rows(vacuumed) == want, "post-vacuum probe must equal the masked probe")
+    // vacuum with nothing tombstoned is a no-op
+    assert(AnnIndex.vacuumDeletes(spark, dir).isEmpty)
+    // a rebuild clears committed AND staged tombstones: delete, leave
+    // a crashed staging, save again — the probe sees everything
+    AnnIndex.deleteIds(spark, dir, delIds.select("vec_id"), "vec_id", "b2")
+    e.limit(3).select(col("vec_id").cast("long").as("__tomb_id"))
+      .write.mode("overwrite").parquet(s"$dir/.staging-del-crashX")
+    save()
+    val fresh = rows(AnnIndex.probe(spark, dir, q, "vec_id", "embedding", k = 5, nprobe = 4))
+    assert(fresh == fullWant,
+      "a rebuilt index must serve the full corpus again (stale tombstones gone)")
+    assert(fresh != want, "sanity: the delete set changed at least one top-5 row")
+    assert(!fs.exists(new Path(s"$dir/.staging-del-crashX")))
+    assert(!fs.exists(new Path(s"$dir/tombstones")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+  }
 }
