@@ -501,10 +501,10 @@ object AnnIndex {
         .join(tombIds, col("id") === col("__tomb_id"), "left_semi")
         .select("cell").distinct().collect().map(_.getLong(0)).toIndexedSeq
       val keepVectors = readMeta(spark, dir).keepVectors
-      for (cid <- affected; sub <- Seq("codes") ++ (if (keepVectors) Seq("vectors") else Nil))
-        PartitionedStore.rewriteExcluding(spark,
-          new org.apache.hadoop.fs.Path(s"$dir/$sub"), "cell", cid.toString,
-          tombIds, "id")
+      for (sub <- Seq("codes") ++ (if (keepVectors) Seq("vectors") else Nil))
+        PartitionedStore.rewriteExcludingAll(spark,
+          new org.apache.hadoop.fs.Path(s"$dir/$sub"), "cell",
+          affected.map(_.toString), tombIds, "id")
       applied.foreach(p => fs.delete(p, true))
       PartitionedStore.refresh(spark, dir)
       affected

@@ -294,11 +294,12 @@ object BandIndex {
         .select("id", "sh")
       val bandBuckets = bandedRouted(spark, dir, delSh, meta)
         .select("bucket").distinct().collect().map(_.getString(0)).toIndexedSeq
-      bandBuckets.foreach(v => PartitionedStore.rewriteExcluding(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket", v, tombIds, "id"))
-      sbuckets.foreach(v => PartitionedStore.rewriteExcluding(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket", v.toString,
-        tombIds, "id"))
+      PartitionedStore.rewriteExcludingAll(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket",
+        bandBuckets, tombIds, "id")
+      PartitionedStore.rewriteExcludingAll(spark,
+        new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket",
+        sbuckets.map(_.toString), tombIds, "id")
       applied.foreach(p => fs.delete(p, true))
       PartitionedStore.refresh(spark, dir)
       bandBuckets.map("bands" -> _) ++ sbuckets.map(sb => "shingles" -> sb.toString)

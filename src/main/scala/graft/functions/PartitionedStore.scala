@@ -246,6 +246,29 @@ private[graft] object PartitionedStore {
     fs.delete(backup, true)
   }
 
+  /** [[rewriteExcluding]] over many partition values from a bounded
+    * submitter pool (the [[compact]] pattern — each rewrite is a tiny
+    * Spark job and sequential submission is pure job-launch latency
+    * once tens of partitions are affected; the per-partition swap is
+    * unchanged, so a crash mid-pool leaves each partition individually
+    * live-or-backup for [[recover]]). */
+  def rewriteExcludingAll(spark: SparkSession, root: Path, partCol: String,
+                          values: Seq[String], tombIds: DataFrame,
+                          idCol: String, parallelism: Int = 8): Unit = {
+    if (values.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, values.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = values.map(v => scala.concurrent.Future(
+        rewriteExcluding(spark, root, partCol, v, tombIds, idCol)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Delete every `<tag>-*` file from the live partition dirs — the
     * leftovers of a crashed prior attempt at the same tagged batch. */
   def scrubTag(fs: FileSystem, root: Path, partCol: String, tag: String): Unit =
