@@ -335,6 +335,50 @@ object TextAnalysisFunctions {
     * lead() chain — whole-stage-codegen'd, no HOF lambdas. The last
     * lead being non-null implies all shorter leads are too (same
     * partition suffix), so one filter suffices. */
+  /** Bigram collocations ranked by LIFT — the association-mining
+    * staple for corpus analysis (Church & Hanks 1990 word association
+    * norms; PMI = ln(lift), so the ranking is identical and the gated
+    * column avoids libm `ln`, whose last-ulp drift differs across
+    * engines — the ratio is pure IEEE mul/div in a pinned order).
+    * lift(a b) = P(a b) / (P(a)·P(b)) with unigram probabilities over
+    * total tokens T and bigram probability over total bigrams B:
+    * collocations score ≫ 1, independent co-occurrence ≈ 1.
+    *
+    * Scale shape: bigrams come from one zip-with pass per row (no
+    * window, no per-doc shuffle), then ONE wordcount-shaped groupBy
+    * each for bigrams and unigrams (map-side combine does the heavy
+    * lifting); the unigram join keys on the word (Catalyst picks
+    * broadcast when the vocabulary is small, shuffle when it is not),
+    * the two grand totals ride as broadcast 1-row relations, and the
+    * top-k is TakeOrdered — never a global sort. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Int, topK: Int): DataFrame = {
+    val docsW = docs.select(toks(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+    val uni = docsW.select(explode(col("__ws")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("n_w"))
+    val bi = docsW.select(explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+    val tot = uni.agg(sum("n_w").as("__T"))
+    val btot = bi.agg(sum("n_ab").as("__B"))
+    bi.filter(col("n_ab") >= minCount)
+      .withColumn("__wa", split(col("bigram"), " ").getItem(0))
+      .withColumn("__wb", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("__w").as("__wa"), col("n_w").as("__na")), Seq("__wa"))
+      .join(uni.select(col("__w").as("__wb"), col("n_w").as("__nb")), Seq("__wb"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      // pinned order: (n_ab·T·T) / (B·n_a·n_b), left-associated —
+      // the oracle replays the same float ops
+      .withColumn("lift", round(
+        (col("n_ab").cast("double") * col("__T") * col("__T")) /
+          (col("__B").cast("double") * col("__na") * col("__nb")), 6))
+      .select(col("bigram"), col("n_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("bigram")).limit(topK)
+  }
+
   private def gramsOf(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

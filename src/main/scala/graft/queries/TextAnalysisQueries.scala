@@ -59,6 +59,14 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram collocations by lift (PMI = ln(lift), same ranking; the
+    // gated ratio avoids cross-engine libm drift): top-50 bigrams at
+    // min count 5, one zip-with pass + two wordcount groupBys +
+    // TakeOrdered — no window, no global sort.
+    "x51_collocations" -> ((s, d) => {
+      collocations(documents(s, d), "text", minCount = 5, topK = 50)
+    }),
+
     // Document fingerprinting: normalized content hash + min-8-gram
     // rolling-hash fingerprint.
     "x4_fingerprint" -> ((s, d) => {
@@ -551,6 +559,25 @@ object TextAnalysisQueries {
         |  list_aggregate(list_transform(generate_series(1, length(text) - 7),
         |    i -> md5(substr(text, CAST(i AS INT), 8))), 'min') AS min_gram_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x51: lift replayed with the SAME left-associated float ops —
+    // (n_ab*T*T)/(B*n_a*n_b) — and the same min-count/top-k dials
+    "x51_collocations" ->
+      """WITH ws AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        | uni AS (SELECT u.tok AS w, COUNT(*) AS n_w
+        |  FROM ws, unnest(ws.w) AS u(tok) GROUP BY 1),
+        | bi AS (SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)] AS bigram, COUNT(*) AS n_ab
+        |  FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i) GROUP BY 1),
+        | tot AS (SELECT SUM(n_w) AS T FROM uni),
+        | btot AS (SELECT SUM(n_ab) AS B FROM bi)
+        |SELECT bigram, n_ab,
+        |  round((CAST(n_ab AS DOUBLE) * T * T) / (CAST(B AS DOUBLE) * na.n_w * nb.n_w), 6) AS lift
+        |FROM bi CROSS JOIN tot CROSS JOIN btot
+        |JOIN uni na ON na.w = string_split(bigram, ' ')[1]
+        |JOIN uni nb ON nb.w = string_split(bigram, ' ')[2]
+        |WHERE n_ab >= 5
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
     "x5_multimodal_decode" -> {
       val feats = (1 to 8).map { i =>
         val hi = hexDigit(s"${2 * i - 1}")

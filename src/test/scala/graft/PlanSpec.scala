@@ -478,6 +478,16 @@ class PlanSpec extends AnyFunSuite {
     assert("aho_corasick_counts".r.findAllIn(plan("x50_keyword_blocklist")).size == 1)
   }
 
+  test("x51 collocations: TakeOrdered top-k (no global sort), totals broadcast, no cartesian on data") {
+    val p = plan("x51_collocations")
+    assert(p.contains("TakeOrdered"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the two grand totals ride as 1-row broadcast relations; the
+    // only data-sized joins key on the unigram word
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+  }
+
   test("x45b/x48/x49 web-curation projections: pure map passes, no join, no UDF") {
     for (q <- Seq("x45b_url_domain_psl", "x48_pii_redact", "x49_strip_html")) {
       val p = plan(q)
