@@ -192,6 +192,28 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Link-graph quality prior (PageRank, 5 iterations, damping 0.85)
+    // over a deterministic synthetic link graph (3 out-edges per doc,
+    // dst = (id*37 + j*911) mod n — the x34/x45 fixture-synthesis
+    // precedent). Integer-micro arithmetic end to end, so the oracle
+    // gates exact rank values; each iteration is one edge-sized
+    // join + groupBy — the distributed-PageRank envelope.
+    "x52_pagerank" -> ((s, d) => {
+      import graft.functions.GraphFunctions
+      val nodes = documents(s, d).select(col("doc_id").as("id"))
+      val n = nodes.count()
+      val edges = nodes.crossJoin(
+          s.range(1, 4).select(col("id").as("__j")))
+        // variable out-degree 1..3 (out-deg = 1 + id mod 3): a
+        // j-regular rule makes every in-degree exactly 3 and the
+        // ranks degenerately uniform — this one gates real topology
+        .filter(col("__j") <= lit(1L) + col("id") % 3L)
+        .select(col("id").as("src"),
+          ((col("id") * 37L + col("__j") * 911L) % n).as("dst"))
+      GraphFunctions.pageRankMicro(nodes, edges, iters = 5, dampPct = 85)
+        .orderBy("id")
+    }),
+
     // Blocklist tagging (the C4-style banned-term pass): per-doc
     // occurrence counts against a fixed term list, computed by ONE
     // Aho-Corasick automaton walk per document — O(|text|) regardless
@@ -554,6 +576,27 @@ object CurationQueries {
         | s4 AS (SELECT doc_id, trim(regexp_replace(h, '\s+', ' ', 'g')) AS clean FROM s3)
         |SELECT doc_id, md5(clean) AS clean_md5, CAST(length(clean) AS INT) AS clean_len
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // x52: the 5 iterations unrolled, SAME integer ops — floor
+    // division via //, damping as (15*10^4) + (85*s)//100 in BIGINT
+    "x52_pagerank" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        | nn AS (SELECT COUNT(*) AS n FROM nodes),
+        | e AS (SELECT id AS src, (id * 37 + j * 911) % (SELECT n FROM nn) AS dst
+        |   FROM nodes, unnest([1, 2, 3]) AS t(j) WHERE j <= 1 + id % 3),
+        | deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+        | ed AS (SELECT e.src, e.dst, deg.dg FROM e JOIN deg USING (src)),
+        | r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        | c1 AS (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN r0 ON ed.src = r0.id GROUP BY 1),
+        | r1 AS (SELECT id, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN c1 ON id = c1.dst),
+        | c2 AS (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN r1 ON ed.src = r1.id GROUP BY 1),
+        | r2 AS (SELECT id, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN c2 ON id = c2.dst),
+        | c3 AS (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN r2 ON ed.src = r2.id GROUP BY 1),
+        | r3 AS (SELECT id, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN c3 ON id = c3.dst),
+        | c4 AS (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN r3 ON ed.src = r3.id GROUP BY 1),
+        | r4 AS (SELECT id, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN c4 ON id = c4.dst),
+        | c5 AS (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN r4 ON ed.src = r4.id GROUP BY 1),
+        | r5 AS (SELECT id, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN c5 ON id = c5.dst)
+        |SELECT id, r AS rank_micro FROM r5 ORDER BY id""".stripMargin,
     // x50: the automaton's overlapping-count semantics replayed
     // positionally — per (doc, term), count every start index i where
     // substr(t, i, |term|) = term; sig string-aggs the counts in

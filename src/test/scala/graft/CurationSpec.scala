@@ -320,6 +320,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out == cases.map(c => (c._2, c._3)), s"got $out")
   }
 
+  test("pageRankMicro: hand-computed 3-node graph, exact integer ranks") {
+    import graft.functions.GraphFunctions.pageRankMicro
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def ranks(iters: Int): Map[Long, Long] =
+      pageRankMicro(nodes, edges, iters, dampPct = 85)
+        .as[(Long, Long)].collect().toMap
+    // iter 1: contribs n1<-1000000, n2<-500000, n3<-1500000;
+    // rank = 150000 + (85*s) DIV 100
+    assert(ranks(1) == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    // iter 2: n1<-1425000, n2<-500000, n3<-575000+500000
+    assert(ranks(2) == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+    // a sink-free cycle conserves integer mass up to floor loss:
+    // total <= 3x10^6 and strictly positive everywhere
+    val r5 = ranks(5)
+    assert(r5.values.sum <= 3000000L && r5.values.forall(_ > 0))
+    // no in-links -> pure base rank
+    val lonely = pageRankMicro(Seq(7L, 8L).toDF("id"),
+        Seq((7L, 8L)).toDF("src", "dst"), iters = 3, dampPct = 85)
+      .as[(Long, Long)].collect().toMap
+    assert(lonely(7L) == 150000L)
+  }
+
   test("keywordCounts: the Aho-Corasick fixtures — dict suffixes, overlap, UTF-8 reset") {
     import graft.expressions.KeywordExpressions.keywordCounts
     def run(text: String, pats: Seq[String]): Seq[Int] =
