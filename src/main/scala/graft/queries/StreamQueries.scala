@@ -110,6 +110,25 @@ object StreamQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Event-time windowed HEAVY HITTERS via the Misra-Gries sketch —
+    // the "top users per hour per event type" report with bounded
+    // per-window state (capacity entries, never the user population);
+    // the same expression runs under readStream (st7/st8 precedent).
+    // Capacity 4096 >> distinct users per window at tested SFs, so
+    // counts are exact and the oracle's count-desc/item-string-asc
+    // ranking replays the sketch's own tie order bit-for-bit.
+    "st11_windowed_frequent" -> ((s, d) => {
+      import graft.expressions.FreqSketchExpressions._
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(mg_sketch(col("user_id").cast("string"), 4096).as("sk"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), explode(mg_topk(col("sk"), 5)).as("e"))
+        .select(col("w_start"), col("event_type"),
+          col("e.item").as("user_id"), col("e.count").as("n"))
+        .orderBy("w_start", "event_type", "user_id")
+    }),
+
     // Event-time windowed VALUE QUANTILES via the KLL sketch — the
     // "p50/p95 latency per hour per event type" report with bounded
     // per-window state instead of percentile's per-group value
@@ -210,6 +229,19 @@ object StreamQueries {
       """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS w_start,
         |  event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // st11: exact per-window user counts ranked by the sketch's own
+    // order — count DESC, item STRING asc — top 5 per (window, type)
+    "st11_windowed_frequent" ->
+      """WITH c AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS w_start,
+        |    event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        | r AS (SELECT w_start, event_type, user_id, n,
+        |   ROW_NUMBER() OVER (PARTITION BY w_start, event_type
+        |     ORDER BY n DESC, user_id ASC) AS rk FROM c)
+        |SELECT w_start, event_type, user_id, n FROM r WHERE rk <= 5
+        |ORDER BY w_start, event_type, user_id""".stripMargin,
     "st8_windowed_quantiles" ->
       """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS w_start,
         |  event_type,
