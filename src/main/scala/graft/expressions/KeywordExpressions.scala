@@ -95,10 +95,9 @@ final class AcAutomaton(patterns: Array[String]) extends Serializable {
       for ((c, v) <- children(u)) {
         var f = fail(u)
         while (f != 0 && !children(f).contains(c)) f = fail(f)
-        fail(v) = children(f).getOrElse(c, 0) match {
-          case `v` => 0 // c out of root led back here: fail to root
-          case w   => w
-        }
+        // children(f)(c) can never be v itself: v's only parent is u,
+        // and the fail walk visits strictly shallower nodes than u
+        fail(v) = children(f).getOrElse(c, 0)
         queue += v
       }
     }

@@ -50,7 +50,6 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val cent = collectCentroids(corpus, idCol, vecCol, cells)
       .map { case (cid, v) => (cid, v.toArray) }
-    clearTombstones(spark, dir)
     writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false,
       keepVectors = false)
     writeCentroids(spark, s"$dir/centroids", cent.map { case (c, v) => (c, v.toSeq) })
@@ -62,6 +61,12 @@ object AnnIndex {
       // real scale spark.sql.files.maxRecordsPerFile bounds file size
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    // tombstones cleared LAST: a crash before this line leaves the
+    // NEW store over-masked by the old generation's tombstones (the
+    // retried save clears them) — fails closed; clearing first would
+    // leave a crash window where the OLD store serves with its
+    // right-to-erasure deletions silently resurrected (review r17)
+    clearTombstones(spark, dir)
   }
 
   /** Build an IVF-PQ index (optionally residual-quantized) and save it
@@ -86,7 +91,6 @@ object AnnIndex {
       .map { case (cid, v) => (cid, v.toArray) }
     val codeSeeds = ivfpqCodeSeeds(
       collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
-    clearTombstones(spark, dir)
     writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual,
       keepVectors)
     writeCentroids(spark, dir + "/centroids", cellCent.map { case (c, v) => (c, v.toSeq) })
@@ -102,6 +106,7 @@ object AnnIndex {
           col("__cid").as("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    clearTombstones(spark, dir) // LAST — the ivfIndexSave fails-closed note
   }
 
   /** The shared encode half of the ingest paths: the batch encoded
@@ -501,13 +506,17 @@ object AnnIndex {
         .join(tombIds, col("id") === col("__tomb_id"), "left_semi")
         .select("cell").distinct().collect().map(_.getLong(0)).toIndexedSeq
       val keepVectors = readMeta(spark, dir).keepVectors
-      for (sub <- Seq("codes") ++ (if (keepVectors) Seq("vectors") else Nil))
-        PartitionedStore.rewriteExcludingAll(spark,
-          new org.apache.hadoop.fs.Path(s"$dir/$sub"), "cell",
-          affected.map(_.toString), tombIds, "id")
-      applied.foreach(p => fs.delete(p, true))
+      val rewritten =
+        (for (sub <- Seq("codes") ++ (if (keepVectors) Seq("vectors") else Nil))
+          yield PartitionedStore.rewriteExcludingAll(spark,
+            new org.apache.hadoop.fs.Path(s"$dir/$sub"), "cell",
+            affected.map(_.toString), tombIds, "id")).flatten.distinct
+      // park, don't delete: a probe planned before this vacuum holds
+      // file paths into the batch dirs (review r17); the next write
+      // entry sweeps the parked files when no such plan can be live
+      PartitionedStore.retireTombstones(fs, applied)
       PartitionedStore.refresh(spark, dir)
-      affected
+      rewritten.map(_.toLong).sorted
     } finally tombIds.unpersist()
   }
 
@@ -554,6 +563,7 @@ object AnnIndex {
                                  sweepRetired: Boolean): Unit = {
     val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
     val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionedStore.sweepRetiredTombstones(fs, dir)
     if (fs.exists(codesRoot)) {
       val vecsRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
       PartitionedStore.recover(fs, codesRoot, "cell")

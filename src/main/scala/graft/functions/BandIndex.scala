@@ -70,9 +70,6 @@ object BandIndex {
     val spark = docs.sparkSession
     val meta = checkedMeta(shingleN, numHashes, bands, hashFamily,
       prefixLen, idBuckets)
-    // a full save replaces the store: stale tombstones must not mask
-    // ids the new generation legitimately contains
-    PartitionedStore.clearTombstones(spark, dir)
     writeMeta(spark, dir, meta)
     val sh = shingled(docs, idCol, textCol, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -85,6 +82,12 @@ object BandIndex {
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/bands")
+      // stale tombstones cleared LAST (a full save replaces the
+      // store): a crash before this line leaves the NEW store
+      // over-masked, which the retried save clears — fails closed;
+      // clearing first would open a window where the OLD store
+      // serves with its erasures silently resurrected (review r17)
+      PartitionedStore.clearTombstones(spark, dir)
     } finally sh.unpersist(blocking = false)
   }
 
@@ -294,15 +297,20 @@ object BandIndex {
         .select("id", "sh")
       val bandBuckets = bandedRouted(spark, dir, delSh, meta)
         .select("bucket").distinct().collect().map(_.getString(0)).toIndexedSeq
-      PartitionedStore.rewriteExcludingAll(spark,
+      val bandsDone = PartitionedStore.rewriteExcludingAll(spark,
         new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket",
         bandBuckets, tombIds, "id")
-      PartitionedStore.rewriteExcludingAll(spark,
+      val shDone = PartitionedStore.rewriteExcludingAll(spark,
         new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket",
         sbuckets.map(_.toString), tombIds, "id")
-      applied.foreach(p => fs.delete(p, true))
+      // park, don't delete: a probe planned before this vacuum holds
+      // file paths into the batch dirs (review r17); the next write
+      // entry sweeps the parked files
+      PartitionedStore.retireTombstones(fs, applied)
       PartitionedStore.refresh(spark, dir)
-      bandBuckets.map("bands" -> _) ++ sbuckets.map(sb => "shingles" -> sb.toString)
+      // only partitions whose live dir actually got the swap — ids
+      // that were never indexed rewrite nothing and must not report
+      bandsDone.map("bands" -> _) ++ shDone.map("shingles" -> _)
     } finally tombIds.unpersist()
   }
 
@@ -566,6 +574,7 @@ object BandIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val bandRoot = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val fs = bandRoot.getFileSystem(conf)
+    PartitionedStore.sweepRetiredTombstones(fs, dir)
     PartitionedStore.recover(fs, bandRoot, "bucket")
     PartitionedStore.recover(fs,
       new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket")

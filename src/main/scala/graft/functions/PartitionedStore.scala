@@ -187,23 +187,55 @@ private[graft] object PartitionedStore {
 
   /** The committed tombstone set as one distinct `__tomb_id` relation,
     * or None when nothing is tombstoned. Never collected — probe masks
-    * and vacuums consume it as a relation. */
+    * and vacuums consume it as a relation. Dot-prefixed dirs (batches
+    * a finished vacuum parked via [[retireTombstones]]) are not live. */
   def readTombstones(spark: SparkSession, dir: String): Option[org.apache.spark.sql.DataFrame] = {
     val root = new Path(s"$dir/tombstones")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
-    val batches = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.toString)
+    val batches = fs.listStatus(root)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
     if (batches.isEmpty) None
     else Some(spark.read.parquet(batches.toIndexedSeq: _*)
       .select(col("__tomb_id")).distinct())
   }
 
-  /** The committed tombstone batch dirs (for a vacuum to snapshot at
-    * entry and retire after every affected partition swapped). */
+  /** The committed (live) tombstone batch dirs — for a vacuum to
+    * snapshot at entry and retire after every affected partition
+    * swapped. */
   def tombstoneBatches(fs: FileSystem, dir: String): Seq[Path] = {
     val root = new Path(s"$dir/tombstones")
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath).toIndexedSeq
+    else fs.listStatus(root)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath).toIndexedSeq
+  }
+
+  /** Retire applied tombstone batches WITHOUT deleting their files: a
+    * probe DataFrame planned before the vacuum holds concrete file
+    * paths into the batch dirs, and a hard delete would fail it with
+    * FileNotFound mid-execution (the store's readers are allowed to
+    * run any time — the same reasoning as the `.old-` read-through).
+    * Each dir is renamed to the dot-prefixed `.retired-<tag>` —
+    * invisible to [[readTombstones]]/[[tombstoneBatches]] immediately
+    * — and the FILES live until [[sweepRetiredTombstones]] runs from
+    * the next WRITE entry point (single-writer: by then no plan that
+    * could reference them is in flight). */
+  def retireTombstones(fs: FileSystem, batches: Seq[Path]): Unit =
+    batches.foreach { p =>
+      val parked = new Path(p.getParent, s".retired-${p.getName}")
+      fs.delete(parked, true) // a crashed prior retire of the same tag
+      require(fs.rename(p, parked), s"tombstone retire rename $p failed")
+    }
+
+  /** Drop batches a prior vacuum parked — WRITE entry points only. */
+  def sweepRetiredTombstones(fs: FileSystem, dir: String): Unit = {
+    val root = new Path(s"$dir/tombstones")
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(".retired-"))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** A full SAVE replaces the store, so tombstones (committed or
@@ -227,13 +259,15 @@ private[graft] object PartitionedStore {
     * the [[compact]] swap discipline (stage `.compact-<v>`, park live
     * as `.old-<v>`, swap, drop backup) — a crash at any point leaves
     * the partition individually live-or-backup for [[recover]], and
-    * the not-yet-retired tombstones re-apply idempotently on retry. */
+    * the not-yet-retired tombstones re-apply idempotently on retry.
+    * Returns false (untouched) for a partition value with no live dir
+    * — so callers report only REAL rewrites. */
   def rewriteExcluding(spark: SparkSession, root: Path, partCol: String,
                        value: String, tombIds: org.apache.spark.sql.DataFrame,
-                       idCol: String): Unit = {
+                       idCol: String): Boolean = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(root, s"$partCol=$value")
-    if (!fs.exists(live)) return
+    if (!fs.exists(live)) return false
     val staged = new Path(root, s".compact-$value")
     val backup = new Path(root, s".old-$value")
     spark.read.parquet(live.toString)
@@ -244,6 +278,26 @@ private[graft] object PartitionedStore {
     require(fs.rename(live, backup), s"vacuum: rename $live -> $backup failed")
     require(fs.rename(staged, live), s"vacuum: rename $staged -> $live failed")
     fs.delete(backup, true)
+    true
+  }
+
+  /** Run `f` over `items` from a bounded submitter pool — the shared
+    * concurrency plumbing of [[compact]] and [[rewriteExcludingAll]]
+    * (each item is a tiny Spark job; sequential submission is pure
+    * job-launch latency once tens of items are in play). Preserves
+    * input order in the results. */
+  private def pooled[T, R](items: Seq[T], parallelism: Int)(f: T => R): Seq[R] = {
+    if (items.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(items.map(it =>
+          scala.concurrent.Future(f(it)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** [[rewriteExcluding]] over many partition values from a bounded
@@ -254,20 +308,10 @@ private[graft] object PartitionedStore {
     * live-or-backup for [[recover]]). */
   def rewriteExcludingAll(spark: SparkSession, root: Path, partCol: String,
                           values: Seq[String], tombIds: DataFrame,
-                          idCol: String, parallelism: Int = 8): Unit = {
-    if (values.isEmpty) return
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(parallelism, values.size)))
-    try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futs = values.map(v => scala.concurrent.Future(
+                          idCol: String, parallelism: Int = 8): Seq[String] =
+    values.zip(pooled(values, parallelism)(v =>
         rewriteExcluding(spark, root, partCol, v, tombIds, idCol)))
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdown()
-  }
+      .collect { case (v, true) => v }
 
   /** Delete every `<tag>-*` file from the live partition dirs — the
     * leftovers of a crashed prior attempt at the same tagged batch. */

@@ -278,7 +278,8 @@ object SimilarityFunctions {
                                       idCol: String, vecCol: String,
                                       cent: Seq[(Long, Array[Double])],
                                       k: Int, nprobe: Int,
-                                      broadcastQueries: Boolean = true): DataFrame = {
+                                      broadcastQueries: Boolean = true,
+                                      excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1, "need nprobe >= 1")
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -287,8 +288,15 @@ object SimilarityFunctions {
       .withColumn("__cid", col("__pc").getField("cid"))
       .drop("__pc")
     val probesSide = if (broadcastQueries) broadcast(probes) else probes
-    val scored = assigned.join(probesSide, Seq("__cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val joined = assigned.join(probesSide, Seq("__cid"))
+    // self-SEARCH semantics (queries drawn from the indexed corpus):
+    // a row is not its own neighbor. A join of two UNRELATED tables
+    // must pass excludeSelf = false — their id spaces coincide by
+    // convention (both 0-based), and the id-equality filter would
+    // silently drop true neighbors (review r17).
+    val scored = (if (excludeSelf)
+        joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined)
       .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
     rankTopK(scored, k, "score", ascending = false)
   }
@@ -314,14 +322,21 @@ object SimilarityFunctions {
     * exactly what [[AnnIndex.resplitCell]] exists for.
     *
     * Deterministic end to end (first-C centroids, rounded cosine, id
-    * tie-breaks) — the DuckDB oracle replays the full join. */
+    * tie-breaks) — the DuckDB oracle replays the full join.
+    *
+    * `excludeSelf` (default true) encodes self-search: queries drawn
+    * from the indexed corpus never retrieve themselves. Joining two
+    * UNRELATED tables whose 0-based id spaces merely coincide MUST
+    * pass false, or id-equal true neighbors are silently dropped. */
   def ivfKnnJoin(corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int,
-                 centroids: Int, nprobe: Int): DataFrame = {
+                 centroids: Int, nprobe: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
     val cent = collectCentroids(corpus, idCol, vecCol, centroids)
       .map { case (cid, v) => (cid, v.toArray) }
     ivfProbeAssigned(ivfAssign(corpus, idCol, vecCol, cent),
-      queries, idCol, vecCol, cent, k, nprobe, broadcastQueries = false)
+      queries, idCol, vecCol, cent, k, nprobe, broadcastQueries = false,
+      excludeSelf = excludeSelf)
   }
 
   /** Product-quantization top-k with ADC (asymmetric distance

@@ -435,9 +435,16 @@ class BandIndexSpec extends AnyFunSuite {
       "postings must shrink by exactly the deleted docs' rows")
     assert(shAfter == shBefore - shDel && shDelAfter == 0,
       "shingle rows must shrink by exactly the deleted docs' rows")
+    // applied batches are PARKED as .retired- (a reader planned
+    // before the vacuum may still hold their file paths), invisible
+    // to the live listing; the next WRITE entry sweeps the files
+    assert(fs.listStatus(new Path(s"$dir/tombstones"))
+        .forall(_.getPath.getName.startsWith(".retired-")),
+      "applied tombstone batches must leave the live listing")
+    BandIndex.compact(spark, dir, minFiles = 1000) // write entry: sweep
     assert(!fs.exists(new Path(s"$dir/tombstones")) ||
       fs.listStatus(new Path(s"$dir/tombstones")).isEmpty,
-      "applied tombstone batches must be retired")
+      "the next write entry must sweep the parked batches")
     assert(probeOf(dir) == want, "post-vacuum probe must equal the masked probe")
     assert(BandIndex.vacuumDeletes(spark, dir).isEmpty, "nothing left to vacuum")
     // rebuild clears committed AND staged tombstones

@@ -955,6 +955,31 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("ivfKnnJoin excludeSelf: self-search drops id-equal pairs, a two-table join keeps them") {
+    import spark.implicits._
+    // distinct directions, no cosine-1.0 cross pairs — so each
+    // query's true rank-1 under two-table semantics is exactly the
+    // id-equal corpus row
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f)), (3L, Seq(0f, 0f, 0f, 1f)),
+      (4L, Seq(1f, 1f, 0f, 0f)), (5L, Seq(0f, 1f, 1f, 0f)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+    def rank1(excludeSelf: Boolean): Map[Long, Long] =
+      ivfKnnJoin(corpus, queries, "vec_id", "embedding", k = 1,
+          centroids = 2, nprobe = 2, excludeSelf = excludeSelf)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val withSelf = rank1(excludeSelf = false)
+    val noSelf = rank1(excludeSelf = true)
+    assert(withSelf == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+      s"two-table join must keep id-equal true neighbors: $withSelf")
+    assert(noSelf.forall { case (q, n) => n != q } && noSelf.nonEmpty,
+      s"self-search must drop id-equal pairs: $noSelf")
+  }
+
   test("tombstone deletes on the PQ layout: mask = vacuum = manual exclusion; rebuild clears them") {
     import graft.functions.AnnIndex
     import org.apache.hadoop.fs.Path
@@ -992,9 +1017,16 @@ class SimilaritySpec extends AnyFunSuite {
     val (codesBefore, vecsBefore) = (storeRows("codes"), storeRows("vectors"))
     val rewrote = AnnIndex.vacuumDeletes(spark, dir)
     assert(rewrote.nonEmpty)
+    // applied batches are PARKED as .retired- (a reader planned
+    // before the vacuum may still hold their file paths), invisible
+    // to the live listing; the next WRITE entry sweeps the files
+    assert(fs.listStatus(new Path(s"$dir/tombstones"))
+        .forall(_.getPath.getName.startsWith(".retired-")),
+      "applied tombstone batches must leave the live listing")
+    AnnIndex.compactCells(spark, dir, minFiles = 1000) // write entry: sweep
     assert(!fs.exists(new Path(s"$dir/tombstones")) ||
       fs.listStatus(new Path(s"$dir/tombstones")).isEmpty,
-      "applied tombstone batches must be retired")
+      "the next write entry must sweep the parked batches")
     val nDel = delIds.count()
     // PQ codes hold m = 4 rows per vector; the sidecar one per vector
     assert(storeRows("codes") == codesBefore - 4 * nDel,
