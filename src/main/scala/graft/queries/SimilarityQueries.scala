@@ -383,6 +383,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The TWO-TABLE arm of the batch join (excludeSelf = false —
+    // review r17): unrelated tables whose id spaces merely coincide
+    // keep id-equal true neighbors; here every query's rank-1 must be
+    // its own corpus row (cosine 1.0, lowest-id tie-break), which the
+    // self-search arm above is required to drop.
+    "s16b_ann_batch_join_2t" -> ((s, d) => {
+      val e = embeddings(s, d)
+      ivfKnnJoin(e, e, "vec_id", "embedding",
+        k = 3, centroids = 16, nprobe = 2, excludeSelf = false)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ-ADC approximate top-5 (the memory-bound ANN family: corpus
     // scanned as 4 sub-codes, distances from a per-query lookup
     // table). Deterministic codebooks (first-16 sub-blocks) → exact
@@ -654,6 +666,26 @@ object SimilarityQueries {
        | s AS (
        |  SELECT qa.query_id, b.neighbor_id, ${cosSql("qa.qv", "b.v")} AS score
        |  FROM assigned b JOIN qa ON b.cid = qa.cid AND b.neighbor_id <> qa.query_id),
+       | r AS (SELECT query_id, neighbor_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |   FROM s)
+       |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** s16b oracle: s16 WITHOUT the self-pair exclusion — the
+    * two-table join semantics replayed. */
+  private def s16bSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       | ca AS (
+       |  SELECT e.vec_id, e.v, cent.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid ASC) AS crank
+       |  FROM e, cent),
+       | assigned AS (SELECT vec_id AS neighbor_id, v, cid FROM ca WHERE crank <= 1),
+       | qa AS (SELECT vec_id AS query_id, v AS qv, cid FROM ca WHERE crank <= 2),
+       | s AS (
+       |  SELECT qa.query_id, b.neighbor_id, ${cosSql("qa.qv", "b.v")} AS score
+       |  FROM assigned b JOIN qa ON b.cid = qa.cid),
        | r AS (SELECT query_id, neighbor_id, score,
        |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
        |   FROM s)
@@ -989,6 +1021,7 @@ object SimilarityQueries {
     "s2b_ann_multiprobe" -> s2bSql,
     "s5_knn_join" -> s5Sql,
     "s16_ann_batch_join" -> s16Sql,
+    "s16b_ann_batch_join_2t" -> s16bSql,
     "s17_ann_delete" -> s17Sql,
     "s6_ann_pq" -> s6Sql,
     "s14_ann_sq8" -> s14Sql,
