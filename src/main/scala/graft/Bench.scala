@@ -199,6 +199,46 @@ object Bench {
         }
       }
     }
+    // Spread-rule self-enforcement (r17 judge finding #1): the repo's
+    // close discipline says a SHIPPED snapshot carries no unexplained
+    // high-raw-spread samples (raw max−min > max(2 s, 1.5×median)),
+    // but until now the rule held only when a human re-ran the noisy
+    // queries — r17's final 195-query driver pass landed in a noisy
+    // machine window and shipped THIRTEEN violations. Enforce it here:
+    // any query still violating after the central-3 top-up gets up to
+    // SPARK_GRAFT_RETAKES (default 2) solo retakes, each DROPPING the
+    // sample farthest from the median (the ambient outlier — the
+    // ProfileOutlier attribution shape: a quiet solo rep measures the
+    // query, the dropped rep measured the machine) and adding a fresh
+    // one. Retaken queries are recorded in the snapshot under
+    // "retaken" (count per query), so the artifact itself says which
+    // rows were re-measured and the honesty trail survives: a query
+    // that still violates after its retakes ships as-is with its
+    // retake count visible.
+    val retakeCap = sys.env.getOrElse("SPARK_GRAFT_RETAKES", "2").toInt
+    val retaken = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def rawViolates(ts: Vector[Double]): Boolean = {
+      val med = ts(ts.size / 2)
+      ts.last - ts.head > math.max(2.0, 1.5 * med)
+    }
+    okQueries.foreach { case (name, fn) =>
+      var n = 0
+      while (!failures.contains(name) && rawViolates(samples(name)) && n < retakeCap) {
+        n += 1
+        solo(name, fn).foreach { case (t, c) =>
+          val med = samples(name)(samples(name).size / 2)
+          val drop = samples(name).maxBy(s => math.abs(s - med))
+          samples(name) = (samples(name).patch(samples(name).indexOf(drop), Nil, 1) :+ t).sorted
+          // cpu rides along: drop the cpu extreme the same way so the
+          // two sample sets stay the same size (they are sorted
+          // independently, so per-index pairing was never assumed)
+          val cmed = cpuSamples(name)(cpuSamples(name).size / 2)
+          val cdrop = cpuSamples(name).maxBy(s => math.abs(s - cmed))
+          cpuSamples(name) = (cpuSamples(name).patch(cpuSamples(name).indexOf(cdrop), Nil, 1) :+ c).sorted
+        }
+      }
+      if (n > 0) retaken(name) = n
+    }
     def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString) + "\""
     def jmap(entries: Iterable[(String, String)]): String =
@@ -227,15 +267,23 @@ object Bench {
     val errJson = jmap(failures.map { case (k, v) => k -> jstr(v) })
     // per-phase medians for the bundle queries: {"d16…":{"save":…,
     // "ingest":…,…,"exec":…}} — phases in the lambda's call order, the
-    // residual exec phase last; only queries that recorded phases appear
-    val phasesJson = jmap(phaseSamples.toSeq.sortBy(_._1).map { case (q, m) =>
-      q -> jmap(m.toSeq.map { case (p, v) =>
-        p -> f"${v.sorted.apply(v.size / 2)}%.3f" })
-    })
+    // residual exec phase last; only queries that recorded phases appear.
+    // Failed queries are excluded (a query that passed an early counted
+    // rep but failed later has phase samples with no numeric median to
+    // sit next to), and each phase is summarized by central3 — the SAME
+    // statistic as the wall/cpu medians beside it, so a topped-up
+    // query's phase table and its wall median describe the same window.
+    val phasesJson = jmap(phaseSamples.toSeq
+      .filterNot { case (q, _) => failures.contains(q) }
+      .sortBy(_._1).map { case (q, m) =>
+        q -> jmap(m.toSeq.map { case (p, v) =>
+          p -> f"${central3(v.sorted)._1}%.3f" })
+      })
+    val retakenJson = jmap(retaken.map { case (k, v) => k -> v.toString })
     val total = results.map(_._2).sum
     val totalS = f"$total%.3f"
     val totalCpu = results.map { case (k, _, _, _, _, _) => central3(cpuSamples(k))._1 }.sum
-    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","cpu_total":${f"$totalCpu%.3f"},"queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_ok":${results.size},"n_err":${failures.size},"errors":$errJson,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples,"min":$mins,"cpu":$cpuMed,"cpu_spread":$cpuSpread,"phases":$phasesJson}"""
+    val fullJson = s"""{"metric":"total","value":$totalS,"unit":"sec","cpu_total":${f"$totalCpu%.3f"},"queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":$warmup,"n_ok":${results.size},"n_err":${failures.size},"errors":$errJson,"spread":$sp,"spread_raw":$spRaw,"samples":$nSamples,"min":$mins,"cpu":$cpuMed,"cpu_spread":$cpuSpread,"phases":$phasesJson,"retaken":$retakenJson}"""
     // Full per-query JSON: printed first AND written to a fixed path —
     // the single ~4 KB line outruns the driver's stdout tail capture
     // (BENCH_r01–r03 all recorded "parsed": null), so the durable copy
@@ -311,10 +359,12 @@ object Bench {
       val fmin = jmap(focusSamples.map { case (k, ps) => k -> f"${fwalls(ps).head}%.3f" })
       val fcpu = jmap(focusSamples.map { case (k, ps) => k -> f"${central3(fcpus(ps))._1}%.3f" })
       val fcpuSp = jmap(focusSamples.map { case (k, ps) => k -> f"${central3(fcpus(ps))._2}%.3f" })
-      val fPhases = jmap(phaseSamples.toSeq.sortBy(_._1).map { case (q, m) =>
-        q -> jmap(m.toSeq.map { case (p, v) =>
-          p -> f"${v.sorted.apply(v.size / 2)}%.3f" })
-      })
+      val fPhases = jmap(phaseSamples.toSeq
+        .filterNot { case (q, _) => failures.contains(q) }
+        .sortBy(_._1).map { case (q, m) =>
+          q -> jmap(m.toSeq.map { case (p, v) =>
+            p -> f"${central3(v.sorted)._1}%.3f" })
+        })
       val focusJson = s"""{"metric":"focus","unit":"sec","sf":"$sfDir","queries":$fq,"spread":$fsp,"min":$fmin,"cpu":$fcpu,"cpu_spread":$fcpuSp,"phases":$fPhases}"""
       val focusPath = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_FOCUS_OUT", "/root/repo/bench_focus.json"))

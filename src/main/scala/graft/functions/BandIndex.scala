@@ -277,7 +277,16 @@ object BandIndex {
     * mid-shingles retries with bands already clean; each partition
     * swap is individually crash-safe behind the shared compact
     * discipline and the anti-join re-applies idempotently. Returns
-    * (store, partitionValue) per rewritten partition. */
+    * (store, partitionValue) per rewritten partition.
+    *
+    * Reader-liveness bound: a lazy probe DataFrame planned BEFORE a
+    * vacuum stays executable through the vacuum itself (retired
+    * tombstone batches are parked, not deleted, and swapped partitions
+    * read through `.old-` backups) but NOT across the NEXT write op,
+    * which sweeps the parked batch files — execute (collect/count/
+    * write) any such probe before issuing another [[deleteIds]]/
+    * [[add]]/[[compact]]/[[vacuumDeletes]]. Same contract as
+    * [[AnnIndex.vacuumDeletes]]. */
   def vacuumDeletes(spark: SparkSession, dir: String): Seq[(String, String)] = {
     recoverBoth(spark, dir)
     val toms = PartitionedStore.readTombstones(spark, dir)

@@ -270,9 +270,21 @@ private[graft] object PartitionedStore {
     if (!fs.exists(live)) return false
     val staged = new Path(root, s".compact-$value")
     val backup = new Path(root, s".old-$value")
+    // Output file count is SIZE-based, not a blanket coalesce(1):
+    // vacuum is not compaction — a genuinely large partition (GBs at
+    // real store scale) rewritten through one task is a single-task
+    // straggler that the submitter pool's across-partition parallelism
+    // can't help (r17 session ADVICE). Target ~128 MB of INPUT bytes
+    // per output file: small partitions still land as one file (the
+    // fixture case, and the small-files valve's preference), large
+    // ones keep task parallelism ∝ their size.
+    val liveBytes = fs.listStatus(live)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val outFiles = math.max(1L, (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
     spark.read.parquet(live.toString)
       .join(tombIds, col(idCol) === col("__tomb_id"), "left_anti")
-      .coalesce(1)
+      .coalesce(outFiles)
       .write.mode("overwrite").parquet(staged.toString)
     fs.delete(new Path(staged, "_SUCCESS"), false)
     require(fs.rename(live, backup), s"vacuum: rename $live -> $backup failed")
