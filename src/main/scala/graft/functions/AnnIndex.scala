@@ -44,12 +44,29 @@ object AnnIndex {
 
   /** Build an IVF-flat index from `corpus` (centroids = the first
     * `cells` corpus vectors, the deterministic convention shared with
-    * ivfTopK) and save it under `dir`, replacing any prior index. */
+    * ivfTopK) and save it under `dir`, replacing any prior index.
+    *
+    * `trainIters > 0` tightens the first-C seeds with that many
+    * distributed Lloyd k-means steps before assignment
+    * ([[SimilarityFunctions.trainedCentroids]] — integer-micro sums,
+    * deterministic at any parallelism, so the s18 oracle replays the
+    * unrolled iterations exactly). Trained centroids buy recall per
+    * nprobe over the raw first-C convention: the seeds are arbitrary
+    * corpus points, so cell populations are whatever the data order
+    * gives, while Lloyd moves centroids toward the corpus's actual
+    * density modes — the s12-style A/B in SimilaritySpec quantifies
+    * the gap. Each step costs one corpus scan (per-row assignment
+    * kernel, no exchange) + one map-side-combined C·dim agg; cells
+    * that empty out during training drop (fewer, fuller cells). */
   def ivfIndexSave(corpus: DataFrame, idCol: String, vecCol: String,
-                   cells: Int, dir: String): Unit = {
+                   cells: Int, dir: String, trainIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    val cent = collectCentroids(corpus, idCol, vecCol, cells)
-      .map { case (cid, v) => (cid, v.toArray) }
+    val cent =
+      if (trainIters > 0)
+        trainedCentroids(corpus, idCol, vecCol, cells, trainIters)
+      else
+        collectCentroids(corpus, idCol, vecCol, cells)
+          .map { case (cid, v) => (cid, v.toArray) }
     writeMeta(spark, dir, "ivf_flat", cells, 0, 0, 0, residual = false,
       keepVectors = false)
     writeCentroids(spark, s"$dir/centroids", cent.map { case (c, v) => (c, v.toSeq) })
@@ -490,7 +507,16 @@ object AnnIndex {
     * after every cell swapped) re-apply idempotently on the retry:
     * probes never see a deleted row, before, during, or after.
     * Rewrites the raw-vector sidecar alongside when kept. Returns the
-    * rewritten cell ids. */
+    * rewritten cell ids.
+    *
+    * Reader-liveness bound: a lazy probe DataFrame planned BEFORE a
+    * vacuum stays executable through the vacuum itself (retired
+    * tombstone batches are parked, not deleted, and swapped cells read
+    * through `.old-` backups) but NOT across the NEXT write op, which
+    * sweeps the parked batch files — execute (collect/count/write) any
+    * such probe before issuing another [[deleteIds]]/[[addBatchTagged]]/
+    * [[compactCells]]/[[vacuumDeletes]]. Same contract as
+    * [[BandIndex.vacuumDeletes]]. */
   def vacuumDeletes(spark: SparkSession, dir: String): Seq[Long] = {
     recoverMaintenance(spark, dir, sweepRetired = true)
     val toms = readTombstones(spark, dir).getOrElse(return Seq.empty)

@@ -736,6 +736,24 @@ object SimilarityFunctions {
         bulk.unionByName(assignToCentroids(residual, cent))
     }
 
+  /** [[refineCentroids]] over a raw (id, vec) corpus — the entry
+    * point [[graft.functions.AnnIndex.ivfIndexSave]] uses for its
+    * `trainIters` arm: first-C seeds tightened by `iters`
+    * deterministic Lloyd steps (integer-micro sums, floor-free exact
+    * means — bit-identical at any parallelism, replayable by an
+    * unrolled SQL oracle). Returns (cid, centroid) with the SEED ids
+    * kept, so downstream cell ids stay stable; clusters that empty
+    * out during refinement drop from the list (GROUP BY emits no
+    * row), which is legal everywhere a centroid list flows. */
+  private[graft] def trainedCentroids(corpus: DataFrame, idCol: String,
+                                      vecCol: String, clusters: Int,
+                                      iters: Int): Seq[(Long, Array[Double])] = {
+    require(clusters >= 1 && iters >= 0, "need clusters >= 1, iters >= 0")
+    val e = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    refineCentroids(e, clusters, iters).map { case (c, v) => (c, v.toArray) }
+  }
+
   /** First-C seeds refined by `iters` Lloyd steps (fixed-point micro
     * means — see kmeansRefine). iters = 0 returns the raw seeds. */
   private def refineCentroids(e: DataFrame, clusters: Int,

@@ -214,6 +214,31 @@ object CurationQueries {
         .orderBy("id")
     }),
 
+    // PageRank hardening arm (r17 judge item #7): the x52 graph with
+    // REAL sinks (every id % 7 == 0 node keeps no out-edges), the
+    // dangling-mass redistribution convention real host-rank uses
+    // (each iteration the sinks' total rank is shared floor(Σ/n) to
+    // every node before damping), at iters = 15 with the lineage
+    // severed every 5 iterations (checkpointEvery — localCheckpoint).
+    // The oracle unrolls all FIFTEEN iterations including the dangling
+    // term, so the checkpointed plan must be bit-identical to the
+    // pure-lineage replay — the discipline the x52 scaladoc deferred,
+    // now gated.
+    "x52b_pagerank_dangling" -> ((s, d) => {
+      import graft.functions.GraphFunctions
+      val nodes = documents(s, d).select(col("doc_id").as("id"))
+      val n = nodes.count()
+      val edges = nodes.crossJoin(
+          s.range(1, 4).select(col("id").as("__j")))
+        .filter(col("__j") <= lit(1L) + col("id") % 3L)
+        .filter(col("id") % 7L =!= 0L) // sinks: no out-edges at all
+        .select(col("id").as("src"),
+          ((col("id") * 37L + col("__j") * 911L) % n).as("dst"))
+      GraphFunctions.pageRankMicro(nodes, edges, iters = 15, dampPct = 85,
+          danglingRedistribute = true, checkpointEvery = 5)
+        .orderBy("id")
+    }),
+
     // Blocklist tagging (the C4-style banned-term pass): per-doc
     // occurrence counts against a fixed term list, computed by ONE
     // Aho-Corasick automaton walk per document — O(|text|) regardless
@@ -597,6 +622,36 @@ object CurationQueries {
         | c5 AS (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN r4 ON ed.src = r4.id GROUP BY 1),
         | r5 AS (SELECT id, CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r FROM nodes LEFT JOIN c5 ON id = c5.dst)
         |SELECT id, r AS rank_micro FROM r5 ORDER BY id""".stripMargin,
+    // x52b: all 15 iterations unrolled programmatically, dangling
+    // term included — each iteration reads the previous rank CTE
+    // twice (sink-mass scalar + contributions), so equality proves
+    // the Spark side's checkpoint-severed chain changed nothing
+    "x52b_pagerank_dangling" -> {
+      // every r{i} is referenced TWICE by iteration i+1 (sink-mass
+      // scalar + contributions): DuckDB inlines plain CTEs, so the
+      // 15-step chain would expand 2^15-fold — MATERIALIZED keeps the
+      // replay linear (one evaluation per iteration, like the engine)
+      val steps = (1 to 15).map { i =>
+        val p = s"r${i - 1}"
+        s""" d$i AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dm FROM $p
+           |   WHERE id NOT IN (SELECT src FROM deg)),
+           | c$i AS MATERIALIZED (SELECT dst, CAST(SUM(r // dg) AS BIGINT) AS s FROM ed JOIN $p ON ed.src = $p.id GROUP BY 1),
+           | r$i AS MATERIALIZED (SELECT id, CAST(150000 + (85 * (COALESCE(s, 0) +
+           |     (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 100 AS BIGINT) AS r
+           |   FROM nodes LEFT JOIN c$i ON id = c$i.dst),""".stripMargin
+      }.mkString("\n")
+      s"""WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         | nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         | e AS MATERIALIZED (SELECT id AS src, (id * 37 + j * 911) % (SELECT n FROM nn) AS dst
+         |   FROM nodes, unnest([1, 2, 3]) AS t(j)
+         |   WHERE j <= 1 + id % 3 AND id % 7 <> 0),
+         | deg AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM e GROUP BY 1),
+         | ed AS MATERIALIZED (SELECT e.src, e.dst, deg.dg FROM e JOIN deg USING (src)),
+         | r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$steps
+         | fin AS (SELECT id, r FROM r15)
+         |SELECT id, r AS rank_micro FROM fin ORDER BY id""".stripMargin
+    },
     // x50: the automaton's overlapping-count semantics replayed
     // positionally — per (doc, term), count every start index i where
     // substr(t, i, |term|) = term; sig string-aggs the counts in

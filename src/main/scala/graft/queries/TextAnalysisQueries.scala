@@ -189,6 +189,57 @@ object TextAnalysisQueries {
       decodeMedia(payloads, "doc_id", "payload").orderBy("doc_id")
     }),
 
+    // REAL image pixel decode (javax.imageio — JDK-built-in, no
+    // external codec): synthesize an 8×8 RGB image per document whose
+    // pixel values follow a pure doc_id formula, PNG-encode it
+    // (lossless) with ImageIO, then RE-DECODE the bytes with
+    // decodeImageFeatures and emit width/height/channel means. The
+    // oracle computes the same means straight from the formula WITHOUT
+    // any image machinery — equality proves the decode recovered every
+    // pixel exactly through a genuine PNG encode/decode round-trip.
+    "x5d_image_decode" -> ((s, d) => {
+      val spark = s
+      val ids = documents(s, d).select(col("doc_id").cast("long"))
+      val payloads = spark.createDataFrame(
+        ids.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val rgb = Array.tabulate(64) { p =>
+              val x = p % 8; val y = p / 8
+              def ch(c: Int) = (((id * 37 + x * 3 + y * 11 + c * 101) % 256)
+                + 256) % 256
+              (ch(0).toInt << 16) | (ch(1).toInt << 8) | ch(2).toInt
+            }
+            org.apache.spark.sql.Row(id, encodePng(8, 8, rgb))
+          }
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType, nullable = false))))
+      decodeImageFeatures(payloads, "doc_id", "payload").orderBy("doc_id")
+    }),
+
+    // LEARNED language-ID (COVERAGE r18 build decision): fastText-
+    // style multi-class — five one-vs-rest linear heads over hashed
+    // char-3-gram mean features (LangIdModel; weights trained by the
+    // repo Trainer on an in-code multilingual fixture, pinned with
+    // retrain bit-equality), prediction = argmax with alphabetical
+    // tie-break. The corpus's stored `lang` label is signal-free
+    // (same vocabulary per class), so NO accuracy-vs-label is
+    // claimed; what the oracle gates is the full scoring pass —
+    // five integer-micro kernel walks + the argmax — bit-for-bit.
+    "x53_langid_learned" -> ((s, d) => {
+      import graft.functions.LangIdModel
+      documents(s, d)
+        .select(col("doc_id"), LangIdModel.predict(col("text")).as("__p"))
+        .select(col("doc_id"),
+          col("__p").getField("lang").as("pred_lang"),
+          (col("__p").getField("m").cast("double") / lit(1e6)).as("score"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition quality stats: most-frequent-word /
     // most-frequent-bigram fractions + repeated-trigram occupancy, the
     // boilerplate/spam filters of a curation pipeline. One scan, two
@@ -618,6 +669,59 @@ object TextAnalysisQueries {
         |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 24 WHEN 1 THEN 16
         |    ELSE 8 END AS INT) AS bits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // x53: all five heads replayed with the x47 scoring SQL (same
+    // bucket hash, same exact integer mean), argmax as a first-match
+    // CASE against the row max — equality proves the argmax fold's
+    // strictly-greater tie-break IS alphabetical order
+    "x53_langid_learned" -> {
+      import graft.functions.LangIdModel
+      val heads = LangIdModel.Classes.zip(LangIdModel.defaultHeads)
+      val scoreCtes = heads.zipWithIndex.map { case ((_, (w, b)), k) =>
+        s""" s$k AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n <= 0 THEN CAST($b AS BIGINT)
+           |         ELSE CAST(sign(tot) AS BIGINT) * ((2 * abs(tot) + n) // (2 * n)) + $b END AS m$k
+           |  FROM (
+           |   SELECT doc_id, CAST(length(t) - 2 AS BIGINT) AS n,
+           |     CAST(COALESCE(list_sum(list_transform(generate_series(1, CAST(length(t) AS INT) - 2),
+           |       i -> [${w.mkString(", ")}][CAST(CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 3)), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS BIGINT) AS tot
+           |   FROM lt))""".stripMargin
+      }.mkString(",\n")
+      val joins = heads.indices.map(k => s"JOIN s$k USING (doc_id)").mkString(" ")
+      val ms = heads.indices.map(k => s"m$k").mkString(", ")
+      val pick = heads.zipWithIndex.map { case ((cls, _), k) =>
+        s"WHEN m$k = g THEN '$cls'"
+      }.mkString(" ")
+      val pickM = heads.zipWithIndex.map { case (_, k) =>
+        s"WHEN m$k = g THEN m$k"
+      }.mkString(" ")
+      s"""WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |$scoreCtes,
+         | j AS (SELECT lt.doc_id, $ms FROM lt $joins),
+         | g0 AS (SELECT doc_id, $ms, greatest($ms) AS g FROM j)
+         |SELECT doc_id,
+         |  CASE $pick END AS pred_lang,
+         |  CAST((CASE $pickM END) AS DOUBLE) / 1e6 AS score
+         |FROM g0 ORDER BY doc_id""".stripMargin
+    },
+    // the pixel formula replayed with NO image machinery: per-channel
+    // means over the 8×8 grid — means are exact (sum/64: 1e6/64 =
+    // 15625, so round-to-6 is integer-exact in both engines); the
+    // Spark side must recover exactly these through a real PNG
+    // encode → ImageIO decode round-trip
+    "x5d_image_decode" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+        | px AS (SELECT doc_id, x.i AS x, y.i AS y FROM documents, g x, g y),
+        | m AS (SELECT doc_id,
+        |   SUM((doc_id * 37 + x * 3 + y * 11) % 256) AS sr,
+        |   SUM((doc_id * 37 + x * 3 + y * 11 + 101) % 256) AS sg,
+        |   SUM((doc_id * 37 + x * 3 + y * 11 + 202) % 256) AS sb
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  round(CAST(sr AS DOUBLE) / 64.0, 6) AS mean_r,
+        |  round(CAST(sg AS DOUBLE) / 64.0, 6) AS mean_g,
+        |  round(CAST(sb AS DOUBLE) / 64.0, 6) AS mean_b
+        |FROM m ORDER BY doc_id""".stripMargin,
     // gram multiplicities are kept (UNION ALL of word/bigram/trigram
     // streams mirrors the Spark side's tagged concat); counts are
     // integers so the double divisions are engine-exact

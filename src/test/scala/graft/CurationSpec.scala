@@ -253,6 +253,40 @@ class CurationSpec extends AnyFunSuite {
       s"kernel keep decisions diverge: $scored")
   }
 
+  test("learned language-ID: pinned heads ARE the trainer's output; argmax classifies the fixture") {
+    import graft.functions.LangIdModel
+    // provenance pin: re-run the deterministic one-vs-rest training
+    // and assert bit-equality with the shipped constants
+    val heads = LangIdModel.trainDefault(spark)
+    LangIdModel.Classes.indices.foreach { k =>
+      assert(heads(k)._1.toSeq == LangIdModel.defaultHeads(k)._1.toSeq,
+        s"pinned weights for class ${LangIdModel.Classes(k)} differ " +
+          "from the trainer's output — regenerate with graft.tools.TrainLangId")
+      assert(heads(k)._2 == LangIdModel.defaultHeads(k)._2)
+    }
+    // convergence: argmax over the heads labels every fixture row
+    // correctly (40/40 at the pinned config)
+    import graft.functions.QualityFilter
+    val correct = LangIdModel.TrainingFixture.count { case (lang, t) =>
+      val x = QualityFilter.featuresOf(t)
+      val scores = heads.map { case (w, b) =>
+        x.zip(w).map { case (xi, wi) => xi * wi }.sum + b
+      }
+      scores.zip(LangIdModel.Classes)
+        .reduceLeft((a, h) => if (h._1 > a._1) h else a)._2 == lang
+    }
+    assert(correct == LangIdModel.TrainingFixture.size,
+      s"training did not converge: $correct/${LangIdModel.TrainingFixture.size}")
+    // the distributed argmax kernel agrees with the local replay on
+    // the fixture texts (same buckets, same integer mean, same
+    // strictly-greater alphabetical tie-break)
+    val preds = LangIdModel.TrainingFixture.map(_._2).toDF("text")
+      .select(LangIdModel.predict(col("text")).getField("lang").as("p"))
+      .as[String].collect().toSeq
+    assert(preds == LangIdModel.TrainingFixture.map(_._1),
+      s"kernel predictions diverge: $preds")
+  }
+
   test("PII redaction: pattern hits and the email→phone→IP order contract") {
     import graft.functions.PiiFunctions._
     val cases = Seq(

@@ -33,6 +33,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fakeFeaturesForTesting(df, "doc_id", "payload").head().getAs[scala.collection.Seq[Float]](2) == feats)
   }
 
+  test("decodeImageFeatures: ImageIO PNG round-trip recovers exact pixels; non-images get null rows") {
+    // known pixel matrix, asymmetric in both axes so a transposed or
+    // flipped decode cannot pass: 2 wide x 3 tall
+    val rgb = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0xFFFFFF, 0x000000)
+    val png = encodePng(2, 3, rgb)
+    val truncated = png.take(20) // valid magic, unreadable body
+    val df = Seq((0L, png), (1L, "not an image".getBytes), (2L, truncated))
+      .toDF("doc_id", "payload")
+    val out = decodeImageFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val ok = out(0)
+    assert(ok.getInt(1) == 2 && ok.getInt(2) == 3)
+    // exact means from the source pixels: sums over the 6 pixels
+    def mean(shift: Int) = {
+      val s = rgb.map(v => (v >> shift) & 0xff).map(_.toLong).sum
+      java.math.BigDecimal.valueOf(s)
+        .divide(java.math.BigDecimal.valueOf(6), 6, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    }
+    assert(ok.getDouble(3) == mean(16) && ok.getDouble(4) == mean(8) &&
+      ok.getDouble(5) == mean(0))
+    // undecodable payloads keep their rows with null metadata (the
+    // decodeMedia raw convention) — never silently dropped
+    Seq(out(1), out(2)).foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
+  test("decodeImageFeatures: exactly-lossless JDK writers (png/bmp) round-trip identically; gif/jpeg decode with correct dims") {
+    // png and bmp writers are bit-exact from TYPE_INT_RGB; the JDK's
+    // gif writer QUANTIZES through its own palette even for 4-color
+    // images (measured: channel means shift), and jpeg is lossy by
+    // design — so those two assert dimensions only. The oracle-gated
+    // path (x5d) uses png.
+    val rgb = Array.tabulate(16)(i => Seq(0x000000, 0xFF0000, 0x00FF00, 0xFFFFFF)(i % 4))
+    def enc(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 4, 4, rgb, 0, 4)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+      bos.toByteArray
+    }
+    val df = Seq(("png", 0L), ("bmp", 1L), ("gif", 2L), ("jpg", 3L))
+      .map { case (f, id) => (id, enc(f)) }.toDF("doc_id", "payload")
+    val rows = decodeImageFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    rows.foreach(r => assert(r.getInt(1) == 4 && r.getInt(2) == 4))
+    val Array(png, bmp, _, _) = rows
+    assert((bmp.getDouble(3), bmp.getDouble(4), bmp.getDouble(5)) ==
+      ((png.getDouble(3), png.getDouble(4), png.getDouble(5))))
+    // the exact expected means from the source pixels
+    assert(png.getDouble(3) == 127.5 && png.getDouble(4) == 127.5 &&
+      png.getDouble(5) == 63.75)
+  }
+
   test("decodeMedia parses real BMP and WAV headers and falls back to raw") {
     // hand-assembled little-endian headers, independent of the x5b
     // hex-expression synthesis path
