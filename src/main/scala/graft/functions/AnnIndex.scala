@@ -102,10 +102,19 @@ object AnnIndex {
   def ivfpqIndexSave(corpus: DataFrame, idCol: String, vecCol: String,
                      cells: Int, m: Int, codebook: Int, dim: Int,
                      residual: Boolean, dir: String,
-                     keepVectors: Boolean = false): Unit = {
+                     keepVectors: Boolean = false,
+                     trainIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    val cellCent = collectCentroids(corpus, idCol, vecCol, cells)
-      .map { case (cid, v) => (cid, v.toArray) }
+    // trainIters > 0: coarse cells tightened by distributed Lloyd
+    // (the ivfIndexSave arm, same integer-micro determinism — s18b
+    // gates the lossy layout's trained twin; in residual mode the
+    // codebook seeds residualize against the TRAINED cells)
+    val cellCent =
+      if (trainIters > 0)
+        trainedCentroids(corpus, idCol, vecCol, cells, trainIters)
+      else
+        collectCentroids(corpus, idCol, vecCol, cells)
+          .map { case (cid, v) => (cid, v.toArray) }
     val codeSeeds = ivfpqCodeSeeds(
       collectCentroids(corpus, idCol, vecCol, codebook), cellCent, residual)
     writeMeta(spark, dir, "ivf_pq", cells, m, codeSeeds.size, dim, residual,

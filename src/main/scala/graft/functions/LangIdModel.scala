@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   * corpus SCORING pass bit-for-bit (x53's oracle replays all five
   * heads and the argmax exactly).
   *
-  * Scale shape: scoring is K zero-exchange kernel evaluations per row
-  * (each one gram walk; a single-walk K-accumulator fusion is the
-  * obvious constant-factor win at real scale — same plan shape, K×
-  * fewer hash calls — left simple here since the walk is already
-  * codegen-friendly and exchange-free either way). */
+  * Scale shape: scoring is ONE zero-exchange gram walk per row — the
+  * fused kernel ([[scoresMicroFused]]) hashes each gram once and
+  * accumulates all K heads' weights through a K-long array
+  * accumulator (K× fewer md5 calls than the naive per-head walk;
+  * the per-head twin [[scoresMicro]] stays as the reference and the
+  * spec pins their bit-equality). */
 object LangIdModel {
 
   /** Alphabetical — the argmax tie-break order. */
@@ -126,15 +127,55 @@ object LangIdModel {
       cls -> QualityFilter.qualityScoreMicro(text, w.toSeq, b)
     }
 
-  /** Predicted class + its micro score: argmax over the heads,
-    * STRICTLY-greater fold so ties keep the earliest (alphabetical)
-    * class — the convention x53's oracle replays. */
+  /** FUSED per-class integer-micro scores: ONE gram walk hashing each
+    * char-3-gram once, accumulating all K heads through a K-long
+    * array (vs K walks = K md5 calls per gram in [[scoresMicro]] —
+    * the constant factor that matters when K grows toward the lid.176
+    * shape's 176 heads). Arithmetic is identical element-wise: exact
+    * long weight sums, then the x19 half-away integer mean + bias per
+    * head — the spec pins bit-equality with the per-head kernel, so
+    * x53's oracle replay covers both. Returns array<long> in
+    * [[Classes]] order. */
+  def scoresMicroFused(text: Column,
+                       heads: Seq[(Array[Long], Long)] = defaultHeads): Column = {
+    val k = heads.size
+    val allW = array(heads.map { case (w, _) => array(w.map(lit): _*) }: _*)
+    val biases = array(heads.map { case (_, b) => lit(b) }: _*)
+    val t = lower(text)
+    val n = length(t) - (QualityFilter.NGram - 1)
+    val totals = aggregate(
+      transform(sequence(lit(1), greatest(n, lit(0))),
+        i => CurationFunctions.featureBucket(
+          t.substr(i, lit(QualityFilter.NGram)), QualityFilter.Buckets)),
+      array(Seq.fill(k)(lit(0L)): _*),
+      (acc, bkt) => {
+        val idx = bkt.cast("int") + 1
+        transform(acc, (a, hk) =>
+          a + element_at(element_at(allW, hk + 1), idx))
+      })
+    // per-head exact half-away integer mean + bias (QualityFilter
+    // .qualityScoreMicro's arithmetic, applied element-wise)
+    val nL = n.cast("long")
+    transform(totals, (tot, hk) => {
+      val num = lit(2L) * abs(tot) + nL
+      val den = lit(2L) * nL
+      val q = ((num - pmod(num, den)) / den).cast("long")
+      when(n <= 0, element_at(biases, hk + 1))
+        .otherwise(signum(tot).cast("long") * q + element_at(biases, hk + 1))
+    })
+  }
+
+  /** Predicted class + its micro score: argmax over the FUSED head
+    * scores (one gram walk), STRICTLY-greater fold so ties keep the
+    * earliest (alphabetical) class — the convention x53's oracle
+    * replays. */
   def predict(text: Column,
               heads: Seq[(Array[Long], Long)] = defaultHeads): Column = {
-    val scored = scoresMicro(text, heads).map { case (cls, m) =>
-      struct(m.as("m"), lit(cls).as("lang"))
-    }
-    aggregate(array(scored.tail: _*), scored.head,
+    val classes = array(Classes.map(lit): _*)
+    val scored = zip_with(scoresMicroFused(text, heads), classes,
+      (m, c) => struct(m.as("m"), c.as("lang")))
+    aggregate(slice(scored, 2, heads.size - 1),
+      element_at(scored, 1),
       (acc, h) => when(h.getField("m") > acc.getField("m"), h).otherwise(acc))
   }
 }

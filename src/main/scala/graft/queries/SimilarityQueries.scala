@@ -521,6 +521,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Trained coarse cells for the LOSSY layout (s18's IVF-PQ twin):
+    // ivfpqIndexSave(trainIters = 2) in residual mode — the codebook
+    // seeds residualize against the TRAINED cells, so training
+    // changes both the cell assignment and the residual space the
+    // codes quantize. Oracle = the s8b machinery with the cell list
+    // replaced by two unrolled Lloyd steps.
+    "s18b_ann_ivfpq_kmeans" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_pqkm_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val pt = graft.PhaseTimer.start("s18b_ann_ivfpq_kmeans")
+      pt("train_save") { graft.functions.AnnIndex.ivfpqIndexSave(
+        e, "vec_id", "embedding", cells = 8, m = 4, codebook = 32,
+        dim = 64, residual = true, dir = dir, trainIters = 2) }
+      graft.functions.AnnIndex.probe(s, dir,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Pairwise L2 distance on a small slice (distance-metric parity).
     "s3_l2_pairs" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 30)
@@ -739,7 +759,11 @@ object SimilarityQueries {
     * dim order — the s7 machinery, chained), then the s4 probe shape
     * over the final centroid list. Clusters that empty out during a
     * step drop in both engines (GROUP BY emits no row). */
-  private def s18Sql(iters: Int): String = {
+  /** The shared unrolled-Lloyd CTE chain (s18/s18b): `c0` = first-C
+    * seeds, then per iteration one assignment + one exact-micro-mean
+    * CTE pair, ending at `c<iters>`. Assumes `e` and `dims` CTEs
+    * exist; comma-terminated. */
+  private def lloydCtes(cells: Int, iters: Int): String = {
     val steps = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s""" a$i AS (SELECT vec_id, v, cid FROM (
@@ -753,11 +777,15 @@ object SimilarityQueries {
          | c$i AS (SELECT cid, list(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cv
          |   FROM m$i GROUP BY cid),""".stripMargin
     }.mkString("\n")
+    s""" c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $cells),
+       |$steps""".stripMargin
+  }
+
+  private def s18Sql(iters: Int): String = {
     val fin = s"c$iters"
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        | dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
-       | c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-       |$steps
+       |${lloydCtes(16, iters)}
        | ca AS (
        |  SELECT e.vec_id, e.v, $fin.cid,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", s"$fin.cv")} DESC, $fin.cid ASC) AS crank
@@ -771,6 +799,67 @@ object SimilarityQueries {
        |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
        |   FROM sc)
        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s18b oracle: the s8b residual-IVF-PQ machinery with the coarse
+    * cell list replaced by `iters` unrolled Lloyd steps (lloydCtes) —
+    * trained cells change BOTH the assignment and the residual space
+    * the first-32 codebook seeds quantize, and every downstream value
+    * (rounded L2² encodes, per-(query, cell) ADC tables) follows
+    * deterministically. */
+  private def s18bSql(iters: Int): String = {
+    def l2(q: String, c: String, off: Int): String =
+      s"""round(list_sum(list_transform(generate_series(1, 16),
+         |      i -> ($q[i + $off] - $c[i + $off]) * ($q[i + $off] - $c[i + $off]))), 6)""".stripMargin
+    val blockSum = (0 until 4).map(b => s"MAX(CASE WHEN codes.b = $b THEN qbd.qd END)").mkString("\n   + ")
+    val dists = (0 until 4).map(b =>
+      s"SELECT $b AS b, ${l2("r.rv", "s.cv", b * 16)} AS d, r.vec_id, s.cid FROM rve r, seedres s")
+      .mkString(" UNION ALL ")
+    val qdists = (0 until 4).map(b =>
+      s"SELECT query_id, cell, $b AS b, ${l2("q.rv", "s.cv", b * 16)} AS qd, s.cid FROM qrv q, seedres s")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+       |${lloydCtes(8, iters)}
+       | cell AS MATERIALIZED (SELECT cid AS ccid, cv AS ccv FROM c$iters),
+       | ca AS MATERIALIZED (
+       |  SELECT e.vec_id, cell.ccid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "cell.ccv")} DESC, cell.ccid ASC) AS crank
+       |  FROM e, cell),
+       | assigned AS (SELECT vec_id, ccid AS cell FROM ca WHERE crank = 1),
+       | rve AS MATERIALIZED (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(generate_series(1, 64), i -> e.v[i] - c.ccv[i]) AS rv
+       |  FROM e JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cell c ON c.ccid = a.cell),
+       | seedres AS (SELECT vec_id AS cid, rv AS cv FROM rve WHERE vec_id < 32),
+       | bd AS ($dists),
+       | codes AS (
+       |  SELECT vec_id AS neighbor_id, b, cid FROM (
+       |    SELECT vec_id, b, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d, cid) AS rk
+       |    FROM bd) WHERE rk = 1),
+       | probes AS (SELECT vec_id AS query_id, ccid AS cell FROM ca WHERE crank <= 2 AND vec_id < 10),
+       | qrv AS (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, 64), i -> e.v[i] - c.ccv[i]) AS rv
+       |  FROM probes p JOIN e ON e.vec_id = p.query_id
+       |  JOIN cell c ON c.ccid = p.cell),
+       | qbd AS ($qdists),
+       | adc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, round($blockSum, 6) AS est
+       |  FROM codes
+       |  JOIN assigned a ON a.vec_id = codes.neighbor_id
+       |  JOIN probes p ON a.cell = p.cell
+       |  JOIN qbd ON qbd.query_id = p.query_id AND qbd.cell = p.cell
+       |    AND qbd.b = codes.b AND qbd.cid = codes.cid
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY p.query_id, a.vec_id),
+       | r AS (SELECT query_id, neighbor_id, est,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY est ASC, neighbor_id ASC) AS INT) AS rank
+       |   FROM adc)
+       |SELECT query_id, neighbor_id, est, rank FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
 
@@ -1095,6 +1184,7 @@ object SimilarityQueries {
     // oracles ARE the in-session s4/s8 oracles
     "s10_ann_index_persisted" -> s4Sql,
     "s18_ann_kmeans" -> s18Sql(2),
+    "s18b_ann_ivfpq_kmeans" -> s18bSql(2),
     // streamed store content == s10's content, so the same oracle
     "st10_vector_ingest" -> s4Sql,
     "s10b_ann_ivfpq_persisted" -> s8Sql,

@@ -287,6 +287,21 @@ class CurationSpec extends AnyFunSuite {
       s"kernel predictions diverge: $preds")
   }
 
+  test("learned language-ID: fused single-walk scores are bit-equal to the per-head kernel") {
+    import graft.functions.LangIdModel
+    // fixture rows + the edge cases the half-away mean guards: empty
+    // text, sub-3-gram text (n <= 0 → bias alone), and a 1-gram text
+    val texts = LangIdModel.TrainingFixture.map(_._2) ++
+      Seq("", "ab", "abc", "the quick brown fox")
+    val df = texts.toDF("text")
+    val perHead = LangIdModel.scoresMicro(col("text")).map(_._2)
+    val rows = df.select(
+        array(perHead: _*).as("ref"),
+        LangIdModel.scoresMicroFused(col("text")).as("fused"))
+    val bad = rows.filter(not(col("ref") === col("fused"))).count()
+    assert(bad == 0, s"$bad rows diverge between fused and per-head scoring")
+  }
+
   test("PII redaction: pattern hits and the email→phone→IP order contract") {
     import graft.functions.PiiFunctions._
     val cases = Seq(

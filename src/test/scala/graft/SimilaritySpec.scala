@@ -416,6 +416,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
   }
 
+  test("trainedCentroids contracts: iters=0 passthrough, bit-determinism, empty-cluster drop") {
+    // The VALUE of training (recall per nprobe) is a property of real
+    // data and lives in SCALE.md r18 with committed ProfileKmeansRecall
+    // logs — a designed corpus can't pin it without hand-picking a
+    // k-means basin (a perfectly symmetric degenerate-seed fixture
+    // collapses all centroids to the global mean, measured here before
+    // this test was rewritten). What IS pinnable are the CONTRACTS the
+    // s18 oracle and ivfIndexSave(trainIters) rely on:
+    import graft.functions.SimilarityFunctions.trainedCentroids
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 150).select("vec_id", "embedding")
+    // (a) iters = 0 returns exactly the first-C seeds
+    val t0 = trainedCentroids(e, "vec_id", "embedding", 8, iters = 0)
+    val seeds = graft.functions.SimilarityFunctions
+      .collectCentroids(e, "vec_id", "embedding", 8)
+    assert(t0.map { case (c, v) => (c, v.toSeq) } ==
+      seeds.map { case (c, v) => (c, v.toSeq) })
+    // (b) bit-determinism across runs AND parallelism (the integer-
+    // micro claim the unrolled oracle depends on)
+    val a = trainedCentroids(e, "vec_id", "embedding", 8, iters = 2)
+    val b = trainedCentroids(e.repartition(7), "vec_id", "embedding", 8, iters = 2)
+    assert(a.map { case (c, v) => (c, v.toSeq) } ==
+      b.map { case (c, v) => (c, v.toSeq) },
+      "Lloyd steps are not parallelism-invariant")
+    // (c) a seed that loses every member to a twin DROPS (GROUP BY
+    // emits no row): ids 0 and 1 are the identical vector, so every
+    // member ties and the argmax cid tie-break sends all of them to
+    // cid 0 — after one step cluster 1 must be gone, and downstream
+    // consumers (assignment, ivfIndexSave) accept the shorter list
+    val v0 = Seq.fill(4)(1.0f)
+    val twin = Seq((0L, v0), (1L, v0), (2L, Seq(1.0f, 0.9f, 0f, 0f)),
+      (3L, Seq(0.9f, 1.0f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dropped = trainedCentroids(twin, "vec_id", "embedding", 2, iters = 1)
+    assert(dropped.map(_._1) == Seq(0L),
+      s"tied-away cluster should drop: ${dropped.map(_._1)}")
+  }
+
   test("kmeansRefine one Lloyd step equals an independent driver-side replay") {
     val e = graft.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 120).select("vec_id", "embedding")
