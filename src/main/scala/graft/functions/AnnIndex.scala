@@ -526,7 +526,8 @@ object AnnIndex {
     * such probe before issuing another [[deleteIds]]/[[addBatchTagged]]/
     * [[compactCells]]/[[vacuumDeletes]]. Same contract as
     * [[BandIndex.vacuumDeletes]]. */
-  def vacuumDeletes(spark: SparkSession, dir: String): Seq[Long] = {
+  def vacuumDeletes(spark: SparkSession, dir: String,
+                    parallelism: Int = 16): Seq[Long] = {
     recoverMaintenance(spark, dir, sweepRetired = true)
     val toms = readTombstones(spark, dir).getOrElse(return Seq.empty)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -545,7 +546,7 @@ object AnnIndex {
         (for (sub <- Seq("codes") ++ (if (keepVectors) Seq("vectors") else Nil))
           yield PartitionedStore.rewriteExcludingAll(spark,
             new org.apache.hadoop.fs.Path(s"$dir/$sub"), "cell",
-            affected.map(_.toString), tombIds, "id")).flatten.distinct
+            affected.map(_.toString), tombIds, "id", parallelism)).flatten.distinct
       // park, don't delete: a probe planned before this vacuum holds
       // file paths into the batch dirs (review r17); the next write
       // entry sweeps the parked files when no such plan can be live

@@ -332,7 +332,8 @@ object BandIndex {
     * write) any such probe before issuing another [[deleteIds]]/
     * [[add]]/[[compact]]/[[vacuumDeletes]]. Same contract as
     * [[AnnIndex.vacuumDeletes]]. */
-  def vacuumDeletes(spark: SparkSession, dir: String): Seq[(String, String)] = {
+  def vacuumDeletes(spark: SparkSession, dir: String,
+                    parallelism: Int = 16): Seq[(String, String)] = {
     recoverBoth(spark, dir)
     val toms = PartitionedStore.readTombstones(spark, dir)
       .getOrElse(return Seq.empty)
@@ -353,10 +354,10 @@ object BandIndex {
         .select("bucket").distinct().collect().map(_.getString(0)).toIndexedSeq
       val bandsDone = PartitionedStore.rewriteExcludingAll(spark,
         new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket",
-        bandBuckets, tombIds, "id")
+        bandBuckets, tombIds, "id", parallelism)
       val shDone = PartitionedStore.rewriteExcludingAll(spark,
         new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket",
-        sbuckets.map(_.toString), tombIds, "id")
+        sbuckets.map(_.toString), tombIds, "id", parallelism)
       // park, don't delete: a probe planned before this vacuum holds
       // file paths into the batch dirs (review r17); the next write
       // entry sweeps the parked files

@@ -330,6 +330,116 @@ object TextAnalysisFunctions {
         round(exp(-col("__mean")), 6).as("perplexity"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants, Popat, Xu, Och &
+    * Dean 2007, "Large Language Models in Machine Translation" — the
+    * smoothing invented FOR distributed web-scale training: pure raw-
+    * count ratios with a constant backoff penalty, no normalization
+    * pass, so the whole model is three wordcount-shaped aggregates).
+    * Self-trained convenience form; the deployment form is
+    * [[lmStupidBackoffAgainst]].
+    *
+    * Reference behavior anchor: the reference's text pipes stop at
+    * tokenization/vocab (reference `fireworks/toolbox/text.py`);
+    * corpus LM scoring is parity-plus curation surface, x19's family.
+    */
+  def lmStupidBackoff(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    lmStupidBackoffAgainst(docs, docs, idCol, textCol)
+
+  /** Score `docs` trigram positions against a stupid-backoff LM
+    * trained on `reference`:
+    *
+    *   S(w₃|w₁w₂) = t(w₁w₂w₃)/b(w₁w₂)         if the trigram is seen,
+    *              = 0.4 · b(w₂w₃)/u(w₂)        else if the bigram is,
+    *              = 0.4² · (u(w₃)+α)/(N+αV)    else (add-α floor — the
+    *                one departure from pure Brants, who leaves unseen
+    *                unigrams to the decoder; a scoring pass needs a
+    *                finite OOV logprob, α = 0.5 keeps it exact).
+    *
+    * t/b/u are RAW reference counts (trigram/bigram/unigram), N total
+    * tokens, V distinct tokens. Scores are not normalized per context
+    * — Brants' point: at web scale the constant-λ backoff loses ~0
+    * quality vs Kneser-Ney while removing every global normalization
+    * pass; counts alone distribute. t(w₁w₂w₃) > 0 ⇒ b(w₁w₂) > 0 and
+    * b(w₂w₃) > 0 ⇒ u(w₂) > 0 (both counts come from the same
+    * reference stream), so no division hazard exists at any level.
+    *
+    * Output per doc: `n_trigrams`, `avg_logprob` (micro-exact mean of
+    * round(1e6·ln S), the x19 fixed-point discipline — exact long
+    * sums, half-away integer division), `perplexity` = exp(−mean).
+    *
+    * Scale shape: the LM is three map-side-combined hash aggregates
+    * over the reference (vocab ≪ corpus by Heaps' law); scoring left-
+    * joins the docs' trigram stream to the count tables on gram keys
+    * — shuffle ∝ corpus tokens, each join broadcastable when the LM
+    * fits an executor; totals ride as a broadcast 1-row relation. No
+    * global sort, no window beyond the per-doc lead chain. */
+  def lmStupidBackoffAgainst(reference: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "unigram floor alpha must be positive (an OOV " +
+      "token would otherwise have logprob -inf)")
+    val rtoks = reference.select(explode(toks(col(textCol))).as("__w"))
+    val uni = rtoks.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val totals = broadcast(rtoks.agg(
+      count(lit(1)).as("__n"), countDistinct("__w").as("__v")))
+    val bi = gramsOf(reference, idCol, textCol, 2)
+      .groupBy("__w", "__w2").agg(count(lit(1)).as("__cb"))
+    val tri = triStream(reference, idCol, textCol)
+      .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__ct"))
+    val lp =
+      when(col("__ct").isNotNull,
+        log(col("__ct").cast("double") / col("__cb12").cast("double")))
+      .when(col("__cb23").isNotNull,
+        log(lit(0.4) * col("__cb23").cast("double") /
+          col("__cu2").cast("double")))
+      .otherwise(
+        log(lit(0.16) *
+          (coalesce(col("__cu3"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("__n").cast("double") + lit(alpha) * col("__v").cast("double"))))
+    val micros = triStream(docs, idCol, textCol)
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(bi.select(col("__w").as("__w1"), col("__w2"),
+        col("__cb").as("__cb12")), Seq("__w1", "__w2"), "left")
+      .join(bi.select(col("__w").as("__w2"), col("__w2").as("__w3"),
+        col("__cb").as("__cb23")), Seq("__w2", "__w3"), "left")
+      .join(uni.select(col("__w").as("__w2"), col("__cu").as("__cu2")),
+        Seq("__w2"), "left")
+      .join(uni.select(col("__w").as("__w3"), col("__cu").as("__cu3")),
+        Seq("__w3"), "left")
+      .crossJoin(totals)
+      // N = 0 would make the floor ln(0.16·α/0): fail loudly (free
+      // when N > 0 — the branch never evaluates), the x19 discipline
+      .withColumn("__lp", when(col("__n") > 0, lp).otherwise(
+        raise_error(lit("lmStupidBackoff: empty reference corpus"))))
+      .withColumn("__micro", round(col("__lp") * lit(1e6)).cast("long"))
+    micros.groupBy("__id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("__micro").as("__s"))
+      .withColumn("__q",
+        expr("CAST(sign(__s) AS BIGINT) * ((2 * abs(__s) + n_trigrams) DIV (2 * n_trigrams))"))
+      .withColumn("__mean",
+        (col("__s").cast("double") / lit(1e6)) / col("n_trigrams").cast("double"))
+      .select(col("__id").as(idCol), col("n_trigrams"),
+        (col("__q").cast("double") / lit(1e6)).as("avg_logprob"),
+        round(exp(-col("__mean")), 6).as("perplexity"))
+  }
+
+  /** (id, w1, w2, w3) trigram-position stream — the lead-chain shape
+    * of [[gramsOf]] with the context kept as separate columns so the
+    * backoff levels can key on (w1,w2), (w2,w3), (w2), (w3). */
+  private def triStream(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    docs.filter(size(toks(col(textCol))) >= 3)
+      .select(col(idCol).as("__id"), posexplode(toks(col(textCol))))
+      .toDF("__id", "__pos", "__w1")
+      .withColumn("__w2", lead("__w1", 1).over(w))
+      .withColumn("__w3", lead("__w1", 2).over(w))
+      .filter(col("__w3").isNotNull)
+      .select("__id", "__w1", "__w2", "__w3")
+  }
+
   /** (id, context, next) n-gram stream of a corpus: the context is
     * the n−1 preceding tokens joined by " ". posexplode + per-doc
     * lead() chain — whole-stage-codegen'd, no HOF lambdas. The last

@@ -285,6 +285,21 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Stupid-backoff trigram LM (Brants et al. 2007) in the x20
+    // cross-corpus deployment: LM counts from the even-id half, the
+    // odd-id half scored. The even/odd split makes all THREE backoff
+    // levels fire — seen trigrams score as raw ratios, unseen
+    // trigrams with seen bigrams take one 0.4 step, the rest land on
+    // the 0.4²·add-α unigram floor.
+    "x54_lm_stupid_backoff" -> ((s, d) => {
+      val docs = documents(s, d)
+      lmStupidBackoffAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Cross-corpus perplexity (the real CCNet deployment): LM trained
     // on the even-id half (the "trusted reference"), the odd-id half
     // scored against it — unseen bigrams fall back to the smoothed
@@ -778,6 +793,59 @@ object TextAnalysisQueries {
         |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
         |    * ((2 * abs(s) + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 1000000.0 AS avg_logprob,
         |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // Stupid backoff replayed level by level: raw trigram/bigram/
+    // unigram count tables from the even half, the odd half's trigram
+    // stream left-joined to all five key shapes, the CASE descending
+    // exactly as the Spark `when` chain (seen trigram → 0.4 step →
+    // 0.16·add-α floor); micro fixed-point sums as in x19. Unigram/
+    // total counts come from ALL even docs (no length filter — the
+    // Spark side's token stream), bigrams from len ≥ 2, trigrams ≥ 3.
+    "x54_lm_stupid_backoff" ->
+      """WITH wref AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |              WHERE doc_id % 2 = 0),
+        | wdoc AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |          WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 3),
+        | tok AS (SELECT unnest(ws) AS w FROM wref),
+        | tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |                CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM tok),
+        | uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY 1),
+        | bref AS (SELECT
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS w2
+        |   FROM wref WHERE len(ws) >= 2),
+        | bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bref GROUP BY 1, 2),
+        | tref AS (SELECT
+        |   unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[CAST(i AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[CAST(i + 1 AS INT)])) AS w2,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[CAST(i + 2 AS INT)])) AS w3
+        |   FROM wref WHERE len(ws) >= 3),
+        | tri AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tref GROUP BY 1, 2, 3),
+        | tdoc AS (SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[CAST(i AS INT)])) AS w1,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[CAST(i + 1 AS INT)])) AS w2,
+        |   unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[CAST(i + 2 AS INT)])) AS w3
+        |   FROM wdoc),
+        | sc AS (SELECT tdoc.doc_id,
+        |   CAST(round(CASE
+        |     WHEN tri.ct IS NOT NULL
+        |       THEN ln(CAST(tri.ct AS DOUBLE) / CAST(b12.cb AS DOUBLE))
+        |     WHEN b23.cb IS NOT NULL
+        |       THEN ln(0.4 * CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+        |     ELSE ln(0.16 * (CAST(COALESCE(u3.cu, 0) AS DOUBLE) + 0.5) / (n + 0.5 * v))
+        |     END * 1000000.0) AS BIGINT) AS micro
+        |   FROM tdoc
+        |   LEFT JOIN tri ON tdoc.w1 = tri.w1 AND tdoc.w2 = tri.w2 AND tdoc.w3 = tri.w3
+        |   LEFT JOIN bi b12 ON tdoc.w1 = b12.w1 AND tdoc.w2 = b12.w2
+        |   LEFT JOIN bi b23 ON tdoc.w2 = b23.w1 AND tdoc.w3 = b23.w2
+        |   LEFT JOIN uni u2 ON tdoc.w2 = u2.w
+        |   LEFT JOIN uni u3 ON tdoc.w3 = u3.w, tot),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+        |         CAST(SUM(micro) AS BIGINT) AS s FROM sc GROUP BY 1)
+        |SELECT doc_id, n_trigrams,
+        |  CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |    * ((2 * abs(s) + n_trigrams) // (2 * n_trigrams)) AS DOUBLE) / 1000000.0 AS avg_logprob,
+        |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_trigrams AS DOUBLE))), 6) AS perplexity
         |FROM agg ORDER BY doc_id""".stripMargin,
     // LM built over bigram-head counts (c(w1,·)) and distinct-token
     // vocabulary; per-bigram logprob fixed-pointed to micros, summed

@@ -115,6 +115,49 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((10L, 1L, lp(2.5 / 3)), (11L, 1L, lp(0.5))))
   }
 
+  test("lmStupidBackoff descends the three levels exactly (Brants 2007 ratios)") {
+    import graft.functions.TextAnalysisFunctions.lmStupidBackoffAgainst
+    // reference: "a b c", "b c d" → tri (a,b,c)=1,(b,c,d)=1;
+    // bi (a,b)=1,(b,c)=2,(c,d)=1; uni a=1,b=2,c=2,d=1; N=6, V=4
+    val ref = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"), // seen trigram: t/b = 1/1 → lp 0
+      (11L, "a b d"), // tri+bi(b,d) unseen → floor 0.16·(1+0.5)/8
+      (12L, "x b c"), // tri unseen, bi (b,c) seen → 0.4·2/2
+      (13L, "x y z")  // fully OOV → floor 0.16·(0+0.5)/8
+    ).toDF("doc_id", "text")
+    val out = lmStupidBackoffAgainst(ref, docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    // replicate the operator's float-op order exactly
+    def lp(x: Double): Double = math.rint(math.log(x) * 1e6) / 1e6
+    val floor11 = 0.16 * (1.0 + 0.5) / (6.0 + 0.5 * 4.0)
+    val back12 = 0.4 * 2.0 / 2.0
+    val floor13 = 0.16 * (0.0 + 0.5) / (6.0 + 0.5 * 4.0)
+    assert(out == Seq((10L, 1L, 0.0), (11L, 1L, lp(floor11)),
+      (12L, 1L, lp(back12)), (13L, 1L, lp(floor13))))
+    // backoff monotonicity on this fixture: exact > one-step > floors
+    assert(0.0 > lp(back12) && lp(back12) > lp(floor11) &&
+      lp(floor11) > lp(floor13))
+  }
+
+  test("lmStupidBackoff self-trained: every trigram seen, ratios are raw counts") {
+    import graft.functions.TextAnalysisFunctions.lmStupidBackoff
+    // corpus "a b c a b c": trigrams (a,b,c)=2,(b,c,a)=1,(c,a,b)=1;
+    // bigrams (a,b)=2,(b,c)=2,(c,a)=1 — every position level-3
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = lmStupidBackoff(docs, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect().toSeq
+    def m(x: Double): Long = math.round(math.log(x) * 1e6)
+    // positions: abc, bca, cab, abc → micros ln(2/2), ln(1/2), ln(1/1), ln(2/2)
+    val micros = Seq(m(2.0 / 2.0), m(1.0 / 2.0), m(1.0 / 1.0), m(2.0 / 2.0))
+    val s = micros.sum; val n = micros.size
+    val q = (if (s < 0) -1L else 1L) * ((2 * math.abs(s) + n) / (2L * n))
+    assert(out == Seq((1L, 4L, q.toDouble / 1e6)))
+  }
+
   test("lmPerplexity ranks a gibberish doc below the modal phrasing") {
     import graft.functions.TextAnalysisFunctions.lmPerplexity
     // 20 copies of the same sentence + one scrambled outlier: the
