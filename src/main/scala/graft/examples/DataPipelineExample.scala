@@ -37,6 +37,33 @@ object DataPipelineExample {
 
     val docs = graft.Tables.documents(spark, sfDir)
 
+    // 0. the crawl-ingest edge (r18): WARC container → HTTP body →
+    // stripHtml — the step that feeds everything below when the input
+    // is a crawl rather than a curated table. Demonstrated on a
+    // synthesized two-record .warc.gz (the testdata has no crawl).
+    val warcPath = {
+      val f = java.nio.file.Files.createTempFile("graft_example", ".warc.gz")
+      val out = new java.io.FileOutputStream(f.toFile)
+      for (i <- 1 to 2) {
+        val body = s"<html><body><p>example doc $i</p></body></html>"
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+        val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Record-ID: <urn:uuid:$i>\r\n" +
+          s"WARC-Target-URI: http://example.com/$i\r\n" +
+          s"Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rec.getBytes("ISO-8859-1")); g.finish()
+      }
+      out.close(); f.toString
+    }
+    val crawled = graft.sources.WarcSource.read(spark, warcPath)
+      .filter(col("http_status") === 200)
+      .select(col("url"),
+        graft.functions.WebFunctions.stripHtml(
+          decode(col("http_body"), "UTF-8")).as("text"))
+    println(s"crawl ingest: ${crawled.count()} HTTP 200 pages -> text")
+
     // 1. per-document quality + language (pure column expressions) +
     //    Gopher-style repetition gate (drop boilerplate/spam docs)
     val rep = TextAnalysisFunctions.repetitionStats(docs, "doc_id", "text")

@@ -525,7 +525,13 @@ object AnnIndex {
     * sweeps the parked batch files — execute (collect/count/write) any
     * such probe before issuing another [[deleteIds]]/[[addBatchTagged]]/
     * [[compactCells]]/[[vacuumDeletes]]. Same contract as
-    * [[BandIndex.vacuumDeletes]]. */
+    * [[BandIndex.vacuumDeletes]].
+    *
+    * Rewrite shape: ≤ 96 touched cells run as pooled per-cell jobs
+    * (`parallelism` submitters); past that the shared plumbing
+    * switches to ONE partitioned rewrite job over the affected cells
+    * ([[PartitionedStore.rewriteExcludingAll]] — 5.2× at full touch,
+    * SCALE.md r18). */
   def vacuumDeletes(spark: SparkSession, dir: String,
                     parallelism: Int = 16): Seq[Long] = {
     recoverMaintenance(spark, dir, sweepRetired = true)

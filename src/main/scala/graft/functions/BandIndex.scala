@@ -331,7 +331,14 @@ object BandIndex {
     * which sweeps the parked batch files — execute (collect/count/
     * write) any such probe before issuing another [[deleteIds]]/
     * [[add]]/[[compact]]/[[vacuumDeletes]]. Same contract as
-    * [[AnnIndex.vacuumDeletes]]. */
+    * [[AnnIndex.vacuumDeletes]].
+    *
+    * Rewrite shape: ≤ 96 touched buckets run as pooled per-bucket
+    * jobs (`parallelism` submitters); past that the shared plumbing
+    * switches to ONE partitioned rewrite job over the affected
+    * buckets ([[PartitionedStore.rewriteExcludingAll]] — a fractional
+    * delete re-bands across ~every bucket, where per-bucket dispatch
+    * cost 122.5 s vs 23.6 s bulk at 3 993 touched, SCALE.md r18). */
   def vacuumDeletes(spark: SparkSession, dir: String,
                     parallelism: Int = 16): Seq[(String, String)] = {
     recoverBoth(spark, dir)

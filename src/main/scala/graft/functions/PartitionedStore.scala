@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Shared crash-safe maintenance machinery for on-disk stores laid out
   * as a parquet tree partitioned by ONE column ([[AnnIndex]]'s
@@ -317,13 +317,102 @@ private[graft] object PartitionedStore {
     * Spark job and sequential submission is pure job-launch latency
     * once tens of partitions are affected; the per-partition swap is
     * unchanged, so a crash mid-pool leaves each partition individually
-    * live-or-backup for [[recover]]). */
+    * live-or-backup for [[recover]]).
+    *
+    * Past `bulkThreshold` affected partitions the per-partition shape
+    * inverts: each rewrite is a ~30–50 ms Spark job even when the
+    * partition holds a few KB, so a vacuum touching MOST of the store
+    * (a fractional delete re-banded across every bucket — the ×100
+    * fraction arm measured 3 993 touched = 122 s of pure job dispatch,
+    * SCALE.md r18) pays thousands of launches for one store's worth of
+    * bytes. [[rewriteExcludingBulk]] reads all affected partitions in
+    * ONE pruned scan, anti-joins the tombstones once, writes one
+    * partitioned staging tree, then swaps each partition behind the
+    * SAME live→backup→live rename discipline — crash-at-any-point
+    * behavior is identical (each partition individually live-or-backup;
+    * the `.compact-bulkvac` staging dir is swept by [[recover]]). */
   def rewriteExcludingAll(spark: SparkSession, root: Path, partCol: String,
                           values: Seq[String], tombIds: DataFrame,
-                          idCol: String, parallelism: Int = 8): Seq[String] =
-    values.zip(pooled(values, parallelism)(v =>
-        rewriteExcluding(spark, root, partCol, v, tombIds, idCol)))
-      .collect { case (v, true) => v }
+                          idCol: String, parallelism: Int = 8,
+                          bulkThreshold: Int = 96): Seq[String] =
+    if (values.size >= bulkThreshold)
+      rewriteExcludingBulk(spark, root, partCol, values, tombIds, idCol)
+    else
+      values.zip(pooled(values, parallelism)(v =>
+          rewriteExcluding(spark, root, partCol, v, tombIds, idCol)))
+        .collect { case (v, true) => v }
+
+  /** The one-job twin of the pooled per-partition rewrite, for vacuums
+    * that touch a large share of the store (see [[rewriteExcludingAll]]).
+    * Returns the partition values actually rewritten (those with a
+    * live dir). Differences from the per-partition path, both
+    * documented contract: (a) output file count per partition is sized
+    * from the AVERAGE affected-partition bytes (~128 MB per file via a
+    * salt column in the shuffle key) rather than per-partition exact —
+    * the bulk regime is by construction many-partitions, where the
+    * average is the right dial; (b) a partition whose every row is
+    * tombstoned is REMOVED from the tree rather than kept as an empty
+    * parquet dir — readers already treat absent values as empty
+    * ([[prunedRead]] skips them). */
+  def rewriteExcludingBulk(spark: SparkSession, root: Path, partCol: String,
+                           values: Seq[String], tombIds: DataFrame,
+                           idCol: String): Seq[String] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = partitions(fs, root, partCol)
+      .map(_.getName.stripPrefix(partCol + "=")).toSet
+    val affected = values.distinct.filter(live)
+    if (affected.isEmpty) return Seq.empty
+    val staging = new Path(root, ".compact-bulkvac")
+    fs.delete(staging, true) // crash remnant of a prior attempt
+    // one partition-pruned scan of every affected dir; per-output-file
+    // sizing from the average affected bytes (the r17 ~128 MB/file
+    // discipline, applied at the bulk grain)
+    val affectedBytes = affected.map { v =>
+      fs.listStatus(new Path(root, s"$partCol=$v"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+    val splits = math.max(1L,
+      (affectedBytes / affected.size + (128L << 20) - 1) / (128L << 20)).toInt
+    // partition-column TYPE INFERENCE must be off for this read: the
+    // staged partitionBy re-RENDERS the inferred values as dir names,
+    // and inference does not round-trip every name (a hex bucket "1e5"
+    // infers as double 100000.0 → staged dir `bucket=100000.0` ≠ live
+    // `bucket=1e5` → the swap would drop the partition as fully
+    // deleted). With inference off the column is the dir-name STRING
+    // and partitionBy writes it back byte-identically. Session conf,
+    // saved/restored — safe under the store's single-writer contract
+    // (no concurrent query planning in this session during a vacuum).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try
+      prunedRead(spark, root.toString, partCol, affected)
+        .join(tombIds, col(idCol) === col("__tomb_id"), "left_anti")
+        .withColumn("__vsplit", pmod(xxhash64(col(idCol)), lit(splits)))
+        .repartition(col(partCol), col("__vsplit"))
+        .drop("__vsplit")
+        .write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
+    finally spark.conf.set(inferKey, inferWas)
+    fs.delete(new Path(staging, "_SUCCESS"), false)
+    // swap each affected partition behind the compact discipline; a
+    // crash mid-loop leaves every partition individually live-or-backup
+    // and recover() heals (it also drops this `.compact-*` staging)
+    affected.foreach { v =>
+      val liveDir = new Path(root, s"$partCol=$v")
+      val backup = new Path(root, s".old-$v")
+      val stagedDir = new Path(staging, s"$partCol=$v")
+      require(fs.rename(liveDir, backup),
+        s"bulk vacuum: rename $liveDir -> $backup failed")
+      if (fs.exists(stagedDir))
+        require(fs.rename(stagedDir, liveDir),
+          s"bulk vacuum: rename $stagedDir -> $liveDir failed")
+      // else: every row tombstoned — the partition is removed
+      fs.delete(backup, true)
+    }
+    fs.delete(staging, true)
+    affected
+  }
 
   /** Delete every `<tag>-*` file from the live partition dirs — the
     * leftovers of a crashed prior attempt at the same tagged batch. */

@@ -330,6 +330,42 @@ object TextAnalysisFunctions {
         round(exp(-col("__mean")), 6).as("perplexity"))
   }
 
+  /** Rule-based sentence segmentation (the Moses splitter convention,
+    * Koehn & Schroeder's nonbreaking-prefix design): boundaries are
+    * terminal punctuation runs `[.!?]+` (with trailing close-quotes/
+    * brackets) followed by whitespace and an upper-case/digit sentence
+    * start (leading open-quotes allowed), with a fixed nonbreaking
+    * prefix list (Mr/Dr/etc) protected. One row per (doc, sentence):
+    * `(idCol, sent_idx, sentence)`, 1-based, empty segments dropped.
+    *
+    * The primitive sentence-level dedup and bitext prep stand on; the
+    * reference's text surface has no sentence ops (parity-plus, same
+    * family as x49/x51). Known rule-splitter limitations are the
+    * contract, not bugs: mid-name acronyms ("U.S. Army") split, and a
+    * lower-case continuation after "." does not — exactly Moses'
+    * behavior without its language-specific prefix files.
+    *
+    * Engine-exactness: both regexes are RE2-safe (no lookaround — the
+    * boundary CONSUMES its sentence-start characters and re-emits them
+    * across a \\u0001 marker; protected prefixes park their dot as
+    * \\u0002, restored per sentence — the x48/x49 discipline), so the DuckDB
+    * oracle replays the kernel term for term. Scale shape: two
+    * regexp_replace + one split + posexplode — per-row projection,
+    * zero exchange; output rows ∝ corpus sentences. */
+  def sentenceSplit(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val prot = regexp_replace(col(textCol),
+      "\\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc)\\.", "$1\u0002")
+    val marked = regexp_replace(prot,
+      "([.!?]+[\"')\\]]*) +([\"'(\\[]*[A-Z0-9])", "$1\u0001$2")
+    docs.select(col(idCol), posexplode(split(marked, "\u0001")))
+      .toDF(idCol, "__i", "__s")
+      .withColumn("sentence",
+        trim(translate(col("__s"), "\u0002", ".")))
+      .filter(length(col("sentence")) > 0)
+      .select(col(idCol), (col("__i") + 1).as("sent_idx"), col("sentence"))
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants, Popat, Xu, Och &
     * Dean 2007, "Large Language Models in Machine Translation" — the
     * smoothing invented FOR distributed web-scale training: pure raw-

@@ -300,6 +300,22 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // Moses-style sentence segmentation over punctuated text
+    // synthesized deterministically from each doc (the x45/x48
+    // fixture-synthesis precedent — the raw corpus has no sentence
+    // punctuation): protected prefix (Dr.), plain boundary, quoted
+    // sentence, decimal non-boundary, and a multi-space gap all fire.
+    "x55_sentences" -> ((s, d) => {
+      val syn = documents(s, d).selectExpr("doc_id",
+        "concat('Dr. ', upper(substring(text,1,1)), substring(text,2,29), " +
+          "'. ', upper(substring(text,32,1)), substring(text,33,29), " +
+          "'! \"', upper(substring(text,63,1)), substring(text,64,19), " +
+          "'?\" Costs 3.5 now.  ', upper(substring(text,84,1)), " +
+          "substring(text,85,14), '.') AS text")
+      sentenceSplit(syn, "doc_id", "text")
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // Cross-corpus perplexity (the real CCNet deployment): LM trained
     // on the even-id half (the "trusted reference"), the odd-id half
     // scored against it — unseen bigrams fall back to the smoothed
@@ -794,6 +810,32 @@ object TextAnalysisQueries {
         |    * ((2 * abs(s) + n_bigrams) // (2 * n_bigrams)) AS DOUBLE) / 1000000.0 AS avg_logprob,
         |  round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // The sentence kernel replayed term for term: same synthesis
+    // expression, same two RE2-safe regexes (protected-prefix dot
+    // parked as chr(2), boundary marker chr(1)), same 1-based
+    // pre-filter index, same trim + restore + nonempty filter.
+    "x55_sentences" ->
+      ("""WITH syn AS (SELECT doc_id,
+        |   concat('Dr. ', upper(substring(text,1,1)), substring(text,2,29),
+        |     '. ', upper(substring(text,32,1)), substring(text,33,29),
+        |     '! "', upper(substring(text,63,1)), substring(text,64,19),
+        |     '?" Costs 3.5 now.  ', upper(substring(text,84,1)),
+        |     substring(text,85,14), '.') AS text
+        |   FROM documents),
+        | prot AS (SELECT doc_id,
+        |   regexp_replace(text, '\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc)\.',
+        |     '\1' || chr(2), 'g') AS t FROM syn),
+        | mk AS (SELECT doc_id,
+        |   regexp_replace(t, '([.!?]+["'')\]]*) +(["''(\[]*[A-Z0-9])',
+        |     '\1' || chr(1) || '\2', 'g') AS t FROM prot),
+        | parts AS (SELECT doc_id, string_split(t, chr(1)) AS l FROM mk),
+        | sent AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(l))) AS sent_idx,
+        |    unnest(list_transform(l, x -> trim(replace(x, chr(2), '.')))) AS sentence
+        |   FROM parts)
+        |SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence
+        |FROM sent WHERE length(sentence) > 0
+        |ORDER BY doc_id, sent_idx""").stripMargin,
     // Stupid backoff replayed level by level: raw trigram/bigram/
     // unigram count tables from the even half, the odd half's trigram
     // stream left-joined to all five key shapes, the CASE descending

@@ -115,6 +115,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((10L, 1L, lp(2.5 / 3)), (11L, 1L, lp(0.5))))
   }
 
+  test("sentenceSplit: boundaries, protected prefixes, quotes, decimals") {
+    import graft.functions.TextAnalysisFunctions.sentenceSplit
+    val docs = Seq(
+      (1L, "Dr. Smith went home. He slept! \"Really?\" Yes. Version 3.5 works."),
+      (2L, "no punctuation here"),
+      (3L, "Trailing spaces.   Next one.")
+    ).toDF("doc_id", "text")
+    val out = sentenceSplit(docs, "doc_id", "text")
+      .orderBy("doc_id", "sent_idx")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1, "Dr. Smith went home."), // protected prefix does NOT split
+      (1L, 2, "He slept!"),
+      (1L, 3, "\"Really?\""), // boundary consumes the opening quote
+      (1L, 4, "Yes."),
+      (1L, 5, "Version 3.5 works."), // decimal point is no boundary
+      (2L, 1, "no punctuation here"),
+      (3L, 1, "Trailing spaces."),
+      (3L, 2, "Next one.")))
+  }
+
   test("lmStupidBackoff descends the three levels exactly (Brants 2007 ratios)") {
     import graft.functions.TextAnalysisFunctions.lmStupidBackoffAgainst
     // reference: "a b c", "b c d" → tri (a,b,c)=1,(b,c,d)=1;

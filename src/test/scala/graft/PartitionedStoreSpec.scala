@@ -104,6 +104,132 @@ class PartitionedStoreSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  private def tombs(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("__tomb_id").select(col("__tomb_id").cast("long"))
+  }
+
+  test("rewriteExcludingBulk equals the pooled per-partition rewrite") {
+    import spark.implicits._
+    def mk(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bulkvac").toString
+      (0L until 200L).map(i => (i, i % 8, s"v$i")).toDF("id", "cell", "payload")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    val perDir = mk(); val bulkDir = mk()
+    // delete ids hitting cells 0..3, plus ALL of cell 7 (7, 15, ...)
+    val del = (0L until 200L).filter(i => i % 8 <= 3 && i < 60) ++
+      (0L until 200L).filter(_ % 8 == 7)
+    val values = (0 until 8).map(_.toString)
+    val retPer = PartitionedStore.rewriteExcludingAll(spark,
+      new org.apache.hadoop.fs.Path(perDir), "cell", values,
+      tombs(del: _*), "id", parallelism = 4, bulkThreshold = Int.MaxValue)
+    val retBulk = PartitionedStore.rewriteExcludingBulk(spark,
+      new org.apache.hadoop.fs.Path(bulkDir), "cell", values,
+      tombs(del: _*), "id")
+    assert(retPer.toSet == retBulk.toSet && retBulk.toSet == values.toSet)
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("id"), col("payload"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(perDir) == rows(bulkDir))
+    assert(!rows(bulkDir).exists(r => del.contains(r._1)))
+    // documented contract delta: a fully-tombstoned partition is
+    // REMOVED by the bulk path (readers treat absent values as empty)
+    val fs = new org.apache.hadoop.fs.Path(bulkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(bulkDir, "cell=7")))
+    // and no staging/backup remnants survive a clean bulk run
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(bulkDir))
+      .forall(st => !st.getPath.getName.startsWith(".compact-") &&
+        !st.getPath.getName.startsWith(".old-")))
+    Seq(perDir, bulkDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("rewriteExcludingBulk round-trips inference-hostile partition names") {
+    import spark.implicits._
+    // "1e5" infers as double, "007" as int (dropping zeros), "3f"
+    // stays string — with type inference ON the staged partitionBy
+    // would re-render the first two and the swap would DROP them as
+    // fully-deleted; the bulk path pins inference off for its read
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulknames").toString
+    val cells = Seq("1e5", "007", "3f", "12")
+    (0L until 80L).map(i => (i, cells((i % 4).toInt), s"v$i"))
+      .toDF("id", "cell", "payload")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val ret = PartitionedStore.rewriteExcludingBulk(spark,
+      new org.apache.hadoop.fs.Path(dir), "cell", cells,
+      tombs(0L, 1L, 2L, 3L), "id")
+    assert(ret.toSet == cells.toSet)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cells.foreach(v => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(dir, s"cell=$v")),
+      s"partition dir cell=$v must survive the bulk rewrite byte-identically"))
+    val out = spark.read.parquet(dir)
+      .select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == (4L until 80L).map(i => (i, cells((i % 4).toInt))).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("rewriteExcludingAll switches to the bulk path at bulkThreshold") {
+    import spark.implicits._
+    def mk(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bulksw").toString
+      (0L until 40L).map(i => (i, i % 4, s"v$i")).toDF("id", "cell", "payload")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    // the observable seam: bulk REMOVES a fully-tombstoned partition,
+    // the per-partition path keeps it as an empty parquet dir
+    val del = (0L until 40L).filter(_ % 4 == 3)
+    def run(threshold: Int): (Boolean, Set[Long]) = {
+      val dir = mk()
+      PartitionedStore.rewriteExcludingAll(spark,
+        new org.apache.hadoop.fs.Path(dir), "cell", (0 until 4).map(_.toString),
+        tombs(del: _*), "id", parallelism = 2, bulkThreshold = threshold)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val kept = fs.exists(new org.apache.hadoop.fs.Path(dir, "cell=3"))
+      val ids = spark.read.parquet(dir).select("id").collect()
+        .map(_.getLong(0)).toSet
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      (kept, ids)
+    }
+    val (keptPer, idsPer) = run(Int.MaxValue)
+    val (keptBulk, idsBulk) = run(1)
+    assert(keptPer && !keptBulk)
+    assert(idsPer == idsBulk && idsBulk == (0L until 40L).filter(_ % 4 != 3).toSet)
+  }
+
+  test("recover heals a crash between bulk-swap renames and drops the bulk staging") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulkcrash").toString
+    (0L until 40L).map(i => (i, i % 4, s"v$i")).toDF("id", "cell", "payload")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a bulk vacuum that died right after parking cell=1:
+    // live dir renamed to .old-1, staging tree still on disk
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir, "cell=1"),
+      new org.apache.hadoop.fs.Path(dir, ".old-1")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".compact-bulkvac/cell=1"))
+    PartitionedStore.recover(fs, root, "cell")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "cell=1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".old-1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".compact-bulkvac")))
+    // every row reachable again — the tombstones were never retired,
+    // so a retried vacuum re-applies them idempotently
+    assert(spark.read.parquet(dir).count() == 40L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("footerCounts equals a data scan's per-partition counts") {
     val dir = store()
     val root = new org.apache.hadoop.fs.Path(dir)
