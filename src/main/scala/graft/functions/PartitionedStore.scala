@@ -345,15 +345,18 @@ private[graft] object PartitionedStore {
   /** The one-job twin of the pooled per-partition rewrite, for vacuums
     * that touch a large share of the store (see [[rewriteExcludingAll]]).
     * Returns the partition values actually rewritten (those with a
-    * live dir). Differences from the per-partition path, both
-    * documented contract: (a) output file count per partition is sized
-    * from the AVERAGE affected-partition bytes (~128 MB per file via a
-    * salt column in the shuffle key) rather than per-partition exact —
-    * the bulk regime is by construction many-partitions, where the
-    * average is the right dial; (b) a partition whose every row is
-    * tombstoned is REMOVED from the tree rather than kept as an empty
-    * parquet dir — readers already treat absent values as empty
-    * ([[prunedRead]] skips them). */
+    * live dir). One documented difference from the per-partition path:
+    * output file count per partition is sized from the AVERAGE
+    * affected-partition bytes (~128 MB per file via a salt column in
+    * the shuffle key) rather than per-partition exact — the bulk
+    * regime is by construction many-partitions, where the average is
+    * the right dial. Result-level parity is exact: a partition whose
+    * every row is tombstoned (absent from the staged partitionBy
+    * output) falls back to the per-partition rewrite, which keeps it
+    * as an empty schema-bearing parquet dir — exactly the pooled
+    * path's shape, so an all-deleted store stays READABLE (a
+    * parquet-less tree would fail schema inference on the next
+    * full-tree read). */
   def rewriteExcludingBulk(spark: SparkSession, root: Path, partCol: String,
                            values: Seq[String], tombIds: DataFrame,
                            idCol: String): Seq[String] = {
@@ -366,8 +369,11 @@ private[graft] object PartitionedStore {
     fs.delete(staging, true) // crash remnant of a prior attempt
     // one partition-pruned scan of every affected dir; per-output-file
     // sizing from the average affected bytes (the r17 ~128 MB/file
-    // discipline, applied at the bulk grain)
-    val affectedBytes = affected.map { v =>
+    // discipline, applied at the bulk grain). Listings run from the
+    // submitter pool — thousands of SERIAL listStatus RPCs on exactly
+    // the path whose point is removing per-partition overhead would
+    // hand the win back to the metadata plane on an object store.
+    val affectedBytes = pooled(affected, 16) { v =>
       fs.listStatus(new Path(root, s"$partCol=$v"))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getLen).sum
@@ -398,19 +404,25 @@ private[graft] object PartitionedStore {
     // swap each affected partition behind the compact discipline; a
     // crash mid-loop leaves every partition individually live-or-backup
     // and recover() heals (it also drops this `.compact-*` staging)
-    affected.foreach { v =>
+    val (have, emptied) = affected.partition(v =>
+      fs.exists(new Path(staging, s"$partCol=$v")))
+    have.foreach { v =>
       val liveDir = new Path(root, s"$partCol=$v")
       val backup = new Path(root, s".old-$v")
-      val stagedDir = new Path(staging, s"$partCol=$v")
       require(fs.rename(liveDir, backup),
         s"bulk vacuum: rename $liveDir -> $backup failed")
-      if (fs.exists(stagedDir))
-        require(fs.rename(stagedDir, liveDir),
-          s"bulk vacuum: rename $stagedDir -> $liveDir failed")
-      // else: every row tombstoned — the partition is removed
+      require(fs.rename(new Path(staging, s"$partCol=$v"), liveDir),
+        s"bulk vacuum: rename -> $liveDir failed")
       fs.delete(backup, true)
     }
     fs.delete(staging, true)
+    // fully-tombstoned partitions (no staged output) go through the
+    // per-partition rewrite, which writes the empty schema-bearing
+    // file the pooled path would — exact result parity, and the count
+    // is bounded by how many partitions were deleted WHOLE (≈0 in any
+    // real vacuum)
+    pooled(emptied, 8)(v =>
+      rewriteExcluding(spark, root, partCol, v, tombIds, idCol))
     affected
   }
 

@@ -349,15 +349,21 @@ object TextAnalysisFunctions {
     * boundary CONSUMES its sentence-start characters and re-emits them
     * across a \\u0001 marker; protected prefixes park their dot as
     * \\u0002, restored per sentence — the x48/x49 discipline), so the DuckDB
-    * oracle replays the kernel term for term. Scale shape: two
-    * regexp_replace + one split + posexplode — per-row projection,
-    * zero exchange; output rows ∝ corpus sentences. */
+    * oracle replays the kernel term for term. Input \\u0001/\\u0002
+    * bytes are STRIPPED first (crawl text can carry stray control
+    * bytes; an in-band marker collision would otherwise split
+    * mid-sentence or mint a '.' from nowhere). The boundary gap is a
+    * whitespace RUN `[ \\t\\n\\r]+` (an explicit class — Java's \\s and
+    * RE2's \\s disagree on \\x0B), so newline-separated sentences
+    * split too. Scale shape: three per-row string ops + split +
+    * posexplode — zero exchange; output rows ∝ corpus sentences. */
   def sentenceSplit(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val prot = regexp_replace(col(textCol),
+    val clean = translate(col(textCol), "\u0001\u0002", "")
+    val prot = regexp_replace(clean,
       "\\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc)\\.", "$1\u0002")
     val marked = regexp_replace(prot,
-      "([.!?]+[\"')\\]]*) +([\"'(\\[]*[A-Z0-9])", "$1\u0001$2")
+      "([.!?]+[\"')\\]]*)[ \\t\\n\\r]+([\"'(\\[]*[A-Z0-9])", "$1\u0001$2")
     docs.select(col(idCol), posexplode(split(marked, "\u0001")))
       .toDF(idCol, "__i", "__s")
       .withColumn("sentence",

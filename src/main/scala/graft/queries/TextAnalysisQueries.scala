@@ -822,11 +822,13 @@ object TextAnalysisQueries {
         |     '?" Costs 3.5 now.  ', upper(substring(text,84,1)),
         |     substring(text,85,14), '.') AS text
         |   FROM documents),
+        | cln AS (SELECT doc_id,
+        |   replace(replace(text, chr(1), ''), chr(2), '') AS text FROM syn),
         | prot AS (SELECT doc_id,
         |   regexp_replace(text, '\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc)\.',
-        |     '\1' || chr(2), 'g') AS t FROM syn),
+        |     '\1' || chr(2), 'g') AS t FROM cln),
         | mk AS (SELECT doc_id,
-        |   regexp_replace(t, '([.!?]+["'')\]]*) +(["''(\[]*[A-Z0-9])',
+        |   regexp_replace(t, '([.!?]+["'')\]]*)[ \t\n\r]+(["''(\[]*[A-Z0-9])',
         |     '\1' || chr(1) || '\2', 'g') AS t FROM prot),
         | parts AS (SELECT doc_id, string_split(t, chr(1)) AS l FROM mk),
         | sent AS (SELECT doc_id,

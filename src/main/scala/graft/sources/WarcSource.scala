@@ -60,7 +60,12 @@ object WarcSource {
   def read(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
-        val raw = pds.open()
+        // the RAW stream must be buffered BEFORE GZIPInputStream:
+        // multi-member continuation is detected via available() > 0,
+        // and several Hadoop input streams report available() == 0 at
+        // a member boundary — an unbuffered wrap would silently stop
+        // at the first member and shear every remaining record
+        val raw = new BufferedInputStream(pds.open(), 1 << 16)
         val in = new BufferedInputStream(
           if (file.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw)
           else raw, 1 << 16)
@@ -132,7 +137,10 @@ object WarcSource {
       }
       if (h == null) fail("stream ended inside a record header block")
       val len = headers.getOrElse("content-length",
-        fail("record without Content-Length")).toLong
+        fail("record without Content-Length"))
+        .toLongOption.filter(_ >= 0)
+        .getOrElse(fail(s"bad Content-Length " +
+          s"'${headers("content-length").take(40)}'"))
       val payload = readExactly(len)
       val contentType = headers.get("content-type").orNull
       val isHttp = contentType != null &&
@@ -168,8 +176,12 @@ object WarcSource {
       if (split < 0) return (null, null, null)
       val head = new String(payload, 0, split, "ISO-8859-1")
       val lines = head.split("\r\n")
+      // best-effort, never-throw: a sloppy status line ('HTTP/1.1  200'
+      // double space → empty token; absurd digit runs) must yield null,
+      // not fail the read
       val status: Integer = lines.head.split(" ") match {
-        case parts if parts.length >= 2 && parts(1).forall(_.isDigit) =>
+        case parts if parts.length >= 2 && parts(1).nonEmpty &&
+          parts(1).length <= 5 && parts(1).forall(_.isDigit) =>
           Integer.valueOf(parts(1).toInt)
         case _ => null
       }

@@ -120,7 +120,9 @@ class CurationSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "Dr. Smith went home. He slept! \"Really?\" Yes. Version 3.5 works."),
       (2L, "no punctuation here"),
-      (3L, "Trailing spaces.   Next one.")
+      (3L, "Trailing spaces.   Next one."),
+      (4L, "Line one.\nLine two.\t Line three."), // whitespace-run gaps
+      (5L, "Stray\u0001marker. And\u0002parked dot.") // in-band bytes stripped
     ).toDF("doc_id", "text")
     val out = sentenceSplit(docs, "doc_id", "text")
       .orderBy("doc_id", "sent_idx")
@@ -133,7 +135,12 @@ class CurationSpec extends AnyFunSuite {
       (1L, 5, "Version 3.5 works."), // decimal point is no boundary
       (2L, 1, "no punctuation here"),
       (3L, 1, "Trailing spaces."),
-      (3L, 2, "Next one.")))
+      (3L, 2, "Next one."),
+      (4L, 1, "Line one."), // newline and tab+space gaps both split
+      (4L, 2, "Line two."),
+      (4L, 3, "Line three."),
+      (5L, 1, "Straymarker."), // input marker bytes never corrupt
+      (5L, 2, "Andparked dot.")))
   }
 
   test("lmStupidBackoff descends the three levels exactly (Brants 2007 ratios)") {

@@ -135,11 +135,13 @@ class PartitionedStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(rows(perDir) == rows(bulkDir))
     assert(!rows(bulkDir).exists(r => del.contains(r._1)))
-    // documented contract delta: a fully-tombstoned partition is
-    // REMOVED by the bulk path (readers treat absent values as empty)
+    // exact parity with the pooled path: the fully-tombstoned cell 7
+    // stays as an empty schema-bearing dir (an all-deleted store must
+    // remain READABLE — a parquet-less tree fails schema inference)
     val fs = new org.apache.hadoop.fs.Path(bulkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(bulkDir, "cell=7")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(bulkDir, "cell=7")))
+    assert(spark.read.parquet(s"$bulkDir/cell=7").count() == 0)
     // and no staging/backup remnants survive a clean bulk run
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(bulkDir))
       .forall(st => !st.getPath.getName.startsWith(".compact-") &&
@@ -180,31 +182,50 @@ class PartitionedStoreSpec extends AnyFunSuite {
     import spark.implicits._
     def mk(): String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_bulksw").toString
-      (0L until 40L).map(i => (i, i % 4, s"v$i")).toDF("id", "cell", "payload")
+      (0L until 80L).map(i => (i, i % 8, s"v$i")).toDF("id", "cell", "payload")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       dir
     }
-    // the observable seam: bulk REMOVES a fully-tombstoned partition,
-    // the per-partition path keeps it as an empty parquet dir
-    val del = (0L until 40L).filter(_ % 4 == 3)
-    def run(threshold: Int): (Boolean, Set[Long]) = {
+    // results are identical by design, so the observable seam is the
+    // JOB COUNT: pooled runs one rewrite job per partition, bulk runs
+    // one staged write (plus empties) — count via listener
+    val del = (0L until 80L).filter(i => i % 2 == 1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def run(threshold: Int): (Int, Set[Long]) = {
       val dir = mk()
-      PartitionedStore.rewriteExcludingAll(spark,
-        new org.apache.hadoop.fs.Path(dir), "cell", (0 until 4).map(_.toString),
-        tombs(del: _*), "id", parallelism = 2, bulkThreshold = threshold)
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val kept = fs.exists(new org.apache.hadoop.fs.Path(dir, "cell=3"))
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        PartitionedStore.rewriteExcludingAll(spark,
+          new org.apache.hadoop.fs.Path(dir), "cell",
+          (0 until 8).map(_.toString),
+          tombs(del: _*), "id", parallelism = 2, bulkThreshold = threshold)
+        // the listener bus is async with no public flush (the
+        // indexStats test's caveat) — poll until the count stabilizes
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 50) {
+          last = jobs.get(); spins += 1; Thread.sleep(100)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val n = jobs.get()
       val ids = spark.read.parquet(dir).select("id").collect()
         .map(_.getLong(0)).toSet
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      (kept, ids)
+      (n, ids)
     }
-    val (keptPer, idsPer) = run(Int.MaxValue)
-    val (keptBulk, idsBulk) = run(1)
-    assert(keptPer && !keptBulk)
-    assert(idsPer == idsBulk && idsBulk == (0L until 40L).filter(_ % 4 != 3).toSet)
+    val (jobsPer, idsPer) = run(Int.MaxValue)
+    val (jobsBulk, idsBulk) = run(1)
+    assert(idsPer == idsBulk && idsBulk == (0L until 80L).filter(_ % 2 == 0).toSet)
+    assert(jobsPer >= 8, s"pooled path should run a job per partition, saw $jobsPer")
+    assert(jobsBulk < jobsPer,
+      s"bulk path must collapse per-partition jobs: bulk $jobsBulk vs pooled $jobsPer")
   }
 
   test("recover heals a crash between bulk-swap renames and drops the bulk staging") {

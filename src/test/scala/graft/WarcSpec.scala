@@ -109,6 +109,25 @@ class WarcSpec extends AnyFunSuite {
     assert(gz.map(key).toSeq == raw.map(key).toSeq)
   }
 
+  test("sloppy HTTP status lines yield null status, never a crash") {
+    // double-spaced status line → empty split token; absurd digit run
+    // → would overflow toInt: both must fall to null per the
+    // best-effort contract, not fail the read
+    val out = new ByteArrayOutputStream()
+    Seq("HTTP/1.1  200 OK", "HTTP/1.1 99999999999 X", "HTTP/1.1 404 NF")
+      .zipWithIndex.foreach { case (statusLine, i) =>
+        out.write(record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:uuid:s$i>",
+          "Content-Type" -> "application/http; msgtype=response"),
+          s"$statusLine\r\nContent-Type: text/plain\r\n\r\nbody"
+            .getBytes(ISO_8859_1)))
+      }
+    val rows = readRows(write(out.toByteArray, ".warc"))
+    assert(rows.map(_.getAs[Integer]("http_status")).toSeq ==
+      Seq(null, null, Integer.valueOf(404)))
+  }
+
   test("malformed WARC fails loudly, never shears") {
     // truncated payload: declared length runs past EOF
     val bad1 = {
