@@ -40,9 +40,12 @@ import org.apache.spark.sql.types._
   * than silently shearing — boundary confusion is the classic WARC
   * bug (payloads legally CONTAIN `WARC/1.0` bytes; only
   * Content-Length walks are correct, never delimiter scans).
-  * Transfer-decoding (chunked HTTP bodies) is documented out: the
-  * payload is the captured wire bytes, and dechunking belongs to an
-  * explicit downstream step, not a reader default. */
+  *
+  * The `http_body` column is TRANSFER-DECODED best-effort: chunked
+  * framing removed and gzip content-encoding inflated when the
+  * captured headers declare them, with fallback to the undecoded
+  * bytes on any malformation — the raw `payload` column always keeps
+  * the captured wire bytes as the record of truth. */
 object WarcSource {
 
   val schema: StructType = StructType(Seq(
@@ -156,11 +159,16 @@ object WarcSource {
     }
 
     /** Split a captured HTTP message into (status, content-type,
-      * body): ISO-8859-1 header section up to the first CRLFCRLF, the
-      * remaining bytes verbatim. A payload that does not start with
-      * `HTTP/` (a request record, or junk) yields (null, null, null)
-      * — http_* columns are best-effort views, the raw payload is the
-      * record of truth. */
+      * body): ISO-8859-1 header section up to the first CRLFCRLF, then
+      * the body TRANSFER-DECODED best-effort — `Transfer-Encoding:
+      * chunked` framing removed, `Content-Encoding: gzip` inflated
+      * (both common in captured wire responses; a crawl consumer
+      * wants the entity bytes, not the framing). Every decode step
+      * falls back to the bytes it was handed on ANY malformation —
+      * http_* columns are best-effort views and may never fail the
+      * read; the raw payload column is the record of truth. A payload
+      * that does not start with `HTTP/` (a request record, or junk)
+      * yields (null, null, null). */
     private def parseHttp(payload: Array[Byte])
     : (Integer, String, Array[Byte]) = {
       if (payload.length < 5 ||
@@ -185,13 +193,54 @@ object WarcSource {
           Integer.valueOf(parts(1).toInt)
         case _ => null
       }
-      val ct = lines.tail.collectFirst {
-        case l if l.toLowerCase.startsWith("content-type:") =>
+      def header(name: String): Option[String] = lines.tail.collectFirst {
+        case l if l.toLowerCase.startsWith(name + ":") =>
           l.substring(l.indexOf(':') + 1).trim
-      }.orNull
-      (status, ct, java.util.Arrays.copyOfRange(
-        payload, split + 4, payload.length))
+      }
+      val ct = header("content-type").orNull
+      var body = java.util.Arrays.copyOfRange(
+        payload, split + 4, payload.length)
+      if (header("transfer-encoding").exists(
+        _.toLowerCase.contains("chunked"))) body = dechunk(body)
+      if (header("content-encoding").map(_.toLowerCase)
+        .exists(e => e == "gzip" || e == "x-gzip")) body = gunzip(body)
+      (status, ct, body)
     }
+
+    /** Remove chunked transfer framing: `<hex-size>[;ext]\r\n <data>
+      * \r\n` repeated until a 0-size chunk (trailers ignored). Any
+      * malformation — bad size line, data running past the end —
+      * returns the INPUT bytes unchanged. */
+    private def dechunk(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      var p = 0
+      while (true) {
+        val eol = {
+          var j = p
+          while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+          if (j + 1 < b.length) j else return b
+        }
+        val sizeStr = new String(b, p, eol - p, "ISO-8859-1")
+          .takeWhile(c => c != ';').trim
+        if (sizeStr.isEmpty || sizeStr.length > 7 ||
+          !sizeStr.forall(c => Character.digit(c, 16) >= 0)) return b
+        val n = Integer.parseInt(sizeStr, 16)
+        if (n == 0) return out.toByteArray // trailers/final CRLF ignored
+        val start = eol + 2
+        if (start + n + 2 > b.length) return b // truncated chunk
+        out.write(b, start, n)
+        if (b(start + n) != '\r' || b(start + n + 1) != '\n') return b
+        p = start + n + 2
+      }
+      b // unreachable
+    }
+
+    /** Inflate a gzip entity body; malformed → input unchanged. */
+    private def gunzip(b: Array[Byte]): Array[Byte] =
+      try {
+        val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b))
+        try in.readAllBytes() finally in.close()
+      } catch { case _: java.io.IOException => b }
 
     override def hasNext: Boolean = {
       if (done) return false

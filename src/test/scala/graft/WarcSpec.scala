@@ -128,6 +128,48 @@ class WarcSpec extends AnyFunSuite {
       Seq(null, null, Integer.valueOf(404)))
   }
 
+  test("http_body transfer-decodes chunked and gzip bodies, raw payload untouched") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bo); g.write(b); g.finish(); bo.toByteArray
+    }
+    def chunked(b: Array[Byte], at: Int): Array[Byte] = {
+      val (a, c) = b.splitAt(at)
+      (f"${a.length}%x\r\n".getBytes(ISO_8859_1) ++ a ++ "\r\n".getBytes(ISO_8859_1) ++
+        f"${c.length}%x;ext=1\r\n".getBytes(ISO_8859_1) ++ c ++ "\r\n".getBytes(ISO_8859_1) ++
+        "0\r\n\r\n".getBytes(ISO_8859_1))
+    }
+    val entity = "<html>decoded entity body</html>".getBytes(ISO_8859_1)
+    def resp(i: Int, extraHeaders: String, body: Array[Byte]): Array[Byte] =
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:d$i>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extraHeaders\r\n"
+          .getBytes(ISO_8859_1) ++ body)
+    val out = new ByteArrayOutputStream()
+    out.write(resp(0, "Transfer-Encoding: chunked\r\n", chunked(entity, 7)))
+    out.write(resp(1, "Content-Encoding: gzip\r\n", gz(entity)))
+    out.write(resp(2, "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunked(gz(entity), 5))) // chunked OVER gzip — decode order matters
+    out.write(resp(3, "Transfer-Encoding: chunked\r\n",
+      "NOTHEX\r\njunk".getBytes(ISO_8859_1))) // malformed → raw fallback
+    out.write(resp(4, "Content-Encoding: gzip\r\n",
+      "not gzip at all".getBytes(ISO_8859_1))) // malformed → raw fallback
+    val rows = readRows(write(out.toByteArray, ".warc"))
+    def body(i: Int) = rows(i).getAs[Array[Byte]]("http_body")
+    assert(java.util.Arrays.equals(body(0), entity))
+    assert(java.util.Arrays.equals(body(1), entity))
+    assert(java.util.Arrays.equals(body(2), entity))
+    assert(java.util.Arrays.equals(body(3),
+      "NOTHEX\r\njunk".getBytes(ISO_8859_1)))
+    assert(java.util.Arrays.equals(body(4),
+      "not gzip at all".getBytes(ISO_8859_1)))
+    // the raw payload keeps the WIRE bytes — framing included
+    val rawChunked = rows(0).getAs[Array[Byte]]("payload")
+    assert(new String(rawChunked, ISO_8859_1).contains("7\r\n"))
+  }
+
   test("malformed WARC fails loudly, never shears") {
     // truncated payload: declared length runs past EOF
     val bad1 = {
