@@ -380,42 +380,11 @@ private[graft] object PartitionedStore {
     }.sum
     val splits = math.max(1L,
       (affectedBytes / affected.size + (128L << 20) - 1) / (128L << 20)).toInt
-    // partition-column TYPE INFERENCE must be off for this read: the
-    // staged partitionBy re-RENDERS the inferred values as dir names,
-    // and inference does not round-trip every name (a hex bucket "1e5"
-    // infers as double 100000.0 → staged dir `bucket=100000.0` ≠ live
-    // `bucket=1e5` → the swap would drop the partition as fully
-    // deleted). With inference off the column is the dir-name STRING
-    // and partitionBy writes it back byte-identically. Session conf,
-    // saved/restored — safe under the store's single-writer contract
-    // (no concurrent query planning in this session during a vacuum).
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferWas = spark.conf.get(inferKey)
-    spark.conf.set(inferKey, "false")
-    try
-      prunedRead(spark, root.toString, partCol, affected)
-        .join(tombIds, col(idCol) === col("__tomb_id"), "left_anti")
+    val emptied = bulkStageAndSwap(spark, root, partCol, affected, staging,
+      df => df.join(tombIds, col(idCol) === col("__tomb_id"), "left_anti")
         .withColumn("__vsplit", pmod(xxhash64(col(idCol)), lit(splits)))
         .repartition(col(partCol), col("__vsplit"))
-        .drop("__vsplit")
-        .write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
-    finally spark.conf.set(inferKey, inferWas)
-    fs.delete(new Path(staging, "_SUCCESS"), false)
-    // swap each affected partition behind the compact discipline; a
-    // crash mid-loop leaves every partition individually live-or-backup
-    // and recover() heals (it also drops this `.compact-*` staging)
-    val (have, emptied) = affected.partition(v =>
-      fs.exists(new Path(staging, s"$partCol=$v")))
-    have.foreach { v =>
-      val liveDir = new Path(root, s"$partCol=$v")
-      val backup = new Path(root, s".old-$v")
-      require(fs.rename(liveDir, backup),
-        s"bulk vacuum: rename $liveDir -> $backup failed")
-      require(fs.rename(new Path(staging, s"$partCol=$v"), liveDir),
-        s"bulk vacuum: rename -> $liveDir failed")
-      fs.delete(backup, true)
-    }
-    fs.delete(staging, true)
+        .drop("__vsplit"))
     // fully-tombstoned partitions (no staged output) go through the
     // per-partition rewrite, which writes the empty schema-bearing
     // file the pooled path would — exact result parity, and the count
@@ -424,6 +393,54 @@ private[graft] object PartitionedStore {
     pooled(emptied, 8)(v =>
       rewriteExcluding(spark, root, partCol, v, tombIds, idCol))
     affected
+  }
+
+  /** Shared core of the bulk maintenance paths ([[rewriteExcludingBulk]]
+    * and [[compact]]'s bulk arm): ONE pruned read of the affected
+    * partitions, the caller's transform, one staged `partitionBy`
+    * write, then the per-partition live→backup→live rename swap.
+    * Returns the affected values with NO staged output (every row
+    * transformed away) — the caller decides what an empty partition
+    * becomes. A crash at any point leaves each partition individually
+    * live-or-backup for [[recover]], which also sweeps the
+    * `.compact-*` staging.
+    *
+    * Partition-column TYPE INFERENCE is off for the read: the staged
+    * partitionBy re-RENDERS the inferred values as dir names, and
+    * inference does not round-trip every name (a hex bucket "1e5"
+    * infers as double 100000.0 → staged dir `bucket=100000.0` ≠ live
+    * `bucket=1e5` → the swap would drop the partition as fully
+    * deleted). With inference off the column is the dir-name STRING
+    * and partitionBy writes it back byte-identically. Session conf,
+    * saved/restored — safe under the store's single-writer contract
+    * (no concurrent query planning in this session during
+    * maintenance). */
+  private def bulkStageAndSwap(spark: SparkSession, root: Path,
+                               partCol: String, affected: Seq[String],
+                               staging: Path,
+                               transform: DataFrame => DataFrame): Seq[String] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try
+      transform(prunedRead(spark, root.toString, partCol, affected))
+        .write.partitionBy(partCol).mode("overwrite").parquet(staging.toString)
+    finally spark.conf.set(inferKey, inferWas)
+    fs.delete(new Path(staging, "_SUCCESS"), false)
+    val (have, emptied) = affected.partition(v =>
+      fs.exists(new Path(staging, s"$partCol=$v")))
+    have.foreach { v =>
+      val liveDir = new Path(root, s"$partCol=$v")
+      val backup = new Path(root, s".old-$v")
+      require(fs.rename(liveDir, backup),
+        s"bulk maintenance: rename $liveDir -> $backup failed")
+      require(fs.rename(new Path(staging, s"$partCol=$v"), liveDir),
+        s"bulk maintenance: rename -> $liveDir failed")
+      fs.delete(backup, true)
+    }
+    fs.delete(staging, true)
+    emptied
   }
 
   /** Delete every `<tag>-*` file from the live partition dirs — the
@@ -464,7 +481,8 @@ private[graft] object PartitionedStore {
     * crash at any point leaves the rows reachable, and returns the
     * compacted partition VALUES. Caller runs [[recover]] first. */
   def compact(spark: SparkSession, root: Path, partCol: String,
-              minFiles: Int, parallelism: Int = 8): Seq[String] = {
+              minFiles: Int, parallelism: Int = 8,
+              bulkThreshold: Int = 96): Seq[String] = {
     require(minFiles >= 2, "need minFiles >= 2")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val flagged = partitions(fs, root, partCol).filter { pd =>
@@ -472,6 +490,22 @@ private[graft] object PartitionedStore {
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >= minFiles
     }
     if (flagged.isEmpty) return Seq.empty
+    // past bulkThreshold flagged partitions, per-partition compaction
+    // jobs hit the same dispatch wall the vacuum's bulk arm removes
+    // (SCALE.md r18 — heavy micro-batch ingest flags HUNDREDS): one
+    // pruned read + one staged partitionBy write + the same swap.
+    // repartition by the partition column alone lands each value in
+    // one task → exactly one output file per partition, compaction's
+    // contract. Compaction drops no rows, so no partition can come
+    // back empty (the emptied return is a no-op by construction).
+    if (flagged.size >= bulkThreshold) {
+      val values = flagged.map(_.getName.stripPrefix(partCol + "="))
+      val staging = new Path(root, ".compact-bulkvac")
+      fs.delete(staging, true)
+      bulkStageAndSwap(spark, root, partCol, values, staging,
+        _.repartition(col(partCol)))
+      return values
+    }
     def compactOne(pd: Path): String = {
       val v = pd.getName.stripPrefix(partCol + "=")
       val backup = new Path(root, s".old-$v")

@@ -228,6 +228,42 @@ class PartitionedStoreSpec extends AnyFunSuite {
       s"bulk path must collapse per-partition jobs: bulk $jobsBulk vs pooled $jobsPer")
   }
 
+  test("compact's bulk arm equals the pooled path: one file per partition, same rows") {
+    import spark.implicits._
+    def mk(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bulkcomp").toString
+      // three separate appends → ≥3 files per partition
+      for (batch <- 0 until 3)
+        (0L until 40L).map(i => (batch * 100L + i, i % 4, s"v$batch-$i"))
+          .toDF("id", "cell", "payload")
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(dir)
+      dir
+    }
+    def run(threshold: Int): (Set[(Long, String)], Seq[Int]) = {
+      val dir = mk()
+      val done = PartitionedStore.compact(spark,
+        new org.apache.hadoop.fs.Path(dir), "cell", minFiles = 2,
+        parallelism = 2, bulkThreshold = threshold)
+      assert(done.toSet == (0 until 4).map(_.toString).toSet)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val filesPerPart = (0 until 4).map { c =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"cell=$c"))
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+      val rows = spark.read.parquet(dir).select("id", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      (rows, filesPerPart)
+    }
+    val (rowsPer, filesPer) = run(Int.MaxValue)
+    val (rowsBulk, filesBulk) = run(1)
+    assert(rowsPer == rowsBulk && rowsBulk.size == 120)
+    // compaction's contract either way: exactly one file per partition
+    assert(filesPer == Seq(1, 1, 1, 1) && filesBulk == Seq(1, 1, 1, 1))
+  }
+
   test("recover heals a crash between bulk-swap renames and drops the bulk staging") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bulkcrash").toString
