@@ -39,56 +39,103 @@ object GraphFunctions {
     * nodes' total rank is shared to EVERY node as `floor(Σ_sink rank
     * / n)` before damping, in the same integer-micro arithmetic —
     * the sink total is a 1-row aggregate crossJoined onto the
-    * node-sized update (Catalyst broadcasts it), plus one node-sized
-    * anti-join to find the sinks; n is read once at entry (a count,
-    * the only driver-side scalar).
+    * node-sized update (Catalyst broadcasts it); sinks are read off
+    * the rank frame's carried `__rdeg` column (null = no out-edges),
+    * so finding them is a filter, not a join; n is read once at entry
+    * (a count, the only driver-side scalar).
     *
-    * Lineage: each iteration adds one join + groupBy, so `iters`
-    * joins stack into one plan — fine to ~10 iterations, but past
-    * that analysis/codegen cost grows superlinearly and executor-loss
-    * recovery replays the whole chain. `checkpointEvery = k > 0`
-    * severs the lineage every k iterations: `localCheckpoint` by
-    * default (single-JVM / local runs — blocks on executors),
-    * `reliable = true` for fault-tolerant `checkpoint` on a real
-    * cluster (requires `setCheckpointDir` on durable storage; same
-    * knob as nearDupClusters/semDedup). x52b gates iters = 15 with
-    * checkpointEvery = 5 inside the oracle: the severed plan must
-    * produce bit-identical ranks. */
+    * Lineage: with `reliable = false` (the default, single-JVM/local
+    * runs) EVERY iteration is severed by an eager `localCheckpoint` —
+    * plans stay one-iteration deep regardless of `iters`, and the
+    * dangling arm's multiple rank references read a materialized
+    * generation instead of replaying the chain (optimization r18; the
+    * `checkpointEvery` dial is subsumed on this path). With
+    * `reliable = true` (real clusters) the chain is pure lineage —
+    * executor-loss recovery replays it — cut every `checkpointEvery`
+    * iterations by a fault-tolerant `checkpoint` (requires
+    * `setCheckpointDir` on durable storage; same knob as
+    * nearDupClusters/semDedup); keep the dial small, past ~10
+    * iterations analysis/codegen cost grows superlinearly. x52b gates
+    * iters = 15 with checkpointEvery = 5 inside the oracle: the
+    * severed plan must produce bit-identical ranks. */
   def pageRankMicro(nodes: DataFrame, edges: DataFrame,
                     iters: Int, dampPct: Int,
                     danglingRedistribute: Boolean = false,
                     checkpointEvery: Int = 0,
                     reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    // Optimization-round restructure (r18, guide §1.2/§2.4 — bit-
+    // identical arithmetic, A/B'd on x52/x52b):
+    //
+    //  1. The rank frame CARRIES its node's out-degree (`__rdeg`, null
+    //     for sinks): each iteration joins raw edges to rank directly
+    //     (src's degree rides on the rank row — the per-iteration
+    //     edges⨝deg rebuild is gone) and the dangling arm's sink mass
+    //     is a FILTER+agg over rank instead of a node-sized anti-join.
+    //  2. Local mode (`reliable = false`) severs EVERY iteration with
+    //     an eager localCheckpoint: the dangling arm references rank
+    //     up to 3× per iteration, so a lazy chain replays the whole
+    //     segment per reference (x52b before: wall 7.95 s at 1.45 s
+    //     cpu — the gap was driver replanning + recompute of the
+    //     2–3×-per-iteration reference tree). The A/B that persisted
+    //     each iteration instead was WORSE in cpu (9.5 → 22 s wall,
+    //     88 s cpu): cached subplans are compiled without AQE, so
+    //     every tiny iteration ran as 32-partition sort-merge joins —
+    //     thousands of ~ms tasks of pure setup cost. The eager
+    //     localCheckpoint keeps each iteration AQE-planned (tiny
+    //     broadcast joins, coalesced exchanges) and its result is a
+    //     LogicalRDD the next iteration scans — no recompute, no
+    //     cached-plan AQE loss. Block-manager storage of superseded
+    //     generations is reclaimed by the ContextCleaner as the loop
+    //     drops its references (the dial's eager checkpoints already
+    //     relied on exactly that).
+    //  3. `reliable = true` (real clusters) keeps the pure-lineage
+    //     chain between `checkpointEvery` reliable checkpoints — the
+    //     fault-tolerance contract is unchanged, and the carried
+    //     degree still removes the per-iteration deg join; keep
+    //     checkpointEvery small there, since between checkpoints the
+    //     dangling arm's extra rank references replay the segment.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val e = edges.join(deg, Seq("src"))
     val base = (100L - dampPct) * 10000L
     val n = if (danglingRedistribute) nodes.count() else 0L
-    var rank = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
+    val e0 = edges.select("src", "dst")
+    val e = if (reliable) e0 else e0.localCheckpoint()
+    val rank0 = nodes.join(deg, nodes("id") === deg("src"), "left")
+      .select(nodes("id"), lit(1000000L).as("rank_micro"),
+        col("__deg").as("__rdeg"))
+    var rank = if (reliable) rank0 else rank0.localCheckpoint()
     for (i <- 1 to iters) {
+      // src's out-degree == its rank row's __rdeg (non-null whenever an
+      // edge exists), so `rank_micro DIV __rdeg` is bit-identical to the
+      // old `rank_micro DIV __deg` against the edges⨝deg relation
       val contrib = e.join(rank, e("src") === rank("id"))
-        .select(col("dst"), expr("rank_micro DIV __deg").as("__c"))
+        .select(col("dst"), expr("rank_micro DIV __rdeg").as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s"))
-      val withS = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      val withS = rank.join(contrib, rank("id") === contrib("dst"), "left")
       val next =
         if (!danglingRedistribute)
-          withS.select(nodes("id"),
+          withS.select(rank("id"),
             (lit(base) + expr(s"($dampPct * coalesce(__s, 0L)) DIV 100"))
-              .as("rank_micro"))
+              .as("rank_micro"),
+            col("__rdeg"))
         else {
-          val sinkMass = rank.join(deg, rank("id") === deg("src"), "left_anti")
+          // sinks are exactly the rank rows with no out-degree — the
+          // same set the old left_anti against deg produced
+          val sinkMass = rank.filter(col("__rdeg").isNull)
             .agg(coalesce(sum("rank_micro"), lit(0L)).as("__dm"))
           withS.crossJoin(sinkMass)
-            .select(nodes("id"),
+            .select(rank("id"),
               (lit(base) + expr(
                 s"($dampPct * (coalesce(__s, 0L) + __dm DIV $n)) DIV 100"))
-                .as("rank_micro"))
+                .as("rank_micro"),
+              col("__rdeg"))
         }
       rank =
-        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-          (if (reliable) next.checkpoint() else next.localCheckpoint())
+        if (!reliable) next.localCheckpoint()
+        else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+          next.checkpoint()
         else next
     }
-    rank
+    rank.select("id", "rank_micro")
   }
 }

@@ -287,8 +287,52 @@ object SimilarityFunctions {
         asDouble(col("__qv")), cent, nprobe, VectorKernels.MetricCosine)))
       .withColumn("__cid", col("__pc").getField("cid"))
       .drop("__pc")
-    val probesSide = if (broadcastQueries) broadcast(probes) else probes
-    val joined = assigned.join(probesSide, Seq("__cid"))
+    val joined =
+      if (broadcastQueries) assigned.join(broadcast(probes), Seq("__cid"))
+      else {
+        // Batch-join parallelism floor (optimization r18, guide §2.5):
+        // the candidate EXPLOSION (output ∝ |cell|·probes-per-cell)
+        // happens after this exchange, so the pre-join partitioning —
+        // a tiny parquet scan (often ONE split) or an AQE-coalesced
+        // exchange, both sized from pre-explosion bytes — can leave
+        // the cosine+rerank work (~corpus·nprobe·|cell| rows) on a
+        // handful of tasks (s16 at sf0.1: cpu 5.9 s ≈ wall 6.4 s on
+        // 32 cores — one task did everything). When the cell count is
+        // below ~2× the session's shuffle parallelism, sub-split each
+        // cell deterministically: probe rows salt by
+        // pmod(xxhash64(query_id), S), corpus rows replicate S ways,
+        // join on (cell, salt) — each candidate pair still meets
+        // exactly once, so the result is bit-identical. Salting by
+        // QUERY (not by corpus id) keeps each query's candidates in
+        // one task per probed cell, so the bounded_topk partial heaps
+        // stay ~nprobe per query instead of one per (task, query) —
+        // the A/B that salted the corpus side paid ~2× cpu in
+        // duplicated partial heaps and their merge. The explicit user
+        // repartition pins the partition count (AQE does not coalesce
+        // user-specified repartitions); S derives from the session's
+        // shuffle parallelism, so production indexes (thousands of
+        // cells ≥ 2·parallelism) get S = 1 and exactly the old plan —
+        // the corpus replication is paid only where the cell space
+        // cannot feed the machine, and the unsalted arm keeps the
+        // pinned repartition so a single-split scan still spreads.
+        val p = assigned.sparkSession.sessionState.conf.numShufflePartitions
+        val nCells = math.max(1, cent.size)
+        val salts = math.max(1, (2 * p + nCells - 1) / nCells)
+        if (salts <= 1)
+          assigned.repartition(p, col("__cid"))
+            .join(probes, Seq("__cid"))
+        else {
+          val aS = assigned
+            .withColumn("__salt",
+              explode(array((0 until salts).map(i => lit(i)): _*)))
+            .repartition(p, col("__cid"), col("__salt"))
+          val pS = probes
+            .withColumn("__salt",
+              pmod(xxhash64(col("query_id")), lit(salts.toLong)).cast("int"))
+            .repartition(p, col("__cid"), col("__salt"))
+          aS.join(pS, Seq("__cid", "__salt")).drop("__salt")
+        }
+      }
     // self-SEARCH semantics (queries drawn from the indexed corpus):
     // a row is not its own neighbor. A join of two UNRELATED tables
     // must pass excludeSelf = false — their id spaces coincide by
