@@ -19,12 +19,23 @@ package graft
   */
 object PhaseTimer {
   final class Rec private[PhaseTimer] (
+      query: String,
       buf: scala.collection.mutable.ArrayBuffer[(String, Double)]) {
-    /** Run `body`, appending its wall seconds under `name`. */
+    /** Run `body`, appending its wall seconds under `name`. Also
+      * labels the phase's Spark jobs (`"<query>: <name>"`, guide §1.5)
+      * so the UI and job-level profilers (tools/ProfileJobs) attribute
+      * every job to its phase; the label is thread-local and restored
+      * after the phase, so the residual exec jobs stay unlabeled. */
     def apply[T](name: String)(body: => T): T = {
+      val sc = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext)
+      sc.foreach(_.setJobDescription(s"$query: $name"))
       val t0 = System.nanoTime()
       try body
-      finally buf.synchronized { buf += name -> ((System.nanoTime() - t0) / 1e9) }
+      finally {
+        buf.synchronized { buf += name -> ((System.nanoTime() - t0) / 1e9) }
+        sc.foreach(_.setJobDescription(null))
+      }
     }
   }
 
@@ -34,7 +45,7 @@ object PhaseTimer {
   def start(query: String): Rec = {
     val buf = new scala.collection.mutable.ArrayBuffer[(String, Double)]()
     runs.put(query, buf)
-    new Rec(buf)
+    new Rec(query, buf)
   }
 
   /** Remove and return the query's record: (phase, total seconds) in

@@ -105,5 +105,8 @@ object SparkEntry {
     qp.TextAnalysisQueries.releaseCaches()
     graft.functions.SearchFunctions.releaseCaches()
     graft.functions.CurationFunctions.releaseCaches()
+    // KB-readback memo (store meta/centroids): cleared so every bench
+    // pass pays its own readbacks, like the memoized intermediates
+    graft.functions.PartitionedStore.clearReadbackMemo()
   }
 }

@@ -663,17 +663,20 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  private def readMeta(spark: SparkSession, dir: String): Meta = {
-    import spark.implicits._
-    // an index saved before the keepVectors field existed has no such
-    // column in its meta parquet; default it to false instead of
-    // letting encoder resolution fail every entry point on old indexes
-    val raw = spark.read.parquet(s"$dir/meta")
-    val withDefault =
-      if (raw.columns.contains("keepVectors")) raw
-      else raw.withColumn("keepVectors", lit(false))
-    withDefault.as[Meta].head()
-  }
+  private def readMeta(spark: SparkSession, dir: String): Meta =
+    // fingerprint-memoized (optimization r18): every probe/ingest/
+    // vacuum re-read this one-row parquet as a full Spark job
+    PartitionedStore.memoizedReadback(spark, s"$dir/meta") {
+      import spark.implicits._
+      // an index saved before the keepVectors field existed has no such
+      // column in its meta parquet; default it to false instead of
+      // letting encoder resolution fail every entry point on old indexes
+      val raw = spark.read.parquet(s"$dir/meta")
+      val withDefault =
+        if (raw.columns.contains("keepVectors")) raw
+        else raw.withColumn("keepVectors", lit(false))
+      withDefault.as[Meta].head()
+    }
 
   private def writeCentroids(spark: SparkSession, path: String,
                              cent: Seq[(Long, Seq[Double])]): Unit = {
@@ -682,8 +685,13 @@ object AnnIndex {
   }
 
   private[graft] def readCentroids(spark: SparkSession, path: String): Seq[(Long, Array[Double])] =
-    spark.read.parquet(path).select("cid", "vec").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
+    // fingerprint-memoized like readMeta: the centroid list is the KB
+    // readback EVERY probe pays, and resplitCell's rewrite changes the
+    // file fingerprint, so a memo hit is always the live centroid set
+    PartitionedStore.memoizedReadback(spark, path) {
+      spark.read.parquet(path).select("cid", "vec").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    }
 
 }

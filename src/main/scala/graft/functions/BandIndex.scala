@@ -682,8 +682,11 @@ object BandIndex {
     Seq(meta).toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  private[graft] def readMeta(spark: SparkSession, dir: String): Meta = {
-    import spark.implicits._
-    spark.read.parquet(s"$dir/meta").as[Meta].head()
-  }
+  private[graft] def readMeta(spark: SparkSession, dir: String): Meta =
+    // fingerprint-memoized (optimization r18): every probe/ingest/
+    // vacuum re-read this one-row parquet as a full Spark job
+    PartitionedStore.memoizedReadback(spark, s"$dir/meta") {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/meta").as[Meta].head()
+    }
 }

@@ -320,7 +320,8 @@ private[graft] object PartitionedStore {
     * live-or-backup for [[recover]]).
     *
     * Past `bulkThreshold` affected partitions the per-partition shape
-    * inverts: each rewrite is a ~30–50 ms Spark job even when the
+    * inverts: each rewrite is ~3 driver-dispatched Spark jobs (its
+    * broadcast build, its write, its AQE stage) even when the
     * partition holds a few KB, so a vacuum touching MOST of the store
     * (a fractional delete re-banded across every bucket — the ×100
     * fraction arm measured 3 993 touched = 122 s of pure job dispatch,
@@ -330,11 +331,20 @@ private[graft] object PartitionedStore {
     * partitioned staging tree, then swaps each partition behind the
     * SAME live→backup→live rename discipline — crash-at-any-point
     * behavior is identical (each partition individually live-or-backup;
-    * the `.compact-bulkvac` staging dir is swept by [[recover]]). */
+    * the `.compact-bulkvac` staging dir is swept by [[recover]]).
+    *
+    * Threshold MEASURED, not assumed (optimization r18,
+    * tools/ProfileMaintSmall — the r18 build session measured 299/
+    * 3 993 touched and extrapolated "pooled wins ≲ 100"): at 24
+    * touched fixture partitions bulk is already 1.6× faster (1.76 vs
+    * 2.81 s — the pooled path's ~0.11 s/partition dispatch beats the
+    * bulk scan's ~0.7 s fixed cost from ~7 partitions up), at 2
+    * touched pooled wins (0.42 vs 0.72 s). Default 8 = the measured
+    * crossover; the bounded few-partition deletes stay pooled. */
   def rewriteExcludingAll(spark: SparkSession, root: Path, partCol: String,
                           values: Seq[String], tombIds: DataFrame,
                           idCol: String, parallelism: Int = 8,
-                          bulkThreshold: Int = 96): Seq[String] =
+                          bulkThreshold: Int = 8): Seq[String] =
     if (values.size >= bulkThreshold)
       rewriteExcludingBulk(spark, root, partCol, values, tombIds, idCol)
     else
@@ -482,7 +492,7 @@ private[graft] object PartitionedStore {
     * compacted partition VALUES. Caller runs [[recover]] first. */
   def compact(spark: SparkSession, root: Path, partCol: String,
               minFiles: Int, parallelism: Int = 8,
-              bulkThreshold: Int = 96): Seq[String] = {
+              bulkThreshold: Int = 8): Seq[String] = {
     require(minFiles >= 2, "need minFiles >= 2")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val flagged = partitions(fs, root, partCol).filter { pd =>
@@ -581,6 +591,49 @@ private[graft] object PartitionedStore {
       value.readFields(in)
     }
   }
+
+  // ---- KB-readback memo (optimization r18). Every store entry point
+  // re-reads its KB-sized driver metadata (BandIndex meta row, AnnIndex
+  // meta row + centroid list) as a fresh parquet read — one Spark job
+  // plus its planning gap per call, ~0.1–0.3 s of pure dispatch in a
+  // lifecycle bundle that probes three times (d21's probe phase runs
+  // 54 jobs; 6+ of them are these rereads). The memo keys on the
+  // path's FILE FINGERPRINT (name + length + mtime of every file, one
+  // listStatus RPC): a re-save rewrites the files under fresh
+  // part-<uuid> names, so staleness is structurally impossible —
+  // unlike a mutation counter, this also survives another process
+  // rewriting the store. Cleared by [[clearReadbackMemo]] (wired into
+  // SparkEntry.releaseCaches) so Bench's every-pass-pays-its-own-
+  // materialization discipline holds: the memo shares within a pass
+  // exactly like the query packs' own memoized intermediates.
+
+  private val readbackMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  /** `read`'s result memoized under `path`, revalidated against the
+    * path's file fingerprint on every call. Falls through to `read`
+    * (typically failing with the reader's own error) when the path
+    * cannot be listed. Values must be KB-scale driver objects. */
+  def memoizedReadback[T <: AnyRef](spark: SparkSession, path: String)
+                                   (read: => T): T = {
+    val p = new Path(path)
+    val fp =
+      try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).filter(_.isFile)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|")
+      } catch { case _: java.io.IOException => return read }
+    val cached = readbackMemo.get(path)
+    if (cached != null && cached._1 == fp) cached._2.asInstanceOf[T]
+    else {
+      val v = read
+      readbackMemo.put(path, (fp, v))
+      v
+    }
+  }
+
+  def clearReadbackMemo(): Unit = readbackMemo.clear()
 
   /** Repair a crashed [[compact]]: a `.old-<v>` with no live
     * `<part>=<v>` twin means the crash landed between the two renames
