@@ -119,7 +119,29 @@ object TextAnalysisFunctions {
     * sort+shuffle on doc id plans both frames. Public so pipelines
     * computing several winnowing products can persist it once. */
   def winnowFps(docs: DataFrame, idCol: String, textCol: String,
-                k: Int, w: Int): DataFrame = {
+                k: Int, w: Int): DataFrame =
+    // ONE map pass (optimization r18): the winnow_minima kernel
+    // computes the per-doc distinct window minima per ROW — the
+    // windowed reference form below shuffled and sorted one row per
+    // CHARACTER (posexplode + k lead() columns + per-position md5 +
+    // two window passes: ~10M rows and 21–23 s cpu at sf0.1 for a
+    // value that never needed an exchange at all). Kernel output is
+    // per-doc distinct (ascending), so the (id, fingerprint) relation
+    // is distinct by construction — bit-identical to the reference
+    // (TextAnalysisSpec pins kernel ≡ windowed form).
+    docs.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("__id"),
+        explode(graft.expressions.ShingleExpressions
+          .winnow_minima(col(textCol), k, w)).as("__wm"))
+
+  /** The pre-r18 window-chain formulation of [[winnowFps]] — kept as
+    * the equivalence reference for the kernel (the same role dotHof
+    * plays for the dot kernel): per-character posexplode, k stacked
+    * lead() columns forming each gram, per-position md5, forward
+    * rowsBetween(0, w-1) minima, full windows only, distinct. */
+  private[graft] def winnowFpsWindowedReference(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chars = docs.filter(length(col(textCol)) >= k + w - 1)
       .select(col(idCol).as("__id"), posexplode(split(col(textCol), "")))

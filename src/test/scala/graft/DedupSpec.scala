@@ -308,6 +308,26 @@ class DedupSpec extends AnyFunSuite {
     assert((fpOf(1L) intersect fpOf(3L)).nonEmpty)
   }
 
+  test("winnow_minima kernel ≡ the windowed reference form (optimization r18)") {
+    import graft.functions.TextAnalysisFunctions.{winnowFps, winnowFpsWindowedReference}
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "abababababababab"), // periodic: few distinct fingerprints
+      (3L, "shared tail the lazy dog"),
+      (4L, "double  spaces   and trailing space "),
+      (5L, "exactly12ch"), // == k+w-1 for (k=5,w=3)... boundary sizes below
+      (6L, "tiny"), // below k: filtered by both forms
+      (7L, "ürsprüngliche zeichenketten mit umlauten über ASCII hinaus"))
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 3), (8, 4), (2, 1))) {
+      val kernel = winnowFps(texts, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      val ref = winnowFpsWindowedReference(texts, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      assert(kernel == ref, s"kernel != windowed reference at k=$k w=$w")
+    }
+  }
+
   test("repetitionStats matches hand-computed fractions") {
     import graft.functions.TextAnalysisFunctions.repetitionStats
     // 6 words: "x x x y z w" -> top word 3/6; bigrams: "x x" twice of 5
