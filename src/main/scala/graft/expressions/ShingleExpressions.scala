@@ -203,6 +203,59 @@ object ShingleExpressions {
       copy(child = c)
   }
 
+  /** Per-text token frequencies in one pass: (w, tf) structs for every
+    * DISTINCT single-space-separated token, counts as longs — row-
+    * identical (up to order) to
+    * `explode(split(text, " ")) |> filter(w <> '') |> groupBy count`,
+    * the termFreqShared reference form. Exploding this array gives the
+    * (id, w, tf) relation with NO aggregation at all (optimization
+    * r18): the reference form pushed one row per TOKEN OCCURRENCE
+    * (~3M at sf0.1) through explode + hash-agg per consumer build —
+    * per-doc counting is local, so the 3–6 s cpu of that stage was
+    * pure operator overhead. Empty tokens (doubled/leading/trailing
+    * spaces) are skipped exactly like the reference filter. */
+  case class TokenCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("w", StringType, nullable = false),
+        StructField("tf", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "token_counts"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val nb = bytes.length
+      val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+      var start = 0
+      var i = 0
+      while (i <= nb) {
+        if (i == nb || bytes(i) == 0x20) {
+          if (i > start) { // empty tokens skipped, like filter(w <> '')
+            val w = UTF8String.fromBytes(bytes, start, i - start)
+            counts.put(w, counts.getOrDefault(w, 0L) + 1L)
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): TokenCounts =
+      copy(child = c)
+  }
+
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
@@ -211,4 +264,7 @@ object ShingleExpressions {
 
   def winnow_minima(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowMinima(ColumnBridge.expression(text), k, w))
+
+  def token_counts(text: Column): Column =
+    ColumnBridge.column(TokenCounts(ColumnBridge.expression(text)))
 }

@@ -43,11 +43,17 @@ object SearchFunctions {
         docs.sparkSession)(
         // the id keeps its ORIGINAL type: a cast here would NULL
         // non-numeric ids for every consumer (the ahashNearDuplicates
-        // bug class); bm25 applies its own long cast downstream
+        // bug class); bm25 applies its own long cast downstream.
+        // token_counts kernel (optimization r18): per-doc counting is
+        // local, so the old explode(split) + groupBy pushed one row
+        // per token OCCURRENCE (~3M at sf0.1, 3–6 s cpu per build)
+        // through hash-agg for a relation this map pass emits
+        // directly (row-identical; SearchSpec pins kernel ≡ reference)
         docs.select(col(idCol).as("__id"),
-            explode(split(col(textCol), " ")).as("__w"))
-          .filter(col("__w") =!= "")
-          .groupBy("__id", "__w").agg(count(lit(1)).as("__tf"))
+            explode(graft.expressions.ShingleExpressions
+              .token_counts(col(textCol))).as("__kv"))
+          .select(col("__id"), col("__kv.w").as("__w"),
+            col("__kv.tf").as("__tf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 

@@ -254,4 +254,22 @@ class SearchSpec extends AnyFunSuite {
     assert(got3.length == 3 && got3.map(_._1) == Seq(1, 2, 3), s"got $got3")
     assert(got3.map(_._2).toSet == Set(1L, 2L, 3L), s"got $got3")
   }
+
+  test("token_counts kernel ≡ explode(split)+groupBy reference (optimization r18)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "b b b c"), (4L, "c"),
+      (5L, "double  spaces  count once"), (6L, " leading and trailing "),
+      (7L, ""), (8L, "   "), (9L, "ümlaut tökens ümlaut"))
+      .toDF("doc_id", "text")
+    val kernel = texts.select(col("doc_id"),
+        explode(graft.expressions.ShingleExpressions.token_counts(col("text"))).as("__kv"))
+      .select(col("doc_id"), col("__kv.w"), col("__kv.tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val ref = texts.select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("doc_id", "__w").agg(count(lit(1)).as("__tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kernel == ref)
+  }
 }
