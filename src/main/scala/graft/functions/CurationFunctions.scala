@@ -255,15 +255,24 @@ object CurationFunctions {
     // (memoized per plan, released by SparkEntry.releaseCaches), the
     // corpus pays that chain once instead of twice — the same
     // double-evaluation trim as bm25TopK's postings (ADVICE r9 #4).
-    val gramsPlan = docs.select(col(idCol).as("__id"), targetCond.as("__t"),
-        posexplode(toks).as(Seq("__pos", "__w")))
-      .withColumn("__w2",
-        lead("__w", 1).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__id").orderBy("__pos")))
+    // gram stream per ROW (optimization r18): unigrams are the token
+    // array itself, bigrams are zip_with over the two length-(n−1)
+    // token slices — the same occurrence MULTISET the old
+    // posexplode + per-doc lead() window emitted (order differs;
+    // every consumer is a count aggregation), without sorting one row
+    // per token through a window exchange. CurationSpec pins HOF ≡
+    // windowed reference on edge shapes.
+    val tk = col("__tk")
+    val bigrams = zip_with(
+      slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    // scan-parallelism valve: the gram explode + per-gram md5 all run
+    // in the scan's stage, and a fixture docs table is ONE row group
+    val gramsPlan = ScanParallelism.ensureScanParallelism(
+        docs.select(col(idCol).as("__id"), targetCond.as("__t"),
+          toks.as("__tk")), "__id")
       .select(col("__id"), col("__t"),
-        explode(when(col("__w2").isNotNull,
-            array(col("__w"), concat_ws(" ", col("__w"), col("__w2"))))
-          .otherwise(array(col("__w")))).as("__g"))
+        explode(concat(tk, bigrams)).as("__g"))
       .withColumn("__b", featureBucket(col("__g"), buckets))
     val grams = gramsCache.synchronized {
       graft.DfMemo.getOrBuild(gramsCache,

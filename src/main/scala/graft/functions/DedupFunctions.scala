@@ -1158,9 +1158,13 @@ object DedupFunctions {
     require(window >= 2 && avgMask >= 1 && minLen >= 1, "bad CDC dials")
     // null text reads as empty: without the coalesce a null row walks
     // null bounds into a null chunk hash and a null-keyed groupBy row,
-    // diverging from the documented per-doc contract empty docs get
-    val base = docs.select(col(idCol).as("__id"),
-      coalesce(col(textCol), lit("")).as("__t"))
+    // diverging from the documented per-doc contract empty docs get.
+    // Scan-parallelism valve (optimization r18): the per-char boundary
+    // walk below is the heaviest map kernel in the dedup family, and a
+    // fixture-scale docs table is one row group = ONE scan task.
+    val base = ScanParallelism.ensureScanParallelism(
+      docs.select(col(idCol).as("__id"),
+        coalesce(col(textCol), lit("")).as("__t")), "__id")
     val len = length(col("__t"))
     // candidate cuts, in position order (sequence is ascending; the
     // len >= window guard keeps sequence() from walking backwards)

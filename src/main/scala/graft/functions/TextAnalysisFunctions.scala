@@ -129,10 +129,14 @@ object TextAnalysisFunctions {
     // per-doc distinct (ascending), so the (id, fingerprint) relation
     // is distinct by construction — bit-identical to the reference
     // (TextAnalysisSpec pins kernel ≡ windowed form).
-    docs.filter(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol).as("__id"),
+    // scan-parallelism valve: the kernel is a heavy map pass and a
+    // fixture docs table is one row group = one scan task
+    ScanParallelism.ensureScanParallelism(
+        docs.filter(length(col(textCol)) >= k + w - 1)
+          .select(col(idCol).as("__id"), col(textCol).as("__txt")), "__id")
+      .select(col("__id"),
         explode(graft.expressions.ShingleExpressions
-          .winnow_minima(col(textCol), k, w)).as("__wm"))
+          .winnow_minima(col("__txt"), k, w)).as("__wm"))
 
   /** The pre-r18 window-chain formulation of [[winnowFps]] — kept as
     * the equivalence reference for the kernel (the same role dotHof

@@ -487,4 +487,30 @@ class CurationSpec extends AnyFunSuite {
     for (bad <- Seq(Seq(""), Seq("a", "a"), Seq("scän"), Seq.empty[String]))
       intercept[Exception](run("t", bad))
   }
+
+  test("dsir gram stream: HOF form ≡ the windowed reference multiset (optimization r18)") {
+    import org.apache.spark.sql.functions._
+    // edge shapes: single token, doubled spaces (empty tokens are real
+    // occurrences in the multinomial stream), trailing space, unicode
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "x  y"),
+      (4L, "tail "), (5L, "ü v ü")).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val hof = docs.select(col("doc_id"), explode(concat(toks,
+        zip_with(slice(toks, 1, nTok - 1), slice(toks, 2, nTok - 1),
+          (a, b) => concat_ws(" ", a, b)))).as("__g"))
+      .groupBy("doc_id", "__g").count()
+      .as[(Long, String, Long)].collect().toSet
+    val ref = docs.select(col("doc_id"),
+        posexplode(toks).as(Seq("__pos", "__w")))
+      .withColumn("__w2", lead("__w", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("__pos")))
+      .select(col("doc_id"), explode(when(col("__w2").isNotNull,
+          array(col("__w"), concat_ws(" ", col("__w"), col("__w2"))))
+        .otherwise(array(col("__w")))).as("__g"))
+      .groupBy("doc_id", "__g").count()
+      .as[(Long, String, Long)].collect().toSet
+    assert(hof == ref)
+  }
 }
