@@ -264,7 +264,7 @@ object CurationFunctions {
     // windowed reference on edge shapes.
     val tk = col("__tk")
     val bigrams = zip_with(
-      slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
       (a, b) => concat_ws(" ", a, b))
     // scan-parallelism valve: the gram explode + per-gram md5 all run
     // in the scan's stage, and a fixture docs table is ONE row group

@@ -497,7 +497,7 @@ class CurationSpec extends AnyFunSuite {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val hof = docs.select(col("doc_id"), explode(concat(toks,
-        zip_with(slice(toks, 1, nTok - 1), slice(toks, 2, nTok - 1),
+        zip_with(slice(toks, lit(1), nTok - 1), slice(toks, lit(2), nTok - 1),
           (a, b) => concat_ws(" ", a, b)))).as("__g"))
       .groupBy("doc_id", "__g").count()
       .as[(Long, String, Long)].collect().toSet
