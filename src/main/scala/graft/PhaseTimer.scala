@@ -29,12 +29,15 @@ object PhaseTimer {
     def apply[T](name: String)(body: => T): T = {
       val sc = org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sparkContext)
+      // restore the PREVIOUS label, not null: nested/interleaved
+      // phases on one thread keep the outer phase's label (ADVICE r18)
+      val prev = sc.map(_.getLocalProperty("spark.job.description"))
       sc.foreach(_.setJobDescription(s"$query: $name"))
       val t0 = System.nanoTime()
       try body
       finally {
         buf.synchronized { buf += name -> ((System.nanoTime() - t0) / 1e9) }
-        sc.foreach(_.setJobDescription(null))
+        sc.zip(prev).foreach { case (c, p) => c.setJobDescription(p) }
       }
     }
   }

@@ -266,11 +266,13 @@ object CurationFunctions {
     val bigrams = zip_with(
       slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
       (a, b) => concat_ws(" ", a, b))
-    // scan-parallelism valve: the gram explode + per-gram md5 all run
-    // in the scan's stage, and a fixture docs table is ONE row group
-    val gramsPlan = ScanParallelism.ensureScanParallelism(
-        docs.select(col(idCol).as("__id"), targetCond.as("__t"),
-          toks.as("__tk")), "__id")
+    // NO scan-parallelism valve here (optimization r19): like
+    // winnowFps, the gram stream is PERSISTED and shared — pinning 32
+    // partitions into the cache taxes both downstream aggregations
+    // with tiny-task overhead at fixture scale (the x18b lesson,
+    // ProfileX18Sandwich), and the A/B showed no wall win for x29.
+    val gramsPlan = docs.select(col(idCol).as("__id"), targetCond.as("__t"),
+          toks.as("__tk"))
       .select(col("__id"), col("__t"),
         explode(concat(tk, bigrams)).as("__g"))
       .withColumn("__b", featureBucket(col("__g"), buckets))

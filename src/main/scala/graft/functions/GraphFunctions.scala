@@ -44,16 +44,23 @@ object GraphFunctions {
     * so finding them is a filter, not a join; n is read once at entry
     * (a count, the only driver-side scalar).
     *
-    * Lineage: with `reliable = false` (the default, single-JVM/local
-    * runs) EVERY iteration is severed by an eager `localCheckpoint` —
-    * plans stay one-iteration deep regardless of `iters`, and the
-    * dangling arm's multiple rank references read a materialized
-    * generation instead of replaying the chain (optimization r18; the
-    * `checkpointEvery` dial is subsumed on this path). With
-    * `reliable = true` (real clusters) the chain is pure lineage —
-    * executor-loss recovery replays it — cut every `checkpointEvery`
-    * iterations by a fault-tolerant `checkpoint` (requires
-    * `setCheckpointDir` on durable storage; same knob as
+    * Lineage: the loop references the evolving `rank` frame exactly
+    * ONCE per iteration (the contribution join) — the update joins a
+    * STATIC (id, __rdeg) frame instead of `rank`, so the lazy chain
+    * grows linearly, one iteration deep per iteration (optimization
+    * r19: r18's unconditional per-iteration eager localCheckpoint
+    * taxed the plain arm with a materialization job per iteration,
+    * x52 0.25 → 1.65 s). The dangling arm is the exception: its
+    * sink-mass aggregate is a second reference to `rank` per
+    * iteration, so a lazy chain replays the whole segment per
+    * reference (2–3× growth per iteration) — with `reliable = false`
+    * (the default, single-JVM/local runs) THAT arm severs every
+    * iteration with an eager `localCheckpoint` (the r18 fix, x52b
+    * 9.5 → 3.6 s; the `checkpointEvery` dial is subsumed there).
+    * With `reliable = true` (real clusters) the chain is pure
+    * lineage — executor-loss recovery replays it — cut every
+    * `checkpointEvery` iterations by a fault-tolerant `checkpoint`
+    * (requires `setCheckpointDir` on durable storage; same knob as
     * nearDupClusters/semDedup); keep the dial small, past ~10
     * iterations analysis/codegen cost grows superlinearly. x52b gates
     * iters = 15 with checkpointEvery = 5 inside the oracle: the
@@ -64,46 +71,53 @@ object GraphFunctions {
                     checkpointEvery: Int = 0,
                     reliable: Boolean = false): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
-    // Optimization-round restructure (r18, guide §1.2/§2.4 — bit-
-    // identical arithmetic, A/B'd on x52/x52b):
+    // Optimization-round restructure (r18 + r19, guide §1.2/§2.4 —
+    // bit-identical arithmetic, A/B'd on x52/x52b):
     //
-    //  1. The rank frame CARRIES its node's out-degree (`__rdeg`, null
-    //     for sinks): each iteration joins raw edges to rank directly
-    //     (src's degree rides on the rank row — the per-iteration
-    //     edges⨝deg rebuild is gone) and the dangling arm's sink mass
-    //     is a FILTER+agg over rank instead of a node-sized anti-join.
-    //  2. Local mode (`reliable = false`) severs EVERY iteration with
-    //     an eager localCheckpoint: the dangling arm references rank
-    //     up to 3× per iteration, so a lazy chain replays the whole
-    //     segment per reference (x52b before: wall 7.95 s at 1.45 s
-    //     cpu — the gap was driver replanning + recompute of the
-    //     2–3×-per-iteration reference tree). The A/B that persisted
-    //     each iteration instead was WORSE in cpu (9.5 → 22 s wall,
-    //     88 s cpu): cached subplans are compiled without AQE, so
-    //     every tiny iteration ran as 32-partition sort-merge joins —
-    //     thousands of ~ms tasks of pure setup cost. The eager
-    //     localCheckpoint keeps each iteration AQE-planned (tiny
-    //     broadcast joins, coalesced exchanges) and its result is a
-    //     LogicalRDD the next iteration scans — no recompute, no
-    //     cached-plan AQE loss. Block-manager storage of superseded
-    //     generations is reclaimed by the ContextCleaner as the loop
-    //     drops its references (the dial's eager checkpoints already
-    //     relied on exactly that).
-    //  3. `reliable = true` (real clusters) keeps the pure-lineage
+    //  1. (r18) The rank frame CARRIES its node's out-degree (`__rdeg`,
+    //     null for sinks): each iteration joins raw edges to rank
+    //     directly (src's degree rides on the rank row — the
+    //     per-iteration edges⨝deg rebuild is gone) and the dangling
+    //     arm's sink mass is a FILTER+agg over rank instead of a
+    //     node-sized anti-join.
+    //  2. (r19) The update join reads the STATIC (id, __rdeg) frame
+    //     `rankStatic`, not the evolving `rank` — __rdeg never changes,
+    //     so the join is semantics-identical, and the plain arm's only
+    //     per-iteration reference to `rank` is the contribution join:
+    //     a lazy chain grows LINEARLY and needs no severing at all
+    //     (r18's unconditional eager localCheckpoint paid one
+    //     materialization job per iteration on an arm with no replay
+    //     problem — x52 0.25 → 1.65 s, the round's one real
+    //     regression).
+    //  3. (r18) The dangling arm references rank TWICE per iteration
+    //     (contribution join + sink-mass aggregate), so a lazy chain
+    //     replays the whole segment per reference (x52b before: wall
+    //     7.95 s at 1.45 s cpu — the gap was driver replanning +
+    //     recompute of the self-similar reference tree; 10 206-line
+    //     explain). In local mode (`reliable = false`) THAT arm severs
+    //     every iteration with an eager localCheckpoint: each
+    //     iteration is AQE-planned fresh (tiny broadcast joins at
+    //     fixture scale; honest shuffles at corpus scale) over a
+    //     materialized LogicalRDD. The A/B that persisted each
+    //     iteration instead was WORSE in cpu (9.5 → 22 s wall, 88 s
+    //     cpu): cached subplans are compiled without AQE, so every
+    //     tiny iteration ran as 32-partition sort-merge joins.
+    //     Block-manager storage of superseded generations is reclaimed
+    //     by the ContextCleaner as the loop drops its references.
+    //  4. `reliable = true` (real clusters) keeps the pure-lineage
     //     chain between `checkpointEvery` reliable checkpoints — the
-    //     fault-tolerance contract is unchanged, and the carried
-    //     degree still removes the per-iteration deg join; keep
-    //     checkpointEvery small there, since between checkpoints the
-    //     dangling arm's extra rank references replay the segment.
+    //     fault-tolerance contract is unchanged.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
     val base = (100L - dampPct) * 10000L
     val n = if (danglingRedistribute) nodes.count() else 0L
+    val eagerSever = !reliable && danglingRedistribute
     val e0 = edges.select("src", "dst")
-    val e = if (reliable) e0 else e0.localCheckpoint()
+    val e = if (eagerSever) e0.localCheckpoint() else e0
     val rank0 = nodes.join(deg, nodes("id") === deg("src"), "left")
       .select(nodes("id"), lit(1000000L).as("rank_micro"),
         col("__deg").as("__rdeg"))
-    var rank = if (reliable) rank0 else rank0.localCheckpoint()
+    val rankStatic = if (eagerSever) rank0.localCheckpoint() else rank0
+    var rank = rankStatic
     for (i <- 1 to iters) {
       // src's out-degree == its rank row's __rdeg (non-null whenever an
       // edge exists), so `rank_micro DIV __rdeg` is bit-identical to the
@@ -111,29 +125,32 @@ object GraphFunctions {
       val contrib = e.join(rank, e("src") === rank("id"))
         .select(col("dst"), expr("rank_micro DIV __rdeg").as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s"))
-      val withS = rank.join(contrib, rank("id") === contrib("dst"), "left")
+      // __rdeg is iteration-invariant: joining the static frame keeps
+      // this the plain arm's ONLY reference to the evolving rank chain
+      val withS = rankStatic.join(contrib,
+        rankStatic("id") === contrib("dst"), "left")
       val next =
         if (!danglingRedistribute)
-          withS.select(rank("id"),
+          withS.select(rankStatic("id"),
             (lit(base) + expr(s"($dampPct * coalesce(__s, 0L)) DIV 100"))
               .as("rank_micro"),
-            col("__rdeg"))
+            rankStatic("__rdeg"))
         else {
           // sinks are exactly the rank rows with no out-degree — the
           // same set the old left_anti against deg produced
           val sinkMass = rank.filter(col("__rdeg").isNull)
             .agg(coalesce(sum("rank_micro"), lit(0L)).as("__dm"))
           withS.crossJoin(sinkMass)
-            .select(rank("id"),
+            .select(rankStatic("id"),
               (lit(base) + expr(
                 s"($dampPct * (coalesce(__s, 0L) + __dm DIV $n)) DIV 100"))
                 .as("rank_micro"),
-              col("__rdeg"))
+              rankStatic("__rdeg"))
         }
       rank =
-        if (!reliable) next.localCheckpoint()
+        if (eagerSever) next.localCheckpoint()
         else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-          next.checkpoint()
+          (if (reliable) next.checkpoint() else next.localCheckpoint())
         else next
     }
     rank.select("id", "rank_micro")

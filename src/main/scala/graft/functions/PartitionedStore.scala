@@ -607,8 +607,19 @@ private[graft] object PartitionedStore {
   // materialization discipline holds: the memo shares within a pass
   // exactly like the query packs' own memoized intermediates.
 
-  private val readbackMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+  // Count-bounded LRU (ADVICE r18): values are KB-scale for the meta
+  // rows but an ANN centroid list is cells × dim doubles — a long-lived
+  // session touching many indexes must not accumulate driver memory
+  // without bound. 64 live stores is far above any bench/pipeline
+  // shape; past it the least-recently-USED path re-reads (correctness
+  // unaffected — the memo is a pure dispatch-cost cache).
+  private val readbackMemoCap = 64
+  private val readbackMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, AnyRef)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, AnyRef)]): Boolean =
+        size() > readbackMemoCap
+    })
 
   /** `read`'s result memoized under `path`, revalidated against the
     * path's file fingerprint on every call. Falls through to `read`

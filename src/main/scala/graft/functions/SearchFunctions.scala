@@ -198,11 +198,16 @@ object SearchFunctions {
     import spark.implicits._
     val av = anchors.toDF("qid", "__aid")
       .join(embeds, col("__aid") === col(vecIdCol))
-      .select(col("qid"), col(embCol).as("__av"))
-    embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"))
+      .select(col("qid"), col(embCol).as("__av"),
+        graft.functions.SimilarityFunctions.l2Norm(col(embCol)).as("__an"))
+    // norms precomputed per SIDE (optimization r19): one dot per
+    // (query, doc) pair instead of three — scores bit-identical
+    embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"),
+        graft.functions.SimilarityFunctions.l2Norm(col(embCol)).as("__vn"))
       .crossJoin(broadcast(av))
       .select(col("qid"), col("doc_id"),
-        round(graft.functions.SimilarityFunctions.cosine(col("__v"), col("__av"))
+        round(graft.functions.SimilarityFunctions.cosinePrenorm(
+          col("__v"), col("__av"), col("__vn"), col("__an"))
           * lit(1e6)).cast("long").as("__cm"))
   }
 
@@ -424,12 +429,15 @@ object SearchFunctions {
     import spark.implicits._
     val av = anchors.toDF("qid", "__aid")
       .join(embeds, col("__aid") === col(vecIdCol))
-      .select(col("qid"), col(embCol).as("__av"))
+      .select(col("qid"), col(embCol).as("__av"),
+        SimilarityFunctions.l2Norm(col(embCol)).as("__an"))
     val cmicro = embeds
-      .select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"))
+      .select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"),
+        SimilarityFunctions.l2Norm(col(embCol)).as("__vn"))
       .crossJoin(broadcast(av))
       .select(col("qid"), col("doc_id"),
-        round(SimilarityFunctions.cosine(col("__v"), col("__av")) * lit(1e6))
+        round(SimilarityFunctions.cosinePrenorm(col("__v"), col("__av"),
+          col("__vn"), col("__an")) * lit(1e6))
           .cast("long").as("__cm"))
     val cand = cmicro.groupBy("qid")
       .agg(graft.expressions.TopKAggregate.bounded_topk(
@@ -440,13 +448,15 @@ object SearchFunctions {
     // reattach vectors for the candidate-pair sim matrix (cand is
     // (queries × candN) rows — broadcast against the corpus)
     val cv = broadcast(cand)
-      .join(embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v")),
+      .join(embeds.select(col(vecIdCol).as("doc_id"), col(embCol).as("__v"),
+          SimilarityFunctions.l2Norm(col(embCol)).as("__n")),
         Seq("doc_id"))
     val sims = cv.as("a").join(cv.as("b"),
         col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.qid").as("qid"),
         concat(col("a.doc_id"), lit(":"), col("b.doc_id")).as("__key"),
-        round(SimilarityFunctions.cosine(col("a.__v"), col("b.__v")) * lit(1e6))
+        round(SimilarityFunctions.cosinePrenorm(col("a.__v"), col("b.__v"),
+          col("a.__n"), col("b.__n")) * lit(1e6))
           .cast("long").as("__sim"))
     val simMaps = sims.groupBy("qid")
       .agg(map_from_entries(collect_list(struct(col("__key"), col("__sim"))))

@@ -50,6 +50,19 @@ object SimilarityFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** [[cosine]] with both norms supplied as precomputed columns
+    * (optimization r19, guide §1.2 per-task work): inside a pair scan
+    * `cosine(a, b)` evaluates THREE dot kernels per candidate pair,
+    * but `dot(a,a)`/`dot(b,b)` depend on one side each — computing
+    * `l2Norm` once per input row (corpus rows: once, not once per
+    * candidate; s16's 3M-candidate scan was 2/3 norm recomputation)
+    * and scoring each pair as `dot(a,b) / (na * nb)` evaluates the
+    * exact same double-expression tree per VALUE — sqrt(double_dot)
+    * products in the same order — so scores are bit-identical to
+    * [[cosine]]. */
+  def cosinePrenorm(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(graft.expressions.HashExpressions.double_l2_squared(asDouble(a), asDouble(b)))
 
@@ -101,11 +114,14 @@ object SimilarityFunctions {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundDigits: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv"))))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("__qv"), col("__cv")), roundDigits))
+      .withColumn("score", round(cosinePrenorm(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), roundDigits))
     rankTopK(scored, k, "score", ascending = false)
   }
 
@@ -281,57 +297,49 @@ object SimilarityFunctions {
                                       broadcastQueries: Boolean = true,
                                       excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1, "need nprobe >= 1")
+    // per-side norms BEFORE the join (and before the nprobe/salt
+    // explodes, so each is computed once per input row): the rerank
+    // below scores each candidate pair with ONE dot instead of three
+    val assignedN = assigned.withColumn("__cn", l2Norm(col("__cv")))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
       .withColumn("__pc", explode(VectorExpressions.nearest_centroids(
         asDouble(col("__qv")), cent, nprobe, VectorKernels.MetricCosine)))
       .withColumn("__cid", col("__pc").getField("cid"))
       .drop("__pc")
     val joined =
-      if (broadcastQueries) assigned.join(broadcast(probes), Seq("__cid"))
+      if (broadcastQueries) assignedN.join(broadcast(probes), Seq("__cid"))
       else {
-        // Batch-join parallelism floor (optimization r18, guide §2.5):
-        // the candidate EXPLOSION (output ∝ |cell|·probes-per-cell)
-        // happens after this exchange, so the pre-join partitioning —
-        // a tiny parquet scan (often ONE split) or an AQE-coalesced
-        // exchange, both sized from pre-explosion bytes — can leave
-        // the cosine+rerank work (~corpus·nprobe·|cell| rows) on a
-        // handful of tasks (s16 at sf0.1: cpu 5.9 s ≈ wall 6.4 s on
-        // 32 cores — one task did everything). When the cell count is
-        // below ~2× the session's shuffle parallelism, sub-split each
-        // cell deterministically: probe rows salt by
-        // pmod(xxhash64(query_id), S), corpus rows replicate S ways,
-        // join on (cell, salt) — each candidate pair still meets
-        // exactly once, so the result is bit-identical. Salting by
-        // QUERY (not by corpus id) keeps each query's candidates in
-        // one task per probed cell, so the bounded_topk partial heaps
-        // stay ~nprobe per query instead of one per (task, query) —
-        // the A/B that salted the corpus side paid ~2× cpu in
-        // duplicated partial heaps and their merge. The explicit user
-        // repartition pins the partition count (AQE does not coalesce
-        // user-specified repartitions); S derives from the session's
-        // shuffle parallelism, so production indexes (thousands of
-        // cells ≥ 2·parallelism) get S = 1 and exactly the old plan —
-        // the corpus replication is paid only where the cell space
-        // cannot feed the machine, and the unsalted arm keeps the
-        // pinned repartition so a single-split scan still spreads.
+        // Batch-join parallelism floor (optimization r18, re-measured
+        // r19 after the prenorm rerank change): the candidate
+        // EXPLOSION (output ∝ |cell|·probes-per-cell) happens after
+        // this exchange, so the pre-join partitioning — a tiny parquet
+        // scan (often ONE split) or an AQE-coalesced exchange, both
+        // sized from pre-explosion bytes — can leave the cosine+rerank
+        // work on a handful of tasks (s16 at sf0.1 pre-r18: cpu 5.9 s
+        // ≈ wall 6.4 s on 32 cores — one task did everything). The
+        // explicit user repartition on the cell id pins the exchange
+        // at the session's shuffle parallelism (AQE does not coalesce
+        // user repartitions), spreading the rerank across the cell
+        // space; the join then reuses this exchange (same key, same
+        // partition count), so no shuffle is added at corpus scale —
+        // it IS the join's own exchange, just not coalescible.
+        //
+        // r18 additionally SALTED each cell S = ceil(2p/cells) ways
+        // (probe rows by pmod(xxhash64(query_id), S), corpus rows
+        // replicated S-fold) when cells < 2p. Re-measured in r19 with
+        // the prenormed rerank (one dot per pair instead of three),
+        // the salting LOSES at the bench shape — s16b wall 1.49 vs
+        // 1.18 s, cpu 4.7 vs 3.5 s — because the S-fold corpus
+        // replication and the wider exchange now cost more than the
+        // residual per-task imbalance (≤ 2 cells per task at 16 cells
+        // into 32 partitions); at production cell counts (≥ 2p) the
+        // salting was the identity anyway, so it is removed rather
+        // than kept as dead tuning.
         val p = assigned.sparkSession.sessionState.conf.numShufflePartitions
-        val nCells = math.max(1, cent.size)
-        val salts = math.max(1, (2 * p + nCells - 1) / nCells)
-        if (salts <= 1)
-          assigned.repartition(p, col("__cid"))
-            .join(probes, Seq("__cid"))
-        else {
-          val aS = assigned
-            .withColumn("__salt",
-              explode(array((0 until salts).map(i => lit(i)): _*)))
-            .repartition(p, col("__cid"), col("__salt"))
-          val pS = probes
-            .withColumn("__salt",
-              pmod(xxhash64(col("query_id")), lit(salts.toLong)).cast("int"))
-            .repartition(p, col("__cid"), col("__salt"))
-          aS.join(pS, Seq("__cid", "__salt")).drop("__salt")
-        }
+        assignedN.repartition(p, col("__cid"))
+          .join(probes, Seq("__cid"))
       }
     // self-SEARCH semantics (queries drawn from the indexed corpus):
     // a row is not its own neighbor. A join of two UNRELATED tables
@@ -341,7 +349,8 @@ object SimilarityFunctions {
     val scored = (if (excludeSelf)
         joined.filter(col("neighbor_id") =!= col("query_id"))
       else joined)
-      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("score", round(cosinePrenorm(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     rankTopK(scored, k, "score", ascending = false)
   }
 
@@ -627,18 +636,20 @@ object SimilarityFunctions {
               probes: Int = 1): DataFrame = {
     val bucket = lshBucket(col(vecCol), seed, planes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      bucket.as("__bucket"))
+      l2Norm(col(vecCol)).as("__cn"), bucket.as("__bucket"))
     val q =
       if (probes == 1)
         corpus.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-          bucket.as("__bucket"))
+          l2Norm(col(vecCol)).as("__qn"), bucket.as("__bucket"))
       else
         corpus.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          l2Norm(col(vecCol)).as("__qn"),
           explode(lshProbeBuckets(col(vecCol), seed, planes, dim, probes))
             .as("__bucket"))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("score", round(cosinePrenorm(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     rankTopK(scored, k, "score", ascending = false)
   }
 
@@ -659,8 +670,9 @@ object SimilarityFunctions {
               probes: Int = 1): DataFrame = {
     val bucket = lshBucket(col(vecCol), seed, planes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      bucket.as("__bucket"))
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      l2Norm(col(vecCol)).as("__cn"), bucket.as("__bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
     val q = broadcast(
       if (probes == 1)
         qBase.withColumn("__bucket", lshBucket(col("__qv"), seed, planes, dim))
@@ -668,7 +680,8 @@ object SimilarityFunctions {
         explode(lshProbeBuckets(col("__qv"), seed, planes, dim, probes))))
     val scored = c.join(q, Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("score", round(cosinePrenorm(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")), 6))
     rankTopK(scored, k, "score", ascending = false)
   }
 
@@ -741,11 +754,14 @@ object SimilarityFunctions {
   def bucketedAssign(e: DataFrame, cent: DataFrame,
                      seed: Long, planes: Int, dim: Int): DataFrame = {
     val vb = e.select(col("__id"), col("__v"),
+      l2Norm(col("__v")).as("__vn"),
       lshBucket(col("__v"), seed, planes, dim).as("__bucket"))
     val cb = cent.select(col("__cid"), col("__centv"),
+      l2Norm(col("__centv")).as("__centn"),
       lshBucket(col("__centv"), seed, planes, dim).as("__bucket"))
     vb.join(cb, Seq("__bucket"))
-      .withColumn("__cs", round(cosine(col("__v"), col("__centv")), 6))
+      .withColumn("__cs", round(cosinePrenorm(col("__v"), col("__centv"),
+        col("__vn"), col("__centn")), 6))
       // lexicographic struct max = (score desc, cid asc) argmax: the
       // negated cid makes the tie-break pick the SMALLEST cid — a
       // first-class hash agg with map-side partial combine
@@ -884,17 +900,22 @@ object SimilarityFunctions {
     // one assignment pass, materialized: the checkpoint cuts the
     // lineage so the three consumers below read the materialized
     // assignment instead of re-running the scan
+    // the norm rides the materialized assignment (computed once per
+    // row, not once per within-cluster pair — optimization r19)
     val materialized = assignAll(e, cent, assignPlanes, assignSeed)
-      .select(col("__id"), col("__v"), col("__cid"))
+      .select(col("__id"), col("__v"), col("__cid"),
+        l2Norm(col("__v")).as("__n"))
     val assigned =
       if (reliable) materialized.checkpoint() else materialized.localCheckpoint()
     // within-cluster scan: only (lower-id → higher-id) direction, so
     // the group representative can never be marked
-    val dup = assigned.select(col("__cid"), col("__id"), col("__v")).as("x")
+    val dup = assigned.select(col("__cid"), col("__id"), col("__v"),
+        col("__n")).as("x")
       .join(assigned.select(col("__cid"), col("__id").as("__lo"),
-        col("__v").as("__lov")).as("y"),
+        col("__v").as("__lov"), col("__n").as("__lon")).as("y"),
         col("x.__cid") === col("y.__cid") && col("__lo") < col("__id"))
-      .filter(round(cosine(col("__v"), col("__lov")), 6) >= threshold)
+      .filter(round(cosinePrenorm(col("__v"), col("__lov"),
+        col("x.__n"), col("__lon")), 6) >= threshold)
       .select(col("__id")).distinct()
       .withColumn("__isdup", lit(true))
     assigned.join(dup, Seq("__id"), "left")

@@ -129,11 +129,18 @@ object TextAnalysisFunctions {
     // per-doc distinct (ascending), so the (id, fingerprint) relation
     // is distinct by construction — bit-identical to the reference
     // (TextAnalysisSpec pins kernel ≡ windowed form).
-    // scan-parallelism valve: the kernel is a heavy map pass and a
-    // fixture docs table is one row group = one scan task
-    ScanParallelism.ensureScanParallelism(
-        docs.filter(length(col(textCol)) >= k + w - 1)
-          .select(col(idCol).as("__id"), col(textCol).as("__txt")), "__id")
+    // NO scan-parallelism valve here (optimization r19): the r18 valve
+    // (committed unbenched) parallelized the kernel's materialization
+    // (x18 0.97 -> 0.54 s) but pinned the SHARED PERSISTED relation at
+    // 32 partitions, and every downstream consumer of the cache then
+    // ran multi-stage 32-task plans over KB-sized data — x18b wall
+    // 0.99 -> 1.15-1.85 s, cpu 0.8 -> 10-23 s (ProfileX18Sandwich:
+    // cpu ~10 s with the cache verifiably hot, so the tax is
+    // tiny-task overhead, not recompute). Net over the pair the valve
+    // LOSES on wall and costs 12-25x cpu; the one-pass kernel is
+    // already cheap enough serially (~0.6 s at sf0.1).
+    docs.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("__id"), col(textCol).as("__txt"))
       .select(col("__id"),
         explode(graft.expressions.ShingleExpressions
           .winnow_minima(col("__txt"), k, w)).as("__wm"))

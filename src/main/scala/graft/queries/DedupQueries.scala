@@ -288,13 +288,16 @@ object DedupQueries {
     // md5-derived planes are deterministic, so the oracle replicates
     // the bucketing bit-for-bit (same machinery as s2_ann_lsh).
     "d7_embed_lsh_pairs" -> ((s, d) => {
-      import graft.functions.SimilarityFunctions.{cosine, lshBucket}
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      import graft.functions.SimilarityFunctions.{cosinePrenorm, l2Norm, lshBucket}
+      // norm once per row, not once per bucket pair (optimization r19)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("__n"))
         .withColumn("__bucket", lshBucket(col("embedding"), seed = 7L, planes = 6, dim = 64))
       e.as("x").join(e.as("y"),
           col("x.__bucket") === col("y.__bucket") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+          round(cosinePrenorm(col("x.embedding"), col("y.embedding"),
+            col("x.__n"), col("y.__n")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("a", "b")
     }),
