@@ -98,7 +98,21 @@ object BandIndex {
     val meta = checkedMeta(shingleN, numHashes, bands, hashFamily,
       prefixLen, idBuckets)
     writeMeta(spark, dir, meta)
-    val shRaw = shingled(docs, idCol, textCol, meta)
+    // scan-parallelism valve on the corpus input (optimization r19,
+    // guide §2.5): a fixture-scale docs table is one parquet row
+    // group = ONE scan task, and the minhash (one md5 per shingle —
+    // the save's dominant compute, ProfileSaveR19: 2.3 s of the
+    // 2.8 s bands write at the d16 shape) runs in whatever
+    // partitioning the persisted shingle set inherited. Spreading the
+    // SCAN spreads the persist and the minhash (bands write 2.8 →
+    // 0.9 s). Identity at corpus scale (≥ parallelism splits) and for
+    // non-scan-rooted inputs (d16b's union+crossJoin — its minhash is
+    // 0.4 s, its save cost is the 256-dir write instead). Unlike the
+    // x18b case this persisted relation is consumed by exactly two
+    // write branches, each behind its own exchange — no tiny-task
+    // cascade.
+    val shRaw = shingled(ScanParallelism.ensureScanParallelism(
+      docs.select(col(idCol), col(textCol)), idCol), idCol, textCol, meta)
     val sh = if (persistShingles) shRaw.persist(StorageLevel.MEMORY_AND_DISK)
       else shRaw
     try {
@@ -180,18 +194,40 @@ object BandIndex {
     val sh = shingled(batch, idCol, textCol, meta)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val shStaging = new org.apache.hadoop.fs.Path(s"$dir/.staging-sh-$tag")
-      sh.withColumn("sbucket", sbucketOf(col("id"), meta))
-        .repartition(col("sbucket"))
-        .write.mode("overwrite").partitionBy("sbucket")
-        .parquet(shStaging.toString)
-      PartitionedStore.moveStagedTagged(fs, shStaging, shRoot, "sbucket", tag)
-      val bandStaging = new org.apache.hadoop.fs.Path(s"$dir/.staging-bands-$tag")
-      bandedRouted(spark, dir, sh, meta)
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(bandStaging.toString)
-      PartitionedStore.moveStagedTagged(fs, bandStaging, bandRoot, "bucket", tag)
+      // The twin staged appends run CONCURRENTLY (optimization r19 —
+      // the saveWith concurrentWrites precedent, measured 1.29× there;
+      // each ingest micro-batch pays the same two-write tail). Crash
+      // safety is unchanged and ORDER-FREE by construction: a replay
+      // with the same tag scrubs the tag's files from BOTH stores
+      // before re-staging, so a crash during either write (or between
+      // the two moves, in either order) converges to exactly one copy
+      // — the sequential form never relied on shingles-before-bands.
+      def writeShingles(): Unit = {
+        val shStaging = new org.apache.hadoop.fs.Path(s"$dir/.staging-sh-$tag")
+        sh.withColumn("sbucket", sbucketOf(col("id"), meta))
+          .repartition(col("sbucket"))
+          .write.mode("overwrite").partitionBy("sbucket")
+          .parquet(shStaging.toString)
+        PartitionedStore.moveStagedTagged(fs, shStaging, shRoot, "sbucket", tag)
+      }
+      def writeBands(): Unit = {
+        val bandStaging = new org.apache.hadoop.fs.Path(s"$dir/.staging-bands-$tag")
+        bandedRouted(spark, dir, sh, meta)
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(bandStaging.toString)
+        PartitionedStore.moveStagedTagged(fs, bandStaging, bandRoot, "bucket", tag)
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(Seq(
+            scala.concurrent.Future(writeShingles()),
+            scala.concurrent.Future(writeBands()))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     } finally sh.unpersist(blocking = false)
   }
 
