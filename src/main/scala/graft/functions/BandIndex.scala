@@ -395,12 +395,26 @@ object BandIndex {
         .select("id", "sh")
       val bandBuckets = bandedRouted(spark, dir, delSh, meta)
         .select("bucket").distinct().collect().map(_.getString(0)).toIndexedSeq
-      val bandsDone = PartitionedStore.rewriteExcludingAll(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket",
-        bandBuckets, tombIds, "id", parallelism)
-      val shDone = PartitionedStore.rewriteExcludingAll(spark,
-        new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket",
-        sbuckets.map(_.toString), tombIds, "id", parallelism)
+      // the two stores' rewrites are independent (separate roots,
+      // separate staging dirs, shared read-only tombIds persist) — run
+      // them CONCURRENTLY like the save/ingest twin writes
+      // (optimization r19); per-store crash-safety is unchanged
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (bandsDone, shDone) =
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val fb = scala.concurrent.Future(PartitionedStore.rewriteExcludingAll(
+            spark, new org.apache.hadoop.fs.Path(s"$dir/bands"), "bucket",
+            bandBuckets, tombIds, "id", parallelism))
+          val fsh = scala.concurrent.Future(PartitionedStore.rewriteExcludingAll(
+            spark, new org.apache.hadoop.fs.Path(s"$dir/shingles"), "sbucket",
+            sbuckets.map(_.toString), tombIds, "id", parallelism))
+          (scala.concurrent.Await.result(fb,
+            scala.concurrent.duration.Duration.Inf),
+           scala.concurrent.Await.result(fsh,
+            scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
       // park, don't delete: a probe planned before this vacuum holds
       // file paths into the batch dirs (review r17); the next write
       // entry sweeps the parked files
